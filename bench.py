@@ -1,0 +1,55 @@
+"""Headline benchmark: run the bench-tagged queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Each query is fully executed (collected to a count via ``write noop`` —
+we use ``count()`` on the final plan so results are materialized but not
+shipped to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from tensei_agent_spark.queries import REGISTRY
+from tensei_agent_spark.session import DEFAULT_SF_DIR, get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("tensei-agent-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    bench_names = [n for n, q in REGISTRY.items() if q.bench]
+    # Warm the JVM + parquet footers once with the cheapest query.
+    REGISTRY[bench_names[0]].build(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        t0 = time.perf_counter()
+        df = REGISTRY[name].build(spark, sf_dir)
+        df.count()  # materialize the whole plan, keep rows off the driver
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

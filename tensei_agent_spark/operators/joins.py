@@ -1,0 +1,126 @@
+"""Multi-source combination primitives.
+
+The reference engine has no general join; it combines sources three ways
+(SURVEY.md §2.4), all reproduced here as scalable DataFrame ops:
+
+1. **Row-aligned merge** — rows matched by position (reference:
+   ``processor/RecipeWorker.scala:332-394`` passes ``sequenceRow`` to
+   every fetch). Spark: attach a global row index to each side over an
+   explicit total order, then equi-join on the index.
+2. **Mapping-key lookup** — an equi left-join (reference:
+   ``processor/MappingOneToOneWorker.scala:232-287`` +
+   ``DataTreeDocument.FindDataContainer``).
+3. **FK key remap** — child FK values rewritten to the parent's newly
+   generated keys (reference: ``transformers/FetchForeignKeyValue.scala``
+   + ``processor/AutoIncrementValueBuffer.scala``). Spark: generate the
+   key map as a DataFrame and join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_row_index(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    index_col: str = "_rn",
+) -> DataFrame:
+    """Attach a 0-based global row index over an explicit total order.
+
+    Scale note: a bare ``row_number().over(Window.orderBy(...))`` funnels
+    the whole table through ONE partition. Instead we compute a local
+    row number per partition id and add broadcast per-partition offsets —
+    every step is distributed; only the tiny (num_partitions)-row count
+    table touches the driver.
+    """
+    order = [F.col(c) for c in order_cols]
+    part = (
+        df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    # Local index within each range partition.
+    w = Window.partitionBy("_pid").orderBy(*order)
+    local = part.withColumn("_local_rn", F.row_number().over(w))
+    # Tiny per-partition row counts -> cumulative offsets (driver-side,
+    # O(partitions) not O(rows)).
+    counts = sorted(local.groupBy("_pid").count().collect())
+    offsets, acc = {}, 0
+    for row in counts:
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    offset_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        )
+    )
+    return (
+        local.join(offset_df, "_pid")
+        .withColumn(index_col, F.col("_local_rn") + F.col("_off") - F.lit(1))
+        .drop("_pid", "_local_rn", "_off")
+    )
+
+
+def row_aligned_merge(
+    left: DataFrame,
+    right: DataFrame,
+    left_order: Sequence[str],
+    right_order: Sequence[str],
+    index_col: str = "_rn",
+) -> DataFrame:
+    """Positional zip of two sources: row i of left ++ row i of right.
+
+    Inner join on the row index reproduces the reference's
+    ``maxLoops = min(leftRows, rightRows)`` write cap
+    (``RecipeWorker.scala:252-316``).
+    """
+    lhs = with_row_index(left, left_order, index_col)
+    rhs = with_row_index(right, right_order, index_col)
+    return lhs.join(rhs, index_col, "inner")
+
+
+def mapping_key_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | Sequence[str],
+    how: str = "left",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Equi join on the mapping key (reference MappingKeyFieldDefinition).
+
+    ``broadcast_right=True`` for dimension-sized lookup sides; otherwise
+    Catalyst/AQE picks broadcast vs sort-merge from statistics.
+    """
+    rhs = F.broadcast(right) if broadcast_right else right
+    on = [key] if isinstance(key, str) else list(key)
+    return left.join(rhs, on, how)
+
+
+def remap_foreign_keys(
+    child: DataFrame,
+    key_map: DataFrame,
+    fk_col: str,
+    old_key_col: str = "old_key",
+    new_key_col: str = "new_key",
+) -> DataFrame:
+    """Rewrite ``child.fk_col`` through an (old_key → new_key) map.
+
+    The key map is what a JDBC sink reads back after writing the parent
+    table (generated auto-increment keys); it is dimension-sized, so we
+    broadcast it. Unmatched FKs become NULL — same as the reference's
+    buffer-miss behaviour after retries exhaust.
+    """
+    km = F.broadcast(
+        key_map.select(
+            F.col(old_key_col).alias("__old"), F.col(new_key_col).alias("__new")
+        )
+    )
+    return (
+        child.join(km, child[fk_col] == F.col("__old"), "left")
+        .withColumn(fk_col, F.col("__new"))
+        .drop("__old", "__new")
+    )
