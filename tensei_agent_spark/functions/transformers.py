@@ -1,0 +1,413 @@
+"""Transformer registry — every reference transformer as a Column builder.
+
+The reference applies transformer chains to *the list of source values
+for one output cell* (``transformers/BaseTransformer.scala:38-101``;
+chains compose sequentially per ``TransformationWorker.scala:186-237``).
+Spark equivalent: each transformer is a function
+``(cols: list[Column], **params) -> list[Column]`` — most collapse the
+list to one Column; chains compose by function application. Everything
+stays a JVM Column expression (whole-stage codegen); the only Python
+escape hatches are ``replace`` with a first-N count and the Drupal
+vancode generator, both Arrow-batched pandas UDFs.
+
+Each builder's docstring cites the reference class it reproduces.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+Builder = Callable[..., list[Column]]
+
+TRANSFORMERS: dict[str, Builder] = {}
+
+
+def register(name: str):
+    def deco(fn: Builder):
+        TRANSFORMERS[name] = fn
+        return fn
+
+    return deco
+
+
+def build(name: str, cols: Sequence[Column], **params) -> list[Column]:
+    """Instantiate one transformer (reference loads classes by name at
+    runtime, ``TransformationWorker.scala:259-268``)."""
+    return TRANSFORMERS[name](list(cols), **params)
+
+
+def apply_chain(
+    chain: Sequence[tuple[str, dict]], cols: Sequence[Column]
+) -> list[Column]:
+    """Sequential composition of transformers over a value list."""
+    out = list(cols)
+    for name, params in chain:
+        out = build(name, out, **params)
+    return out
+
+
+# --- string transformers ---------------------------------------------------
+
+
+@register("concat")
+def concat(cols, separator: str = "", prefix: str = "", suffix: str = ""):
+    """transformers/Concat.scala — join stringified inputs with
+    separator, wrap in prefix/suffix."""
+    joined = F.concat_ws(separator, *[c.cast("string") for c in cols])
+    return [F.concat(F.lit(prefix), joined, F.lit(suffix))]
+
+
+@register("split")
+def split(cols, pattern: str = ",", limit: int = -1, selected: Sequence[int] = (0,)):
+    """transformers/Split.scala — regex-split the (concatenated) input,
+    trim parts, select the given 0-based indices (one output per index)."""
+    src = cols[0] if len(cols) == 1 else F.concat_ws("", *cols)
+    parts = F.split(src, pattern, limit)
+    return [F.trim(F.element_at(parts, i + 1)) for i in selected]
+
+
+@register("replace")
+def replace(cols, search: Sequence[str] = (), replace: str = "", count: int = 0):
+    """transformers/Replace.scala — regex replace each search pattern;
+    count==0 → all occurrences (JVM regexp_replace); count>0 → first N
+    (Arrow-batched pandas UDF, the slow path)."""
+    out = []
+    for c in cols:
+        col = c.cast("string")
+        if count <= 0:
+            for pat in search:
+                col = F.regexp_replace(col, pat, replace)
+        else:
+            pats, repl, n = list(search), replace, count
+
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("string")
+            def _replace_n(s):  # pragma: no cover - exercised via Spark
+                def one(v):
+                    if v is None:
+                        return None
+                    for p in pats:
+                        v = re.sub(p, repl, v, count=n)
+                    return v
+
+                return s.map(one)
+
+            col = _replace_n(col)
+        out.append(col)
+    return out
+
+
+@register("lower_or_upper")
+def lower_or_upper(cols, perform: str = "lower", locale: str = ""):
+    """transformers/LowerOrUpper.scala — lower | upper | firstlower |
+    firstupper (first char changed, rest untouched)."""
+    out = []
+    for c in cols:
+        s = c.cast("string")
+        if perform == "lower":
+            out.append(F.lower(s))
+        elif perform == "upper":
+            out.append(F.upper(s))
+        elif perform == "firstlower":
+            out.append(F.concat(F.lower(F.substring(s, 1, 1)), s.substr(F.lit(2), F.length(s))))
+        elif perform == "firstupper":
+            out.append(F.concat(F.upper(F.substring(s, 1, 1)), s.substr(F.lit(2), F.length(s))))
+        else:
+            raise ValueError(f"lower_or_upper: unknown perform={perform!r}")
+    return out
+
+
+@register("empty_string")
+def empty_string(cols):
+    """transformers/EmptyString.scala — constant empty string."""
+    return [F.lit("")]
+
+
+@register("nullify")
+def nullify(cols):
+    """transformers/Nullify.scala — constant NULL."""
+    return [F.lit(None)]
+
+
+@register("merge_and_extract_by_regex")
+def merge_and_extract_by_regex(
+    cols, regexp: str = ".*", groups: Sequence[int] = (), filler: str = ""
+):
+    """transformers/MergeAndExtractByRegEx.scala — concat inputs, match
+    the regex, join the selected capture groups with the filler."""
+    src = F.concat_ws("", *[c.cast("string") for c in cols])
+    if not groups:
+        return [F.regexp_extract(src, regexp, 0)]
+    parts = [F.regexp_extract(src, regexp, g) for g in groups]
+    return [F.concat_ws(filler, *parts)]
+
+
+# --- constants / casts -----------------------------------------------------
+
+
+@register("overwrite")
+def overwrite(cols, type: str = "string", value: str | None = None):
+    """transformers/Overwrite.scala — typed constant; value='now' yields
+    current date/time/timestamp for temporal types."""
+    t = type.lower()
+    if value is None or t == "none":
+        return [F.lit(None)]
+    if value == "now":
+        now = {
+            "date": F.current_date(),
+            "datetime": F.current_timestamp(),
+            "time": F.date_format(F.current_timestamp(), "HH:mm:ss"),
+        }
+        return [now[t]]
+    cast = {
+        "bigdecimal": "decimal(38,10)",
+        "byte": "binary",
+        "date": "date",
+        "datetime": "timestamp",
+        "long": "long",
+        "string": "string",
+        "time": "string",
+    }[t]
+    return [F.lit(value).cast(cast)]
+
+
+@register("cast_string_to_long")
+def cast_string_to_long(cols):
+    """transformers/CastStringToLong.scala — ``^-?\\d+$`` → long else
+    NULL. try_cast (not cast): ANSI mode is Spark 4's default and a
+    plain cast would throw on non-numeric input; the reference nulls."""
+    return [F.trim(c.cast("string")).try_cast("long") for c in cols]
+
+
+# --- temporal --------------------------------------------------------------
+
+
+@register("date_converter")
+def date_converter(cols, timezone: str = "UTC", format: str = "yyyy-MM-dd HH:mm:ss"):
+    """transformers/DateConverter.scala — string (in `format`) or epoch
+    millis → timestamp, shifted into `timezone`."""
+    out = []
+    for c in cols:
+        ts = F.when(
+            c.cast("string").rlike(r"^-?\d+$"),
+            F.timestamp_millis(c.cast("long")),
+        ).otherwise(F.to_timestamp(c.cast("string"), format))
+        if timezone and timezone != "UTC":
+            ts = F.from_utc_timestamp(ts, timezone)
+        out.append(ts)
+    return out
+
+
+@register("date_type_converter")
+def date_type_converter(cols, target: str = "date"):
+    """transformers/DateTypeConverter.scala — convert among
+    date/time/datetime. Spark has no TIME type: times become HH:mm:ss
+    strings (documented divergence)."""
+    t = target.lower()
+    out = []
+    for c in cols:
+        if t == "date":
+            out.append(c.cast("date"))
+        elif t == "datetime":
+            out.append(c.cast("timestamp"))
+        elif t == "time":
+            out.append(F.date_format(c.cast("timestamp"), "HH:mm:ss"))
+        else:
+            raise ValueError(f"date_type_converter: unknown target={target!r}")
+    return out
+
+
+@register("date_value_to_string")
+def date_value_to_string(cols, format: str = "yyyy-MM-dd HH:mm:ss"):
+    """transformers/DateValueToString.scala — temporal → formatted string."""
+    return [F.date_format(c, format) for c in cols]
+
+
+@register("timestamp_calibrate")
+def timestamp_calibrate(cols, perform: str = "add"):
+    """transformers/TimestampCalibrate.scala — epoch seconds⇄millis:
+    add → ×1000, reduce → ÷1000 (integer)."""
+    if perform == "add":
+        return [(c.cast("long") * 1000).alias("ts") for c in cols]
+    return [(c.cast("long") / 1000).cast("long") for c in cols]
+
+
+@register("timestamp_adjuster")
+def timestamp_adjuster(cols, perform: str = "add"):
+    """transformers/atomic/TimestampAdjuster.scala — same ×1000/÷1000
+    applied at fetch time (atomic transformation)."""
+    return timestamp_calibrate(cols, perform)
+
+
+@register("timestamp_offset")
+def timestamp_offset(cols, offset: str = "+00:00", mode: str = "convert"):
+    """transformers/TimestampOffsetTransformer.scala — convert: shift the
+    instant into the offset zone; keep: relabel (shift the other way)."""
+    out = []
+    for c in cols:
+        ts = c.cast("timestamp")
+        if mode == "convert":
+            out.append(F.from_utc_timestamp(ts, f"GMT{offset}"))
+        else:  # keep the local clock time, change the instant
+            out.append(F.to_utc_timestamp(ts, f"GMT{offset}"))
+    return out
+
+
+# --- numeric / conditional -------------------------------------------------
+
+_COND_RE = re.compile(r"^\s*x\s*(<=|>=|==|!=|<|>|=)\s*(-?\d+(?:\.\d+)?)\s*$")
+_ARITH_RE = re.compile(r"^\s*x\s*=\s*x\s*([+\-*/])\s*(-?\d+(?:\.\d+)?)\s*$")
+_CONST_RE = re.compile(r"^\s*x\s*=\s*(-?\d+(?:\.\d+)?)\s*$")
+
+
+def _parse_branch(rule: str, x: Column) -> Column:
+    """Parse the reference's tiny rule language ('x=x+3', 'x=42')."""
+    m = _ARITH_RE.match(rule)
+    if m:
+        op, k = m.group(1), F.lit(float(m.group(2)))
+        return {"+": x + k, "-": x - k, "*": x * k, "/": x / k}[op]
+    m = _CONST_RE.match(rule)
+    if m:
+        return F.lit(float(m.group(1)))
+    raise ValueError(f"if_then_else_numeric: cannot parse branch {rule!r}")
+
+
+@register("if_then_else_numeric")
+def if_then_else_numeric(
+    cols,
+    condition: str = "x>0",
+    then: str = "x=x",
+    otherwise: str | None = None,
+    format: str = "dec",
+):
+    """transformers/IfThenElseNumeric.scala — numeric conditional with
+    the reference's micro-DSL: condition 'x>42', branches 'x=x+3' /
+    'x=7'. format='num' rounds HALF_UP to long; 'dec' stays decimal."""
+    m = _COND_RE.match(condition)
+    if not m:
+        raise ValueError(f"if_then_else_numeric: bad condition {condition!r}")
+    op, k = m.group(1), F.lit(float(m.group(2)))
+    out = []
+    for c in cols:
+        x = c.cast("double")
+        cond = {
+            "<": x < k, ">": x > k, "<=": x <= k, ">=": x >= k,
+            "==": x == k, "=": x == k, "!=": x != k,
+        }[op]
+        then_c = _parse_branch(then if then != "x=x" else "x=x+0", x)
+        else_c = _parse_branch(otherwise, x) if otherwise else x
+        r = F.when(cond, then_c).otherwise(else_c)
+        if format == "num":
+            r = F.round(r, 0).cast("long")  # HALF_UP, like the reference
+        out.append(r)
+    return out
+
+
+@register("extract_biggest_value")
+def extract_biggest_value(cols):
+    """transformers/ExtractBiggestValue.scala — max numeric of the
+    inputs; for non-numeric inputs the reference keeps the longest
+    string (use 'extract_longest_string' for that)."""
+    if len(cols) == 1:
+        return list(cols)
+    return [F.greatest(*cols)]
+
+
+@register("extract_longest_string")
+def extract_longest_string(cols):
+    """String arm of ExtractBiggestValue: the longest input string."""
+    arr = F.array(*[c.cast("string") for c in cols])
+    # sort by (length, value) descending via a struct sort, take first
+    structs = F.transform(arr, lambda s: F.struct(F.length(s).alias("l"), s.alias("v")))
+    return [F.array_sort(structs)[F.size(structs) - 1]["v"]]
+
+
+# --- JSON ------------------------------------------------------------------
+
+
+@register("merge_to_json")
+def merge_to_json(cols, labels: Sequence[str] = ()):
+    """transformers/MergeToJson.scala — N labelled inputs → one JSON
+    object string."""
+    fields = [c.alias(l) for c, l in zip(cols, labels)]
+    return [F.to_json(F.struct(*fields))]
+
+
+@register("to_json")
+def to_json_t(cols, label: str = "value"):
+    """transformers/ToJson.scala — single value → JSON object string."""
+    return [F.to_json(F.struct(cols[0].alias(label)))]
+
+
+# --- generators ------------------------------------------------------------
+
+
+@register("id_uuid")
+def id_uuid(cols):
+    """transformers/IDTransformer.scala (type=UUID) — random UUID per
+    row. Non-deterministic by nature (rows-only correctness check)."""
+    return [F.expr("uuid()")]
+
+
+def sequential_id(df, order_cols: Sequence[str], start: int = 1, out_col: str = "seq_id"):
+    """transformers/IDTransformer.scala (type=long) — sequential id.
+
+    The reference uses a central mutable counter actor
+    (``generators/IDGenerator.scala:40-100``); a distributed engine
+    needs an explicit total order instead. Uses the scalable row-index
+    helper (no single-partition window).
+    """
+    from ..operators.joins import with_row_index
+
+    out = with_row_index(df, order_cols, out_col)
+    return out.withColumn(out_col, F.col(out_col) + F.lit(start))
+
+
+def drupal_vancode(df, id_col: str, article_col: str, parent_col: str, out_col: str = "vancode"):
+    """transformers/DrupalVanCodeTransformer.scala — Drupal comment
+    'vancode': per article, comments numbered in id order; children
+    append their sibling number to the parent's code. Base-36 digits,
+    '/'-terminated (``generators/DrupalVanCodeGenerator.scala``).
+
+    Distributed as applyInPandas per article (threads are article-local,
+    so grouping by article is the natural partitioning; article groups
+    fit in memory for any realistic comment thread).
+    """
+    import pandas as pd
+
+    schema = ", ".join(
+        [f"{id_col} long", f"{article_col} long", f"{parent_col} long", f"{out_col} string"]
+    )
+
+    def _b36(n: int) -> str:
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+        if n == 0:
+            return "0"
+        out = ""
+        while n:
+            out = digits[n % 36] + out
+            n //= 36
+        return out
+
+    def per_article(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        codes: dict[int, str] = {}
+        sibling_count: dict[int, int] = {}
+        out = []
+        for _, row in pdf.iterrows():
+            parent = row[parent_col]
+            parent_code = codes.get(parent, "") if parent and parent > 0 else ""
+            nth = sibling_count.get(parent or 0, 0) + 1
+            sibling_count[parent or 0] = nth
+            code = parent_code + _b36(nth).rjust(2, "0")
+            codes[row[id_col]] = code
+            out.append(code + "/")
+        pdf[out_col] = out
+        return pdf[[id_col, article_col, parent_col, out_col]]
+
+    return df.groupBy(article_col).applyInPandas(per_article, schema)

@@ -1,0 +1,214 @@
+"""Vector similarity search over an embedding column (array<float>).
+
+Beyond-reference surface for training-data pipelines. Two paths:
+
+- ``brute_force_topk`` — exact top-k: query set × corpus equi-agnostic
+  join. The corpus never collects to the driver; queries are broadcast
+  (a query set is small by definition). At 100 TB the corpus stays
+  partitioned and each partition scores locally — a map-side cross
+  product bounded by |queries| × |partition|.
+- ``lsh_bucket_topk`` — approximate: random-hyperplane signs bucket the
+  corpus (SimHash for vectors); only same-bucket candidates are scored.
+  Bucket width (n_planes) trades recall for the shuffle fan-in.
+
+Arithmetic note: dot products and norms are computed in exact DECIMAL
+(float32 → double is exact; double → DECIMAL(18,9) rounds identically
+in Spark and DuckDB), so results are bit-stable for the oracle. The
+final cosine is a double. At production scale you'd use the plain
+double path (fp error is irrelevant for ANN); the decimal path costs
+~2× and exists for verifiability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,9)"
+
+
+def _dot_dec(a, b):
+    """Exact-decimal dot product of two float arrays (JVM-side fold)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast(DEC) * y.cast(DEC))
+    # Decimal addition exact & associative → no FP-ordering drift vs the
+    # oracle. Accumulator stays at (28,18): the add result is (29,18) —
+    # scale PRESERVED (a (38,18) accumulator would narrow to scale 17,
+    # silently rounding each step) — and the cast back to (28,18) is
+    # lossless for |sum| < 10^10.
+    acc_t = "decimal(28,18)"
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(acc_t),
+        lambda acc, v: (acc + v.cast(acc_t)).cast(acc_t),
+    )
+
+
+def with_norm2(df: DataFrame, vec_col: str = "embedding", out: str = "n2"):
+    return df.withColumn(out, _dot_dec(F.col(vec_col), F.col(vec_col)))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for each query vector.
+
+    Output: (query_id, cand_id, cosine, rank). Queries broadcast; the
+    per-group top-k is a hash-partitioned window on query_id.
+    """
+    q = F.broadcast(
+        with_norm2(queries, vec_col, "qn2").select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            "qn2",
+        )
+    )
+    c = with_norm2(corpus, vec_col, "cn2").select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cn2"
+    )
+    scored = (
+        c.join(q, F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            # Rounded to 9 decimals: decimal->double conversion differs by
+            # 1 ULP between engines (DuckDB double-rounds via int128);
+            # ranking on the rounded value + id tiebreak is engine-stable.
+            F.round(
+                _dot_dec(F.col("qvec"), F.col("cvec")).cast("double")
+                / (
+                    F.sqrt(F.col("qn2").cast("double"))
+                    * F.sqrt(F.col("cn2").cast("double"))
+                ),
+                9,
+            ),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def blocked_pairs_cosine(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold, restricted to pairs sharing a block
+    key (label, LSH bucket, …) — the scalable all-pairs pattern: the
+    equi-join on the block key keeps the cross product partition-local.
+    Output: (id_a, id_b, cosine), id_a < id_b.
+    """
+    base = with_norm2(df, vec_col, "n2")
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("va"),
+        F.col("n2").alias("na"),
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).alias("vb"),
+        F.col("n2").alias("nb"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_dec(F.col("va"), F.col("vb")).cast("double")
+                / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
+                9,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def random_hyperplane_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SimHash-style LSH bucket id for each vector: sign bits against
+    ``n_planes`` pseudo-random hyperplanes.
+
+    Planes are derived deterministically from (seed, plane, component)
+    via a hash → uniform in [-1,1]; generated as a literal array column
+    so the whole computation stays in codegen, no UDF and no driver
+    numpy shipping. Output adds ``bucket`` (int).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    planes = [
+        [rnd.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+    bucket = F.lit(0)
+    vec = F.col(vec_col)
+    for p_idx, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(vec, plane_col, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: only candidates in the query's LSH bucket are
+    scored. Recall < 1 by construction (scale path; brute_force_topk is
+    the exactness baseline)."""
+    cb = random_hyperplane_buckets(corpus, n_planes, dim, seed, vec_col)
+    qb = random_hyperplane_buckets(queries, n_planes, dim, seed, vec_col)
+    q = F.broadcast(
+        with_norm2(qb, vec_col, "qn2").select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.col("bucket").alias("qbucket"),
+            "qn2",
+        )
+    )
+    c = with_norm2(cb, vec_col, "cn2").select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("bucket").alias("cbucket"),
+        "cn2",
+    )
+    scored = (
+        c.join(q, (F.col("cbucket") == F.col("qbucket")) & (F.col("cand_id") != F.col("query_id")))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_dec(F.col("qvec"), F.col("cvec")).cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+                9,
+            ),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -1,0 +1,115 @@
+"""Text analysis operators for training-data pipelines.
+
+All JVM-side column expressions (regex + array lambdas) — no Python in
+the hot path; each scales as a pure map over the corpus (no shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker-word lists (n-gram heuristic language ID).
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is|it)\b",
+    "es": r"\b(el|la|los|de|que|y|en)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "fr": r"\b(le|la|les|et|est|dans)\b",
+}
+
+STOPWORDS = ("the", "and", "of", "to", "in", "a", "is", "it", "for", "on")
+
+PUNCT_CLASS = r"""[.,;:!?'"()\[\]{}-]"""
+
+# BPE-ish token: word chars, or a single non-space non-word char.
+BPE_TOKEN_RE = r"\w+|[^\w\s]"
+
+
+def tokens(text: Column) -> Column:
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(F.lower(text))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return n_stop.cast("double") / F.size(toks)
+
+
+def punct_ratio(text: Column) -> Column:
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_CLASS), F.lit(0)))
+    return n_punct.cast("double") / F.length(text)
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Length/token/punct/stopword quality features per document."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    return docs.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        bpe_token_count(t).alias("n_bpe_tokens"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda x: F.length(x).cast("double")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+    )
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Marker-word hit count per language."""
+    lowered = F.lower(text)
+    return {
+        lang: F.size(F.regexp_extract_all(lowered, F.lit(pat), F.lit(0)))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def predict_language(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: argmax of marker-word counts, alphabetical
+    tiebreak (deterministic)."""
+    scores = language_scores(F.col(text_col))
+    # argmax with deterministic tiebreak: sort (score desc, lang asc)
+    pairs = F.array(
+        *[
+            F.struct((-scores[lang]).alias("neg"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    best = F.array_sort(pairs)[0]["lang"]
+    out_cols = [F.col(id_col)]
+    out_cols += [scores[lang].alias(f"score_{lang}") for lang in sorted(scores)]
+    out_cols.append(best.alias("predicted_lang"))
+    return docs.select(*out_cols)
+
+
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content fingerprint: md5 over whitespace/case-normalized text +
+    a 4-hex-char shard key (for partitioned dedup downstream)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    fp = F.md5(norm)
+    return docs.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 4).alias("shard_key"),
+    )

@@ -514,3 +514,377 @@ def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return D.ngram_jaccard_pairs(
         load(spark, sf, "documents"), "text", "doc_id", k=8, threshold=0.6
     )
+
+
+# ---------------------------------------------------------------------------
+# Transformer-registry parity (SURVEY.md §2.7) — built via functions.build
+# ---------------------------------------------------------------------------
+
+from .functions import build as T  # noqa: E402
+from .functions.transformers import drupal_vancode, sequential_id  # noqa: E402
+
+
+@register(
+    "t_string_chain",
+    """
+    SELECT p_partkey,
+           concat('[', concat_ws('~', p_brand, p_type), ']') AS branded,
+           trim(split_part(p_type, ' ', 1)) AS type_head,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+           lower(p_brand) AS brand_lower,
+           upper(p_name) AS name_upper,
+           concat(upper(substr(p_name, 1, 1)), substr(p_name, 2)) AS name_firstupper,
+           '' AS empty_marker,
+           CAST(NULL AS VARCHAR) AS nullified
+    FROM part
+    """,
+)
+def t_string_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat / Split / Replace / LowerOrUpper / EmptyString / Nullify
+    transformer parity over `part`."""
+    p = load(spark, sf, "part")
+    branded = T("concat", [F.col("p_brand"), F.col("p_type")],
+                separator="~", prefix="[", suffix="]")[0]
+    type_head = T("split", [F.col("p_type")], pattern=" ", selected=[0])[0]
+    devoweled = T("replace", [F.col("p_name")], search=["[aeiou]"], replace="_")[0]
+    return p.select(
+        "p_partkey",
+        branded.alias("branded"),
+        type_head.alias("type_head"),
+        devoweled.alias("name_devoweled"),
+        T("lower_or_upper", [F.col("p_brand")], perform="lower")[0].alias("brand_lower"),
+        T("lower_or_upper", [F.col("p_name")], perform="upper")[0].alias("name_upper"),
+        T("lower_or_upper", [F.col("p_name")], perform="firstupper")[0].alias("name_firstupper"),
+        T("empty_string", [])[0].alias("empty_marker"),
+        T("nullify", [])[0].cast("string").alias("nullified"),
+    )
+
+
+@register(
+    "t_overwrite_cast",
+    """
+    SELECT n_nationkey,
+           'fixed' AS fixed_str,
+           CAST(42 AS BIGINT) AS fixed_long,
+           CAST(DATE '2020-01-02' AS VARCHAR) AS fixed_date,
+           CAST(n_nationkey AS VARCHAR) AS key_str,
+           CAST(concat(CAST(n_nationkey AS VARCHAR), '7') AS BIGINT) AS key7_long
+    FROM nation
+    """,
+)
+def t_overwrite_cast(spark: SparkSession, sf: str) -> DataFrame:
+    """Overwrite (typed constants) + CastStringToLong parity."""
+    n = load(spark, sf, "nation")
+    key_str = F.col("n_nationkey").cast("string")
+    return n.select(
+        "n_nationkey",
+        T("overwrite", [], type="string", value="fixed")[0].alias("fixed_str"),
+        T("overwrite", [], type="long", value="42")[0].alias("fixed_long"),
+        # date → string for the compare: DuckDB's pandas bridge renders
+        # DATE as midnight datetime, so raw DATE columns never hash-match.
+        T("overwrite", [], type="date", value="2020-01-02")[0]
+        .cast("string")
+        .alias("fixed_date"),
+        key_str.alias("key_str"),
+        T("cast_string_to_long", [F.concat(key_str, F.lit("7"))])[0].alias("key7_long"),
+    )
+
+
+@register(
+    "t_datetime_chain",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS dt_str,
+           epoch_ms(o_orderdate) AS epoch_millis,
+           epoch_ms(o_orderdate) // 1000 AS epoch_secs,
+           (epoch_ms(o_orderdate) // 1000) * 1000 AS epoch_millis_again,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           strftime(o_orderdate, '%H:%M:%S') AS order_time
+    FROM orders
+    """,
+)
+def t_datetime_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """DateValueToString / DateConverter / TimestampCalibrate /
+    DateTypeConverter parity over orders.o_orderdate."""
+    o = load(spark, sf, "orders")
+    # Parquet ms-timestamps surface as TIMESTAMP_NTZ; relabel as LTZ
+    # (session TZ is UTC, so the instant is unchanged) for epoch math.
+    ts = F.col("o_orderdate").cast("timestamp")
+    millis = F.unix_millis(ts)
+    secs = T("timestamp_calibrate", [millis], perform="reduce")[0]
+    return o.select(
+        "o_orderkey",
+        T("date_value_to_string", [ts], format="yyyy-MM-dd HH:mm:ss")[0].alias("dt_str"),
+        millis.alias("epoch_millis"),
+        secs.alias("epoch_secs"),
+        T("timestamp_calibrate", [secs], perform="add")[0].alias("epoch_millis_again"),
+        T("date_type_converter", [ts], target="date")[0]
+        .cast("string")
+        .alias("order_date"),
+        T("date_type_converter", [ts], target="time")[0].alias("order_time"),
+    )
+
+
+@register(
+    "t_ifthenelse_numeric",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           CASE WHEN l_quantity > 25 THEN l_quantity * 2 ELSE l_quantity + 1 END AS adjusted_dec,
+           CAST(round(CASE WHEN l_quantity > 25 THEN l_quantity * 2 ELSE l_quantity + 1 END, 0) AS BIGINT) AS adjusted_num,
+           greatest(l_quantity, l_extendedprice / 1000, 10.0) AS biggest
+    FROM lineitem
+    """,
+)
+def t_ifthenelse(spark: SparkSession, sf: str) -> DataFrame:
+    """IfThenElseNumeric (micro-DSL 'x>25' / 'x=x*2' / 'x=x+1') +
+    ExtractBiggestValue parity over lineitem."""
+    li = load(spark, sf, "lineitem")
+    q = F.col("l_quantity")
+    dec = T("if_then_else_numeric", [q], condition="x>25",
+            then="x=x*2", otherwise="x=x+1", format="dec")[0]
+    num = T("if_then_else_numeric", [q], condition="x>25",
+            then="x=x*2", otherwise="x=x+1", format="num")[0]
+    biggest = T("extract_biggest_value",
+                [q, F.col("l_extendedprice") / 1000, F.lit(10.0)])[0]
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        dec.alias("adjusted_dec"), num.alias("adjusted_num"),
+        biggest.alias("biggest"),
+    )
+
+
+@register(
+    "t_regex_json",
+    """
+    SELECT p_partkey,
+           concat_ws('-', regexp_extract(p_name, 'PART_([0-9]+)', 1),
+                          regexp_extract(p_name, '(PART)_', 1)) AS extracted,
+           to_json(struct_pack(key := p_partkey, brand := p_brand)) AS merged_json,
+           to_json(struct_pack(value := p_size)) AS single_json
+    FROM part
+    """,
+)
+def t_regex_json(spark: SparkSession, sf: str) -> DataFrame:
+    """MergeAndExtractByRegEx / MergeToJson / ToJson parity over part."""
+    p = load(spark, sf, "part")
+    extracted = T("merge_and_extract_by_regex", [F.col("p_name")],
+                  regexp=r"PART_([0-9]+)|(PART)_", groups=[1, 2], filler="-")[0]
+    merged = T("merge_to_json", [F.col("p_partkey"), F.col("p_brand")],
+               labels=["key", "brand"])[0]
+    single = T("to_json", [F.col("p_size")], label="value")[0]
+    return p.select(
+        "p_partkey",
+        extracted.alias("extracted"),
+        merged.alias("merged_json"),
+        single.alias("single_json"),
+    )
+
+
+@register(
+    "t_sequential_id",
+    """
+    SELECT s_suppkey, s_name,
+           99 + row_number() OVER (ORDER BY s_suppkey) AS seq_id
+    FROM supplier
+    """,
+)
+def t_sequential_id(spark: SparkSession, sf: str) -> DataFrame:
+    """IDTransformer(type=long) parity: sequential id over an explicit
+    total order, start=100 (reference: central counter actor,
+    ``generators/IDGenerator.scala:40-100``)."""
+    s = load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return sequential_id(s, ["s_suppkey"], start=100, out_col="seq_id")
+
+
+@register(
+    "t_drupal_vancode",
+    """
+    SELECT o_orderkey AS comment_id, o_custkey AS article,
+           concat('0', substr('0123456789abcdefghijklmnopqrstuvwxyz',
+                  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) + 1, 1),
+                  '/') AS vancode
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) <= 30
+    """,
+)
+def t_vancode(spark: SparkSession, sf: str) -> DataFrame:
+    """DrupalVanCodeTransformer parity (top-level comments): base-36
+    sibling numbering per article, zero-padded to 2, '/'-terminated.
+    Threaded (parented) numbering is covered by unit tests."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    comments = (
+        o.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= 30)  # stay in single-b36-digit range
+        .select(
+            F.col("o_orderkey").alias("comment_id"),
+            F.col("o_custkey").alias("article"),
+            F.lit(0).cast("long").alias("parent"),
+        )
+    )
+    out = drupal_vancode(comments, "comment_id", "article", "parent")
+    return out.select("comment_id", "article", "vancode")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: MinHash-LSH, text analysis, similarity search
+# ---------------------------------------------------------------------------
+
+from .operators import similarity as SIM  # noqa: E402
+from .operators import text as TXT  # noqa: E402
+
+
+@register(
+    "dedup_minhash_lsh",
+    """
+    WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+                FROM documents,
+                     UNNEST(range(1, greatest(length(text) - 6, 2))) AS t(i)),
+         seeds AS (SELECT UNNEST(range(0, 16)) AS seed),
+         mh AS (SELECT doc_id, seed,
+                       MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
+                FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+                          md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+                   FROM mh GROUP BY doc_id, seed // 4)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b USING (band, band_key)
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(16 hashes)+LSH(4 bands) candidate near-dup pairs — the
+    100 TB-scale dedup path (linear signatures + bounded band join)."""
+    return D.minhash_lsh_pairs(
+        load(spark, sf, "documents"), "text", "doc_id", k=8, num_hashes=16, bands=4
+    )
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe_tokens,
+           list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> CAST(length(x) AS DOUBLE)))
+             / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_token_len,
+           round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x IN ('the','and','of','to','in','a','is','it','for','on'))) AS DOUBLE)
+             / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 6) AS stopword_ratio,
+           round(CAST(len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]{}-]')) AS DOUBLE)
+             / length(text), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality features per document (length / tokens / BPE-ish tokens /
+    stopword & punctuation ratios) — pure map, no shuffle."""
+    return TXT.quality_features(load(spark, sf, "documents"))
+
+
+@register(
+    "lang_id",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht)\\b')) AS score_de,
+             len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|it)\\b')) AS score_en,
+             len(regexp_extract_all(lower(text), '\\b(el|la|los|de|que|y|en)\\b')) AS score_es,
+             len(regexp_extract_all(lower(text), '\\b(le|la|les|et|est|dans)\\b')) AS score_fr
+      FROM documents)
+    SELECT doc_id, score_de, score_en, score_es, score_fr,
+           CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                WHEN score_es >= score_fr THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language ID with deterministic alphabetical tiebreak."""
+    return TXT.predict_language(load(spark, sf, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+           substr(md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))), 1, 4) AS shard_key
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalized md5 fingerprint + shard key per document."""
+    return TXT.fingerprint(load(spark, sf, "documents"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH norms AS (
+      SELECT vec_id,
+             SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
+               * CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS n2
+      FROM embeddings, UNNEST(range(1, 65)) t(i) GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             SUM(CAST(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
+               * CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS dot
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id,
+           UNNEST(range(1, 65)) t(i)
+      WHERE q.vec_id < 5 GROUP BY 1, 2)
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT query_id, cand_id,
+             round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 9) AS cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY round(CAST(d.dot AS DOUBLE)
+               / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 9) DESC,
+                                cand_id) AS rank
+      FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
+                  JOIN norms nc ON d.cand_id = nc.vec_id)
+    WHERE rank <= 10
+    """,
+    bench=True,
+)
+def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 for query vectors (vec_id < 5) —
+    exactness baseline for the LSH path. Decimal-exact arithmetic for
+    oracle bit-stability."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "embedding_near_dup",
+    """
+    WITH norms AS (
+      SELECT vec_id, label,
+             SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
+               * CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS n2
+      FROM embeddings, UNNEST(range(1, 65)) t(i) GROUP BY 1, 2),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
+               * CAST(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS dot
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id,
+           UNNEST(range(1, 65)) t(i)
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 9) AS cosine
+    FROM dots d JOIN norms na ON d.id_a = na.vec_id
+                JOIN norms nb ON d.id_b = nb.vec_id
+    WHERE round(CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 9) >= 0.3
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked on `label` (the
+    scalable all-pairs pattern: block key keeps the cross product
+    partition-local)."""
+    emb = load(spark, sf, "embeddings")
+    return SIM.blocked_pairs_cosine(emb, "label", threshold=0.3)
