@@ -1,0 +1,65 @@
+"""Sink writers: DataFrame + TargetSpec → persisted output.
+
+Reference parity (SURVEY.md §2.2): WriterSupervisor dispatch by target
+URI type (``WriterSupervisor.scala:181-199``), FileWriterActor (CSV /
+flat), JsonFileWriterActor (nested JSON), DatabaseWriterActor (JDBC
+insert/upsert/DDL), NetworkFileWriterActor (FTP/SFTP push staging).
+
+Write-side semantics shared by every sink (applied in ``prepare``):
+
+- **unique-column dedup** ≙ BaseWriterFilter: rows whose unique-column
+  values repeat are dropped, first-in-order wins
+  (``writers/BaseWriterFilterWorker.scala:231-280``);
+- **default substitution** on NULL target cells ≙ ``processTargetData``
+  (``helpers/ProcessorHelpers.scala:124-139``);
+- **row cap** ≙ target ``seq max`` / ``fixseq count``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.spec import TargetSpec
+
+WRITERS: dict[str, Callable[[DataFrame, TargetSpec], None]] = {}
+
+
+def register(fmt: str):
+    def deco(fn):
+        WRITERS[fmt] = fn
+        return fn
+
+    return deco
+
+
+def prepare(df: DataFrame, spec: TargetSpec) -> DataFrame:
+    """Apply the shared write-side semantics (dedup / defaults / cap)."""
+    out = df
+    for f in spec.fields:
+        if f.default is not None and f.name in out.columns:
+            out = out.withColumn(
+                f.name, F.coalesce(F.col(f.name), F.lit(f.default).cast(f.type))
+            )
+    unique_cols = [f.name for f in spec.fields if f.unique and f.name in out.columns]
+    if unique_cols:
+        from ..operators.dedup import dedup_exact
+
+        order_cols = [c for c in out.columns if c not in unique_cols] or unique_cols
+        out = dedup_exact(out, unique_cols, keep_order=order_cols)
+    limit = spec.options.get("limit")
+    if limit:
+        out = out.limit(int(limit))
+    return out
+
+
+def write_target(df: DataFrame, spec: TargetSpec) -> None:
+    """Dispatch by format (≙ WriterSupervisor) after shared prepare."""
+    if spec.format not in WRITERS:
+        raise ValueError(f"unsupported target format {spec.format!r}")
+    WRITERS[spec.format](prepare(df, spec), spec)
+
+
+from . import csv, jdbc, json, parquet  # noqa: E402,F401

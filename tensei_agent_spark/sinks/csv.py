@@ -1,0 +1,54 @@
+"""CSV / delimited flat-file sink (≙ writers/FileWriterActor.scala).
+
+The reference appends cell payloads joined by per-element stop-signs,
+skipping the stop-sign after the last column
+(``MappingOneToOneWorker.scala:309-315``) — i.e. ordinary delimited
+lines, which is exactly ``df.write.csv``. ``\\t`` escapes in stop-signs
+(``FileWriterActor.scala:231-251``) map to the ``sep`` option.
+
+Options: ``sep`` ``header`` ``encoding`` ``lineSep`` pass through to the
+Spark writer; ``single_file=true`` coalesces to one partition and (for
+local paths) renames the part-file to the exact target path — small
+outputs only, the distributed layout is the scale path; ``order_by``
+gives a deterministic row order (the reference's writer-message
+ordering, ``BaseWriter.scala:65-75``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from ..plans.spec import TargetSpec
+from . import register
+
+
+@register("csv")
+def write_csv(df: DataFrame, spec: TargetSpec) -> None:
+    opts = {
+        "header": "false",
+        "sep": ",",
+        "encoding": "UTF-8",
+        "emptyValue": "",
+        **{k: str(v) for k, v in spec.options.items() if k not in ("single_file", "order_by", "limit")},
+    }
+    order_by = spec.options.get("order_by")
+    single = str(spec.options.get("single_file", "")).lower() in ("1", "true", "yes")
+    out = df
+    if order_by:
+        out = out.orderBy(*order_by)
+    if single:
+        tmp = spec.uri + "._spark_tmp"
+        (out.coalesce(1).write.mode(spec.mode if spec.mode != "upsert" else "overwrite")
+            .options(**opts).csv(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*"))[0]
+        shutil.move(part, spec.uri)
+        shutil.rmtree(tmp)
+    else:
+        writer = out.sortWithinPartitions(*order_by) if order_by else out
+        writer.write.mode(spec.mode if spec.mode != "upsert" else "overwrite").options(
+            **opts
+        ).csv(spec.uri)

@@ -1,0 +1,49 @@
+"""Source readers: SourceSpec → DataFrame.
+
+Reference parity (SURVEY.md §2.1): FileParser/CSV, JsonFileParser,
+XmlFileParser, DatabaseParser, ExcelToCSVConverter, NetworkFileParser.
+Each reader maps a spec's schema (≙ DFASDL) to a Spark read with the
+schema applied, so Catalyst gets pushdown/pruning for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
+from ..plans.spec import Field, SourceSpec
+
+READERS: dict[str, Callable[[SparkSession, SourceSpec], DataFrame]] = {}
+
+
+def register(fmt: str):
+    def deco(fn):
+        READERS[fmt] = fn
+        return fn
+
+    return deco
+
+
+def to_struct_type(fields: tuple[Field, ...]) -> StructType:
+    """DFASDL element list → Spark StructType (type table SURVEY.md §1.2)."""
+    return StructType(
+        [StructField(f.name, _parse_datatype_string(f.type), f.nullable) for f in fields]
+    )
+
+
+def read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    """Dispatch by format (≙ ``Parser.scala:451-511`` subparser choice),
+    staging network URIs to local files first (≙ NetworkFileParser)."""
+    from .net import stage_uri
+
+    if spec.format not in READERS:
+        raise ValueError(f"unsupported source format {spec.format!r}")
+    staged = stage_uri(spec.uri)
+    if staged != spec.uri:
+        spec = SourceSpec(spec.name, spec.format, staged, spec.fields, spec.options)
+    return READERS[spec.format](spark, spec)
+
+
+from . import csv, jdbc, json, xml, excel, net  # noqa: E402,F401

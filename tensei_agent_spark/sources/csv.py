@@ -1,0 +1,97 @@
+"""CSV / delimited flat-file source (≙ parsers/FileParser.scala).
+
+The reference tokenizes flat files with per-element stop-signs (row
+grammar). For the delimited-file case — every reference CSV fixture —
+that is exactly Spark's CSV reader with explicit schema + options:
+the schema is the DFASDL, ``sep`` is the stop-sign, ``encoding`` the
+element encoding attribute. Ragged `choice` layouts are handled by
+permissive mode + try-cascade (see ``read_choice``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.spec import SourceSpec
+from . import register, to_struct_type
+
+
+@register("csv")
+def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    opts = {
+        "header": "false",
+        "sep": ",",
+        "encoding": "UTF-8",
+        "nullValue": "",
+        "mode": "PERMISSIVE",
+        # reference trims element values during cleanAndValidateData
+        "ignoreLeadingWhiteSpace": "true",
+        "ignoreTrailingWhiteSpace": "true",
+        **{k: str(v) for k, v in spec.options.items()},
+    }
+    reader = spark.read.options(**opts)
+    if spec.fields is not None:
+        reader = reader.schema(to_struct_type(spec.fields))
+    else:
+        reader = reader.option("inferSchema", "true")
+    df = reader.csv(spec.uri)
+    return _apply_defaults(df, spec)
+
+
+@register("text")
+def read_text(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    """Non-delimited flat grammar: read raw lines, extract per-field via
+    the spec's regex ``format`` attributes (≙ formatstr elements,
+    ``FileParserFunctions.scala:146-260``)."""
+    lines = spark.read.text(spec.uri)
+    if not spec.fields:
+        return lines
+    cols = []
+    for f in spec.fields:
+        if f.format:
+            c = F.regexp_extract(F.col("value"), f.format, 1)
+        else:
+            c = F.col("value")
+        cols.append(c.cast(f.type).alias(f.name))
+    return lines.select(*cols)
+
+
+def read_choice(
+    spark: SparkSession, spec: SourceSpec, layouts: list[tuple[tuple, str]]
+) -> DataFrame:
+    """`choice` parsing: ordered alternative row layouts; first branch
+    that parses wins (``BaseParser.scala:250-271``).
+
+    ``layouts`` = [(fields_tuple, sep), ...] in priority order. Spark CSV
+    cannot backtrack, so read raw lines once and run a from_csv cascade:
+    a branch "parses" when all its non-null columns materialize; earlier
+    branches win via coalesce on a tagged struct.
+    """
+    lines = spark.read.text(spec.uri)
+    structs = []
+    for i, (fields, sep) in enumerate(layouts):
+        schema = to_struct_type(fields)
+        parsed = F.from_csv(F.col("value"), schema.simpleString(), {"sep": sep})
+        # branch valid ⇔ every declared column parsed non-null
+        valid = None
+        for f in fields:
+            c = parsed[f.name].isNotNull()
+            valid = c if valid is None else (valid & c)
+        structs.append(F.when(valid, F.struct(F.lit(i).alias("_branch"), parsed.alias("row"))))
+    chosen = F.coalesce(*structs)
+    return lines.select(chosen.alias("_c")).select("_c._branch", "_c.row.*")
+
+
+def _apply_defaults(df: DataFrame, spec: SourceSpec) -> DataFrame:
+    """default-str / default-num substitution on empty cells
+    (``helpers/ProcessorHelpers.scala:124-139``)."""
+    if not spec.fields:
+        return df
+    out = df
+    for f in spec.fields:
+        if f.default is not None:
+            out = out.withColumn(
+                f.name, F.coalesce(F.col(f.name), F.lit(f.default).cast(f.type))
+            )
+    return out

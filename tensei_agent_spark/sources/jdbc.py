@@ -1,0 +1,68 @@
+"""JDBC source (≙ parsers/DatabaseParser.scala).
+
+The reference generates ``SELECT cols FROM table [WHERE filter]
+[LIMIT n]`` per sequence, or uses a raw ``db-select`` override
+(``DatabaseParser.scala:379-416``). Spark's JDBC reader does the same
+declaratively — and Catalyst pushes filters/column pruning/limits down
+to the database, which is the reference's hand-rolled optimization for
+free (SURVEY.md §4).
+
+Spec options:
+- ``table``      table name (≙ DFASDL seq id / db-table-name)
+- ``query``      raw SQL override (≙ db-select)
+- ``filter``     predicate appended via pushdown (≙ filter attribute)
+- ``limit``      row cap (≙ seq max)
+- ``partitionColumn/lowerBound/upperBound/numPartitions`` — parallel
+  scan striping; REQUIRED at real scale (a bare JDBC read is a single
+  partition = single connection).
+- ``driver``     JDBC driver class (derby embedded for tests)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.spec import SourceSpec
+from . import register
+
+
+@register("jdbc")
+def read_jdbc(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    opts = dict(spec.options)
+    filter_expr = opts.pop("filter", None)
+    limit = opts.pop("limit", None)
+    select_cols = [f.name for f in spec.fields] if spec.fields else None
+
+    reader = spark.read.format("jdbc").option("url", spec.uri)
+    if "query" not in opts and "dbtable" not in opts:
+        opts["dbtable"] = opts.pop("table", spec.name)
+    for k, v in opts.items():
+        reader = reader.option(k, str(v))
+    df = reader.load()
+
+    if select_cols:
+        df = df.select(*select_cols)  # column pruning → pushed to DB
+    if filter_expr:
+        df = df.filter(filter_expr)  # predicate pushdown via Catalyst
+    if limit:
+        df = df.limit(int(limit))
+    return df
+
+
+def read_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    driver: str | None = None,
+    **options,
+) -> DataFrame:
+    """Convenience wrapper used by the JDBC sink's read-back paths."""
+    reader = (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    )
+    if driver:
+        reader = reader.option("driver", driver)
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()

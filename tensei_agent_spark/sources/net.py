@@ -1,0 +1,80 @@
+"""Network staging layer (≙ parsers/NetworkFileParser.scala).
+
+The reference streams remote files over HTTP/HTTPS/FTP(S)/SFTP — gzip
+aware — and then tokenizes them exactly like local files
+(``NetworkFileParser.scala:128-256``). Spark has no native readers for
+these schemes (S3/HDFS/ABFS URIs *are* native and pass through), so we
+stage the remote object to a local temp file first and hand the local
+path to the normal reader. The fetch is a pre-flight, driver-side step —
+the actual parse stays fully distributed.
+
+SFTP needs ``paramiko`` which is not a baked-in dependency; it is gated
+behind an import-try and raises a clear error when absent.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import shutil
+import tempfile
+import urllib.parse
+import urllib.request
+
+# Schemes Spark (or the local FS) reads natively — no staging.
+_NATIVE = {"", "file", "hdfs", "s3", "s3a", "s3n", "abfs", "abfss", "gs", "wasb", "wasbs", "dbfs"}
+
+
+def stage_uri(uri: str, cache_dir: str | None = None) -> str:
+    """Return a locally readable path for *uri*, fetching if remote.
+
+    gzip payloads (by extension) are decompressed during staging, like
+    the reference's gzip-aware stream (``NetworkFileParser.scala:214``).
+    """
+    scheme = urllib.parse.urlparse(uri).scheme.lower()
+    if scheme in _NATIVE:
+        return uri
+    if scheme in ("http", "https", "ftp"):
+        return _stage_url(uri, cache_dir)
+    if scheme in ("sftp", "ftps"):
+        return _stage_sftp(uri, cache_dir)
+    raise ValueError(f"unsupported URI scheme {scheme!r} for {uri!r}")
+
+
+def _dest_path(uri: str, cache_dir: str | None) -> str:
+    base = os.path.basename(urllib.parse.urlparse(uri).path) or "staged"
+    if base.endswith(".gz"):
+        base = base[:-3]
+    d = cache_dir or tempfile.mkdtemp(prefix="tensei_net_")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, base)
+
+
+def _stage_url(uri: str, cache_dir: str | None) -> str:
+    dest = _dest_path(uri, cache_dir)
+    gz = urllib.parse.urlparse(uri).path.endswith(".gz")
+    with urllib.request.urlopen(uri) as resp:  # noqa: S310 - explicit staging
+        src = gzip.GzipFile(fileobj=resp) if gz else resp
+        with open(dest, "wb") as out:
+            shutil.copyfileobj(src, out)
+    return dest
+
+
+def _stage_sftp(uri: str, cache_dir: str | None) -> str:
+    try:
+        import paramiko  # noqa: F401
+    except ImportError as e:  # pragma: no cover - env without paramiko
+        raise NotImplementedError(
+            "SFTP/FTPS staging requires the optional 'paramiko' dependency; "
+            "install it or stage the file to a local/object-store path"
+        ) from e
+    parsed = urllib.parse.urlparse(uri)
+    transport = paramiko.Transport((parsed.hostname, parsed.port or 22))
+    transport.connect(username=parsed.username, password=parsed.password)
+    try:
+        sftp = paramiko.SFTPClient.from_transport(transport)
+        dest = _dest_path(uri, cache_dir)
+        sftp.get(parsed.path, dest)
+        return dest
+    finally:
+        transport.close()

@@ -1,0 +1,301 @@
+"""End-to-end pipeline tests — the reference's use-case suite re-expressed.
+
+Mirrors ``src/it/scala/usecases/``: CopyCSV (1:1 copy + transformer),
+MergeTwoCSV (mapping-key merge of two sources), Concatenation
+(all_to_all), FK remap with generated keys, nested JSON target, and the
+write-side unique filter. Golden outputs are asserted literally, like
+the reference's expected-CSV strings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from tensei_agent_spark.plans import (
+    ColumnRef,
+    Field,
+    Mapping,
+    Pipeline,
+    Recipe,
+    SourceSpec,
+    TargetSpec,
+    compile_plan,
+    run_pipeline,
+)
+
+PERSONS_CSV = """1,Albert,Einstein,1879-03-14
+2,Marie,Curie,1867-11-07
+3,Isaac,Newton,1643-01-04
+"""
+
+SALARY_CSV = """1,2200.50
+2,2800.00
+3,1800.25
+"""
+
+
+@pytest.fixture
+def persons_path(tmp_path):
+    p = tmp_path / "persons.csv"
+    p.write_text(PERSONS_CSV)
+    return str(p)
+
+
+@pytest.fixture
+def salary_path(tmp_path):
+    p = tmp_path / "salary.csv"
+    p.write_text(SALARY_CSV)
+    return str(p)
+
+
+PERSON_FIELDS = (
+    Field("id", "long"),
+    Field("firstname"),
+    Field("lastname"),
+    Field("birthday", "date"),
+)
+
+
+def test_copy_csv_golden(spark, persons_path, tmp_path):
+    """usecases/copy/CopyCSVTest.scala: 1:1 copy, one transformer."""
+    out_path = str(tmp_path / "out.csv")
+    p = Pipeline(
+        name="copy-csv",
+        sources=(SourceSpec("persons", "csv", persons_path, PERSON_FIELDS),),
+        targets=(
+            TargetSpec(
+                "out", "csv", out_path,
+                fields=(Field("id", "long"), Field("name"), Field("birthday", "date")),
+                options={"single_file": True, "order_by": ["id"]},
+            ),
+        ),
+        recipes=(
+            Recipe(
+                "copy", "out",
+                mappings=(
+                    Mapping((ColumnRef("persons", "id"),), ("id",)),
+                    Mapping(
+                        (ColumnRef("persons", "firstname"), ColumnRef("persons", "lastname")),
+                        ("name",),
+                        mode="all_to_all",
+                        transformers=(("concat", {"separator": " "}),),
+                    ),
+                    Mapping((ColumnRef("persons", "birthday"),), ("birthday",)),
+                ),
+            ),
+        ),
+    )
+    run_pipeline(spark, p)
+    got = open(out_path).read()
+    assert got == (
+        "1,Albert Einstein,1879-03-14\n"
+        "2,Marie Curie,1867-11-07\n"
+        "3,Isaac Newton,1643-01-04\n"
+    )
+
+
+def test_merge_two_csv_mapping_key(spark, persons_path, salary_path, tmp_path):
+    """usecases/merge/MergeTwoCSV.scala: value-join on the shared id."""
+    out_path = str(tmp_path / "merged.csv")
+    p = Pipeline(
+        name="merge",
+        sources=(
+            SourceSpec("persons", "csv", persons_path, PERSON_FIELDS),
+            SourceSpec(
+                "salaries", "csv", salary_path,
+                (Field("id", "long"), Field("salary", "decimal(10,2)")),
+            ),
+        ),
+        targets=(
+            TargetSpec(
+                "out", "csv", out_path,
+                fields=(Field("id", "long"), Field("lastname"), Field("salary", "decimal(10,2)")),
+                options={"single_file": True, "order_by": ["id"]},
+            ),
+        ),
+        recipes=(
+            Recipe(
+                "merge", "out", mapping_key="id",
+                mappings=(
+                    Mapping((ColumnRef("persons", "id"),), ("id",)),
+                    Mapping(
+                        (ColumnRef("persons", "lastname"),), ("lastname",),
+                        transformers=(("lower_or_upper", {"perform": "upper"}),),
+                    ),
+                    Mapping((ColumnRef("salaries", "salary"),), ("salary",)),
+                ),
+            ),
+        ),
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == (
+        "1,EINSTEIN,2200.50\n2,CURIE,2800.00\n3,NEWTON,1800.25\n"
+    )
+
+
+def test_row_aligned_merge_min_rows(spark, persons_path, tmp_path):
+    """RecipeWorker maxLoops = min(N, M): zip 3-row persons with a 2-row
+    side — output must have 2 rows, positionally matched."""
+    short_csv = tmp_path / "tags.csv"
+    short_csv.write_text("alpha\nbeta\n")
+    out_path = str(tmp_path / "zipped.csv")
+    p = Pipeline(
+        name="zip",
+        sources=(
+            SourceSpec("persons", "csv", persons_path, PERSON_FIELDS),
+            SourceSpec("tags", "csv", str(short_csv), (Field("tag"),)),
+        ),
+        targets=(
+            TargetSpec("out", "csv", out_path,
+                       options={"single_file": True, "order_by": ["id"]}),
+        ),
+        recipes=(
+            Recipe(
+                "zip", "out",
+                order_by={"persons": ["id"], "tags": ["tag"]},
+                mappings=(
+                    Mapping((ColumnRef("persons", "id"),), ("id",)),
+                    Mapping((ColumnRef("tags", "tag"),), ("tag",)),
+                ),
+            ),
+        ),
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == "1,alpha\n2,beta\n"
+
+
+def test_unique_filter_and_defaults(spark, tmp_path):
+    """BaseWriterFilterWorker dedup + default-value substitution."""
+    src = tmp_path / "dups.csv"
+    src.write_text("a,1\na,2\nb,\nc,4\n")
+    out_path = str(tmp_path / "dedup.csv")
+    p = Pipeline(
+        name="dedup",
+        sources=(SourceSpec("s", "csv", str(src), (Field("k"), Field("v", "long"))),),
+        targets=(
+            TargetSpec(
+                "out", "csv", out_path,
+                fields=(Field("k", unique=True), Field("v", "long", default=0)),
+                options={"single_file": True, "order_by": ["k"]},
+            ),
+        ),
+        recipes=(
+            Recipe("r", "out", mappings=(
+                Mapping((ColumnRef("s", "k"), ColumnRef("s", "v")), ("k", "v")),
+            )),
+        ),
+    )
+    run_pipeline(spark, p)
+    # first row per unique k wins (ordered by v); empty v → default 0
+    assert open(out_path).read() == "a,1\nb,0\nc,4\n"
+
+
+def test_fk_remap_generated_keys(spark, persons_path, salary_path, tmp_path):
+    """FetchForeignKeyValue + AutoIncrementValueBuffer: parent rows get
+    generated keys (start=1000), child FK values are rewritten."""
+    parent_out = str(tmp_path / "parent")
+    child_out = str(tmp_path / "child")
+    p = Pipeline(
+        name="fk",
+        sources=(
+            SourceSpec("persons", "csv", persons_path, PERSON_FIELDS),
+            SourceSpec(
+                "salaries", "csv", salary_path,
+                (Field("id", "long"), Field("salary", "decimal(10,2)")),
+            ),
+        ),
+        targets=(
+            TargetSpec(
+                "people", "parquet", parent_out,
+                fields=(Field("pk", "long", auto_increment=True), Field("id", "long"), Field("lastname")),
+                options={"natural_key": "id", "auto_increment_start": 1000},
+            ),
+            TargetSpec(
+                "salaries_out", "parquet", child_out,
+                fields=(Field("person_fk", "long"), Field("salary", "decimal(10,2)")),
+                foreign_keys={"person_fk": ("people", "pk")},
+            ),
+        ),
+        recipes=(
+            # child recipe listed FIRST — the FK topo-sort must reorder
+            Recipe("write_salaries", "salaries_out", mappings=(
+                Mapping(
+                    (ColumnRef("salaries", "id"), ColumnRef("salaries", "salary")),
+                    ("person_fk", "salary"),
+                ),
+            )),
+            Recipe("write_people", "people", mappings=(
+                Mapping(
+                    (ColumnRef("persons", "id"), ColumnRef("persons", "lastname")),
+                    ("id", "lastname"),
+                ),
+            )),
+        ),
+    )
+    plan = compile_plan(p)
+    assert [r.name for r in plan.ordered_recipes] == ["write_people", "write_salaries"]
+    results = run_pipeline(spark, plan)
+    parent = {r["id"]: r["pk"] for r in results["write_people"].collect()}
+    assert parent == {1: 1000, 2: 1001, 3: 1002}
+    child = {r["person_fk"]: str(r["salary"]) for r in results["write_salaries"].collect()}
+    assert child == {1000: "2200.50", 1001: "2800.00", 1002: "1800.25"}
+    # and the parquet sink actually wrote both
+    assert spark.read.parquet(parent_out).count() == 3
+    assert spark.read.parquet(child_out).count() == 3
+
+
+def test_nested_json_target(spark, persons_path, tmp_path):
+    """JsonFileWriterActor parity: dotted target fields → nested JSON."""
+    out_path = str(tmp_path / "out.json")
+    p = Pipeline(
+        name="json",
+        sources=(SourceSpec("persons", "csv", persons_path, PERSON_FIELDS),),
+        targets=(
+            TargetSpec(
+                "out", "json", out_path,
+                fields=(Field("id", "long"), Field("name.first"), Field("name.last")),
+                options={"single_file": True, "order_by": ["id"]},
+            ),
+        ),
+        recipes=(
+            Recipe("r", "out", mappings=(
+                Mapping(
+                    (ColumnRef("persons", "id"), ColumnRef("persons", "firstname"),
+                     ColumnRef("persons", "lastname")),
+                    ("id", "name.first", "name.last"),
+                ),
+            )),
+        ),
+    )
+    run_pipeline(spark, p)
+    docs = json.loads(open(out_path).read())
+    assert docs[0] == {"id": 1, "name": {"first": "Albert", "last": "Einstein"}}
+    assert len(docs) == 3
+
+
+def test_atomic_then_chain_composition(spark, tmp_path):
+    """Atomic (fetch-time) chains run before mapping chains
+    (FetcherWorker.scala:205-235 then TransformationWorker)."""
+    src = tmp_path / "t.csv"
+    src.write_text("  hello ,x\nWORLD,y\n")
+    out_path = str(tmp_path / "out.csv")
+    p = Pipeline(
+        name="chain",
+        sources=(SourceSpec("s", "csv", str(src), (Field("a"), Field("b"))),),
+        targets=(TargetSpec("out", "csv", out_path,
+                            options={"single_file": True, "order_by": ["v"]}),),
+        recipes=(
+            Recipe("r", "out", mappings=(
+                Mapping(
+                    (ColumnRef("s", "a"),), ("v",),
+                    atomic=(("lower_or_upper", {"perform": "lower"}),),
+                    transformers=(("lower_or_upper", {"perform": "firstupper"}),),
+                ),
+            )),
+        ),
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == "Hello\nWorld\n"
