@@ -235,6 +235,342 @@ def events_hourly(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape — EXISTS ≡ left-semi join; lineitem is pre-projected
+    to its two join columns so the semi join shuffles a minimal payload."""
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q6_revenue_forecast",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+    bench=True,
+)
+def q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 — pure scan+filter+agg, no shuffle at all: all three
+    predicates push to the parquet scan, the agg is a single partial→
+    final reduction."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_m("l_extendedprice") * _m("l_discount")).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 shape — cross-nation trade volume by year. supplier,
+    customer and both nation copies broadcast; orders↔lineitem is the
+    only shuffle join."""
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 — revenue lost to returns, top 20 customers."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load(spark, sf, "nation")
+    revenue = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate
+    GROUP BY l_linestatus
+    """,
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shape (no shipmode column in this schema → grouped by
+    linestatus): conditional counting after a fact-fact join."""
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate", "l_linestatus")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+             ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+           AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 — promo revenue share; part broadcasts."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").select("p_partkey", "p_type")
+    disc_price = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc_price).otherwise(
+        F.lit(0).cast(MONEY)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(disc_price).cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+    FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150) big
+      JOIN orders ON o_orderkey = big.l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    bench=True,
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 — large-volume orders: aggregate-then-join (the HAVING
+    prunes before the joins, so only qualifying orders shuffle)."""
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_m("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.col("_q").cast("double").alias("sum_qty"))
+    )
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q19_brand_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 — disjunctive predicate over a broadcast join; the
+    brand/size arm pushes into the part scan before the join."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, smax)
+        & q.between(qlo, qhi)
+    )
+    revenue = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(arm("Brand#12", 15, 1, 21) | arm("Brand#23", 25, 10, 30) | arm("Brand#34", 35, 20, 40))
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "semi_anti_customers",
+    """
+    SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders', COUNT(*) FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left-semi + left-anti joins (the reference's unique-filter is a
+    degenerate anti join — SURVEY §2.4); one scan each side."""
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").select("o_custkey")
+    on = cust.c_custkey == orders.o_custkey
+    semi = cust.join(orders, on, "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_orders").alias("bucket"), "n")
+    anti = cust.join(orders, on, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("without_orders").alias("bucket"), "n")
+    return semi.unionByName(anti)
+
+
+@register(
+    "rollup_order_totals",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP aggregation (beyond-reference: the reference has no
+    group-by at all — SURVEY §2.5; Spark gives hierarchies free)."""
+    return (
+        load(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "distinct_users_daily",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+           COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY 1, 2
+    """,
+)
+def distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — Spark expands to a two-phase partial
+    distinct aggregate; at 100 TB swap in approx_count_distinct (HLL)
+    via the `approx` variants below."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.col("ts").cast("date").cast("string").alias("day"), "event_type"
+        )
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register("approx_distinct_users", None)  # sketch-based → rows-only check
+def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB twin of distinct_users_daily: HyperLogLog++ sketch,
+    one pass, no per-key distinct expansion. rsd=1.6% default."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Reference-parity operators (SURVEY.md §2.3/2.4/2.6)
 # ---------------------------------------------------------------------------

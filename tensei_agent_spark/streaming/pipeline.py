@@ -1,0 +1,185 @@
+"""Streaming pipelines over the events stream.
+
+Design notes for scale:
+
+- **Watermarks bound state.** Every stateful op declares how late data
+  may arrive; Spark drops state older than the watermark, so state size
+  is O(active windows × keys), not O(history).
+- **The window agg is partial-aggregated map-side** exactly like the
+  batch twin; the shuffle key is (window, event_type) — low cardinality,
+  no skew.
+- **Sessionization** uses ``applyInPandasWithState`` — the custom
+  stateful escape hatch (per-key state, Arrow-batched). State is one
+  small tuple per user; timeouts expire idle users so state can't grow
+  unboundedly.
+- Sinks in tests are in-memory; production would be a parquet/Delta
+  sink with checkpointing — the query shape is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events directory (schema pinned —
+    streaming sources cannot infer)."""
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def hourly_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1h rollup — the streaming twin of
+    ``queries.events_hourly_rollup`` (same expression, same results)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("bucket_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, window: str = "1 hour", slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts per type (overlapping windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, total_value double"
+)
+_STATE_SCHEMA = "start long, end long, n long, total double"
+
+
+def _session_fn(key, pdf_iter, state: GroupState):
+    """Per-user session assembly: events within `gap` of each other
+    belong to one session; a timeout flushes the final session."""
+    import pandas as pd
+
+    gap_ms = 30 * 60 * 1000
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        if state.exists:
+            start, end, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(end, unit="ms")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+        return
+
+    ts_list, val_list = [], []
+    for pdf in pdf_iter:
+        ts_list.extend(int(t.value // 1_000_000) for t in pdf["ts"])
+        val_list.extend(float(v) for v in pdf["value"])
+    order = sorted(range(len(ts_list)), key=lambda i: ts_list[i])
+    closed = []
+    cur = list(state.get) if state.exists else None
+    for i in order:
+        t, v = ts_list[i], val_list[i]
+        if cur is None:
+            cur = [t, t, 1, v]
+        elif t - cur[1] <= gap_ms:
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += v
+        else:
+            closed.append(tuple(cur))
+            cur = [t, t, 1, v]
+    if cur is not None:
+        state.update(tuple(cur))
+        # Expire via event time: once the watermark passes session_end +
+        # gap no new event can extend this session, so it flushes.
+        state.setTimeoutTimestamp(cur[1] + gap_ms)
+    if closed:
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(closed),
+                "session_start": [pd.Timestamp(c[0], unit="ms") for c in closed],
+                "session_end": [pd.Timestamp(c[1], unit="ms") for c in closed],
+                "n_events": [c[2] for c in closed],
+                "total_value": [c[3] for c in closed],
+            }
+        )
+
+
+def sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Custom stateful sessionization via applyInPandasWithState:
+    30-minute-gap sessions per user, idle state expired by timeout."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_to_completion(
+    stream_df: DataFrame, sink_table: str, output_mode: str = "complete"
+) -> None:
+    """Drain all available input into an in-memory sink (tests / local
+    verification; production uses parquet + checkpoint)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

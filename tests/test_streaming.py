@@ -1,0 +1,88 @@
+"""Structured Streaming tests: the streaming rollup must equal its batch
+twin on the same data (the unification contract), and the stateful
+sessionizer must produce gap-consistent sessions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tensei_agent_spark.catalog import load
+from tensei_agent_spark.streaming import (
+    hourly_rollup,
+    read_event_stream,
+    run_to_completion,
+    sessionize,
+    sliding_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Stage events as a streamable parquet dir (µs timestamps — the
+    raw testdata file is TIMESTAMP(NANOS) which file streams reject)."""
+    spark_dir = str(tmp_path_factory.mktemp("events_stream"))
+    return spark_dir
+
+
+def _stage(spark, events_dir):
+    load(spark, SF, "events").coalesce(2).write.mode("overwrite").parquet(events_dir)
+
+
+def test_stream_rollup_equals_batch(spark, events_dir):
+    _stage(spark, events_dir)
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    run_to_completion(hourly_rollup(stream), "rollup_sink", "complete")
+
+    got = {
+        (r["bucket_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 2))
+        for r in spark.table("rollup_sink").collect()
+    }
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("s"))
+        .select(F.col("w.start").alias("b"), "event_type", "n", "s")
+    )
+    want = {
+        (r["b"], r["event_type"]): (r["n"], round(r["s"], 2)) for r in batch.collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_sliding_window_counts(spark, events_dir):
+    _stage(spark, events_dir)
+    stream = read_event_stream(spark, events_dir)
+    run_to_completion(sliding_counts(stream), "sliding_sink", "complete")
+    rows = spark.table("sliding_sink").collect()
+    assert len(rows) > 0
+    # every event lands in window/slide = 4 overlapping windows: total
+    # sliding count = 4 × event count
+    total_events = load(spark, SF, "events").count()
+    assert sum(r["n_events"] for r in rows) == 4 * total_events
+
+
+def test_sessionize_stateful(spark, events_dir):
+    _stage(spark, events_dir)
+    stream = read_event_stream(spark, events_dir)
+    run_to_completion(sessionize(stream), "session_sink", "append")
+    sessions = spark.table("session_sink").collect()
+    assert len(sessions) > 0
+    for s in sessions:
+        assert s["session_end"] >= s["session_start"]
+        assert s["n_events"] >= 1
+    # sessions for one user never overlap and respect the 30-min gap
+    by_user: dict = {}
+    for s in sessions:
+        by_user.setdefault(s["user_id"], []).append(s)
+    some_user = max(by_user, key=lambda u: len(by_user[u]))
+    spans = sorted(
+        (s["session_start"], s["session_end"]) for s in by_user[some_user]
+    )
+    for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
+        assert (s2 - e1).total_seconds() > 30 * 60
