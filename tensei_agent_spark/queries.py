@@ -1097,6 +1097,70 @@ def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "dedup_simhash",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM documents,
+           UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)),
+    sums AS (
+      SELECT doc_id,
+             {sums}
+      FROM tok GROUP BY doc_id)
+    SELECT doc_id,
+           CAST({fp} AS BIGINT) AS simhash
+    FROM sums
+    """.format(
+        sums=",\n             ".join(
+            f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16)
+        ),
+        fp=" + ".join(
+            f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        ),
+    ),
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash fingerprint per document (16-bit, token-frequency
+    weighted) — see operators/dedup.simhash_fingerprints."""
+    return D.simhash_fingerprints(load(spark, sf, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_simhash_pairs",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM documents,
+           UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(tok)),
+    sums AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums),
+    banded AS (
+      SELECT doc_id, simhash, b.band,
+             (simhash >> (CAST(b.band AS INT) * 4)) & 15 AS band_key
+      FROM sig, UNNEST(range(0, 4)) AS b(band))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b USING (band, band_key)
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """.format(
+        sums=", ".join(
+            f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(16)
+        ),
+        fp=" + ".join(
+            f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
+        ),
+    ),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs: 4-bit LSH bands → candidate join →
+    hamming ≤ 3 via bit_count(xor) (operators/dedup.simhash_near_dup_pairs)."""
+    return D.simhash_near_dup_pairs(load(spark, sf, "documents"), "text", "doc_id")
+
+
+@register(
     "text_quality",
     """
     SELECT doc_id,
@@ -1193,6 +1257,48 @@ def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.brute_force_topk(emb, queries, k=10)
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS asset_id,
+           'image' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest,
+           16 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 64 AS width,
+           16 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 64 AS height,
+           0.0 AS duration_s,
+           list_transform(range(0, 8),
+             i -> round(CAST(concat('0x', substr(md5(text), CAST(2*i+1 AS INT), 2)) AS INT) / 255.0, 6)
+           ) AS feature
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents.text as an opaque
+    binary payload → Arrow-batched mapInPandas decode (deterministic
+    fake — no codecs in this env; see operators/multimodal.decode_stub)
+    → typed feature rows. The oracle reproduces the md5-derived fake,
+    proving schema/batch/partition behavior, not codec output."""
+    from .operators.multimodal import extract_features
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return extract_features(
+        docs, "payload", "doc_id", modality="image", deterministic_fake=True
+    )
+
+
+@register("ann_lsh_topk", None)  # approximate (recall<1) → rows-only check
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (the 100 TB scale path; the
+    brute-force query above is its exactness baseline). Deterministic
+    hyperplanes from seed=42, but recall<1 by design → rows-only."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.lsh_bucket_topk(emb, queries, k=10, n_planes=6)
 
 
 @register(

@@ -1,0 +1,97 @@
+"""Multimodal + SimHash operator tests: Spark-side plumbing must be
+real (schema, Arrow batching, partition behavior) with the codec stubbed."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from tensei_agent_spark.operators.dedup import (
+    simhash_fingerprints,
+    simhash_near_dup_pairs,
+)
+from tensei_agent_spark.operators.multimodal import (
+    attach_asset_metadata,
+    decode_stub,
+    extract_features,
+    frame_sample_plan,
+)
+
+
+@pytest.fixture
+def assets(spark):
+    rows = [(i, f"payload-{i}".encode() * (i + 1)) for i in range(20)]
+    return spark.createDataFrame(rows, "asset_id long, payload binary").repartition(4)
+
+
+def test_metadata_is_jvm_side(spark, assets):
+    out = attach_asset_metadata(assets, "payload", "image", "png")
+    row = out.filter(F.col("asset_id") == 3).select("asset_meta.*").first()
+    payload = b"payload-3" * 4
+    assert row["n_bytes"] == len(payload)
+    assert row["digest"] == hashlib.md5(payload).hexdigest()
+    assert row["modality"] == "image" and row["format"] == "png"
+
+
+def test_decode_stub_gated():
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_stub(b"x", "image", deterministic_fake=False)
+    w, h, dur, feat = decode_stub(b"x", "image", deterministic_fake=True)
+    assert 16 <= w < 80 and 16 <= h < 80 and dur == 0.0 and len(feat) == 8
+    # deterministic: same bytes → same features
+    assert decode_stub(b"x", "image", True) == (w, h, dur, feat)
+
+
+def test_extract_features_distributed(spark, assets):
+    out = extract_features(assets, "payload", "asset_id", "image",
+                           deterministic_fake=True)
+    rows = {r["asset_id"]: r for r in out.collect()}
+    assert len(rows) == 20
+    payload = b"payload-7" * 8
+    w, h, dur, feat = decode_stub(payload, "image", True)
+    got = rows[7]
+    assert (got["width"], got["height"]) == (w, h)
+    assert got["digest"] == hashlib.md5(payload).hexdigest()
+    assert list(got["feature"]) == pytest.approx(feat)
+    # no shuffle introduced: partition count preserved through mapInPandas
+    assert out.rdd.getNumPartitions() == assets.rdd.getNumPartitions()
+
+
+def test_audio_duration_nonzero(spark, assets):
+    out = extract_features(assets, "payload", "asset_id", "audio",
+                           deterministic_fake=True)
+    assert out.filter(F.col("duration_s") > 0).count() > 0
+
+
+def test_frame_sample_plan(spark, assets):
+    planned = frame_sample_plan(
+        attach_asset_metadata(assets, "payload", "video", "mp4"),
+        "asset_id",
+    )
+    rows = planned.collect()
+    assert all(r["sample_ts_s"] == r["frame_idx"] * 1.0 for r in rows)
+    assert planned.groupBy("asset_id").count().count() == 20
+
+
+def test_simhash_identical_and_perturbed(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical → same fingerprint, hamming 0
+            (3, base + " extra tail token"),  # near dup
+            (4, "completely different content about database engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert sig[1] == sig[2]
+    assert bin(sig[1] ^ sig[3]).count("1") <= 4  # near dup: tiny hamming
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(docs, max_hamming=4).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs

@@ -38,6 +38,8 @@ def _normalize(df):
                 v = None
             elif v is not None and type(v).__name__ == "Decimal":
                 v = str(v)
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                v = str([float(x) if isinstance(x, float) else x for x in v])
             row.append(v)
         rows.append(tuple(row))
     rows.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
