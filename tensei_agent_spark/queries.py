@@ -119,8 +119,9 @@ def q1(spark: SparkSession, sf: str) -> DataFrame:
     bench=True,
 )
 def q3(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q3 — join chain + agg + top-N. Customer (dim) broadcasts;
-    orders↔lineitem is the only real shuffle; top-10 is a tiny TakeOrdered."""
+    """TPC-H Q3 — join chain + agg + top-N. No broadcast hints: customer
+    scales with the data, so AQE converts to broadcast at runtime only
+    when the filtered side is actually small; top-10 is a TakeOrdered."""
     cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
@@ -130,7 +131,7 @@ def q3(spark: SparkSession, sf: str) -> DataFrame:
     )
     revenue = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -159,24 +160,32 @@ def q3(spark: SparkSession, sf: str) -> DataFrame:
     bench=True,
 )
 def q5(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q5 — 6-way join. All dims (region/nation/supplier/customer)
-    broadcast; lineitem never shuffles until the final small agg."""
+    """TPC-H Q5 — 6-way join. Only the constant-size dims (nation 25
+    rows, region 5) carry broadcast hints; customer/supplier/orders all
+    scale with the data, so their join strategy is left to AQE (which
+    broadcasts them at small SF and shuffles at 100 TB). The ASIA filter
+    is applied to nation BEFORE the supplier join so the fixed-size
+    filtered dim prunes suppliers early."""
     cust = load(spark, sf, "customer")
     orders = load(spark, sf, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     li = load(spark, sf, "lineitem")
-    supp = load(spark, sf, "supplier")
-    nation = load(spark, sf, "nation")
     region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = F.broadcast(
+        load(spark, sf, "nation").join(
+            F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
+        )
+    )
+    supp = load(spark, sf, "supplier").join(
+        asia_nations, F.col("s_nationkey") == F.col("n_nationkey")
+    )
     revenue = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
-                li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey))
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey) & (F.col("c_nationkey") == supp.s_nationkey))
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
@@ -323,8 +332,8 @@ def q7(spark: SparkSession, sf: str) -> DataFrame:
     revenue = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -357,7 +366,7 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
     revenue = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -406,7 +415,8 @@ def q12(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q14(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q14 — promo revenue share; part broadcasts."""
+    """TPC-H Q14 — promo revenue share. part scales with data: AQE picks
+    broadcast at small SF, shuffle-hash at 100 TB."""
     li = load(spark, sf, "lineitem")
     part = load(spark, sf, "part").select("p_partkey", "p_type")
     disc_price = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
@@ -414,7 +424,7 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0).cast(MONEY)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             (
                 F.lit(100.0) * F.sum(promo).cast("double")
@@ -452,7 +462,7 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     cust = load(spark, sf, "customer")
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
@@ -482,7 +492,7 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
     )
     revenue = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .filter(arm("Brand#12", 15, 1, 21) | arm("Brand#23", 25, 10, 30) | arm("Brand#34", 35, 20, 40))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
@@ -662,10 +672,11 @@ def row_align(spark: SparkSession, sf: str) -> DataFrame:
 )
 def key_join(spark: SparkSession, sf: str) -> DataFrame:
     """Mapping-key lookup ≡ equi left-join (reference
-    ``MappingOneToOneWorker.scala:232-287``); lookup side broadcast."""
+    ``MappingOneToOneWorker.scala:232-287``); join strategy left to AQE
+    (the lookup side scales with the data)."""
     orders = load(spark, sf, "orders")
     cust = load(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
-    return J.mapping_key_join(orders, cust, "o_custkey", broadcast_right=True).select(
+    return J.mapping_key_join(orders, cust, "o_custkey").select(
         "o_orderkey",
         "o_totalprice",
         "c_name",
