@@ -347,6 +347,13 @@ def to_json_t(cols, label: str = "value"):
 # --- generators ------------------------------------------------------------
 
 
+@register("box_data_into_list")
+def box_data_into_list(cols):
+    """transformers/atomic/BoxDataIntoList.scala — wrap the inputs into
+    one array value (feeds downstream multi-arg transformers)."""
+    return [F.array(*[c.cast("string") for c in cols])]
+
+
 @register("id_uuid")
 def id_uuid(cols):
     """transformers/IDTransformer.scala (type=UUID) — random UUID per

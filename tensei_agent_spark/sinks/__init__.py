@@ -56,9 +56,34 @@ def prepare(df: DataFrame, spec: TargetSpec) -> DataFrame:
 
 
 def write_target(df: DataFrame, spec: TargetSpec) -> None:
-    """Dispatch by format (≙ WriterSupervisor) after shared prepare."""
+    """Dispatch by format (≙ WriterSupervisor) after shared prepare.
+
+    Remote (ftp/sftp) target URIs get the NetworkFileWriter treatment:
+    write a single local file, then push (``sources.net.push_file``).
+    """
+    import urllib.parse
+
     if spec.format not in WRITERS:
         raise ValueError(f"unsupported target format {spec.format!r}")
+    scheme = urllib.parse.urlparse(spec.uri).scheme.lower()
+    if scheme in ("ftp", "ftps", "sftp"):
+        import os
+        import tempfile
+
+        from ..sources.net import push_file
+        from .. import plans
+
+        local = os.path.join(
+            tempfile.mkdtemp(prefix="tensei_push_"),
+            os.path.basename(urllib.parse.urlparse(spec.uri).path) or "out",
+        )
+        local_spec = plans.TargetSpec(
+            spec.name, spec.format, local, spec.fields,
+            {**spec.options, "single_file": True}, spec.mode, spec.foreign_keys,
+        )
+        WRITERS[spec.format](prepare(df, local_spec), local_spec)
+        push_file(local, spec.uri)
+        return
     WRITERS[spec.format](prepare(df, spec), spec)
 
 

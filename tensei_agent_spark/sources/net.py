@@ -60,6 +60,50 @@ def _stage_url(uri: str, cache_dir: str | None) -> str:
     return dest
 
 
+def push_file(local_path: str, uri: str) -> None:
+    """Push a locally written file to a remote target
+    (≙ writers/NetworkFileWriterActor.scala:103-412, FTP/FTPS/SFTP).
+
+    Driver-side post-write staging: the distributed write lands locally
+    (or on an object store), then one upload moves it. Native schemes
+    are a plain copy.
+    """
+    parsed = urllib.parse.urlparse(uri)
+    scheme = parsed.scheme.lower()
+    if scheme in _NATIVE:
+        dest = parsed.path if scheme == "file" else uri
+        if os.path.abspath(dest) != os.path.abspath(local_path):
+            shutil.copyfile(local_path, dest)
+        return
+    if scheme == "ftp":
+        import ftplib
+
+        ftp = ftplib.FTP()
+        ftp.connect(parsed.hostname, parsed.port or 21)
+        ftp.login(parsed.username or "anonymous", parsed.password or "")
+        try:
+            with open(local_path, "rb") as fh:
+                ftp.storbinary(f"STOR {parsed.path}", fh)
+        finally:
+            ftp.quit()
+        return
+    if scheme in ("sftp", "ftps"):
+        try:
+            import paramiko
+        except ImportError as e:  # pragma: no cover - env without paramiko
+            raise NotImplementedError(
+                "SFTP/FTPS push requires the optional 'paramiko' dependency"
+            ) from e
+        transport = paramiko.Transport((parsed.hostname, parsed.port or 22))
+        transport.connect(username=parsed.username, password=parsed.password)
+        try:
+            paramiko.SFTPClient.from_transport(transport).put(local_path, parsed.path)
+        finally:
+            transport.close()
+        return
+    raise ValueError(f"unsupported push scheme {scheme!r} for {uri!r}")
+
+
 def _stage_sftp(uri: str, cache_dir: str | None) -> str:
     try:
         import paramiko  # noqa: F401
