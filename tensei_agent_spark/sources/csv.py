@@ -69,6 +69,12 @@ def read_choice(
     branches win via coalesce on a tagged struct.
     """
     lines = spark.read.text(spec.uri)
+    # Unified output schema: union of all branch fields (first type wins);
+    # coalesce needs every branch struct to share this exact type.
+    union_fields: dict[str, str] = {}
+    for fields, _sep in layouts:
+        for f in fields:
+            union_fields.setdefault(f.name, f.type)
     structs = []
     for i, (fields, sep) in enumerate(layouts):
         schema = to_struct_type(fields)
@@ -78,7 +84,16 @@ def read_choice(
         for f in fields:
             c = parsed[f.name].isNotNull()
             valid = c if valid is None else (valid & c)
-        structs.append(F.when(valid, F.struct(F.lit(i).alias("_branch"), parsed.alias("row"))))
+        present = {f.name for f in fields}
+        row = F.struct(
+            *[
+                (parsed[name] if name in present else F.lit(None))
+                .cast(t)
+                .alias(name)
+                for name, t in union_fields.items()
+            ]
+        )
+        structs.append(F.when(valid, F.struct(F.lit(i).alias("_branch"), row.alias("row"))))
     chosen = F.coalesce(*structs)
     return lines.select(chosen.alias("_c")).select("_c._branch", "_c.row.*")
 
