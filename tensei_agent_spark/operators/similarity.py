@@ -169,6 +169,128 @@ def random_hyperplane_buckets(
     return df.withColumn("bucket", bucket)
 
 
+def ivf_assign(
+    df: DataFrame,
+    n_cells: int = 16,
+    sample_fraction: float = 0.2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF coarse quantizer: KMeans centroids (trained on a sample) and
+    nearest-centroid cell assignment for every vector.
+
+    Scale shape: training touches only the sample; assignment is a
+    narrow map against the broadcast centroid array (n_cells × dim
+    doubles — trivially broadcastable at any corpus size). Returns
+    (assigned_df_with_cell, centroids_list).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = (
+        df.sample(fraction=sample_fraction, seed=seed)
+        .select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=10).fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+
+    # Nearest centroid via argmin over a literal centroid array — stays
+    # in codegen: distance² = Σ(x-c)², computed per centroid and reduced.
+    vec = F.col(vec_col)
+    best_cell, best_dist = None, None
+    for i, c in enumerate(centroids):
+        cc = F.array(*[F.lit(v) for v in c])
+        d = F.aggregate(
+            F.zip_with(vec, cc, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        if best_dist is None:
+            best_cell, best_dist = F.lit(i), d
+        else:
+            best_cell = F.when(d < best_dist, F.lit(i)).otherwise(best_cell)
+            best_dist = F.least(d, best_dist)
+    return df.withColumn("cell", best_cell), centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: corpus sharded into KMeans cells; each
+    query probes its ``n_probe`` nearest cells only.
+
+    The inverted-file structure is the partitioning itself: repartition
+    the corpus by cell and the probe join is partition-local. Recall
+    rises with n_probe (n_probe == n_cells ≡ brute force).
+    """
+    assigned, centroids = ivf_assign(corpus, n_cells, seed=seed, vec_col=vec_col)
+
+    # Query → its n_probe nearest centroids (same codegen argmin trick,
+    # ranked via a posexplode over the distance array).
+    qvec = F.col(vec_col)
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qvec,
+                    F.array(*[F.lit(v) for v in c]),
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    q_cells = (
+        queries.withColumn("_d", dists)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.posexplode("_d").alias("cell", "dist"),
+        )
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("dist", "cell")
+            ),
+        )
+        .filter(F.col("_rk") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    q = F.broadcast(
+        with_norm2(q_cells.withColumnRenamed("qvec", vec_col), vec_col, "qn2")
+        .withColumnRenamed(vec_col, "qvec")
+    )
+    c = with_norm2(assigned, vec_col, "cn2").select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cn2", "cell"
+    )
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot_dec(F.col("qvec"), F.col("cvec")).cast("double")
+                / (F.sqrt(F.col("qn2").cast("double")) * F.sqrt(F.col("cn2").cast("double"))),
+                9,
+            ),
+        )
+        .select("query_id", "cand_id", "cosine")
+        .distinct()  # a candidate may appear via several probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_bucket_topk(
     corpus: DataFrame,
     queries: DataFrame,

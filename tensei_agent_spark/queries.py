@@ -524,6 +524,35 @@ def semi_anti(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "intersect_except_segments",
+    """
+    SELECT 'both' AS bucket, COUNT(*) AS n FROM (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    UNION ALL
+    SELECT 'building_only', COUNT(*) FROM (
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY')
+    """,
+)
+def intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT set ops (absent in the reference — SURVEY
+    §2.6; Spark provides them as hash-based set operators)."""
+    c = load(spark, sf, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    both = building.intersect(machinery).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("both").alias("bucket"), "n"
+    )
+    only = building.subtract(machinery).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("building_only").alias("bucket"), "n")
+    return both.unionByName(only)
+
+
+@register(
     "rollup_order_totals",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -578,6 +607,107 @@ def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     return (
         ev.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+@register(
+    "sessionize_events_batch",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30 min), batch form — the SQL-checkable
+    twin of streaming.sessionize: lag + cumulative flag sum per user.
+    Hash-partitioned window (per-user), no global sort."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    new_s = F.when(
+        (F.unix_millis(F.col("ts")) - F.unix_millis(F.lag("ts").over(w)) > gap_ms)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn("session_idx", F.sum("new_s").over(wcum))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "cumulative_customer_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def cumulative_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Running per-customer order total — explicit ROWS frame, decimal-
+    exact accumulation; partitions by customer (no global sort)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load(spark, sf, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long → wide) with an explicit value list — the explicit
+    list keeps the schema static, so no extra distinct-values pass and
+    the plan is a single partial-aggregated shuffle."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").cast("string").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
     )
 
 
@@ -1300,6 +1430,16 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return extract_features(
         docs, "payload", "doc_id", modality="image", deterministic_fake=True
     )
+
+
+@register("ann_ivf_topk", None)  # approximate (recall<1) → rows-only check
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer (trained on a
+    sample), queries probe their 4 nearest of 8 cells. The inverted
+    file IS the partitioning — see operators/similarity.ivf_topk."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.ivf_topk(emb, queries, k=10, n_cells=8, n_probe=4)
 
 
 @register("ann_lsh_topk", None)  # approximate (recall<1) → rows-only check
