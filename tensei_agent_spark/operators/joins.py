@@ -100,6 +100,61 @@ def mapping_key_join(
     return left.join(rhs, on, how)
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    key: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join resilient to a hot key: salt the skewed side, replicate
+    the other side ``salt`` ways, join on (key, salt).
+
+    AQE's skew-join split handles sort-merge skew automatically; manual
+    salting is for the cases AQE can't fix (skewed *aggregations* feeding
+    a join, or stream-side skew in a broadcast-ineligible join). The
+    replicated side grows ×salt — use for dimension-vs-skewed-fact shapes.
+    """
+    salted = skewed.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
+    replicated = other.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return salted.join(replicated, [key, "_salt"], how).drop("_salt")
+
+
+def bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> DataFrame:
+    """Persist as a bucketed table and return it re-read.
+
+    Two bucketed tables with the same (cols, n_buckets) join WITHOUT a
+    shuffle — the co-located join the reference can't express. This is
+    the 100 TB pattern for repeated joins on the same key (e.g. orders ⋈
+    lineitem on orderkey): pay one shuffle at write, join free forever.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    if not path:
+        # A fresh metastore can still see a stale managed location on
+        # disk (prior session); clear it so saveAsTable can't collide.
+        import shutil
+        import urllib.parse
+
+        wh = urllib.parse.urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/{table_name.lower()}", ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols).sortBy(
+        *bucket_cols
+    )
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+    return spark.table(table_name)
+
+
 def remap_foreign_keys(
     child: DataFrame,
     key_map: DataFrame,

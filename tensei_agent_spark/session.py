@@ -55,6 +55,8 @@ def get_spark(
         # 128 MiB scan splits — the parquet row-group sweet spot.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # Keep managed-table data (bucketed tables) out of the repo cwd.
+        .config("spark.sql.warehouse.dir", "/tmp/tensei_spark_warehouse")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
     )
     for k, v in (extra_conf or {}).items():

@@ -1,0 +1,66 @@
+"""Scale-toolbox join tests: salting correctness, bucketed co-located
+joins (shuffle-free), and the distributed row-index invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tensei_agent_spark.operators.joins import (
+    bucketed_table,
+    salted_join,
+    with_row_index,
+)
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting must not change the result set — only the distribution."""
+    # skewed: 10k rows of one hot key + a tail
+    hot = spark.range(10_000).select(F.lit(1).alias("k"), F.col("id").alias("v"))
+    tail = spark.range(100).select((F.col("id") + 2).alias("k"), F.col("id").alias("v"))
+    skewed = hot.unionByName(tail)
+    dim = spark.range(50).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+
+    plain = skewed.join(dim, "k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+    ).first()
+    salted = salted_join(skewed, dim, "k", salt=8).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
+    ).first()
+    assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Two tables bucketed on the join key must sort-merge join without
+    a shuffle exchange (broadcast disabled to force the SMJ path — with
+    small tables the planner prefers broadcast, which is also fine)."""
+    orders = spark.range(1000).select(
+        F.col("id").alias("orderkey"), (F.col("id") % 7).alias("x")
+    )
+    items = spark.range(3000).select(
+        (F.col("id") % 1000).alias("orderkey"), F.col("id").alias("item")
+    )
+    t1 = bucketed_table(orders, "b_orders", ["orderkey"], 8)
+    t2 = bucketed_table(items, "b_items", ["orderkey"], 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = t1.join(t2, "orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan, (
+            f"bucketed join still shuffles:\n{plan[:2000]}"
+        )
+        assert "Bucketed: true" in plan
+        assert joined.count() == 3000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_with_row_index_dense_and_ordered(spark):
+    df = spark.range(0, 10_000).select(
+        (F.lit(9_999) - F.col("id")).alias("key")  # descending input
+    ).repartition(16)
+    out = with_row_index(df, ["key"], "rn").collect()
+    pairs = sorted((r["rn"], r["key"]) for r in out)
+    # dense 0..N-1 index, aligned with the requested total order
+    assert [p[0] for p in pairs] == list(range(10_000))
+    assert [p[1] for p in pairs] == list(range(10_000))
