@@ -27,7 +27,8 @@ hashable, and engine-independent (no Spark imports here).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import json
+from dataclasses import asdict, dataclass, field
 
 
 @dataclass(frozen=True)
@@ -159,3 +160,57 @@ class Pipeline:
             if t.name == name:
                 return t
         raise KeyError(f"unknown target {name!r}")
+
+    # -- serialization (≙ the Cookbook's JSON wire format) ------------------
+
+    def to_dict(self) -> dict:
+        return asdict(self)
+
+    def to_json(self, **kw) -> str:
+        return json.dumps(self.to_dict(), **kw)
+
+    @staticmethod
+    def from_dict(d: dict) -> "Pipeline":
+        def fields(fs):
+            return None if fs is None else tuple(Field(**f) for f in fs)
+
+        sources = tuple(
+            SourceSpec(
+                s["name"], s["format"], s["uri"], fields(s.get("fields")),
+                dict(s.get("options") or {}),
+            )
+            for s in d["sources"]
+        )
+        targets = tuple(
+            TargetSpec(
+                t["name"], t["format"], t["uri"], fields(t.get("fields")) or (),
+                dict(t.get("options") or {}), t.get("mode", "overwrite"),
+                {k: tuple(v) for k, v in (t.get("foreign_keys") or {}).items()},
+            )
+            for t in d["targets"]
+        )
+        recipes = tuple(
+            Recipe(
+                r["name"],
+                r["target"],
+                tuple(
+                    Mapping(
+                        tuple(ColumnRef(**c) for c in m["sources"]),
+                        tuple(m["targets"]),
+                        m.get("mode", "one_to_one"),
+                        tuple((n, dict(p)) for n, p in (m.get("transformers") or ())),
+                        tuple((n, dict(p)) for n, p in (m.get("atomic") or ())),
+                    )
+                    for m in r["mappings"]
+                ),
+                r.get("mapping_key"),
+                r.get("limit"),
+                dict(r.get("order_by") or {}),
+            )
+            for r in d["recipes"]
+        )
+        return Pipeline(d["name"], sources, targets, recipes)
+
+    @staticmethod
+    def from_json(s: str) -> "Pipeline":
+        return Pipeline.from_dict(json.loads(s))

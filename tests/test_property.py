@@ -1,0 +1,135 @@
+"""Property-based tests (≙ the reference's ScalaCheck usage, e.g.
+``MergeTwoCSV.scala:58-118`` pushing random products through the merge
+pipeline). Hypothesis generates the inputs; Spark executes; invariants
+are checked against plain-Python models."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tensei_agent_spark.functions import build as T
+from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+from tensei_agent_spark.plans import (
+    ColumnRef,
+    Field,
+    Mapping,
+    Pipeline,
+    Recipe,
+    SourceSpec,
+    TargetSpec,
+)
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+words = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(st.lists(words, min_size=1, max_size=6), st.sampled_from(["|", "~", ";"]))
+def test_concat_split_roundtrip(spark, parts, sep):
+    """split(concat(xs, sep), sep)[i] == xs[i] for separator-free parts."""
+    cols = [F.lit(p) for p in parts]
+    joined = T("concat", cols, separator=sep)[0]
+    back = T("split", [joined], pattern=re.escape(sep),
+             selected=list(range(len(parts))))
+    row = spark.range(1).select(
+        *[c.alias(f"c{i}") for i, c in enumerate(back)]
+    ).first()
+    assert [row[f"c{i}"] for i in range(len(parts))] == parts
+
+
+@SLOW
+@given(st.lists(st.integers(-10**9, 10**9), min_size=1, max_size=5))
+def test_timestamp_calibrate_inverse(spark, secs):
+    """reduce(add(x)) == x — the reference's ×1000/÷1000 pair."""
+    col = F.array(*[F.lit(s).cast("long") for s in secs])
+    added = F.transform(col, lambda c: T("timestamp_calibrate", [c], perform="add")[0])
+    back = F.transform(added, lambda c: T("timestamp_calibrate", [c], perform="reduce")[0])
+    assert spark.range(1).select(back.alias("v")).first()["v"] == secs
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(words, st.integers(0, 3)),  # (name, dup-group)
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_pipeline_unique_filter_model(spark, tmp_path_factory, rows):
+    """The write-side unique filter must keep exactly the first row per
+    key under the declared order — checked against a Python model."""
+    tmp = tmp_path_factory.mktemp("prop")
+    src = tmp / "in.csv"
+    data = [(f"k{g}", i, name) for i, (name, g) in enumerate(rows)]
+    src.write_text("".join(f"{k},{i},{n}\n" for k, i, n in data))
+    out = str(tmp / "out.csv")
+    p = Pipeline(
+        "prop",
+        sources=(SourceSpec("s", "csv", str(src),
+                            (Field("k"), Field("i", "long"), Field("n"))),),
+        targets=(TargetSpec(
+            "t", "csv", out,
+            fields=(Field("k", unique=True), Field("i", "long"), Field("n")),
+            options={"single_file": True, "order_by": ["k"]},
+        ),),
+        recipes=(Recipe("r", "t", mappings=(
+            Mapping((ColumnRef("s", "k"), ColumnRef("s", "i"), ColumnRef("s", "n")),
+                    ("k", "i", "n")),
+        )),),
+    )
+    from tensei_agent_spark.plans import run_pipeline
+
+    run_pipeline(spark, p)
+    got = sorted(tuple(ln.split(",")[0:2]) for ln in open(out).read().splitlines())
+    # model: first row per key ordered by (i, n)
+    model = {}
+    for k, i, n in sorted(data, key=lambda r: (r[1], r[2])):
+        model.setdefault(k, (k, str(i)))
+    assert got == sorted(model.values())
+
+
+@SLOW
+@given(st.integers(0, 3))
+def test_jaccard_identical_docs_score_one(spark, n_extra):
+    """Two identical documents always have Jaccard 1.0; an unrelated
+    short doc never pairs at threshold 0.99."""
+    base = "spark catalyst tungsten adaptive execution " * 3
+    docs = [(1, base), (2, base)] + [
+        (10 + i, f"unrelated tiny doc {i}") for i in range(n_extra)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(df, threshold=0.99).collect()}
+    assert pairs.get((1, 2)) == 1.0
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_spec_json_roundtrip():
+    """Pipeline ⇄ JSON round trip (Cookbook wire-format parity)."""
+    p = Pipeline(
+        "rt",
+        sources=(SourceSpec("s", "csv", "/tmp/in.csv",
+                            (Field("a", "long", default=0),), {"sep": ";"}),),
+        targets=(TargetSpec("t", "jdbc", "jdbc:postgresql://h/db",
+                            (Field("a", "long", unique=True),),
+                            {"table": "tt"}, "upsert",
+                            {"fk": ("parent", "pk")}),),
+        recipes=(Recipe("r", "t", mappings=(
+            Mapping((ColumnRef("s", "a"),), ("a",),
+                    transformers=(("lower_or_upper", {"perform": "upper"}),)),
+        ), mapping_key="a", limit=10, order_by={"s": ["a"]}),),
+    )
+    assert Pipeline.from_json(p.to_json()) == p
