@@ -76,25 +76,25 @@ def char_shingles(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Explode each document into its distinct k-char shingles.
+    """Explode each document into its k-char shingles.
 
     JVM-side only: ``sequence`` + ``explode`` + ``substring`` — no Python
-    in the hot path. Output: (id, shingle), distinct.
+    in the hot path. ``distinct=True`` (set semantics, one shuffle) for
+    Jaccard counting; duplicate-insensitive consumers (MinHash's min)
+    pass False and skip that shuffle entirely.
     """
     n = F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1))
-    return (
-        docs.select(
-            F.col(id_col),
-            F.col(text_col),
-            F.explode(F.sequence(F.lit(1), n)).alias("_pos"),
-        )
-        .select(
-            F.col(id_col),
-            F.expr(f"substring({text_col}, _pos, {k})").alias("shingle"),
-        )
-        .distinct()
+    out = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.explode(F.sequence(F.lit(1), n)).alias("_pos"),
+    ).select(
+        F.col(id_col),
+        F.expr(f"substring({text_col}, _pos, {k})").alias("shingle"),
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(
@@ -140,6 +140,56 @@ def ngram_jaccard_pairs(
     )
 
 
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: (a·h+b) fits signed 64-bit
+
+
+def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutations —
+    derived from a fixed LCG so Spark and the SQL oracle agree."""
+    pairs, x = [], 88172645463325252
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (MINHASH_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MINHASH_P
+        pairs.append((a, b))
+    return pairs
+
+
+def minhash_signatures_wide(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures, wide form: one row per doc with columns
+    sig0..sigN-1 where sig[i] = min over shingles of md5(i || shingle).
+
+    One md5 per shingle → 60-bit int, then ``num_hashes`` universal-hash
+    permutations ``(a_i·h + b_i) mod p`` (p = 2³¹−1; a_i, b_i fixed
+    pseudo-random). This is 16× cheaper than hashing per seed (md5 is
+    the cost) and stays engine-portable: the DuckDB oracle reproduces
+    the exact arithmetic. All permutations aggregate in ONE groupBy over
+    the (id, shingle) rows — map-side partial min, no seed explosion.
+    """
+    sh = char_shingles(docs, text_col, id_col, k, distinct=False)
+    # base hash: first 15 md5 hex chars as a 60-bit int, reduced mod p
+    h = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+        .cast("long") % MINHASH_P
+    )
+    perms = [
+        ((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"_h{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
+    return (
+        sh.select(F.col(id_col), *perms)
+        .groupBy(id_col)
+        .agg(*[F.min(f"_h{i}").alias(f"sig{i}") for i in range(num_hashes)])
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     text_col: str = "text",
@@ -147,24 +197,12 @@ def minhash_signatures(
     k: int = 8,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signatures: sig[i] = min over shingles of md5(i || shingle).
-
-    Lexicographic min over seeded md5 hex digests ≈ a random permutation
-    per seed; portable across engines (the DuckDB oracle reproduces it
-    bit-for-bit). One explode + one groupBy — linear, fully distributed.
-    Output: (id, seed, minhash).
-    """
-    sh = char_shingles(docs, text_col, id_col, k)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    return (
-        sh.select(F.col(id_col), "shingle", seeds)
-        .select(
-            F.col(id_col),
-            F.col("seed"),
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit("|"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy(id_col, "seed")
-        .agg(F.min("h").alias("minhash"))
+    """Long-form MinHash signatures (id, seed, minhash) — the wide
+    computation unpivoted (cheap: post-aggregation stack)."""
+    wide = minhash_signatures_wide(docs, text_col, id_col, k, num_hashes)
+    stack = ", ".join(f"{i}, sig{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack}) as (seed, minhash)"
     )
 
 
@@ -274,25 +312,29 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b) distinct candidate pairs, id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, text_col, id_col, k, num_hashes)
-    band_sig = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        # Concatenate the band's minhashes in seed order into one digest.
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "minhash"))
-                        ),
-                        lambda s: s["minhash"],
-                    ),
-                    ",",
-                )
-            ).alias("band_key")
-        )
+    wide = minhash_signatures_wide(docs, text_col, id_col, k, num_hashes)
+    # Band digests straight off the wide row (no second shuffle): band b
+    # hashes the concatenation of its seeds' minhashes in seed order.
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"sig{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
     )
+    band_sig = wide.select(
+        F.col(id_col), F.explode(band_cols).alias("bk")
+    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

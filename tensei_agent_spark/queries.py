@@ -1211,27 +1211,41 @@ from .operators import similarity as SIM  # noqa: E402
 from .operators import text as TXT  # noqa: E402
 
 
+from .operators.dedup import MINHASH_P, minhash_coefficients  # noqa: E402
+
+_MINHASH_COEF_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(minhash_coefficients(16))
+)
+
+
 @register(
     "dedup_minhash_lsh",
-    """
-    WITH sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+    f"""
+    WITH sh AS (SELECT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
                 FROM documents,
                      UNNEST(range(1, greatest(length(text) - 6, 2))) AS t(i)),
-         seeds AS (SELECT UNNEST(range(0, 16)) AS seed),
+         hsh AS (SELECT doc_id,
+                        CAST(concat('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+                          % {MINHASH_P} AS h
+                 FROM sh),
+         coef(seed, a, b) AS (VALUES {_MINHASH_COEF_VALUES}),
          mh AS (SELECT doc_id, seed,
-                       MIN(md5(concat(CAST(seed AS VARCHAR), '|', shingle))) AS minhash
-                FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+                       MIN((a * h + b) % {MINHASH_P}) AS minhash
+                FROM hsh CROSS JOIN coef GROUP BY doc_id, seed),
          bands AS (SELECT doc_id, CAST(seed // 4 AS INT) AS band,
-                          md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+                          md5(string_agg(CAST(minhash AS VARCHAR), ','
+                                         ORDER BY seed)) AS band_key
                    FROM mh GROUP BY doc_id, seed // 4)
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b USING (band, band_key)
     WHERE a.doc_id < b.doc_id
     """,
+    bench=True,
 )
 def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash(16 hashes)+LSH(4 bands) candidate near-dup pairs — the
-    100 TB-scale dedup path (linear signatures + bounded band join)."""
+    """MinHash(16 permutations)+LSH(4 bands) candidate near-dup pairs —
+    the 100 TB-scale dedup path: one md5 per shingle, universal-hash
+    permutations, map-side partial min, bounded band join."""
     return D.minhash_lsh_pairs(
         load(spark, sf, "documents"), "text", "doc_id", k=8, num_hashes=16, bands=4
     )
@@ -1318,6 +1332,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
              / length(text), 6) AS punct_ratio
     FROM documents
     """,
+    bench=True,
 )
 def text_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Quality features per document (length / tokens / BPE-ish tokens /
@@ -1360,6 +1375,44 @@ def lang_id(spark: SparkSession, sf: str) -> DataFrame:
 def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Normalized md5 fingerprint + shard key per document."""
     return TXT.fingerprint(load(spark, sf, "documents"))
+
+
+@register(
+    "pipeline_clean_corpus",
+    """
+    WITH quality AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+      WHERE lang = 'en'),
+    kept AS (SELECT * FROM quality WHERE n_tokens >= 5),
+    canonical AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM kept
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))))
+    SELECT k.doc_id, k.n_tokens
+    FROM kept k JOIN canonical c ON k.doc_id = c.doc_id
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite training-data pipeline: language filter → quality gate
+    (token count) → exact-dedup keeping the canonical (min-id) doc.
+    Each stage is one of the registry's operators chained — the shape a
+    100 TB pre-training cleanup run takes (filters push to the scan;
+    dedup is one hash shuffle on the content digest)."""
+    docs = load(spark, sf, "documents").filter(F.col("lang") == "en")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    kept = docs.select("doc_id", "text", toks.alias("n_tokens")).filter(
+        F.col("n_tokens") >= 5
+    )
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    canonical = (
+        kept.select(F.md5(norm).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return kept.join(canonical, "doc_id", "left_semi").select("doc_id", "n_tokens")
 
 
 @register(
