@@ -611,6 +611,29 @@ def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "events_props_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: JSON props column → typed values,
+    aggregated. get_json_object stays in codegen; at scale prefer
+    from_json with an explicit schema once the shape is known."""
+    ev = load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
     "sessionize_events_batch",
     """
     WITH flagged AS (

@@ -15,4 +15,5 @@ from .pipeline import (  # noqa: F401
     run_to_completion,
     sessionize,
     sliding_counts,
+    stream_dedup,
 )

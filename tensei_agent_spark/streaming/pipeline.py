@@ -170,6 +170,20 @@ def sessionize(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup bounded by the watermark:
+    ``dropDuplicatesWithinWatermark`` keeps state only for the watermark
+    horizon, so dedup state cannot grow with the stream (the unbounded
+    variant would OOM on an infinite stream). Batch twin: dropDuplicates."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_to_completion(
     stream_df: DataFrame, sink_table: str, output_mode: str = "complete"
 ) -> None:

@@ -14,6 +14,7 @@ from tensei_agent_spark.streaming import (
     run_to_completion,
     sessionize,
     sliding_counts,
+    stream_dedup,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -65,6 +66,18 @@ def test_sliding_window_counts(spark, events_dir):
     # sliding count = 4 × event count
     total_events = load(spark, SF, "events").count()
     assert sum(r["n_events"] for r in rows) == 4 * total_events
+
+
+def test_stream_dedup_within_watermark(spark, events_dir, tmp_path_factory):
+    """Duplicated input events collapse to one row per event_id."""
+    dup_dir = str(tmp_path_factory.mktemp("events_dup"))
+    ev = load(spark, SF, "events").limit(500)
+    ev.unionByName(ev).coalesce(2).write.mode("overwrite").parquet(dup_dir)
+    stream = read_event_stream(spark, dup_dir)
+    run_to_completion(stream_dedup(stream), "dedup_sink", "append")
+    out = spark.table("dedup_sink")
+    assert out.count() == 500
+    assert out.select("event_id").distinct().count() == 500
 
 
 def test_sessionize_stateful(spark, events_dir):
