@@ -31,10 +31,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in bench_names:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].build(spark, sf_dir)
-        df.count()  # materialize the whole plan, keep rows off the driver
-        timings[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _run in range(2):  # best-of-2: steady-state, halves noise
+            t0 = time.perf_counter()
+            df = REGISTRY[name].build(spark, sf_dir)
+            df.count()  # materialize the whole plan, rows stay off the driver
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -111,6 +111,19 @@ def test_date_converter_epoch_and_string(spark):
     assert row["from_millis"] == datetime.datetime(2021, 3, 4, 5, 6, 7)
 
 
+def test_timestamp_offset_convert_and_keep(spark):
+    """convert: shift the instant into the offset zone; keep: relabel
+    the wall-clock (shift the instant the other way)."""
+    ts = F.lit("2021-06-01 12:00:00").cast("timestamp")
+    df = spark.range(1).select(
+        build("timestamp_offset", [ts], offset="+02:00", mode="convert")[0].alias("c"),
+        build("timestamp_offset", [ts], offset="+02:00", mode="keep")[0].alias("k"),
+    )
+    row = df.collect()[0]
+    assert row["c"] == datetime.datetime(2021, 6, 1, 14, 0, 0)
+    assert row["k"] == datetime.datetime(2021, 6, 1, 10, 0, 0)
+
+
 def test_drupal_vancode_threaded(spark):
     """Threaded numbering: child codes extend the parent's code
     (DrupalVanCodeGeneratorTest semantics)."""
