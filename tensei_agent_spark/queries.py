@@ -499,6 +499,156 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    """
+    WITH all_rev AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA')
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM all_rev GROUP BY o_year
+    """,
+)
+def q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share inside a region per year.
+    Fixed dims (nation×2, region) broadcast; facts shuffle once each."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    supp = load(spark, sf, "supplier")
+    n1 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = load(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    volume = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
+    china = F.when(F.col("supp_nation") == "CHINA", volume).otherwise(
+        F.lit(0).cast(MONEY)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(china).cast("double") / F.sum(volume).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 — customers-per-order-count histogram: left outer join
+    (zero-order customers included) + two-level aggregation."""
+    cust = load(spark, sf, "customer").select("c_custkey")
+    orders = load(spark, sf, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 — top supplier by quarterly revenue: aggregate view +
+    scalar-max semi filter (the max is a 1-row broadcast cross join)."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(_m("l_extendedprice") * (F.lit(1) - _m("l_discount"))).alias("_rev")
+        )
+    )
+    mx = revenue.agg(F.max("_rev").alias("_mx"))
+    supp = load(spark, sf, "supplier")
+    return (
+        revenue.join(F.broadcast(mx), revenue._rev == mx._mx)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.col("_rev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l1.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                           FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 — small-quantity orders: the correlated AVG subquery
+    decorrelates to an aggregate-then-join (per-part thresholds joined
+    back to lineitem; the threshold side is part-count-sized)."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part").filter(F.col("p_brand") == "Brand#3").select(
+        "p_partkey"
+    )
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.avg("l_quantity") * 0.2).alias("threshold")
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            (F.sum(_m("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
     "semi_anti_customers",
     """
     SELECT 'with_orders' AS bucket, COUNT(*) AS n FROM customer
