@@ -100,6 +100,70 @@ def mapping_key_join(
     return left.join(rhs, on, how)
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Point-in-time (as-of) join: for every left row, the single right
+    row with the greatest ``right_ts`` ≤ ``left_ts`` for the same key.
+
+    Implementation is union + forward-fill, NOT a range join: tag both
+    sides, sort within each key partition by (ts, side, tie), and carry
+    the latest right values forward with ``last(..., ignorenulls)``.
+    ONE hash shuffle on the key, no quadratic candidate explosion —
+    the shape that survives 100 TB (a naive ``right.ts <= left.ts``
+    theta join explodes to O(|left|·|right|) per key).
+
+    Ties on equal right_ts resolve to the largest ``tie_col`` (pass an
+    id column for full determinism).
+    """
+    rcols = list(right_cols) or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    tie = tie_col
+    # The right payload travels as ONE struct so the forward-fill always
+    # picks all columns from the SAME right row (independent per-column
+    # fills would mix rows when right data itself contains nulls).
+    r_struct = F.struct(*[F.col(c) for c in rcols]).alias("_r")
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        (F.col(tie) if tie and tie in right.columns else F.lit(None)).cast("long").alias("_tie"),
+        r_struct,
+    )
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        (F.col(tie) if tie and tie in left.columns else F.lit(None)).cast("long").alias("_tie"),
+        F.lit(None).cast(r_tagged.schema["_r"].dataType).alias("_r"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+    )
+    r_tagged = r_tagged.withColumn(
+        "_l", F.lit(None).cast(l_tagged.schema["_l"].dataType)
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    # right rows (side 0) sort before left rows at equal ts → inclusive
+    # `right_ts <= left_ts`; among equal right ts the largest tie wins.
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_tie").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "_side", "_l", F.last("_r", ignorenulls=True).over(w).alias("_rf")
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        "_l.*", *[F.col(f"_rf.{c}").alias(f"right_{c}") for c in rcols]
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -761,6 +761,47 @@ def approx_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "asof_purchase_last_view",
+    """
+    WITH purchases AS (SELECT event_id, user_id, ts, value FROM events
+                       WHERE event_type = 'purchase'),
+         views AS (SELECT event_id, ts, user_id, value FROM events
+                   WHERE event_type = 'view'),
+         ranked AS (
+           SELECT p.event_id, p.user_id, p.value,
+                  v.value AS v_value, v.event_id AS v_id,
+                  row_number() OVER (PARTITION BY p.event_id
+                                     ORDER BY v.ts DESC, v.event_id DESC) AS rk
+           FROM purchases p JOIN views v
+             ON v.user_id = p.user_id AND v.ts <= p.ts)
+    SELECT p.event_id, p.user_id, p.value,
+           r.v_value AS right_value, r.v_id AS right_event_id
+    FROM purchases p LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) r
+      ON p.event_id = r.event_id
+    """,
+)
+def asof_purchase_last_view(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase paired with the user's latest view at
+    or before it. Spark side is the union+forward-fill operator (ONE
+    key shuffle — see operators/joins.as_of_join); the oracle is the
+    O(n²)-per-user window formulation, feasible only at test scale."""
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = J.as_of_join(
+        purchases, views, key="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["value", "event_id"], tie_col="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value", "right_value", "right_event_id"
+    )
+
+
+@register(
     "events_props_json",
     """
     SELECT event_type,
