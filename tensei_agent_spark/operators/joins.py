@@ -164,6 +164,52 @@ def as_of_join(
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    point_ts: str = "ts",
+    start_ts: str = "start",
+    end_ts: str = "end",
+    bucket: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to the interval rows containing it
+    (``start_ts <= point_ts <= end_ts``, same key).
+
+    A naive theta join is O(|points|·|intervals|) per key. Instead both
+    sides are **time-bucketed**: each interval explodes to the buckets
+    it spans, each point maps to its single bucket, and the join is an
+    equi-join on (key, bucket) followed by the exact containment filter.
+    Candidates per point = intervals overlapping ONE bucket — bounded by
+    interval density, not table size. Pick ``bucket`` ≈ median interval
+    length (shorter → more interval replication; longer → more false
+    candidates filtered).
+    """
+    bucket_s = F.unix_timestamp(F.col(point_ts)) / F.lit(1)
+    secs = {"minutes": 60, "minute": 60, "hours": 3600, "hour": 3600,
+            "seconds": 1, "second": 1, "days": 86400, "day": 86400}
+    qty, unit = bucket.split()
+    width = int(qty) * secs[unit]
+
+    p = points.withColumn(
+        "_bkt", (F.unix_timestamp(F.col(point_ts)) / width).cast("long")
+    )
+    i = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_ts)) / width).cast("long"),
+                (F.unix_timestamp(F.col(end_ts)) / width).cast("long"),
+            )
+        ),
+    )
+    joined = p.join(i, [key, "_bkt"], how).filter(
+        (F.col(point_ts) >= F.col(start_ts)) & (F.col(point_ts) <= F.col(end_ts))
+    )
+    return joined.drop("_bkt")
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

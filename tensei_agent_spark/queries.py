@@ -379,8 +379,8 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
     "q12_priority_by_status",
     """
     SELECT l_linestatus,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate
     GROUP BY l_linestatus
@@ -802,6 +802,51 @@ def asof_purchase_last_view(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "range_join_event_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged),
+    sessions AS (
+      SELECT user_id, session_idx,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM numbered GROUP BY user_id, session_idx),
+    purchases AS (SELECT event_id, user_id, ts FROM events
+                  WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, CAST(s.session_idx AS BIGINT) AS session_idx
+    FROM purchases p JOIN sessions s
+      ON p.user_id = s.user_id
+     AND p.ts BETWEEN s.session_start AND s.session_end
+    """,
+)
+def range_join_event_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval-containment) join: map each purchase event to the
+    session interval containing it. Spark side = bucketed range_join
+    (equi-join on (key, time-bucket) + exact filter — no theta-join
+    explosion); oracle = the BETWEEN formulation, feasible at test
+    scale. Sessions come from the oracle-checked batch sessionizer."""
+    sessions = sessionize_batch(spark, sf).select(
+        "user_id", "session_idx",
+        F.col("session_start").alias("start"),
+        F.col("session_end").alias("end"),
+    )
+    purchases = (
+        load(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    out = J.range_join(purchases, sessions, key="user_id", bucket="30 minutes")
+    return out.select("event_id", "user_id", "session_idx")
+
+
+@register(
     "events_props_json",
     """
     SELECT event_type,
@@ -837,7 +882,7 @@ def events_props_json(spark: SparkSession, sf: str) -> DataFrame:
              SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                               ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM flagged)
-    SELECT user_id, session_idx,
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value

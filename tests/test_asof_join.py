@@ -48,3 +48,31 @@ def test_as_of_join_semantics(spark):
     assert all(
         (px is None) == (qid is None) for px, qid in out.values()
     )
+
+def test_range_join_containment(spark):
+    from tensei_agent_spark.operators.joins import range_join
+
+    intervals = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), _ts("2024-01-01T11:00:00"), 100),
+            (1, _ts("2024-01-01T12:00:00"), _ts("2024-01-01T12:10:00"), 101),
+            (2, _ts("2024-01-01T00:00:00"), _ts("2024-01-02T00:00:00"), 102),
+        ],
+        "k long, start timestamp, end timestamp, iid long",
+    )
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:30:00"), 1),  # inside first interval
+            (1, _ts("2024-01-01T11:00:00"), 2),  # boundary end → inclusive
+            (1, _ts("2024-01-01T11:30:00"), 3),  # gap → no match
+            (1, _ts("2024-01-01T12:00:00"), 4),  # boundary start → inclusive
+            (2, _ts("2024-01-01T18:00:00"), 5),  # long interval spans buckets
+            (3, _ts("2024-01-01T10:30:00"), 6),  # unseen key
+        ],
+        "k long, ts timestamp, pid long",
+    )
+    out = {
+        r["pid"]: r["iid"]
+        for r in range_join(points, intervals, key="k").collect()
+    }
+    assert out == {1: 100, 2: 100, 4: 101, 5: 102}
