@@ -1793,3 +1793,207 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     partition-local)."""
     emb = load(spark, sf, "embeddings")
     return SIM.blocked_pairs_cosine(emb, "label", threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-shaped analytics (q9/q21/q22 adapted to this schema:
+# no partsupp table, no receipt/commit dates, no phone column)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_profit_by_nation",
+    """
+    SELECT supp_nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS supp_nation,
+             EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+               - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(0.1 AS DECIMAL(12,2)) AS amount
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%a%')
+    GROUP BY supp_nation, o_year
+    """,
+)
+def q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by supplier nation and year.
+    No partsupp table in this schema, so supply cost ≈ 10% of
+    p_retailprice (exact decimal arithmetic on both sides). The p_name
+    filter pushes into the part scan before the join; nation broadcasts
+    (constant-size); the three fact joins are left to AQE."""
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    part = (
+        load(spark, sf, "part")
+        .filter(F.col("p_name").like("%a%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    nation = load(spark, sf, "nation").select(
+        "n_nationkey", F.col("n_name").alias("supp_nation")
+    )
+    amount = _m("l_extendedprice") * (F.lit(1) - _m("l_discount")) - _m(
+        "p_retailprice"
+    ) * _m("l_quantity") * F.lit(0.1).cast(MONEY)
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("supp_nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+@register(
+    "q21_sole_supplier_orders",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_9'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (no receipt/commit dates in this schema, so the
+    late-delivery predicate becomes sole-supplier): per CHINA supplier,
+    count 'F'-order lineitems where that supplier is the ONLY supplier
+    on the order. The correlated NOT EXISTS (inequality anti-join — a
+    theta join at scale) is rewritten as a per-order distinct-supplier
+    count aggregation + equi-join, which shuffles on the natural
+    l_orderkey key instead. (Nation names in the driver tables are
+    synthetic NATION_N.)"""
+    li = load(spark, sf, "lineitem")
+    sole = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("_nsupp"))
+        .filter(F.col("_nsupp") == 1)
+        .select("l_orderkey")
+    )
+    supp = load(spark, sf, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load(spark, sf, "nation").filter(F.col("n_name") == "NATION_9")
+    orders = load(spark, sf, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    return (
+        li.select("l_orderkey", "l_suppkey")
+        .join(sole, "l_orderkey")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS v
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer, thr
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > thr.v
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY n_name
+    """,
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape (no phone column → grouped by nation): customers
+    with above-average positive balance and no urgent orders (every
+    customer in the driver tables has at least one order, so the
+    original no-orders predicate would be vacuous). The scalar subquery
+    is a 1-row broadcast cross join; the NOT EXISTS is a left_anti
+    equi-join on o_custkey (shuffle-hash, no theta)."""
+    cust = load(spark, sf, "customer")
+    thr = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_m("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_thr")
+        )
+    )
+    orders = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_thr"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_m("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+@register(
+    "stats_quantiles",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE) AS q25,
+           CAST(quantile_cont(l_quantity, 0.50) AS DOUBLE) AS q50,
+           CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE) AS q75,
+           CAST(quantile_cont(l_extendedprice, 0.50) AS DOUBLE) AS price_median
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles per group (profiling surface
+    beyond the reference's count/min/max/mean). Spark `percentile` and
+    DuckDB `quantile_cont` share the lower+(upper-lower)*frac
+    interpolation; quantity values are integral so the arithmetic is
+    FP-exact on both sides. At 100 TB scale swap in
+    `percentile_approx` (t-digest) — kept exact here for the oracle."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("q25"),
+        F.expr("percentile(l_quantity, 0.50)").alias("q50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("q75"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("price_median"),
+    )
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (status, priority) — all four grouping-set combinations
+    in one pass (partial aggregation map-side, single shuffle)."""
+    orders = load(spark, sf, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_m("o_totalprice")).cast("double").alias("total_price"),
+    )
