@@ -113,3 +113,43 @@ def fingerprint(
         fp.alias("fingerprint"),
         F.substring(fp, 1, 4).alias("shard_key"),
     )
+
+
+def chunk_text(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 500,
+    overlap: int = 50,
+) -> DataFrame:
+    """Split each document into fixed-size character chunks with overlap
+    (training-data preparation: context-window-sized pieces).
+
+    Chunk ``i`` covers characters ``[i*step, i*step+size)`` with
+    ``step = size - overlap``; the last chunk starts at the smallest
+    multiple of ``step`` that still reaches the end of the text, so no
+    chunk is fully contained in its predecessor. Pure JVM-side
+    ``sequence``+``explode`` — a map with fan-out, no Python, no
+    shuffle; at 100 TB this parallelizes per input split.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    n = F.length(F.col(text_col))
+    last = F.greatest(F.lit(0), F.ceil((n - size) / F.lit(step))).cast("int")
+    return (
+        docs.filter(n > 0)
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(F.sequence(F.lit(0), last)).alias("chunk_idx"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.substring(
+                F.col(text_col), F.col("chunk_idx") * step + 1, size
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )

@@ -1997,3 +1997,59 @@ def cube_order_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(_m("o_totalprice")).cast("double").alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data preparation: deterministic splits and chunking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_split_counts",
+    """
+    SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT source,
+             CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents)
+    GROUP BY split, source
+    """,
+)
+def train_split_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split keyed on doc_id
+    content hash (engine-portable md5 bucket — stable across runs,
+    engines, and partition layouts; a pure map, no shuffle). Counts per
+    split × source prove the assignment."""
+    from .operators import sampling as SA
+
+    docs = load(spark, sf, "documents")
+    split = SA.hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return split.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+@register(
+    "chunk_documents",
+    """
+    SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+           substr(text, CAST(t.i * 450 + 1 AS BIGINT), 500) AS chunk,
+           length(substr(text, CAST(t.i * 450 + 1 AS BIGINT), 500)) AS chunk_len
+    FROM documents,
+         UNNEST(range(0, CAST(greatest(0, ceil((length(text) - 500) / 450.0)) AS BIGINT) + 1)) t(i)
+    WHERE length(text) > 0
+    """,
+)
+def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (size=500, overlap=50)
+    per document — JVM-side sequence+explode fan-out, no shuffle."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents").select("doc_id", "text")
+    return T.chunk_text(docs, size=500, overlap=50)

@@ -1,0 +1,69 @@
+"""Deterministic split / sample / chunk operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tensei_agent_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+)
+from tensei_agent_spark.operators.text import chunk_text
+
+
+def test_hash_split_exhaustive_disjoint_stable(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    out = hash_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000          # every row assigned once
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]       # weights roughly honored
+    # stable: same assignment on a re-run and under different partitioning
+    again = hash_split(df.repartition(7), "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.exceptAll(again).count() == 0
+
+
+def test_hash_split_salt_changes_assignment(spark):
+    df = spark.range(500).withColumnRenamed("id", "k")
+    a = hash_split(df, "k", {"a": 0.5, "b": 0.5})
+    b = hash_split(df, "k", {"a": 0.5, "b": 0.5}, salt="v2")
+    assert a.exceptAll(b).count() > 0
+
+
+def test_deterministic_sample_is_subset_and_stable(spark):
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s = deterministic_sample(df, "k", 0.25)
+    n = s.count()
+    assert 0 < n < 2000
+    assert s.exceptAll(deterministic_sample(df.repartition(5), "k", 0.25)).count() == 0
+    # smaller fraction ⊆ larger fraction (nested prefixes of bucket space)
+    s10 = deterministic_sample(df, "k", 0.10)
+    assert s10.exceptAll(s).count() == 0
+
+
+def test_chunk_text_coverage_and_overlap(spark):
+    text = "abcdefghij" * 10  # 100 chars
+    docs = spark.createDataFrame([(1, text), (2, "short"), (3, "")], "doc_id long, text string")
+    out = chunk_text(docs, size=40, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # empty text yields no chunks
+    assert 3 not in by_doc
+    # short text yields exactly one chunk, unpadded
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk"] == "short"
+    # 100 chars, step 30: starts 0,30,60 → last chunk reaches the end
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [c["chunk_idx"] for c in chunks] == [0, 1, 2]
+    assert chunks[0]["chunk"] == text[0:40]
+    assert chunks[1]["chunk"] == text[30:70]
+    assert chunks[2]["chunk"] == text[60:100]
+    # overlap: consecutive chunks share `overlap` chars
+    assert chunks[0]["chunk"][-10:] == chunks[1]["chunk"][:10]
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_text(docs, size=10, overlap=10)
