@@ -156,29 +156,46 @@ def minhash_coefficients(num_hashes: int) -> list[tuple[int, int]]:
     return pairs
 
 
+def _shingle_hash(hash_fn: str):
+    """Per-shingle base hash reduced mod MINHASH_P.
+
+    ``md5``: first 15 md5 hex chars as a 60-bit int — bit-identical in
+    Spark and DuckDB, used wherever the DuckDB oracle must reproduce the
+    exact signature. ``xxhash64``: JVM-native long hash — no hex-string
+    round-trip, ~2× cheaper per shingle (measured at sf0.1); the
+    production path, verified by recall tests instead of the oracle.
+    """
+    if hash_fn == "md5":
+        return (
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
+            .cast("long") % MINHASH_P
+        )
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(F.col("shingle")), F.lit(MINHASH_P))
+    raise ValueError(f"unknown hash_fn {hash_fn!r} (md5 | xxhash64)")
+
+
 def minhash_signatures_wide(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
     num_hashes: int = 16,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """MinHash signatures, wide form: one row per doc with columns
-    sig0..sigN-1 where sig[i] = min over shingles of md5(i || shingle).
+    sig0..sigN-1 where sig[i] = min over shingles of hash(i || shingle).
 
-    One md5 per shingle → 60-bit int, then ``num_hashes`` universal-hash
-    permutations ``(a_i·h + b_i) mod p`` (p = 2³¹−1; a_i, b_i fixed
-    pseudo-random). This is 16× cheaper than hashing per seed (md5 is
-    the cost) and stays engine-portable: the DuckDB oracle reproduces
-    the exact arithmetic. All permutations aggregate in ONE groupBy over
-    the (id, shingle) rows — map-side partial min, no seed explosion.
+    One base hash per shingle → 60-bit int, then ``num_hashes``
+    universal-hash permutations ``(a_i·h + b_i) mod p`` (p = 2³¹−1;
+    a_i, b_i fixed pseudo-random). This is 16× cheaper than hashing per
+    seed (the base hash is the cost) and — with ``hash_fn='md5'`` —
+    stays engine-portable: the DuckDB oracle reproduces the exact
+    arithmetic. All permutations aggregate in ONE groupBy over the
+    (id, shingle) rows — map-side partial min, no seed explosion.
     """
     sh = char_shingles(docs, text_col, id_col, k, distinct=False)
-    # base hash: first 15 md5 hex chars as a 60-bit int, reduced mod p
-    h = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10)
-        .cast("long") % MINHASH_P
-    )
+    h = _shingle_hash(hash_fn)
     perms = [
         ((F.lit(a) * h + F.lit(b)) % MINHASH_P).alias(f"_h{i}")
         for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
@@ -196,10 +213,11 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 8,
     num_hashes: int = 16,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Long-form MinHash signatures (id, seed, minhash) — the wide
     computation unpivoted (cheap: post-aggregation stack)."""
-    wide = minhash_signatures_wide(docs, text_col, id_col, k, num_hashes)
+    wide = minhash_signatures_wide(docs, text_col, id_col, k, num_hashes, hash_fn)
     stack = ", ".join(f"{i}, sig{i}" for i in range(num_hashes))
     return wide.selectExpr(
         id_col, f"stack({num_hashes}, {stack}) as (seed, minhash)"
@@ -259,8 +277,14 @@ def simhash_near_dup_pairs(
     within hamming < bands shares ≥1 band), then keep pairs with
     hamming(simhash) ≤ max_hamming.
 
-    The band join is a bounded hash shuffle (no cross product); the
-    hamming check is ``bit_count(xor)`` — pure codegen.
+    Pairs are generated by grouping ids per (band, band_key) bucket and
+    exploding in-bucket combinations — NOT a self-join: a self-join of
+    the derived signature frame would recompute the whole fingerprint
+    pipeline (corpus scan + hash shuffle) twice, since Spark only reuses
+    an exchange when both subtrees canonicalize identically. One scan,
+    one hash shuffle, pair fan-out bounded by bucket size (LSH buckets
+    are small by design; a pathological hot bucket means the banding is
+    too coarse — widen ``band_key`` — not that the plan is wrong).
     Output: (id_a, id_b, hamming), id_a < id_b.
     """
     width = bits // bands
@@ -275,20 +299,26 @@ def simhash_near_dup_pairs(
         # only takes a literal shift amount)
         F.expr(f"shiftright(simhash, band * {width}) & {mask}").alias("band_key"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("ha"), "band", "band_key"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("hb"), "band", "band_key"
-    )
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+    buckets = (
+        banded.groupBy("band", "band_key")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("simhash"))
+            ).alias("ds")
         )
+        .filter(F.size("ds") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> struct("
+            "least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b, "
+            "bit_count(x.simhash ^ y.simhash) AS hamming))))"
+        )
+    ).alias("p")
+    return (
+        buckets.select(pair)
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -301,18 +331,23 @@ def minhash_lsh_pairs(
     k: int = 8,
     num_hashes: int = 16,
     bands: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     Signature split into ``bands`` bands of ``num_hashes/bands`` rows;
     docs colliding on any full band become a candidate pair. Collision
     probability ≈ 1-(1-J^r)^b — with 16 hashes / 4 bands, J=0.8 pairs
-    are caught w.p. ~97%. Join key is md5(band digest) — a bounded-width
-    hash shuffle; no cross product anywhere.
+    are caught w.p. ~97%. Candidates come from grouping ids per
+    (band, band_key) bucket and exploding in-bucket combinations — NOT
+    a self-join, which would scan the corpus and build the signatures
+    twice (Spark does not reuse the exchange across differently-aliased
+    subtrees). One corpus scan, one signature shuffle, one bucket
+    shuffle; fan-out bounded by bucket size.
     Output: (id_a, id_b) distinct candidate pairs, id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    wide = minhash_signatures_wide(docs, text_col, id_col, k, num_hashes)
+    wide = minhash_signatures_wide(docs, text_col, id_col, k, num_hashes, hash_fn)
     # Band digests straight off the wide row (no second shuffle): band b
     # hashes the concatenation of its seeds' minhashes in seed order.
     band_cols = F.array(
@@ -335,11 +370,16 @@ def minhash_lsh_pairs(
     band_sig = wide.select(
         F.col(id_col), F.explode(band_cols).alias("bk")
     ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    a = band_sig.select(F.col(id_col).alias("id_a"), "band", "band_key")
-    b = band_sig.select(F.col(id_col).alias("id_b"), "band", "band_key")
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    buckets = (
+        band_sig.groupBy("band", "band_key")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ids, (x, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), y -> struct("
+            "least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+        )
+    ).alias("p")
+    return buckets.select(pair).select("p.id_a", "p.id_b").distinct()

