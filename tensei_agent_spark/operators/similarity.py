@@ -47,26 +47,44 @@ def with_norm2(df: DataFrame, vec_col: str = "embedding", out: str = "n2"):
     return df.withColumn(out, _dot_dec(F.col(vec_col), F.col(vec_col)))
 
 
+def _dot_dbl(a, b):
+    """Double-arithmetic dot product — half the cost of the decimal fold
+    (measured at sf0.1). FP addition order is fixed by the fold, so the
+    result is run-deterministic, but the last ULP can differ from the
+    decimal-exact oracle path — use for production ranking, not for
+    oracle-compared queries."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    arith: str = "decimal",
 ) -> DataFrame:
     """Exact cosine top-k for each query vector.
 
     Output: (query_id, cand_id, cosine, rank). Queries broadcast; the
     per-group top-k is a hash-partitioned window on query_id.
+    ``arith='decimal'`` keeps the dot product bit-identical to the
+    DuckDB oracle; ``'double'`` is the cheaper production path.
     """
+    dot = _dot_dec if arith == "decimal" else _dot_dbl
+    nrm = (lambda df, v, o: df.withColumn(o, dot(F.col(v), F.col(v))))
     q = F.broadcast(
-        with_norm2(queries, vec_col, "qn2").select(
+        nrm(queries, vec_col, "qn2").select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             "qn2",
         )
     )
-    c = with_norm2(corpus, vec_col, "cn2").select(
+    c = nrm(corpus, vec_col, "cn2").select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cn2"
     )
     scored = (
@@ -77,7 +95,7 @@ def brute_force_topk(
             # 1 ULP between engines (DuckDB double-rounds via int128);
             # ranking on the rounded value + id tiebreak is engine-stable.
             F.round(
-                _dot_dec(F.col("qvec"), F.col("cvec")).cast("double")
+                dot(F.col("qvec"), F.col("cvec")).cast("double")
                 / (
                     F.sqrt(F.col("qn2").cast("double"))
                     * F.sqrt(F.col("cn2").cast("double"))

@@ -1716,15 +1716,26 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
                   JOIN norms nc ON d.cand_id = nc.vec_id)
     WHERE rank <= 10
     """,
-    bench=True,
 )
 def ann_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 for query vectors (vec_id < 5) —
     exactness baseline for the LSH path. Decimal-exact arithmetic for
-    oracle bit-stability."""
+    oracle bit-stability; the benched production twin below uses double
+    arithmetic (same plan, half the scan cost)."""
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.brute_force_topk(emb, queries, k=10)
+
+
+@register("ann_cosine_topk_fast", None, bench=True)  # FP ULP drift → rows-only
+def ann_topk_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production brute-force cosine top-10: identical plan to
+    ann_cosine_topk but double-arithmetic dot products (the decimal fold
+    exists only for oracle bit-stability). Ranking agreement with the
+    exact variant is asserted in tests/test_dedup_fast.py."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.brute_force_topk(emb, queries, k=10, arith="double")
 
 
 @register(

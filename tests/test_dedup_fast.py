@@ -64,3 +64,19 @@ def test_signature_minimum_invariant(spark):
         row = wide.collect()[0]
         assert all(row[f"sig{i}"] is not None for i in range(4))
         assert all(0 <= row[f"sig{i}"] < (1 << 31) - 1 for i in range(4))
+
+
+def test_double_and_decimal_topk_rank_agreement(spark):
+    """The double-arith fast path must produce the same (query, cand)
+    ranking as the decimal-exact oracle path on real data (ULP drift
+    only matters for pathological near-ties)."""
+    from tensei_agent_spark.catalog import load
+    from tensei_agent_spark.operators.similarity import brute_force_topk
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {(r["query_id"], r["rank"]): r["cand_id"]
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    fast = {(r["query_id"], r["rank"]): r["cand_id"]
+            for r in brute_force_topk(emb, q, k=10, arith="double").collect()}
+    assert exact == fast
