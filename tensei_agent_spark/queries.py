@@ -2079,3 +2079,72 @@ def chunk_documents(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents").select("doc_id", "text")
     return T.chunk_text(docs, size=500, overlap=50)
+
+
+@register(
+    "pack_documents",
+    r"""
+    SELECT doc_id, source,
+           CAST(toks AS BIGINT) AS n_tokens,
+           CAST(FLOOR((cum - toks) / 8000.0) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, source, toks,
+             SUM(toks) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+      FROM (SELECT doc_id, source,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS toks
+            FROM documents))
+    """,
+)
+def pack_documents(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing for training: assign docs to ~8000-token packs
+    by cumulative token count, partitioned per source so the window
+    never needs a global sort (each source packs independently — the
+    scalable layout; a global pack order would serialize 100 TB through
+    one partition)."""
+    from .operators import text as T
+
+    docs = load(spark, sf, "documents")
+    toks = T.token_count(F.col("text"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", toks.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(8000.0))
+            .cast("long")
+            .alias("pack_id"),
+        )
+    )
+
+
+@register(
+    "cap_per_source",
+    """
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 50
+    """,
+)
+def cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source document cap (keep the 50 longest docs per source) —
+    the standard guard against one source dominating a training mix.
+    Hash-partitioned window; no global sort."""
+    docs = load(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
