@@ -1,0 +1,69 @@
+"""Physical-plan quality assertions for the analytical queries:
+pushdown reaches the scan, constant-size dims broadcast, anti-joins
+stay equi-joins. These are the properties that keep the same plans
+viable at 100 TB — regression here is a scale bug even when results
+stay correct."""
+
+from __future__ import annotations
+
+from tensei_agent_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q9_pushes_part_name_filter_to_scan(spark):
+    plan = _plan(spark, "q9_profit_by_nation")
+    assert "PushedFilters: [" in plan
+    assert "StringContains(p_name,a)" in plan
+
+
+def _hints(spark, name: str) -> int:
+    df = REGISTRY[name].build(spark, SF)
+    return df._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+
+
+def test_forced_broadcasts_limited_to_constant_dims(spark):
+    """At sf0.001 Spark auto-broadcasts everything small — that's size-
+    based and fine. What must NOT happen is a *forced* hint on a table
+    that scales with data: q9 hints only nation (1), q21 only the
+    filtered nation (1), q22 only the 1-row threshold and nation (2).
+    More hints than that means someone pinned a scaling table."""
+    assert _hints(spark, "q9_profit_by_nation") == 1
+    assert _hints(spark, "q21_sole_supplier_orders") == 1
+    assert _hints(spark, "q22_idle_rich_customers") == 2
+
+
+def test_q22_anti_join_is_equi(spark):
+    plan = _plan(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    # no nested-loop / cartesian anywhere in the anti path
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 1  # the deliberate 1-row threshold cross join may plan as BNLJ
+
+
+def test_q21_has_no_theta_join(spark):
+    plan = _plan(spark, "q21_sole_supplier_orders")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scan_schema_is_pruned(spark):
+    """q6 touches 4 lineitem columns — the parquet ReadSchema must not
+    include the rest (column pruning reaches the scan)."""
+    plan = _plan(spark, "q6_revenue_forecast")
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_partkey" not in scan
+    assert "l_returnflag" not in scan
+
+
+def test_range_join_is_equi_bucketed(spark):
+    plan = _plan(spark, "range_join_event_sessions")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
