@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 
 from ..functions.transformers import apply_chain, sequential_id
 from ..operators.joins import mapping_key_join, remap_foreign_keys, row_aligned_merge
-from ..sinks import write_target
 from ..sources import read_source
 from .plan import CompiledPlan, compile_plan
 from .spec import Mapping, Pipeline, Recipe
@@ -196,5 +195,10 @@ def run_pipeline(
 
         results[recipe.name] = out
         if write:
+            # Imported here, not at module top: sinks/__init__ imports
+            # plans.spec, so a top-level import would make the package
+            # initialization order depend on which module loads first.
+            from ..sinks import write_target
+
             write_target(out, target)
     return results

@@ -10,10 +10,12 @@ Streaming unification contract.
 """
 
 from .pipeline import (  # noqa: F401
+    enrich_with_dim,
     hourly_rollup,
     read_event_stream,
     run_to_completion,
     sessionize,
     sliding_counts,
     stream_dedup,
+    stream_upsert_to_db,
 )

@@ -197,3 +197,61 @@ def run_to_completion(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join.
+
+    The static side is re-evaluated per micro-batch (Spark's
+    stream-static join semantics), so a dim refreshed in place is picked
+    up automatically. Small dims broadcast (no shuffle of the stream);
+    a dim that scales with data should pass ``broadcast_dim=False`` and
+    rely on AQE inside each micro-batch.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)
+
+
+def stream_upsert_to_db(
+    stream: DataFrame,
+    connect,
+    table: str,
+    dialect,
+    key_cols: list[str],
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Streaming → database upsert via ``foreachBatch`` + the batch JDBC
+    sink (one code path for batch and streaming writes, like the
+    reference's single DatabaseWriterActor).
+
+    Upsert is idempotent per key, so micro-batch replays after failure
+    re-apply the same keyed rows instead of duplicating them — the
+    standard exactly-once-effect recipe for non-transactional sinks.
+    Returns the started StreamingQuery.
+    """
+    from ..plans.spec import Field
+    from ..sinks.jdbc import dbapi_write
+
+    # the conflict target must be backed by a UNIQUE/PK constraint in
+    # the generated DDL, so mark every key column unique
+    fields = tuple(Field(c, unique=True) for c in key_cols)
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        dbapi_write(
+            batch_df, connect, table, dialect,
+            fields=fields, mode="upsert", key_cols=key_cols,
+        )
+
+    writer = stream.writeStream.foreachBatch(_write_batch)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -99,3 +99,58 @@ def test_sessionize_stateful(spark, events_dir):
     )
     for (s1, e1), (s2, _e2) in zip(spans, spans[1:]):
         assert (s2 - e1).total_seconds() > 30 * 60
+
+
+def test_enrich_with_dim_equals_batch_join(spark, events_dir):
+    from tensei_agent_spark.streaming import enrich_with_dim
+
+    _stage(spark, events_dir)
+    dim = spark.createDataFrame(
+        [("view", "browse"), ("click", "browse"), ("purchase", "convert")],
+        "event_type string, category string",
+    )
+    stream = read_event_stream(spark, events_dir)
+    enriched = enrich_with_dim(stream, dim, on="event_type").groupBy(
+        "category"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    run_to_completion(enriched, "enriched_counts")
+    got = {
+        r["category"]: r["n"]
+        for r in spark.table("enriched_counts").collect()
+    }
+    batch = load(spark, SF, "events").join(dim, "event_type", "left").groupBy(
+        "category"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    want = {r["category"]: r["n"] for r in batch.collect()}
+    assert got == want
+
+
+def test_stream_upsert_to_db_idempotent(spark, events_dir):
+    """foreachBatch upsert: draining the same input twice (a replay)
+    must leave the same keyed rows, not duplicates."""
+    import duckdb
+
+    from tensei_agent_spark.sinks.jdbc import dialect_for
+    from tensei_agent_spark.streaming import stream_upsert_to_db
+
+    _stage(spark, events_dir)
+    con = duckdb.connect()
+    connect = lambda: con  # noqa: E731
+    dialect = dialect_for("jdbc:duckdb:mem")
+
+    def drain():
+        stream = read_event_stream(spark, events_dir).select(
+            "event_id", "user_id", "value"
+        )
+        q = stream_upsert_to_db(
+            stream, connect, "events_sink", dialect, key_cols=["event_id"]
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = con.execute("SELECT count(*) FROM events_sink").fetchone()[0]
+    drain()  # replay of identical input
+    n2 = con.execute("SELECT count(*) FROM events_sink").fetchone()[0]
+    assert n1 == n2 > 0
+    n_src = load(spark, SF, "events").count()
+    assert n1 == n_src
