@@ -1845,6 +1845,7 @@ def embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
       WHERE p_name LIKE '%a%')
     GROUP BY supp_nation, o_year
     """,
+    bench=True,
 )
 def q9(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 shape — product-type profit by supplier nation and year.
@@ -2147,4 +2148,99 @@ def cap_per_source(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 50)
         .drop("rn")
+    )
+
+
+@register(
+    "nation_supplier_names",
+    """
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def nation_supplier_names(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered string aggregation per group. collect_list order is
+    partition-dependent in Spark, so the list is array_sort-ed before
+    joining — deterministic on both engines."""
+    supp = load(spark, sf, "supplier").select("s_name", "s_nationkey")
+    nation = load(spark, sf, "nation").select("n_nationkey", "n_name")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "customer_balance_quartiles",
+    """
+    SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS min_bal,
+           CAST(MAX(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS max_bal
+    FROM (
+      SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+      FROM customer)
+    GROUP BY q
+    """,
+)
+def customer_balance_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """ntile window + re-aggregation. The global ntile needs a total
+    order — at 100 TB swap for percentile_approx boundaries + a
+    broadcast range join; kept exact here because the oracle compares
+    per-quartile extrema (tie-broken by custkey so both engines tile
+    identically)."""
+    cust = load(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(_m("c_acctbal")).cast("double").alias("min_bal"),
+            F.max(_m("c_acctbal")).cast("double").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "orders_above_cust_avg",
+    """
+    WITH avgs AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS avg_price
+      FROM orders GROUP BY o_custkey)
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+    FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
+    WHERE CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) AS DOUBLE) > 1.5 * a.avg_price
+    """,
+)
+def orders_above_cust_avg(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated-subquery shape (orders 50% above their customer's
+    average) decorrelated into aggregate + equi-join back on the same
+    key — one shuffle on o_custkey serves both sides. Exact-decimal
+    average so the > boundary agrees across engines."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    avgs = orders.groupBy("o_custkey").agg(
+        (F.sum(_m("o_totalprice")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_price"
+        )
+    )
+    price = _m("o_totalprice").cast("double")
+    return (
+        orders.join(avgs, "o_custkey")
+        .filter(price > F.lit(1.5) * F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", price.alias("o_totalprice"))
     )
