@@ -159,32 +159,43 @@ def random_hyperplane_buckets(
     dim: int = 64,
     seed: int = 42,
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """SimHash-style LSH bucket id for each vector: sign bits against
-    ``n_planes`` pseudo-random hyperplanes.
+    """SimHash-style LSH bucket ids: sign bits against ``n_planes``
+    pseudo-random hyperplanes, repeated over ``n_tables`` independent
+    plane sets (multi-table LSH — the standard recall lever: a true
+    neighbor split apart by one table's planes usually shares a bucket
+    in another; union of tables' candidates → recall ≈ 1-(1-r)^L).
 
-    Planes are derived deterministically from (seed, plane, component)
-    via a hash → uniform in [-1,1]; generated as a literal array column
-    so the whole computation stays in codegen, no UDF and no driver
-    numpy shipping. Output adds ``bucket`` (int).
+    Planes are derived deterministically from (seed, table, plane,
+    component); generated as literal array columns so the whole
+    computation stays in codegen, no UDF and no driver numpy shipping.
+    Output adds ``bucket`` (table 0's id, back-compat) and ``buckets``
+    (array of table-tagged ids: ``table * 2^n_planes + raw``, so ids
+    from different tables can never equi-match).
     """
     import random
 
-    rnd = random.Random(seed)
-    planes = [
-        [rnd.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
-    ]
-    bucket = F.lit(0)
     vec = F.col(vec_col)
-    for p_idx, plane in enumerate(planes):
-        plane_col = F.array(*[F.lit(v) for v in plane])
-        dot = F.aggregate(
-            F.zip_with(vec, plane_col, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-    return df.withColumn("bucket", bucket)
+    table_buckets = []
+    for t in range(n_tables):
+        rnd = random.Random(seed + 7919 * t)
+        planes = [
+            [rnd.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+        ]
+        bucket = F.lit(t * (1 << n_planes))
+        for p_idx, plane in enumerate(planes):
+            plane_col = F.array(*[F.lit(v) for v in plane])
+            dot = F.aggregate(
+                F.zip_with(vec, plane_col, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bucket = bucket + F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+        table_buckets.append(bucket)
+    return df.withColumn("bucket", table_buckets[0]).withColumn(
+        "buckets", F.array(*table_buckets)
+    )
 
 
 def ivf_assign(
@@ -318,28 +329,46 @@ def lsh_bucket_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: only candidates in the query's LSH bucket are
-    scored. Recall < 1 by construction (scale path; brute_force_topk is
-    the exactness baseline)."""
-    cb = random_hyperplane_buckets(corpus, n_planes, dim, seed, vec_col)
-    qb = random_hyperplane_buckets(queries, n_planes, dim, seed, vec_col)
+    """Approximate top-k: only candidates sharing an LSH bucket with the
+    query — in ANY of ``n_tables`` independent tables — are scored.
+    Recall < 1 by construction (scale path; brute_force_topk is the
+    exactness baseline); raise ``n_tables`` to buy recall at index-size
+    cost (union-of-tables recall ≈ 1-(1-r)^L).
+
+    Plan shape: slim (id, table-tagged bucket) rows explode ×n_tables
+    and equi-join (queries broadcast); candidate pairs dedup BEFORE any
+    vector is gathered; then one join pulls candidate vectors for
+    scoring — vectors never ride through the candidate-generation join.
+    """
+    cb = random_hyperplane_buckets(corpus, n_planes, dim, seed, vec_col, n_tables)
+    qb = random_hyperplane_buckets(queries, n_planes, dim, seed, vec_col, n_tables)
+    c_slim = cb.select(
+        F.col(id_col).alias("cand_id"), F.explode("buckets").alias("tb")
+    )
+    q_slim = F.broadcast(
+        qb.select(F.col(id_col).alias("query_id"), F.explode("buckets").alias("tb"))
+    )
+    pairs = (
+        c_slim.join(q_slim, "tb")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
     q = F.broadcast(
-        with_norm2(qb, vec_col, "qn2").select(
+        with_norm2(queries, vec_col, "qn2").select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
-            F.col("bucket").alias("qbucket"),
             "qn2",
         )
     )
-    c = with_norm2(cb, vec_col, "cn2").select(
-        F.col(id_col).alias("cand_id"),
-        F.col(vec_col).alias("cvec"),
-        F.col("bucket").alias("cbucket"),
-        "cn2",
+    c = with_norm2(corpus, vec_col, "cn2").select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec"), "cn2"
     )
     scored = (
-        c.join(q, (F.col("cbucket") == F.col("qbucket")) & (F.col("cand_id") != F.col("query_id")))
+        pairs.join(c, "cand_id")
+        .join(q, "query_id")
         .withColumn(
             "cosine",
             F.round(

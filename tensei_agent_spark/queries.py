@@ -1782,12 +1782,13 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("ann_lsh_topk", None)  # approximate (recall<1) → rows-only check
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (the 100 TB scale path; the
+    """Multi-table LSH approximate top-k (the 100 TB scale path; the
     brute-force query above is its exactness baseline). Deterministic
-    hyperplanes from seed=42, but recall<1 by design → rows-only."""
+    hyperplanes from seed=42; 4 tables × 6 planes — recall floor pinned
+    in tests/test_ann_recall.py."""
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.lsh_bucket_topk(emb, queries, k=10, n_planes=6)
+    return SIM.lsh_bucket_topk(emb, queries, k=10, n_planes=6, n_tables=4)
 
 
 @register(
