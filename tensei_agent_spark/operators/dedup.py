@@ -106,30 +106,51 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard similarity.
 
-    Candidate pairs share ≥1 shingle (equi-join on the shingle — hash
-    shuffle, never a cross product); Jaccard is computed from
-    co-occurring shingle counts: J = |A∩B| / (|A| + |B| - |A∩B|).
+    Candidate pairs share ≥1 shingle (inverted-index bucket on the
+    shingle — a hash shuffle, never a cross product); Jaccard comes from
+    co-occurrence counts: J = |A∩B| / (|A| + |B| - |A∩B|).
     Emits (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
 
-    Scale: the shingle join is the classic inverted-index self-join; hot
-    shingles (stopword-like) should be frequency-capped upstream for
-    100 TB corpora — see ``max_shingle_freq`` in callers.
+    Plan shape (single corpus scan, no cache): per-doc shingle SETS in
+    one groupBy (collect_set gives the distinct count AND the postings),
+    explode to (id, n_sh, shingle) postings, bucket by shingle, explode
+    in-bucket combinations carrying both sizes, count per pair. The old
+    self-join formulation either scanned the corpus twice or pinned the
+    shingle frame in cache. Hot shingles (stopword-like) still fan out
+    quadratically — frequency-cap upstream for 100 TB corpora.
     """
-    sh = char_shingles(docs, text_col, id_col, k).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    sh_sets = (
+        char_shingles(docs, text_col, id_col, k, distinct=False)
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_shs"))
     )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    postings = sh_sets.select(
+        F.col(id_col),
+        F.size("_shs").alias("n_sh"),
+        F.explode("_shs").alias("shingle"),
+    )
+    buckets = (
+        postings.groupBy("shingle")
+        .agg(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("id"), F.col("n_sh"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") >= 2)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), y -> struct("
+            "least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b, "
+            "if(x.id < y.id, x.n_sh, y.n_sh) AS n_a, "
+            "if(x.id < y.id, y.n_sh, x.n_sh) AS n_b))))"
+        )
+    ).alias("p")
     return (
-        inter.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
+        buckets.select(pair)
+        .groupBy("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
         .withColumn(
             "jaccard",
             F.col("n_common")
