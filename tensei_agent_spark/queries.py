@@ -2245,3 +2245,92 @@ def orders_above_cust_avg(spark: SparkSession, sf: str) -> DataFrame:
         .filter(price > F.lit(1.5) * F.col("avg_price"))
         .select("o_orderkey", "o_custkey", price.alias("o_totalprice"))
     )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, event_type, ts FROM (
+      SELECT user_id, event_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style compaction: keep each key's most recent record
+    (event_id tie-break for identical timestamps). Hash-partitioned
+    window on the key — the standard upsert-materialization shape."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.select("user_id", "event_id", "event_type", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "user_event_history_scd2",
+    """
+    SELECT user_id, event_id,
+           CAST(CAST(value AS DECIMAL(14,2)) AS DOUBLE) AS value,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def user_event_history_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD-type-2 interval construction: each purchase is valid from its
+    own timestamp until the user's next purchase (NULL = current). One
+    per-key window, no self-join."""
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.col("value").cast("decimal(14,2)").cast("double").alias("value"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "dq_lineitem_report",
+    """
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(*) FILTER (l_quantity IS NULL) AS BIGINT) AS null_qty,
+      CAST(COUNT(*) FILTER (l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS oob_qty,
+      CAST(COUNT(*) FILTER (l_discount < 0 OR l_discount > 1) AS BIGINT) AS oob_discount,
+      CAST(COUNT(*) FILTER (l_extendedprice <= 0) AS BIGINT) AS nonpos_price,
+      CAST(COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT) AS bad_flag,
+      CAST(COUNT(*) FILTER (l_shipdate < TIMESTAMP '1992-01-01 00:00:00') AS BIGINT) AS early_ship
+    FROM lineitem
+    """,
+)
+def dq_lineitem_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-quality report in ONE scan: null / out-of-range / domain
+    violations as conditional aggregates (≙ the reference analyzers'
+    format/null/unexpected error counters, NumericAnalyzer.scala:67-103,
+    set-wise instead of per-cell messages)."""
+    li = load(spark, sf, "lineitem")
+    cnt = lambda c: F.count(F.when(c, 1))  # noqa: E731
+
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        cnt(F.col("l_quantity").isNull()).alias("null_qty"),
+        cnt((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).alias("oob_qty"),
+        cnt((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("oob_discount"),
+        cnt(F.col("l_extendedprice") <= 0).alias("nonpos_price"),
+        cnt(~F.col("l_returnflag").isin("A", "N", "R")).alias("bad_flag"),
+        cnt(F.col("l_shipdate") < F.lit("1992-01-01 00:00:00").cast("timestamp")).alias(
+            "early_ship"
+        ),
+    )
