@@ -2334,3 +2334,72 @@ def dq_lineitem_report(spark: SparkSession, sf: str) -> DataFrame:
             "early_ship"
         ),
     )
+
+
+@register(
+    "word_counts_top100",
+    r"""
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) t(w)
+    WHERE w <> ''
+    GROUP BY w
+    ORDER BY n DESC, word
+    LIMIT 100
+    """,
+)
+def word_counts_top100(spark: SparkSession, sf: str) -> DataFrame:
+    """The canonical explode+count: top-100 words across the corpus.
+    Map-side partial aggregation absorbs the explode fan-out before the
+    shuffle; the top-k is a TakeOrdered, not a global sort."""
+    docs = load(spark, sf, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(100)
+    )
+
+
+@register(
+    "unpivot_price_components",
+    """
+    -- each branch casts to DOUBLE itself: UNION ALL would otherwise
+    -- coerce every branch to the first branch's DECIMAL scale (2),
+    -- silently rounding the scale-4 discount/tax sums
+    SELECT o_orderkey, component, amount
+    FROM (
+      SELECT l_orderkey AS o_orderkey, 'gross' AS component,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS amount
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT l_orderkey, 'discount',
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+      FROM lineitem GROUP BY l_orderkey
+      UNION ALL
+      SELECT l_orderkey, 'tax',
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_tax AS DECIMAL(12,2))) AS DOUBLE)
+      FROM lineitem GROUP BY l_orderkey)
+    WHERE o_orderkey < 1000
+    """,
+)
+def unpivot_price_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Wide→long unpivot (melt): one aggregation computes all three
+    money components, then `stack` emits a row per component — one scan
+    and one shuffle, where the naive UNION ALL formulation (the oracle)
+    scans three times."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_orderkey") < 1000)
+    wide = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(_m("l_extendedprice")).alias("_gross"),
+        F.sum(_m("l_extendedprice") * _m("l_discount")).alias("_discount"),
+        F.sum(_m("l_extendedprice") * _m("l_tax")).alias("_tax"),
+    )
+    return wide.selectExpr(
+        "o_orderkey",
+        "stack(3, 'gross', CAST(_gross AS DOUBLE), "
+        "'discount', CAST(_discount AS DOUBLE), "
+        "'tax', CAST(_tax AS DOUBLE)) AS (component, amount)",
+    )

