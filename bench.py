@@ -32,14 +32,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in bench_names:
         best = float("inf")
-        for _run in range(2):  # best-of-2: steady-state, halves noise
-            t0 = time.perf_counter()
-            df = REGISTRY[name].build(spark, sf_dir)
-            df.count()  # materialize the whole plan, rows stay off the driver
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 4)
+        try:
+            for _run in range(2):  # best-of-2: steady-state, halves noise
+                t0 = time.perf_counter()
+                df = REGISTRY[name].build(spark, sf_dir)
+                df.count()  # materialize the whole plan, rows stay off the driver
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # one broken query must not kill the line
+            print(f"bench: {name} failed: {exc!r}", flush=True)
+            timings[name] = -1.0
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(t for t in timings.values() if t > 0), 4)
     print(
         json.dumps(
             {
