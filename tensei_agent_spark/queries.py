@@ -1981,6 +1981,208 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(supplycost AS DOUBLE) AS supplycost
+    FROM ps
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE p_type = 'LARGE' AND p_size <= 10 AND r_name = 'EUROPE'
+      AND supplycost = (SELECT MIN(ps2.supplycost)
+                        FROM ps ps2
+                          JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+                          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+                          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+                        WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape adapted to the driver schema (no partsupp table:
+    the (part, supplier) catalog is derived from lineitem with
+    MIN(l_extendedprice) as the supply cost). The correlated min
+    subquery decorrelates to a window MIN over p_partkey computed AFTER
+    the region filter — one shuffle by partkey instead of a re-aggregate
+    + self-join. Dims (nation/region) are broadcast; part and supplier
+    scale with SF so their strategy is left to AQE."""
+    ps = (
+        load(spark, sf, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_m("l_extendedprice")).alias("_cost"))
+    )
+    region = load(spark, sf, "region").filter(F.col("r_name") == "EUROPE")
+    eu_nations = F.broadcast(
+        load(spark, sf, "nation").join(
+            F.broadcast(region), F.col("n_regionkey") == region.r_regionkey
+        )
+    )
+    supp = load(spark, sf, "supplier").join(
+        eu_nations, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    part = load(spark, sf, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 10)
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(supp, ps.l_suppkey == supp.s_suppkey)
+        .join(part, ps.l_partkey == part.p_partkey)
+        .withColumn("_min_cost", F.min("_cost").over(w))
+        .filter(F.col("_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("_cost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_part_value",
+    """
+    WITH val AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS v
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS ps_partkey, CAST(v AS DOUBLE) AS value
+    FROM val
+    WHERE CAST(v AS DOUBLE) > (SELECT CAST(SUM(v) AS DOUBLE) FROM val)
+                              * CAST(0.002 AS DOUBLE)
+    """,
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape adapted (no partsupp: part value = sum of
+    extendedprice*quantity shipped by NATION_7 suppliers). The scalar
+    total is a 1-row broadcast cross join over the same aggregate —
+    Spark reuses the shuffle via AQE. Values are summed in exact
+    DECIMAL, compared in the (identical) derived doubles; the 0.2%
+    threshold replaces the SF-scaled original fraction."""
+    nation = F.broadcast(
+        load(spark, sf, "nation").filter(F.col("n_name") == "NATION_7")
+    )
+    supp = load(spark, sf, "supplier").join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    li = load(spark, sf, "lineitem")
+    val = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_m("l_extendedprice") * _m("l_quantity")).alias("_v"))
+    )
+    total = val.agg(F.sum("_v").cast("double").alias("_total"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("_v").cast("double") > F.col("_total") * F.lit(0.002))
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("_v").cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_count_by_part",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape adapted (no partsupp: supplier/part pairs come
+    from lineitem; "complaint" suppliers ≙ negative account balance).
+    The NOT IN is a left_anti join against a small filtered supplier
+    set; COUNT(DISTINCT) is Spark's two-phase partial distinct."""
+    part = load(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = (
+        load(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    li = load(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey)
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM shipped
+      JOIN (SELECT l_partkey AS tp, SUM(qty) AS total_qty
+            FROM shipped GROUP BY l_partkey) t ON tp = l_partkey
+      JOIN part     ON p_partkey = l_partkey AND p_name LIKE '%red%'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    WHERE CAST(qty AS DOUBLE) > 0.5 * CAST(total_qty AS DOUBLE)
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape adapted (no partsupp availqty: a supplier is
+    "dominant" when it shipped >50% of a red part's 1997 volume). The
+    per-part total is a window SUM over the already-grouped (part,
+    supplier) aggregate — one shuffle keyed by partkey, no re-aggregate
+    self-join; the >50% predicate compares doubles derived from the
+    same exact decimals in both engines."""
+    li = load(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_m("l_quantity")).alias("_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("_total", F.sum("_qty").over(w))
+        .filter(F.col("_qty").cast("double") > F.lit(0.5) * F.col("_total").cast("double"))
+    )
+    part = load(spark, sf, "part").filter(F.col("p_name").like("%red%"))
+    supp = load(spark, sf, "supplier")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    return (
+        dominant.join(part, dominant.l_partkey == part.p_partkey)
+        .join(supp, dominant.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+    )
+
+
+@register(
     "stats_quantiles",
     """
     SELECT l_returnflag,
