@@ -404,3 +404,36 @@ def minhash_lsh_pairs(
         )
     ).alias("p")
     return buckets.select(pair).select("p.id_a", "p.id_b").distinct()
+
+
+def shared_shingle_contamination(
+    corpus: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: (corpus doc, holdout doc) pairs that
+    share ≥ ``min_shared`` distinct k-char shingles.
+
+    Training corpora must drop documents that overlap evaluation sets;
+    the standard test is shared-n-gram count. Both sides explode to
+    distinct (id, shingle) postings and meet in an equi-join ON THE
+    SHINGLE — an inverted index, never a corpus × holdout cross product.
+    The join shuffles by shingle hash; per-pair counts are a partial
+    aggregate. The holdout side is typically tiny (benchmarks), so AQE
+    broadcasts it at runtime; hot shingles (boilerplate) fan out — cap
+    shingle document-frequency upstream for 100 TB corpora.
+    """
+    c = char_shingles(corpus, text_col, id_col, k, distinct=True)
+    h = (
+        char_shingles(holdout, text_col, id_col, k, distinct=True)
+        .withColumnRenamed(id_col, "holdout_id")
+    )
+    return (
+        c.join(h, "shingle")
+        .groupBy(id_col, "holdout_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -153,3 +153,65 @@ def chunk_text(
         )
         .withColumn("chunk_len", F.length("chunk"))
     )
+
+
+def repetition_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style repetition features per document.
+
+    Emits ``(id, n_words, distinct_word_frac, dup_2gram_frac,
+    top_word_frac)`` — the repetition signals used to gate low-quality
+    documents out of training corpora (cf. the repetition filters in the
+    Gopher/MassiveText data-quality papers; the reference engine has no
+    profiling beyond count/min/max/mean — SURVEY.md §2.5).
+
+    Word and bigram diversity are pure array expressions over a single
+    scan (no shuffle): ``split`` → ``array_distinct`` sizes, with
+    bigrams built by an index-lambda ``transform`` over ``sequence``
+    (guarded — Spark's ``sequence(1, 0)`` counts DOWN, so short docs
+    take the empty-array branch). The top-word fraction needs the per-doc
+    word mode, which is not an array built-in: one (id, word) hash
+    aggregate then a per-id max — two partial-aggregated shuffles keyed
+    by id, no window, no Python.
+    """
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_w")).select(
+        F.col(id_col),
+        "_w",
+        F.size("_w").alias("n_words"),
+        (F.size(F.array_distinct("_w")).cast("double") / F.size("_w")).alias(
+            "distinct_word_frac"
+        ),
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(_w)-1), i -> "
+        "concat(element_at(_w, i), ' ', element_at(_w, i+1)))"
+    )
+    base = base.withColumn(
+        "dup_2gram_frac",
+        F.when(F.col("n_words") < 2, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(bigrams)).cast("double")
+            / (F.col("n_words") - 1)
+        ),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("_w").alias("_word"))
+        .groupBy(id_col, "_word")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .groupBy(id_col)
+        .agg(F.max("_cnt").alias("_mx"))
+    )
+    return (
+        base.drop("_w")
+        .join(top, id_col)
+        .select(
+            F.col(id_col),
+            "n_words",
+            "distinct_word_frac",
+            "dup_2gram_frac",
+            (F.col("_mx").cast("double") / F.col("n_words")).alias("top_word_frac"),
+        )
+    )

@@ -2605,3 +2605,87 @@ def unpivot_price_components(spark: SparkSession, sf: str) -> DataFrame:
         "'discount', CAST(_discount AS DOUBLE), "
         "'tax', CAST(_tax AS DOUBLE)) AS (component, amount)",
     )
+
+
+@register(
+    "gopher_repetition_report",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+    base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_word_frac,
+             CASE WHEN len(ws) < 2 THEN 0.0 ELSE
+               1.0 - CAST(len(list_distinct(list_transform(
+                        generate_series(1, len(ws)-1),
+                        i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE) / (len(ws)-1)
+             END AS dup_2gram_frac
+      FROM w),
+    cnt AS (
+      SELECT doc_id, word, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word),
+    mx AS (SELECT doc_id, MAX(c) AS m FROM cnt GROUP BY doc_id)
+    SELECT base.doc_id AS doc_id, n_words, distinct_word_frac, dup_2gram_frac,
+           CAST(m AS DOUBLE) / n_words AS top_word_frac,
+           (distinct_word_frac >= 0.4 AND dup_2gram_frac < 0.05
+            AND CAST(m AS DOUBLE) / n_words < 0.12) AS passes
+    FROM base JOIN mx ON base.doc_id = mx.doc_id
+    """,
+)
+def gopher_repetition_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality gate over the documents corpus:
+    word/bigram diversity are array expressions in a single scan; the
+    top-word mode adds two id-keyed partial-agg shuffles. ``passes``
+    combines thresholds picked to split the driver corpus (distinct
+    ≥0.4, dup-2gram <0.05, top-word <0.12); both engines derive the
+    booleans from identical int-division doubles."""
+    from .operators import text as T
+
+    feats = T.repetition_features(load(spark, sf, "documents"))
+    return feats.withColumn(
+        "passes",
+        (F.col("distinct_word_frac") >= 0.4)
+        & (F.col("dup_2gram_frac") < 0.05)
+        & (F.col("top_word_frac") < 0.12),
+    )
+
+
+@register(
+    "decontaminate_holdout",
+    """
+    WITH sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(text) - 19, 1)),
+               i -> substring(text, i, 20)))) AS shingle
+      FROM documents),
+    pairs AS (
+      SELECT c.doc_id AS doc_id, h.doc_id AS holdout_id, COUNT(*) AS n_shared
+      FROM sh c JOIN sh h ON c.shingle = h.shingle
+      WHERE h.source = 'src0' AND c.source <> 'src0'
+      GROUP BY c.doc_id, h.doc_id
+      HAVING COUNT(*) >= 3)
+    SELECT doc_id, COUNT(*) AS n_holdout_hits,
+           CAST(MAX(n_shared) AS BIGINT) AS max_shared
+    FROM pairs GROUP BY doc_id
+    """,
+)
+def decontaminate_holdout(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination report: for every training document,
+    how many holdout (src0 ≙ eval-set) documents it shares ≥3 distinct
+    20-char shingles with, and the worst overlap. Inverted-index
+    equi-join on the shingle (operators/dedup.shared_shingle_
+    contamination) — no cross product; the tiny holdout side is
+    AQE-broadcast at runtime. Downstream a training run anti-joins the
+    corpus against these doc_ids."""
+    docs = load(spark, sf, "documents")
+    pairs = D.shared_shingle_contamination(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=20,
+        min_shared=3,
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_holdout_hits"),
+        F.max("n_shared").alias("max_shared"),
+    )

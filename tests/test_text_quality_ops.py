@@ -1,0 +1,56 @@
+"""Unit tests for repetition features and holdout decontamination."""
+
+from __future__ import annotations
+
+from tensei_agent_spark.operators.dedup import shared_shingle_contamination
+from tensei_agent_spark.operators.text import repetition_features
+
+
+def test_repetition_features_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            # 6 words, 3 distinct; bigrams: "a a","a b","b b","b a","a b"
+            # → 4 distinct of 5 → dup_2gram_frac = 0.2; top word "a"/"b" 3/6
+            (1, "a a b b a b"),
+            # all distinct words and bigrams
+            (2, "one two three four"),
+            # single word → no bigrams
+            (3, "solo"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 6
+    assert abs(r1["distinct_word_frac"] - 2 / 6) < 1e-12
+    assert abs(r1["dup_2gram_frac"] - 0.2) < 1e-12
+    assert abs(r1["top_word_frac"] - 3 / 6) < 1e-12
+    r2 = rows[2]
+    assert r2["distinct_word_frac"] == 1.0
+    assert r2["dup_2gram_frac"] == 0.0
+    assert abs(r2["top_word_frac"] - 0.25) < 1e-12
+    r3 = rows[3]
+    assert r3["n_words"] == 1
+    assert r3["dup_2gram_frac"] == 0.0  # guarded: no descending sequence
+    assert r3["top_word_frac"] == 1.0
+
+
+def test_shared_shingle_contamination_counts(spark):
+    # 10-char shingles; corpus doc 10 copies holdout doc 100's text
+    # exactly (many shared shingles), doc 11 is disjoint.
+    contaminated = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [(10, contaminated), (11, "zzzz yyyy xxxx wwww vvvv uuuu tttt")],
+        ["doc_id", "text"],
+    )
+    holdout = spark.createDataFrame([(100, contaminated)], ["doc_id", "text"])
+    pairs = shared_shingle_contamination(
+        corpus, holdout, k=10, min_shared=3
+    ).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    assert (p["doc_id"], p["holdout_id"]) == (10, 100)
+    # identical text ⇒ shares every distinct shingle: len-k+1 positions
+    assert p["n_shared"] == len(set(
+        contaminated[i : i + 10] for i in range(len(contaminated) - 9)
+    ))
