@@ -361,6 +361,27 @@ def id_uuid(cols):
     return [F.expr("uuid()")]
 
 
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+@register("redact_pii")
+def redact_pii(cols, email: bool = True, phone: bool = True):
+    """Beyond-reference: PII scrubbing for training corpora — masks
+    email addresses and phone-shaped digit runs with typed placeholders.
+    Pure ``regexp_replace`` chain (JVM-side, replace-all); the patterns
+    use only RE2-compatible syntax so the DuckDB oracle applies the
+    identical regexes."""
+    out = []
+    for c in cols:
+        if email:
+            c = F.regexp_replace(c, EMAIL_RE, "[EMAIL]")
+        if phone:
+            c = F.regexp_replace(c, PHONE_RE, "[PHONE]")
+        out.append(c)
+    return out
+
+
 def sequential_id(df, order_cols: Sequence[str], start: int = 1, out_col: str = "seq_id"):
     """transformers/IDTransformer.scala (type=long) — sequential id.
 

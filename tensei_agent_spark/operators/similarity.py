@@ -381,3 +381,28 @@ def lsh_bucket_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic pruning: within each block (a cluster
+    assignment — the driver tables' ``label``, or ``ivf_assign``'s
+    KMeans cells at scale), drop every vector whose cosine similarity to
+    a LOWER-ID block member is ≥ ``threshold``; the lowest id of each
+    near-dup neighborhood survives as the canonical representative.
+
+    This is the one-shot greedy prune of the SemDeDup recipe (not
+    connected components — a kept vector may transitively link two
+    pruned neighborhoods; the greedy pass is the published trade-off).
+    Plan: blocked all-pairs (cross product stays partition-local to the
+    block) → distinct doomed ids → broadcast-able left_anti join back
+    to the corpus. No driver materialization anywhere.
+    """
+    pairs = blocked_pairs_cosine(df, block_col, threshold, vec_col, id_col)
+    doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, id_col, "left_anti")

@@ -2689,3 +2689,71 @@ def decontaminate_holdout(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_holdout_hits"),
         F.max("n_shared").alias("max_shared"),
     )
+
+
+@register(
+    "semantic_dedup_keep",
+    """
+    WITH norms AS (
+      SELECT vec_id, label,
+             SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
+               * CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS n2
+      FROM embeddings, UNNEST(range(1, 65)) t(i) GROUP BY 1, 2),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
+               * CAST(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS dot
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id,
+           UNNEST(range(1, 65)) t(i)
+      GROUP BY 1, 2),
+    doomed AS (
+      SELECT DISTINCT id_b
+      FROM dots d JOIN norms na ON d.id_a = na.vec_id
+                  JOIN norms nb ON d.id_b = nb.vec_id
+      WHERE round(CAST(d.dot AS DOUBLE)
+                  / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 9) >= 0.3)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id_b FROM doomed)
+    """,
+)
+def semantic_dedup_keep(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each ``label`` cluster,
+    greedily drop every vector with cosine ≥0.3 to a lower-id member;
+    emit the surviving corpus. Blocked all-pairs + left_anti — no cross
+    product across clusters, no driver collect (operators/similarity.
+    semantic_dedup; at 100 TB the block key comes from ivf_assign's
+    KMeans cells instead of a label column)."""
+    emb = load(spark, sf, "embeddings")
+    return SIM.semantic_dedup(emb, "label", threshold=0.3).select("vec_id", "label")
+
+
+@register(
+    "t_redact_pii",
+    r"""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(
+             c_name || ' <' || lower(replace(c_name, ' ', '.'))
+                    || '@corp.example> call +1-555-'
+                    || lpad(CAST(c_custkey AS VARCHAR), 4, '0'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\+?\d[\d-]{7,}\d', '[PHONE]', 'g') AS redacted
+    FROM customer
+    """,
+)
+def t_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing transformer (beyond-reference registry entry
+    ``redact_pii``): synthesizes an email+phone string per customer and
+    masks both. Chained replace-all ``regexp_replace`` — JVM-side, no
+    UDF; patterns are RE2-compatible so both engines rewrite
+    identically."""
+    cust = load(spark, sf, "customer")
+    raw = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), " ", ".")),
+        F.lit("@corp.example> call +1-555-"),
+        F.lpad(F.col("c_custkey").cast("string"), 4, "0"),
+    )
+    red = T("redact_pii", [raw])[0]
+    return cust.select("c_custkey", red.alias("redacted"))
