@@ -2757,3 +2757,99 @@ def t_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
     )
     red = T("redact_pii", [raw])[0]
     return cust.select("c_custkey", red.alias("redacted"))
+
+
+@register(
+    "view_purchase_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           CAST(p.value AS DOUBLE) AS amount,
+           COUNT(*) AS n_views_1h
+    FROM events p JOIN events v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+    GROUP BY p.event_id, p.value
+    """,
+)
+def view_purchase_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of ``streaming.attribute_purchases``: views credited
+    to a same-user purchase within the preceding hour. Equi-join on
+    user_id (the range predicate filters post-match; per-user fan-out
+    is bounded by activity, AQE splits skewed power users), then a
+    purchase-keyed count."""
+    ev = load(spark, sf, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("view_ts") <= F.col("purchase_ts"))
+            & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("purchase_id", "amount")
+        .agg(F.count(F.lit(1)).alias("n_views_1h"))
+        .select("purchase_id", F.col("amount").cast("double"), "n_views_1h")
+    )
+
+
+@register(
+    "training_mix_weights",
+    r"""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source)
+    SELECT source, n_docs, n_tokens,
+           CAST(n_tokens AS DOUBLE) / (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_source) AS token_share,
+           round(sqrt(CAST(n_tokens AS DOUBLE) / (SELECT CAST(SUM(n_tokens) AS BIGINT) FROM per_source))
+                 / (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE) / t.tot))
+                    FROM per_source p2, (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per_source) t),
+                 9) AS sampling_weight
+    FROM per_source
+    """,
+)
+def training_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-mixing weights for a training run: per-source token counts
+    and temperature-scaled (α=0.5, i.e. sqrt) sampling weights — the
+    standard recipe for up-weighting small high-quality sources in a
+    corpus mix. One corpus scan (token counts are a pure map), then
+    source-cardinality aggregates and 1-row broadcast cross joins; the
+    weight normalizer sums ~|sources| doubles, rounded to 9 digits to
+    absorb summation-order ULPs."""
+    from .operators import text as T
+
+    per_source = (
+        load(spark, sf, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(F.col("text")).cast("bigint")).alias("n_tokens"),
+        )
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("_tot"))
+    shared = per_source.join(F.broadcast(total)).withColumn(
+        "_sqrt_share", F.sqrt(F.col("n_tokens").cast("double") / F.col("_tot"))
+    )
+    denom = shared.agg(F.sum("_sqrt_share").alias("_denom"))
+    return (
+        shared.join(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_tokens").cast("double") / F.col("_tot")).alias("token_share"),
+            F.round(F.col("_sqrt_share") / F.col("_denom"), 9).alias(
+                "sampling_weight"
+            ),
+        )
+    )

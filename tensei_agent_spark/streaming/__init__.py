@@ -10,6 +10,7 @@ Streaming unification contract.
 """
 
 from .pipeline import (  # noqa: F401
+    attribute_purchases,
     enrich_with_dim,
     hourly_rollup,
     read_event_stream,

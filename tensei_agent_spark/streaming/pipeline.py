@@ -255,3 +255,43 @@ def stream_upsert_to_db(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def attribute_purchases(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each purchase pairs with the same
+    user's views in the preceding ``attribution_window``.
+
+    Both sides carry watermarks and the join condition bounds view_ts
+    inside [purchase_ts - window, purchase_ts]; Spark derives the state
+    retention from exactly these two constraints, so buffered rows
+    expire at watermark + window instead of accumulating forever — the
+    required shape for an unbounded stream-stream join. The equi-key is
+    user_id (hash shuffle both sides); the range predicate is evaluated
+    post-match. Batch twin: ``queries.view_purchase_attribution``.
+    """
+    v = views.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = purchases.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    )

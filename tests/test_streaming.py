@@ -154,3 +154,28 @@ def test_stream_upsert_to_db_idempotent(spark, events_dir):
     assert n1 == n2 > 0
     n_src = load(spark, SF, "events").count()
     assert n1 == n_src
+
+
+def test_stream_stream_attribution_equals_batch(spark, events_dir):
+    from tensei_agent_spark.streaming import attribute_purchases
+
+    _stage(spark, events_dir)
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    run_to_completion(
+        attribute_purchases(views, purchases), "attrib_sink", "append"
+    )
+    got = {
+        (r["view_id"], r["purchase_id"])
+        for r in spark.table("attrib_sink").collect()
+    }
+
+    ev = load(spark, SF, "events")
+    batch = attribute_purchases(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    want = {(r["view_id"], r["purchase_id"]) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
