@@ -168,14 +168,15 @@ def repetition_features(
     Gopher/MassiveText data-quality papers; the reference engine has no
     profiling beyond count/min/max/mean — SURVEY.md §2.5).
 
-    Word and bigram diversity are pure array expressions over a single
-    scan (no shuffle): ``split`` → ``array_distinct`` sizes, with
-    bigrams built by an index-lambda ``transform`` over ``sequence``
-    (guarded — Spark's ``sequence(1, 0)`` counts DOWN, so short docs
-    take the empty-array branch). The top-word fraction needs the per-doc
-    word mode, which is not an array built-in: one (id, word) hash
-    aggregate then a per-id max — two partial-aggregated shuffles keyed
-    by id, no window, no Python.
+    Everything is a pure array expression over ONE scan — zero
+    shuffles, a map the size of the corpus: ``split`` →
+    ``array_distinct`` sizes; bigrams via an index-lambda ``transform``
+    over ``sequence`` (guarded — Spark's ``sequence(1, 0)`` counts
+    DOWN, so short docs take the empty-array branch); and the per-doc
+    word mode as a max-run ``aggregate`` over the SORTED word array
+    (equal words are adjacent after ``array_sort``, so the longest run
+    IS the top frequency) — O(n log n) per document instead of an
+    (id, word) shuffle + per-id max + join back.
     """
     base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_w")).select(
         F.col(id_col),
@@ -197,21 +198,21 @@ def repetition_features(
             / (F.col("n_words") - 1)
         ),
     )
-    top = (
-        base.select(F.col(id_col), F.explode("_w").alias("_word"))
-        .groupBy(id_col, "_word")
-        .agg(F.count(F.lit(1)).alias("_cnt"))
-        .groupBy(id_col)
-        .agg(F.max("_cnt").alias("_mx"))
+    run = lambda acc, w: F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+    max_freq = F.aggregate(
+        F.array_sort("_w"),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            run(acc, w).alias("run"),
+            F.greatest(acc["best"], run(acc, w)).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
-    return (
-        base.drop("_w")
-        .join(top, id_col)
-        .select(
-            F.col(id_col),
-            "n_words",
-            "distinct_word_frac",
-            "dup_2gram_frac",
-            (F.col("_mx").cast("double") / F.col("n_words")).alias("top_word_frac"),
-        )
+    return base.select(
+        F.col(id_col),
+        "n_words",
+        "distinct_word_frac",
+        "dup_2gram_frac",
+        (max_freq.cast("double") / F.col("n_words")).alias("top_word_frac"),
     )
