@@ -437,3 +437,61 @@ def shared_shingle_contamination(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive dedup clusters: connected components over a near-dup
+    pair list by min-label propagation. Returns (node, component) with
+    component = the smallest node id reachable through the pair graph —
+    pair-level dedup alone under-merges (A≈B, B≈C but A̸≈C split into
+    two groups); the component is the true dedup cluster.
+
+    Each iteration is one distributed hash join (edges ⋈ labels) + a
+    min aggregate — labels hop one edge per round, so convergence takes
+    O(component diameter) rounds, and dedup components are shallow by
+    construction (near-dup balls). Only the loop CONTROL is driver-side
+    (a 1-row sum per round checks the fixpoint); label state never
+    leaves the cluster, and ``localCheckpoint`` truncates the growing
+    lineage each round. For planet-scale graphs swap in the
+    large-star/small-star algorithm; for dedup graphs this simple
+    propagation is the right tool.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("_nbr_min", F.col("component")),
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        s = labels.agg(F.sum("component")).collect()[0][0]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels

@@ -2853,3 +2853,42 @@ def training_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "dedup_components",
+    """
+    WITH RECURSIVE
+    sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+           FROM documents,
+                UNNEST(range(1, greatest(length(text) - 6, 2))) AS t(i)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM inter JOIN sz sa ON id_a = sa.doc_id
+                         JOIN sz sb ON id_b = sb.doc_id
+              WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.6),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (SELECT id, id AS r FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id)
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Transitive dedup clusters: 8-char-shingle Jaccard ≥0.6 pairs
+    (inverted index) closed under transitivity by distributed min-label
+    propagation (operators/dedup.connected_components — the oracle uses
+    a recursive CTE instead). Component id = min doc_id reachable;
+    downstream keeps one doc per component instead of per pair."""
+    prs = D.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), "text", "doc_id", k=8, threshold=0.6
+    )
+    return D.connected_components(prs).select(
+        F.col("node").alias("doc_id"), "component"
+    )

@@ -54,3 +54,16 @@ def test_shared_shingle_contamination_counts(spark):
     assert p["n_shared"] == len(set(
         contaminated[i : i + 10] for i in range(len(contaminated) - 9)
     ))
+
+
+def test_connected_components_multi_hop_chain(spark):
+    from tensei_agent_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3 → needs >1 propagation round) + pair 10-11
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
