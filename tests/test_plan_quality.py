@@ -67,3 +67,34 @@ def test_range_join_is_equi_bucketed(spark):
     plan = _plan(spark, "range_join_event_sessions")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_report_is_shuffle_free(spark):
+    """The Gopher repetition features are pure array expressions — any
+    Exchange appearing here means the sorted-array mode computation
+    regressed to a shuffle+join formulation."""
+    plan = _plan(spark, "gopher_repetition_report")
+    assert "Exchange" not in plan
+
+
+def test_decontamination_is_equi_join(spark):
+    """Corpus × holdout must meet on the shingle (inverted index),
+    never as a cross product."""
+    plan = _plan(spark, "decontaminate_holdout")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q2_filters_push_to_scans(spark):
+    plan = _plan(spark, "q2_min_cost_supplier")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(p_type,LARGE)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_join_is_equi_on_user(spark):
+    """The interval predicate must ride on the user_id equi-join as a
+    post-filter, not degrade the join to a nested loop."""
+    plan = _plan(spark, "view_purchase_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
