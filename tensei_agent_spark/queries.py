@@ -2892,3 +2892,157 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     return D.connected_components(prs).select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+@register(
+    "pipeline_curate_corpus",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents WHERE lang = 'en'),
+    base AS (
+      SELECT doc_id, len(ws) AS n_words,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dwf,
+             CASE WHEN len(ws) < 2 THEN 0.0 ELSE
+               1.0 - CAST(len(list_distinct(list_transform(
+                        generate_series(1, len(ws)-1),
+                        i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE) / (len(ws)-1)
+             END AS d2f
+      FROM w),
+    cnt AS (SELECT doc_id, word, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word),
+    mx AS (SELECT doc_id, MAX(c) AS m FROM cnt GROUP BY doc_id),
+    passed AS (
+      SELECT base.doc_id, n_words FROM base JOIN mx USING (doc_id)
+      WHERE dwf >= 0.4 AND d2f < 0.05 AND CAST(m AS DOUBLE) / n_words < 0.12),
+    corpus AS (
+      SELECT d.doc_id, d.text, p.n_words
+      FROM documents d JOIN passed p USING (doc_id)
+      WHERE d.source <> 'src0'),
+    hsh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(text) - 19, 1)),
+               i -> substring(text, i, 20)))) AS shingle
+      FROM documents WHERE source = 'src0'),
+    csh AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(text) - 19, 1)),
+               i -> substring(text, i, 20)))) AS shingle
+      FROM corpus),
+    contaminated AS (
+      SELECT c.doc_id FROM csh c JOIN hsh h USING (shingle)
+      GROUP BY c.doc_id, h.doc_id HAVING COUNT(*) >= 3),
+    clean AS (SELECT * FROM corpus
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+    canonical AS (
+      SELECT MIN(doc_id) AS doc_id FROM clean
+      GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+    SELECT c.doc_id, c.n_words FROM clean c JOIN canonical k USING (doc_id)
+    """,
+)
+def pipeline_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Full curation pipeline with the second-generation gates chained:
+    language filter → Gopher repetition gate (shuffle-free features) →
+    holdout decontamination (inverted-index shingle join, left_anti) →
+    exact dedup keeping the canonical min-id doc. Every stage is a
+    registry operator; the composite is the realistic 100 TB
+    pre-training cleanup DAG (scans stay pruned, every join is keyed,
+    nothing touches the driver)."""
+    from .operators import text as T2
+
+    docs = load(spark, sf, "documents")
+    en = docs.filter(F.col("lang") == "en")
+    feats = T2.repetition_features(en)
+    passed = feats.filter(
+        (F.col("distinct_word_frac") >= 0.4)
+        & (F.col("dup_2gram_frac") < 0.05)
+        & (F.col("top_word_frac") < 0.12)
+    ).select("doc_id", "n_words")
+    corpus = (
+        en.filter(F.col("source") != "src0")
+        .join(passed, "doc_id")
+        .select("doc_id", "text", "n_words")
+    )
+    contaminated = (
+        D.shared_shingle_contamination(
+            corpus.select("doc_id", "text"),
+            docs.filter(F.col("source") == "src0"),
+            k=20,
+            min_shared=3,
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    clean = corpus.join(contaminated, "doc_id", "left_anti")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    canonical = (
+        clean.select(F.md5(norm).alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return clean.join(canonical, "doc_id", "left_semi").select("doc_id", "n_words")
+
+
+@register(
+    "skew_report",
+    """
+    WITH c AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey),
+    s AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS nkeys FROM c)
+    SELECT o_custkey, n,
+           round(CAST(n AS DOUBLE) * nkeys / total, 9) AS skew_factor
+    FROM c, s
+    ORDER BY n DESC, o_custkey
+    LIMIT 10
+    """,
+)
+def skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (the pre-flight a 100 TB join/agg
+    wants before picking salting vs AQE skew-split): per-key row counts,
+    top heavy hitters, and each key's skew factor (count ÷ mean count).
+    One partial-aggregated shuffle + a 1-row broadcast normalizer +
+    top-k (no global sort — Spark takes the limit via partial top-k)."""
+    counts = (
+        load(spark, sf, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = counts.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_nkeys")
+    )
+    return (
+        counts.join(F.broadcast(stats))
+        .select(
+            "o_custkey",
+            "n",
+            F.round(
+                F.col("n").cast("double") * F.col("_nkeys") / F.col("_total"), 9
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n"), "o_custkey")
+        .limit(10)
+    )
+
+
+@register("stats_quantiles_approx", None)  # sketch-based → rows-only check
+def stats_quantiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The 100 TB twin of ``stats_quantiles``: KLL/GK-style
+    ``percentile_approx`` sketch — single pass, mergeable partials, no
+    per-group sort; accuracy parameter 10000 bounds rank error while the
+    exact variant would shuffle full value lists at scale."""
+    li = load(spark, sf, "lineitem")
+    pa = F.percentile_approx("l_quantity", [0.25, 0.5, 0.75], 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pa.alias("_q"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("price_median"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_q")[0].alias("q25"),
+            F.col("_q")[1].alias("q50"),
+            F.col("_q")[2].alias("q75"),
+            "price_median",
+        )
+    )
