@@ -3046,3 +3046,58 @@ def stats_quantiles_approx(spark: SparkSession, sf: str) -> DataFrame:
             "price_median",
         )
     )
+
+
+@register(
+    "leakage_safe_split",
+    """
+    WITH RECURSIVE
+    sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+           FROM documents,
+                UNNEST(range(1, greatest(length(text) - 6, 2))) AS t(i)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM inter JOIN sz sa ON id_a = sa.doc_id
+                         JOIN sz sb ON id_b = sb.doc_id
+              WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.6),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (SELECT id, id AS r FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+    comp AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+             FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS group_key,
+           CASE WHEN CAST(concat('0x', substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 8000 THEN 'train'
+                WHEN CAST(concat('0x', substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'val'
+                ELSE 'test'
+           END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup-aware train/val/test split: the hash key is the dedup
+    COMPONENT id (min reachable doc through Jaccard-0.6 pairs), not the
+    doc id, so near-duplicate documents can never straddle train and
+    test — the split-leakage failure mode of naive per-doc hashing.
+    Components from distributed min-label propagation; membership stays
+    a pure map over the (doc, group_key) frame."""
+    from .operators import sampling as SA
+
+    docs = load(spark, sf, "documents")
+    prs = D.ngram_jaccard_pairs(docs, "text", "doc_id", k=8, threshold=0.6)
+    comp = D.connected_components(prs).withColumnRenamed("node", "doc_id")
+    grouped = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("group_key", F.coalesce("component", "doc_id"))
+        .select("doc_id", "group_key")
+    )
+    return SA.hash_split(
+        grouped, "group_key", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "group_key", "split")

@@ -98,3 +98,18 @@ def test_chunk_text_roundtrip_property(spark):
         assert rebuilt.startswith(t[: len(rebuilt)])
         assert "".join(chunks[-1:])[-1] == t[-1]
         assert t == rebuilt or t in rebuilt or rebuilt.startswith(t)
+
+
+def test_leakage_safe_split_keeps_components_together(spark):
+    from tensei_agent_spark.queries import REGISTRY
+
+    df = REGISTRY["leakage_safe_split"].build(spark, "/root/testdata/sf0.001")
+    from pyspark.sql import functions as F
+
+    leaked = (
+        df.groupBy("group_key")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert leaked == 0
