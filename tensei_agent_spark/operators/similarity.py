@@ -406,3 +406,86 @@ def semantic_dedup(
     pairs = blocked_pairs_cosine(df, block_col, threshold, vec_col, id_col)
     doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(doomed, id_col, "left_anti")
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q[i] = round(x[i] / scale) ∈ [-127, 127].
+
+    The 100 TB memory lever for ANN: a 4× smaller corpus footprint
+    (int8 vs float32) and integer dot products, at a recall cost pinned
+    by tests. Pure map (array lambdas, JVM-side); zero-vectors keep
+    scale 0 and quantize to zeros. Output: (id, qvec tinyint[], scale).
+    """
+    mx = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = (mx / F.lit(127.0)).alias("scale")
+    qvec = F.when(mx == 0.0, F.transform(F.col(vec_col), lambda x: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / (mx / F.lit(127.0))).cast("tinyint"),
+        )
+    )
+    return df.select(F.col(id_col), qvec.alias("qvec"), scale)
+
+
+def int8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate cosine top-k over int8-quantized vectors.
+
+    Integer dot products accumulate exactly in longs (no FP drift);
+    approx_cosine = (dot_q · scale_q · scale_c) / (|q̂| · |ĉ|) where the
+    norms are the dequantized vector norms. Same broadcast + windowed
+    top-k shape as ``brute_force_topk``; rows-only correctness (the
+    quantization error is the point — recall vs the exact path is
+    pinned in tests, not hashes).
+    """
+    qz_c = quantize_int8(corpus, vec_col, id_col)
+    qz_q = quantize_int8(queries, vec_col, id_col)
+
+    def _int_dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    c = qz_c.select(
+        F.col(id_col).alias("cand_id"),
+        F.col("qvec").alias("cvec"),
+        F.col("scale").alias("c_scale"),
+        F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double")).alias("c_norm"),
+    )
+    q = F.broadcast(
+        qz_q.select(
+            F.col(id_col).alias("query_id"),
+            F.col("qvec"),
+            F.col("scale").alias("q_scale"),
+            F.sqrt(_int_dot(F.col("qvec"), F.col("qvec")).cast("double")).alias(
+                "q_norm"
+            ),
+        )
+    )
+    scored = (
+        c.join(q, F.col("cand_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.when(
+                (F.col("c_norm") == 0.0) | (F.col("q_norm") == 0.0), F.lit(0.0)
+            ).otherwise(
+                _int_dot(F.col("qvec"), F.col("cvec")).cast("double")
+                / (F.col("q_norm") * F.col("c_norm"))
+            ),
+        )
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -3101,3 +3101,14 @@ def leakage_safe_split(spark: SparkSession, sf: str) -> DataFrame:
     return SA.hash_split(
         grouped, "group_key", {"train": 0.8, "val": 0.1, "test": 0.1}
     ).select("doc_id", "group_key", "split")
+
+
+@register("ann_int8_topk", None)  # quantization error is the point → rows-only
+def ann_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8-quantized brute-force cosine top-10 (same query set as
+    ann_cosine_topk): 4× smaller vectors, exact integer dot products.
+    Recall vs the exact float path is pinned in tests/test_ann_recall.py
+    — the memory-bound 100 TB serving configuration."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return SIM.int8_topk(emb, queries, k=10)

@@ -66,3 +66,36 @@ def test_ivf_probe_widening_monotone(spark):
     r8 = _recall(_topk_sets(ivf_topk(emb, q, k=K, n_cells=8, n_probe=8)), exact)
     assert r8 >= r2
     assert r8 >= 0.95  # probing every cell ≈ brute force
+
+
+def test_int8_topk_recall_vs_exact(spark):
+    from tensei_agent_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    exact = REGISTRY["ann_cosine_topk"].build(spark, sf).collect()
+    quant = REGISTRY["ann_int8_topk"].build(spark, sf).collect()
+    want = {}
+    got = {}
+    for r in exact:
+        want.setdefault(r["query_id"], set()).add(r["cand_id"])
+    for r in quant:
+        got.setdefault(r["query_id"], set()).add(r["cand_id"])
+    assert set(got) == set(want)
+    recalls = [
+        len(want[q] & got[q]) / len(want[q]) for q in want
+    ]
+    assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.similarity import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    rows = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert rows[1]["qvec"] == [64, -127, 32]  # round(x/ (1.0/127))
+    assert abs(rows[1]["scale"] - 1.0 / 127) < 1e-12
+    assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["scale"] == 0.0
