@@ -3112,3 +3112,103 @@ def ann_int8_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.int8_topk(emb, queries, k=10)
+
+
+@register(
+    "stats_correlation",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
+           round((n * sxy - sx * sy) / (CAST(n AS DOUBLE) * n), 9) AS covar_pop
+    FROM s
+    """,
+)
+def stats_correlation(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation + population covariance per group, computed
+    from exact DECIMAL co-moments cast to DOUBLE (built-in corr() uses
+    engine-specific streaming algorithms that drift between engines;
+    the explicit formula over exact sums is bit-portable). One
+    map-side-combined shuffle — the same single-pass profile shape as
+    the reference's NumericAnalyzer, extended to two columns."""
+    li = load(spark, sf, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_m("l_quantity")).cast("double").alias("sx"),
+        F.sum(_m("l_extendedprice")).cast("double").alias("sy"),
+        F.sum(_m("l_quantity") * _m("l_extendedprice")).cast("double").alias("sxy"),
+        F.sum(_m("l_quantity") * _m("l_quantity")).cast("double").alias("sxx"),
+        F.sum(_m("l_extendedprice") * _m("l_extendedprice")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            num
+            / (
+                F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            9,
+        ).alias("corr_qty_price"),
+        F.round(num / (n.cast("double") * n), 9).alias("covar_pop"),
+    )
+
+
+@register(
+    "stats_histogram",
+    """
+    WITH r AS (
+      SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+      FROM lineitem)
+    SELECT bin,
+           round(lo + bin * (hi - lo) / 20, 9) AS bin_lo,
+           round(lo + (bin + 1) * (hi - lo) / 20, 9) AS bin_hi,
+           COUNT(*) AS n
+    FROM (
+      SELECT least(CAST(floor((l_extendedprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin,
+             lo, hi
+      FROM lineitem, r)
+    GROUP BY bin, lo, hi
+    """,
+)
+def stats_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-width 20-bin histogram of l_extendedprice: a 1-row min/max
+    aggregate broadcast back over the scan, then a pure-map bin id and
+    one low-cardinality shuffle. The two-pass shape is what a 100 TB
+    profiler does (the alternative — a global sort — is never worth it);
+    bin edges come from identical double arithmetic in both engines."""
+    li = load(spark, sf, "lineitem")
+    r = li.agg(
+        F.min("l_extendedprice").cast("double").alias("lo"),
+        F.max("l_extendedprice").cast("double").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(20)
+    binned = li.join(F.broadcast(r)).select(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("bigint"),
+            F.lit(19).cast("bigint"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 20, 9).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 20, 9).alias("bin_hi"),
+        "n",
+    )
