@@ -6,9 +6,12 @@ Reference: ``Stats.scala:94-128`` streams parsed cells into per-column
 same stats over string *length*, ``analyzer/StringAnalyzer.scala:44-100``),
 optionally on a sampled fraction.
 
-Spark: one ``agg`` per table — partial aggregation is map-side, so this
-is a single reduce regardless of table size. Sums are computed in exact
-DECIMAL then cast to DOUBLE so results are bit-stable across engines.
+Spark: ALL columns profile in a single ``agg`` over ONE scan — partial
+aggregation is map-side, and ``stack`` pivots the wide 1-row result to
+the per-column long format afterwards (a per-column union of aggs would
+re-scan the table once per column: harmless at sf0.1, N full scans at
+100 TB). Sums are computed in exact DECIMAL then cast to DOUBLE so
+results are bit-stable across engines.
 """
 
 from __future__ import annotations
@@ -25,47 +28,52 @@ def numeric_profile(
     """count/min/max/mean + null-error count per numeric column.
 
     Output: one row per column (col_name, n, n_null, min_v, max_v, mean_v).
+    One scan for every column; ``sample_fraction`` mirrors the
+    reference's percent parameter (for an engine-portable sample use
+    ``sampling.deterministic_sample`` upstream instead).
     """
     if sample_fraction is not None:
         df = df.sample(fraction=sample_fraction, seed=42)
-    per_col = []
-    for c in cols:
+    aggs = []
+    for i, c in enumerate(cols):
         col = F.col(c)
         dec = col.cast("decimal(20,4)")
-        per_col.append(
-            df.agg(
-                F.lit(c).alias("col_name"),
-                F.count(col).alias("n"),
-                F.count(F.when(col.isNull(), 1)).alias("n_null"),
-                F.min(col).cast("double").alias("min_v"),
-                F.max(col).cast("double").alias("max_v"),
-                (F.sum(dec).cast("double") / F.count(col)).alias("mean_v"),
-            )
-        )
-    out = per_col[0]
-    for other in per_col[1:]:
-        out = out.unionByName(other)
-    return out
+        aggs += [
+            F.count(col).alias(f"_n{i}"),
+            F.count(F.when(col.isNull(), 1)).alias(f"_nn{i}"),
+            F.min(col).cast("double").alias(f"_mn{i}"),
+            F.max(col).cast("double").alias(f"_mx{i}"),
+            (F.sum(dec).cast("double") / F.count(col)).alias(f"_mean{i}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', _n{i}, _nn{i}, _mn{i}, _mx{i}, _mean{i}" for i, c in enumerate(cols)
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {parts}) AS (col_name, n, n_null, min_v, max_v, mean_v)"
+    )
 
 
 def string_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
-    """count/min/max/mean over string LENGTH per column (StringAnalyzer)."""
-    per_col = []
-    for c in cols:
-        ln = F.length(F.col(c))
-        per_col.append(
-            df.agg(
-                F.lit(c).alias("col_name"),
-                F.count(F.col(c)).alias("n"),
-                F.count(F.when(F.col(c).isNull(), 1)).alias("n_null"),
-                F.min(ln).alias("min_len"),
-                F.max(ln).alias("max_len"),
-                (F.sum(ln.cast("decimal(20,0)")).cast("double") / F.count(F.col(c))).alias(
-                    "mean_len"
-                ),
-            )
-        )
-    out = per_col[0]
-    for other in per_col[1:]:
-        out = out.unionByName(other)
-    return out
+    """count/min/max/mean over string LENGTH per column (StringAnalyzer).
+    Same one-scan wide-agg + ``stack`` shape as ``numeric_profile``."""
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        ln = F.length(col)
+        aggs += [
+            F.count(col).alias(f"_n{i}"),
+            F.count(F.when(col.isNull(), 1)).alias(f"_nn{i}"),
+            F.min(ln).alias(f"_mn{i}"),
+            F.max(ln).alias(f"_mx{i}"),
+            (F.sum(ln.cast("decimal(20,0)")).cast("double") / F.count(col)).alias(
+                f"_mean{i}"
+            ),
+        ]
+    wide = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', _n{i}, _nn{i}, _mn{i}, _mx{i}, _mean{i}" for i, c in enumerate(cols)
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {parts}) AS (col_name, n, n_null, min_len, max_len, mean_len)"
+    )

@@ -3212,3 +3212,42 @@ def stats_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 20, 9).alias("bin_hi"),
         "n",
     )
+
+
+@register(
+    "stats_sampled_profile",
+    """
+    WITH s AS (
+      SELECT l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), '_',
+                                     CAST(l_linenumber AS VARCHAR))), 1, 15)) AS BIGINT)
+            % 10000 < 1000)
+    SELECT 'l_quantity' AS col_name, COUNT(l_quantity) AS n,
+           COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_quantity) AS mean_v
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(l_extendedprice),
+           COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_extendedprice)
+    FROM s
+    """,
+)
+def stats_sampled_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's percent-sampled statistics (``Stats.scala:94-128``
+    takes a percent param) made engine-portable: a deterministic 10%
+    md5-bucket sample on the composite row key replaces rng sampling, so
+    the sampled profile is reproducible across runs, engines, and
+    partition layouts — and therefore oracle-checkable. One scan, one
+    wide agg, stack to long format."""
+    from .operators import sampling as SA
+
+    li = load(spark, sf, "lineitem")
+    key = F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
+    sampled = li.filter(SA.hash_bucket(key) < 1000)
+    return S.numeric_profile(sampled, ["l_quantity", "l_extendedprice"])

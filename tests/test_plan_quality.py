@@ -98,3 +98,11 @@ def test_attribution_join_is_equi_on_user(spark):
     plan = _plan(spark, "view_purchase_attribution")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_profiles_scan_once(spark):
+    """All-column profiling must be ONE scan + stack — a per-column
+    union of aggregates re-reads the table once per column at 100 TB."""
+    for name in ("stats_numeric_profile", "stats_string_profile",
+                 "stats_sampled_profile"):
+        assert _plan(spark, name).count("Scan parquet") == 1, name
