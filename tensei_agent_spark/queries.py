@@ -3251,3 +3251,124 @@ def stats_sampled_profile(spark: SparkSession, sf: str) -> DataFrame:
     key = F.concat_ws("_", F.col("l_orderkey"), F.col("l_linenumber"))
     sampled = li.filter(SA.hash_bucket(key) < 1000)
     return S.numeric_profile(sampled, ["l_quantity", "l_extendedprice"])
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS v_ts FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS c_ts
+          FROM events e JOIN v ON e.user_id = v.user_id
+           AND e.ts > v.v_ts AND e.ts <= v.v_ts + INTERVAL 24 HOUR
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS p_ts
+          FROM events e JOIN c ON e.user_id = c.user_id
+           AND e.ts > c.c_ts AND e.ts <= c.c_ts + INTERVAL 24 HOUR
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click within 24h → purchase
+    within 24h of the click):
+    per-user stage timestamps via three conditional window minima over
+    ONE user-partitioned exchange (each stage's min is conditioned on
+    the previous stage's timestamp, so the passes chain in-partition —
+    no self-joins; the oracle's join cascade is the naive formulation).
+    Output: users reaching each funnel stage."""
+    w = Window.partitionBy("user_id")
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    staged = (
+        ev.withColumn(
+            "v_ts", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        )
+        .withColumn(
+            "c_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts") > F.col("v_ts"))
+                    & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOUR")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "p_ts",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("c_ts"))
+                    & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOUR")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("v_ts").alias("v_ts"),
+        F.max("c_ts").alias("c_ts"),
+        F.max("p_ts").alias("p_ts"),
+    )
+    counts = per_user.agg(
+        F.count("v_ts").alias("_v"),
+        F.count("c_ts").alias("_c"),
+        F.count("p_ts").alias("_p"),
+    )
+    return counts.selectExpr(
+        "stack(3, 'view', _v, 'view>click', _c, 'view>click>purchase', _p)"
+        " AS (stage, n_users)"
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST(date_diff('day', f.cohort, date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+      FROM events e JOIN f ON e.user_id = f.user_id)
+    SELECT CAST(cohort AS VARCHAR) AS cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM act GROUP BY cohort, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-event week, then
+    distinct-active counts per (cohort, week offset) — the standard
+    retention triangle. Two user-keyed aggregates and one join; both
+    engines truncate weeks to Monday in pinned-UTC time so the buckets
+    agree exactly."""
+    ev = load(spark, sf, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.col("cohort").cast("date").cast("string").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_active"))
