@@ -36,12 +36,29 @@ def register(fmt: str):
 
 
 def prepare(df: DataFrame, spec: TargetSpec) -> DataFrame:
-    """Apply the shared write-side semantics (dedup / defaults / cap)."""
+    """Apply the shared write-side semantics (dedup / defaults / cap,
+    plus outgoing value formatting ≙ ``ProcessorHelpers.
+    processTargetData``, ``helpers/ProcessorHelpers.scala:148-212``:
+    numeric precision truncation via the declared decimal type, and
+    regex re-validation of ``format`` fields — non-matching values
+    null out, exactly like the reference's formatstr re-check)."""
     out = df
     for f in spec.fields:
         if f.default is not None and f.name in out.columns:
             out = out.withColumn(
                 f.name, F.coalesce(F.col(f.name), F.lit(f.default).cast(f.type))
+            )
+    for f in spec.fields:
+        if f.name not in out.columns:
+            continue
+        if f.type.startswith("decimal"):
+            out = out.withColumn(f.name, F.col(f.name).cast(f.type))
+        if f.format and f.type == "string":
+            out = out.withColumn(
+                f.name,
+                F.when(
+                    F.col(f.name).rlike(f.format), F.col(f.name)
+                ),
             )
     unique_cols = [f.name for f in spec.fields if f.unique and f.name in out.columns]
     if unique_cols:

@@ -299,3 +299,31 @@ def test_atomic_then_chain_composition(spark, tmp_path):
     )
     run_pipeline(spark, p)
     assert open(out_path).read() == "Hello\nWorld\n"
+
+
+def test_prepare_applies_target_formatting(spark):
+    """processTargetData parity (ProcessorHelpers.scala:148-212):
+    decimal precision truncates to the declared target type; format
+    fields re-validate and null out non-matching values."""
+    from tensei_agent_spark.plans.spec import Field, TargetSpec
+    from tensei_agent_spark.sinks import prepare
+
+    df = spark.createDataFrame(
+        [(1, 3.14159, "AB-12"), (2, 2.999, "nope")],
+        ["id", "amount", "code"],
+    )
+    spec = TargetSpec(
+        name="t",
+        format="csv",
+        uri="/tmp/unused",
+        fields=(
+            Field("id", "long"),
+            Field("amount", "decimal(10,2)"),
+            Field("code", "string", format=r"^[A-Z]{2}-\d+$"),
+        ),
+    )
+    rows = {r["id"]: r for r in prepare(df, spec).collect()}
+    assert str(rows[1]["amount"]) == "3.14"
+    assert str(rows[2]["amount"]) == "3.00"
+    assert rows[1]["code"] == "AB-12"
+    assert rows[2]["code"] is None
