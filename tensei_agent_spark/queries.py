@@ -3372,3 +3372,35 @@ def cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
         F.col("cohort").cast("date").cast("string").alias("cohort_week"),
         "week_offset",
     ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
+    "event_id_gaps",
+    """
+    SELECT CAST(floor(event_id / 1000) AS BIGINT) AS bucket,
+           MIN(event_id) AS lo, MAX(event_id) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(event_id) - MIN(event_id) + 1 - COUNT(*) AS n_missing_within
+    FROM events GROUP BY 1
+    """,
+)
+def event_id_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-gap detection (≙ the reference writer's message-number
+    gap check, ``writers/BaseWriter.scala:65-75,122-126``) done the
+    scalable way: per id-bucket density accounting (max-min+1 vs count)
+    in ONE hash aggregate — the naive ``lead() OVER (ORDER BY id)``
+    needs a single-partition global sort and dies at 100 TB. Buckets
+    with n_missing_within > 0 localize the gap to a 1000-id range for
+    a second targeted pass."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.floor(F.col("event_id") / 1000).cast("bigint").alias("bucket"))
+        .agg(
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.max("event_id") - F.min("event_id") + 1 - F.count(F.lit(1))
+            ).alias("n_missing_within"),
+        )
+    )

@@ -19,6 +19,12 @@ from . import register, to_struct_type
 
 @register("csv")
 def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    options = dict(spec.options)
+    # formatnum locale attributes (≙ decimal-separator / grouping on the
+    # reference's formatnum elements, ExcelToCSVConverter locale path):
+    # numeric fields are read as strings and normalized JVM-side.
+    dec_sep = str(options.pop("decimalSeparator", "") or "")
+    grp_sep = str(options.pop("groupingSeparator", "") or "")
     opts = {
         "header": "false",
         "sep": ",",
@@ -28,14 +34,33 @@ def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         # reference trims element values during cleanAndValidateData
         "ignoreLeadingWhiteSpace": "true",
         "ignoreTrailingWhiteSpace": "true",
-        **{k: str(v) for k, v in spec.options.items()},
+        **{k: str(v) for k, v in options.items()},
     }
     reader = spark.read.options(**opts)
+    localized = ()
     if spec.fields is not None:
-        reader = reader.schema(to_struct_type(spec.fields))
+        read_fields = spec.fields
+        if dec_sep and dec_sep != ".":
+            from dataclasses import replace
+
+            localized = tuple(
+                f
+                for f in spec.fields
+                if f.type.startswith("decimal") or f.type in ("double", "float")
+            )
+            read_fields = tuple(
+                replace(f, type="string") if f in localized else f
+                for f in spec.fields
+            )
+        reader = reader.schema(to_struct_type(read_fields))
     else:
         reader = reader.option("inferSchema", "true")
     df = reader.csv(spec.uri)
+    for f in localized:
+        c = F.col(f.name)
+        if grp_sep:
+            c = F.translate(c, grp_sep, "")
+        df = df.withColumn(f.name, F.translate(c, dec_sep, ".").cast(f.type))
     return _apply_defaults(df, spec)
 
 

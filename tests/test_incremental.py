@@ -37,3 +37,21 @@ def test_ledger_empty_on_missing_path(spark, tmp_path):
     assert ledger.seen().count() == 0
     df = spark.createDataFrame([(9, "x")], ["doc_id", "text"])
     assert ledger.filter_new(df).count() == 1
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from tensei_agent_spark.operators.maintenance import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    df.repartition(40).write.parquet(path)
+    import os
+
+    before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert before >= 40
+    n = compact_parquet(spark, path, target_file_mb=128)
+    after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert after == n == 1  # tiny table → single file
+    got = spark.read.parquet(path)
+    assert got.count() == 10_000
+    assert got.agg({"v": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2

@@ -102,3 +102,22 @@ def test_struct_type_mapping():
     assert [f.dataType.simpleString() for f in st.fields] == [
         "bigint", "decimal(12,2)", "date",
     ]
+
+
+def test_csv_locale_decimal_separator(spark, tmp_path):
+    """formatnum locale parity: German-style numbers (grouping '.',
+    decimal ',') normalize JVM-side before the decimal cast."""
+    p = tmp_path / "de.csv"
+    p.write_text("widget;1.234,56\nbolt;7,5\nnut;999\n")
+    from tensei_agent_spark.plans.spec import Field, SourceSpec
+    from tensei_agent_spark.sources import read_source
+
+    spec = SourceSpec(
+        name="de",
+        format="csv",
+        uri=str(p),
+        fields=(Field("name", "string"), Field("price", "decimal(10,2)")),
+        options={"sep": ";", "decimalSeparator": ",", "groupingSeparator": "."},
+    )
+    rows = {r["name"]: str(r["price"]) for r in read_source(spark, spec).collect()}
+    assert rows == {"widget": "1234.56", "bolt": "7.50", "nut": "999.00"}
