@@ -1440,14 +1440,18 @@ def t_sequential_id(spark: SparkSession, sf: str) -> DataFrame:
                   CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS INT) + 1, 1),
                   '/') AS vancode
     FROM orders
+    WHERE o_custkey < 1000
     QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) <= 30
     """,
 )
 def t_vancode(spark: SparkSession, sf: str) -> DataFrame:
     """DrupalVanCodeTransformer parity (top-level comments): base-36
     sibling numbering per article, zero-padded to 2, '/'-terminated.
-    Threaded (parented) numbering is covered by unit tests."""
-    o = load(spark, sf, "orders")
+    Threaded (parented) numbering is covered by unit tests. The input
+    caps to a customer subset: the op exists to prove the sequential
+    generator's semantics (an inherently Python applyInPandas path),
+    not to push the whole orders table through per-group pandas."""
+    o = load(spark, sf, "orders").filter(F.col("o_custkey") < 1000)
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
     comments = (
         o.withColumn("_rk", F.row_number().over(w))
