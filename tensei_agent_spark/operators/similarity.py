@@ -118,13 +118,17 @@ def blocked_pairs_cosine(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    arith: str = "decimal",
 ) -> DataFrame:
     """All-pairs cosine ≥ threshold, restricted to pairs sharing a block
     key (label, LSH bucket, …) — the scalable all-pairs pattern: the
     equi-join on the block key keeps the cross product partition-local.
-    Output: (id_a, id_b, cosine), id_a < id_b.
+    Output: (id_a, id_b, cosine), id_a < id_b. ``arith='double'`` is the
+    ~2× cheaper production path (same plan; last-ULP drift only matters
+    for pairs sitting exactly on the threshold).
     """
-    base = with_norm2(df, vec_col, "n2")
+    dot = _dot_dec if arith == "decimal" else _dot_dbl
+    base = df.withColumn("n2", dot(F.col(vec_col), F.col(vec_col)))
     a = base.select(
         F.col(id_col).alias("id_a"),
         F.col(block_col).alias("_blk"),
@@ -143,7 +147,7 @@ def blocked_pairs_cosine(
         .withColumn(
             "cosine",
             F.round(
-                _dot_dec(F.col("va"), F.col("vb")).cast("double")
+                dot(F.col("va"), F.col("vb")).cast("double")
                 / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))),
                 9,
             ),
@@ -389,6 +393,7 @@ def semantic_dedup(
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    arith: str = "decimal",
 ) -> DataFrame:
     """SemDeDup-style semantic pruning: within each block (a cluster
     assignment — the driver tables' ``label``, or ``ivf_assign``'s
@@ -403,7 +408,7 @@ def semantic_dedup(
     block) → distinct doomed ids → broadcast-able left_anti join back
     to the corpus. No driver materialization anywhere.
     """
-    pairs = blocked_pairs_cosine(df, block_col, threshold, vec_col, id_col)
+    pairs = blocked_pairs_cosine(df, block_col, threshold, vec_col, id_col, arith)
     doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(doomed, id_col, "left_anti")
 

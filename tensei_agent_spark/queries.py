@@ -3408,3 +3408,13 @@ def event_id_gaps(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("n_missing_within"),
         )
     )
+
+
+@register("embedding_near_dup_fast", None)  # FP ULP drift → rows-only
+def embedding_near_dup_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production twin of embedding_near_dup: identical blocked all-pairs
+    plan, double-arithmetic dot products (~2× cheaper than the
+    oracle-exact decimal fold). Pair-set agreement with the exact path
+    is pinned in tests/test_ann_recall.py."""
+    emb = load(spark, sf, "embeddings")
+    return SIM.blocked_pairs_cosine(emb, "label", threshold=0.3, arith="double")

@@ -99,3 +99,24 @@ def test_quantize_int8_bounds_and_zero_vector(spark):
     assert rows[1]["qvec"] == [64, -127, 32]  # round(x/ (1.0/127))
     assert abs(rows[1]["scale"] - 1.0 / 127) < 1e-12
     assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+
+
+def test_blocked_pairs_fast_agrees_with_exact(spark):
+    from tensei_agent_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in REGISTRY["embedding_near_dup"].build(spark, sf).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in REGISTRY["embedding_near_dup_fast"].build(spark, sf).collect()
+    }
+    # membership may differ only for pairs sitting on the threshold
+    for p in set(exact) ^ set(fast):
+        c = exact.get(p, fast.get(p))
+        assert abs(c - 0.3) < 1e-6, (p, c)
+    # where both agree on membership, cosines match to the rounding grain
+    for p in set(exact) & set(fast):
+        assert abs(exact[p] - fast[p]) < 2e-9, p
