@@ -179,3 +179,39 @@ def test_stream_stream_attribution_equals_batch(spark, events_dir):
     want = {(r["view_id"], r["purchase_id"]) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_checkpoint_resume_processes_only_increment(spark, tmp_path):
+    """Checkpointed restart: after a drain, appending one new file and
+    restarting from the SAME checkpoint must process only the new rows
+    (offset tracking), not re-deliver history — the exactly-once resume
+    contract a production pipeline depends on."""
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    ev = load(spark, SF, "events").select("event_id", "user_id", "value")
+    ev.limit(100).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def drain():
+        stream = (
+            spark.readStream.schema(ev.schema).parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _id: seen.append(batch.count())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sum(seen) == 100
+    # append an increment and resume from the same checkpoint
+    ev.limit(130).subtract(ev.limit(100)).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+    assert sum(seen) == 130  # only the 30 new rows, no re-delivery
