@@ -3418,3 +3418,94 @@ def embedding_near_dup_fast(spark: SparkSession, sf: str) -> DataFrame:
     is pinned in tests/test_ann_recall.py."""
     emb = load(spark, sf, "embeddings")
     return SIM.blocked_pairs_cosine(emb, "label", threshold=0.3, arith="double")
+
+
+@register(
+    "events_robust_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, CAST(quantile_cont(value, 0.5) AS DOUBLE) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type,
+             CAST(quantile_cont(abs(e.value - m.med), 0.5) AS DOUBLE) AS mad
+      FROM events e JOIN med m ON e.event_type = m.event_type
+      GROUP BY e.event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN abs(e.value - m.med) > 5 * d.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(MAX(abs(e.value - m.med) / d.mad) AS DOUBLE), 9) AS worst_dev
+    FROM events e JOIN med m ON e.event_type = m.event_type
+                  JOIN mad d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def events_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per event type — the
+    data-quality screen that survives heavy tails where mean/stddev
+    z-scores break. Two grouped exact percentiles (swap
+    percentile_approx at 100 TB) + one conditional aggregate, all
+    joined on the low-cardinality type key (broadcast-sized)."""
+    ev = load(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").cast("double").alias("_med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "_adev", F.abs(F.col("value") - F.col("_med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_adev, 0.5)").cast("double").alias("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("_adev") > 5 * F.col("_mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.round(F.max(F.col("_adev") / F.col("_mad")), 9).alias("worst_dev"),
+        )
+    )
+
+
+@register(
+    "daily_revenue_ma7",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      FROM orders GROUP BY 1)
+    SELECT day,
+           CAST(rev AS DOUBLE) AS revenue,
+           CAST(SUM(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7,
+           CAST(rev - lag(rev) OVER (ORDER BY day) AS DOUBLE) AS delta
+    FROM daily
+    """,
+)
+def daily_revenue_ma7(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series features over the daily revenue series: 7-day moving
+    average and day-over-day delta. The windowed SUM runs over exact
+    DECIMAL daily totals (summation-order-free, so segment-tree vs
+    running-sum window engines agree bit-for-bit) and casts to DOUBLE
+    only at the end. The day series is tiny (one row per day) — the
+    single-partition ordered window is fine HERE because it follows a
+    full aggregation; never do this on raw rows."""
+    daily = (
+        load(spark, sf, "orders")
+        .groupBy(
+            F.col("o_orderdate").cast("date").cast("string").alias("day")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_rev"))
+    )
+    w7 = Window.orderBy("day").rowsBetween(-6, 0)
+    wl = Window.orderBy("day")
+    return daily.select(
+        "day",
+        F.col("_rev").cast("double").alias("revenue"),
+        (F.sum("_rev").over(w7).cast("double") / F.count(F.lit(1)).over(w7)).alias(
+            "ma7"
+        ),
+        (F.col("_rev") - F.lag("_rev").over(wl)).cast("double").alias("delta"),
+    )
