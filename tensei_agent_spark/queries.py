@@ -3509,3 +3509,59 @@ def daily_revenue_ma7(spark: SparkSession, sf: str) -> DataFrame:
         ),
         (F.col("_rev") - F.lag("_rev").over(wl)).cast("double").alias("delta"),
     )
+
+
+@register(
+    "tfidf_keywords",
+    r"""
+    WITH tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+      GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 9) AS tfidf
+      FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+    SELECT doc_id, word, tfidf, rk FROM (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rk
+      FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (smoothed idf = ln((N+1)/
+    (df+1))+1). Term frequencies and document frequencies are two
+    hash aggregates off one explode; N is a 1-row broadcast; ranking is
+    a doc-partitioned window (no global sort). idf doubles derive from
+    identical integers in both engines, and the rank orders by the
+    ROUNDED score + word tiebreak so engine ULPs cannot flip rows."""
+    docs = load(spark, sf, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "word")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                9,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("word"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "word", "tfidf", "rk")
+    )
