@@ -3565,3 +3565,49 @@ def tfidf_keywords(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "word", "tfidf", "rk")
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    r"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents),
+    cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM cnt)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           round(SUM(ln((cnt.c + 1.0) / (tot.t + tot.v))) / COUNT(*), 9) AS mean_logprob
+    FROM w JOIN cnt USING (word) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-LM quality score (the CCNet/perplexity-filter shape with a
+    unigram model): mean add-1-smoothed log P(word) per document — docs
+    far below the corpus median read as gibberish/boilerplate and get
+    filtered. One explode feeds both the vocabulary counts and the
+    per-doc scoring join; the vocabulary side is corpus-small (hash
+    join, AQE broadcasts it); log doubles derive from identical
+    integers so only the per-doc summation needs the rounding guard."""
+    docs = load(spark, sf, "documents")
+    w = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("bigint").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    return (
+        w.join(cnt, "word")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.round(
+                F.sum(F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v"))))
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_logprob"),
+        )
+    )
