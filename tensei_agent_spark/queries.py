@@ -3611,3 +3611,29 @@ def doc_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+# One SQL string, two engines: the query below registers the catalog as
+# temp views and executes EXACTLY the oracle text through spark.sql —
+# the ANSI-SQL surface of the engine (users can bring raw SQL, not just
+# the DataFrame builders).
+_SQL_PASSTHROUGH = """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+"""
+
+
+@register("sql_passthrough_priority_totals", _SQL_PASSTHROUGH)
+def sql_passthrough(spark: SparkSession, sf: str) -> DataFrame:
+    """Raw-SQL entry point: the catalog registers as temp views and the
+    ORACLE STRING ITSELF runs through spark.sql — byte-identical SQL on
+    both engines, proving the ANSI surface (Catalyst still applies
+    pushdown/pruning exactly as for the DataFrame builders)."""
+    from .catalog import register_views
+
+    register_views(spark, sf)
+    return spark.sql(_SQL_PASSTHROUGH)

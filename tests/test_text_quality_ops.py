@@ -67,3 +67,26 @@ def test_connected_components_multi_hop_chain(spark):
         r["node"]: r["component"] for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_operators_handle_empty_inputs(spark):
+    """Edge hardening: empty frames flow through without error."""
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from tensei_agent_spark.operators.text import repetition_features
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert repetition_features(empty_docs).count() == 0
+    assert ngram_jaccard_pairs(empty_docs).count() == 0
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty_pairs).count() == 0
+
+    # single-doc corpus: no pairs, features still computed
+    one = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    assert ngram_jaccard_pairs(one).count() == 0
+    assert repetition_features(one).count() == 1
