@@ -3637,3 +3637,87 @@ def sql_passthrough(spark: SparkSession, sf: str) -> DataFrame:
 
     register_views(spark, sf)
     return spark.sql(_SQL_PASSTHROUGH)
+
+
+@register(
+    "referential_integrity_audit",
+    """
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges —
+    the ingestion-time counterpart of the reference's FK-ordered writes
+    (a pipeline that REMAPS keys must first know which are orphaned).
+    Each edge is one left_anti equi-join; parent key sides are
+    dimension-sized or AQE-planned."""
+    li = load(spark, sf, "lineitem").select("l_orderkey")
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation").select("n_nationkey")
+
+    def orphans(child, parent, cond, tag):
+        return (
+            child.join(parent, cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(F.lit(tag).alias("fk"), "n_orphans")
+        )
+
+    return (
+        orphans(li, o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "lineitem->orders")
+        .unionByName(
+            orphans(o.select("o_custkey"), c.select("c_custkey"),
+                    o.o_custkey == c.c_custkey, "orders->customer")
+        )
+        .unionByName(
+            orphans(c.select("c_nationkey"), n,
+                    c.c_nationkey == F.col("n_nationkey"), "customer->nation")
+        )
+    )
+
+
+@register(
+    "fuzzy_customer_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+    WHERE a.c_nationkey = 3
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy matching: candidate pairs form
+    inside a block key (nation — at 100 TB use phonetic/prefix blocks),
+    then edit distance ≤ 1 flags likely duplicate identities. The
+    quadratic stays partition-local to the block; levenshtein is
+    JVM-side in both engines with identical semantics."""
+    c = load(spark, sf, "customer").filter(F.col("c_nationkey") == 3)
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("_na"),
+        F.col("c_nationkey").alias("_blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("_nb"),
+        F.col("c_nationkey").alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", F.levenshtein("_na", "_nb").cast("bigint"))
+        .filter(F.col("dist") <= 1)
+        .select("id_a", "id_b", "dist")
+    )
