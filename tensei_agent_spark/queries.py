@@ -3721,3 +3721,85 @@ def fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
     )
+
+
+@register(
+    "source_quality_scorecard",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source, len(ws) AS n_words,
+             CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dwf
+      FROM w),
+    u AS (SELECT doc_id, unnest(ws) AS word FROM w),
+    cnt AS (SELECT word, COUNT(*) AS c FROM u GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM cnt),
+    lp AS (
+      SELECT u.doc_id,
+             SUM(ln((cnt.c + 1.0) / (tot.t + tot.v))) / COUNT(*) AS mean_lp
+      FROM u JOIN cnt USING (word) CROSS JOIN tot GROUP BY u.doc_id)
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(f.n_words AS BIGINT)) AS BIGINT) AS n_tokens,
+           round(SUM(f.dwf) / COUNT(*), 9) AS mean_distinct_frac,
+           round(SUM(lp.mean_lp) / COUNT(*), 9) AS mean_logprob,
+           CAST(SUM(CASE WHEN f.dwf >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse
+    FROM feats f JOIN lp ON f.doc_id = lp.doc_id
+    GROUP BY f.source
+    """,
+)
+def source_quality_scorecard(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source quality scorecard — the table a data-mixing decision
+    actually reads: volume (docs/tokens), lexical diversity, corpus-LM
+    log-prob, and the diversity pass count, one row per source. Word
+    diversity is the shuffle-free array path; log-probs reuse the
+    unigram model join; the final rollup is one source-keyed aggregate.
+    Per-doc doubles are identical cross-engine, and per-source sums are
+    rounded to absorb summation-order ULPs."""
+    docs = load(spark, sf, "documents")
+    w = docs.select(
+        "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("_w")
+    )
+    feats = w.select(
+        "doc_id",
+        "source",
+        F.size("_w").alias("n_words"),
+        (F.size(F.array_distinct("_w")).cast("double") / F.size("_w")).alias(
+            "dwf"
+        ),
+    )
+    u = w.select("doc_id", F.explode("_w").alias("word"))
+    cnt = u.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("bigint").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    lp = (
+        u.join(cnt, "word")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v"))))
+                / F.count(F.lit(1))
+            ).alias("mean_lp")
+        )
+    )
+    return (
+        feats.join(lp, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_words").cast("bigint")).alias("n_tokens"),
+            F.round(F.sum("dwf") / F.count(F.lit(1)), 9).alias(
+                "mean_distinct_frac"
+            ),
+            F.round(F.sum("mean_lp") / F.count(F.lit(1)), 9).alias(
+                "mean_logprob"
+            ),
+            F.sum(F.when(F.col("dwf") >= 0.4, 1).otherwise(0)).alias(
+                "n_diverse"
+            ),
+        )
+    )
