@@ -2635,6 +2635,7 @@ def unpivot_price_components(spark: SparkSession, sf: str) -> DataFrame:
             AND CAST(m AS DOUBLE) / n_words < 0.12) AS passes
     FROM base JOIN mx ON base.doc_id = mx.doc_id
     """,
+    bench=True,
 )
 def gopher_repetition_report(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher-style repetition quality gate over the documents corpus:
@@ -3276,6 +3277,7 @@ def stats_sampled_profile(spark: SparkSession, sf: str) -> DataFrame:
     UNION ALL
     SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
     """,
+    bench=True,
 )
 def funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered-funnel conversion (view → click within 24h → purchase
