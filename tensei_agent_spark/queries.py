@@ -3805,3 +3805,74 @@ def source_quality_scorecard(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "sample_training_mix",
+    r"""
+    WITH per_source AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM per_source),
+    den AS (SELECT SUM(sqrt(CAST(p.n_tokens AS DOUBLE) / tot.t)) AS d
+            FROM per_source p CROSS JOIN tot),
+    rates AS (
+      SELECT p.source, p.n_docs,
+             least(1.0, floor(sqrt(CAST(p.n_tokens AS DOUBLE) / tot.t) / den.d * 200)
+                        / p.n_docs) AS rate
+      FROM per_source p CROSS JOIN tot CROSS JOIN den)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN
+             CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+             < CAST(floor(r.rate * 10000) AS BIGINT)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY d.source
+    """,
+)
+def sample_training_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialize the training mix: convert the sqrt-temperature
+    weights into per-source keep-rates against a 200-doc budget, then
+    select documents with the deterministic md5 bucket — the same
+    content-keyed membership as hash_split, so the sampled mix is
+    reproducible across runs, engines, and partition layouts. The rate
+    table is |sources| rows (broadcast); sampling is a pure map."""
+    from .operators import sampling as SA
+    from .operators import text as T2
+
+    docs = load(spark, sf, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T2.token_count(F.col("text")).cast("bigint")).alias("n_tokens"),
+    )
+    tot = per_source.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    shared = per_source.join(F.broadcast(tot)).withColumn(
+        "_sq", F.sqrt(F.col("n_tokens").cast("double") / F.col("t"))
+    )
+    den = shared.agg(F.sum("_sq").alias("d"))
+    rates = (
+        shared.join(F.broadcast(den))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                F.floor(F.col("_sq") / F.col("d") * 200) / F.col("n_docs"),
+            ),
+        )
+        .select("source", "rate")
+    )
+    kept = F.when(
+        SA.hash_bucket(F.col("doc_id"))
+        < F.floor(F.col("rate") * 10000).cast("bigint"),
+        1,
+    ).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(kept).alias("n_kept"),
+        )
+    )
