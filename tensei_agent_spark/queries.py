@@ -3876,3 +3876,83 @@ def sample_training_mix(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(kept).alias("n_kept"),
         )
     )
+
+
+@register(
+    "abandoned_views_hourly",
+    """
+    SELECT date_trunc('hour', v.ts) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_views,
+           CAST(SUM(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned
+    FROM events v LEFT JOIN events p
+      ON p.user_id = v.user_id AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view'
+    GROUP BY 1
+    """,
+)
+def abandoned_views_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    """Abandonment rate per hour: views with NO same-user purchase in
+    the following hour (the left-outer twin of the attribution join —
+    streaming.attribute_purchases(how='left_outer') runs the same
+    condition incrementally, emitting unmatched views once the
+    watermark passes their window). Left join on user_id with the
+    interval as a post-filter, then an hourly rollup."""
+    ev = load(spark, sf, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy(F.date_trunc("hour", "v_ts").alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.sum(F.when(F.col("p_id").isNull(), 1).otherwise(0)).alias(
+                "n_abandoned"
+            ),
+        )
+    )
+
+
+@register(
+    "label_centroids",
+    """
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*) AS mean_val
+    FROM (SELECT label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+    GROUP BY label, dim
+    """,
+)
+def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-cluster centroids of the embedding corpus in long format
+    (label, dim, mean) — the explicit coarse quantizer behind the IVF
+    path, and the statistic an embedding-drift monitor tracks release
+    over release. posexplode → one (label, dim)-keyed partial-agg
+    shuffle; float32→decimal sums keep both engines bit-identical."""
+    emb = load(spark, sf, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding"))
+        .groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("col").cast("double").cast("decimal(18,9)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("mean_val")
+        )
+    )

@@ -262,6 +262,7 @@ def attribute_purchases(
     purchases: DataFrame,
     attribution_window: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: each purchase pairs with the same
     user's views in the preceding ``attribution_window``.
@@ -270,7 +271,9 @@ def attribute_purchases(
     inside [purchase_ts - window, purchase_ts]; Spark derives the state
     retention from exactly these two constraints, so buffered rows
     expire at watermark + window instead of accumulating forever — the
-    required shape for an unbounded stream-stream join. The equi-key is
+    required shape for an unbounded stream-stream join. ``how='left_outer'``
+    emits unmatched views after their join window expires (abandonment
+    analysis); outer results arrive only once the watermark passes. The equi-key is
     user_id (hash shuffle both sides); the range predicate is evaluated
     post-match. Batch twin: ``queries.view_purchase_attribution``.
     """
@@ -293,5 +296,5 @@ def attribute_purchases(
             F.col("view_ts")
             >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
         ),
-        "inner",
+        how,
     )

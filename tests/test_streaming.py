@@ -215,3 +215,38 @@ def test_checkpoint_resume_processes_only_increment(spark, tmp_path):
     ).parquet(src)
     drain()
     assert sum(seen) == 130  # only the 30 new rows, no re-delivery
+
+
+def test_stream_left_outer_attribution(spark, events_dir):
+    """left_outer stream-stream join: unmatched views emit with null
+    purchase columns once the watermark passes — total view count must
+    equal the batch view count (no view lost, no view duplicated
+    as null + matched... nulls only for truly unmatched views)."""
+    from tensei_agent_spark.streaming import attribute_purchases
+
+    _stage(spark, events_dir)
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    run_to_completion(
+        attribute_purchases(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+            how="left_outer",
+        ),
+        "attrib_outer_sink",
+        "append",
+    )
+    out = spark.table("attrib_outer_sink")
+    matched = out.filter(F.col("purchase_id").isNotNull())
+    unmatched = out.filter(F.col("purchase_id").isNull())
+    views = load(spark, SF, "events").filter(F.col("event_type") == "view")
+    n_views = views.count()
+    # Views whose join window had not passed the final watermark when
+    # the query stopped are correctly WITHHELD in state (watermark 2h +
+    # window 1h from the max event time), so account for that horizon.
+    max_ts = views.agg(F.max("ts")).collect()[0][0]
+    withholdable = views.filter(
+        F.col("ts") > F.lit(max_ts) - F.expr("INTERVAL 3 HOURS")
+    ).count()
+    accounted = matched.select("view_id").distinct().count() + unmatched.count()
+    assert n_views - withholdable <= accounted <= n_views
+    assert unmatched.count() > 0
