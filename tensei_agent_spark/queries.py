@@ -3956,3 +3956,62 @@ def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mean_val")
         )
     )
+
+
+@register(
+    "source_overlap_matrix",
+    """
+    WITH sh AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(text) - 19, 1)),
+               i -> substring(text, i, 20)))) AS shingle
+      FROM documents),
+    sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 9) AS jaccard
+    FROM inter JOIN sz sa ON src_a = sa.source JOIN sz sb ON src_b = sb.source
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared) >= 0.01
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source content overlap (which feeds duplicate each other):
+    sources collapse to distinct 20-char shingle SETS — |sources| rows
+    of postings, thousands of times smaller than the doc-level pair
+    problem — then source-pair Jaccard via one shingle-keyed join. The
+    curation heatmap that decides which source to drop when two feeds
+    mirror the same content."""
+    docs = load(spark, sf, "documents")
+    sh = D.char_shingles(
+        docs.select(F.col("source"), "text"), "text", "source", 20, distinct=True
+    ).withColumnRenamed("source", "src")
+    sz = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.withColumnRenamed("src", "src_a")
+    b = sh.withColumnRenamed("src", "src_b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_shared")
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.select(F.col("src").alias("src_a"), F.col("n").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sz.select(F.col("src").alias("src_b"), F.col("n").alias("nb"))),
+            "src_b",
+        )
+        .filter(jac >= 0.01)
+        .select(
+            "src_a", "src_b", "n_shared", F.round(jac, 9).alias("jaccard")
+        )
+    )
