@@ -4015,3 +4015,76 @@ def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
             "src_a", "src_b", "n_shared", F.round(jac, 9).alias("jaccard")
         )
     )
+
+
+@register(
+    "quality_tier_counts",
+    r"""
+    WITH w AS (
+      SELECT doc_id, source, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents),
+    cnt AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v FROM cnt),
+    lp AS (
+      SELECT w.doc_id, w.source,
+             round(SUM(ln((cnt.c + 1.0) / (tot.t + tot.v))) / COUNT(*), 9) AS mean_lp
+      FROM w JOIN cnt USING (word) CROSS JOIN tot
+      GROUP BY w.doc_id, w.source),
+    thr AS (
+      SELECT CAST(quantile_cont(mean_lp, 0.10) AS DOUBLE) AS p10,
+             CAST(quantile_cont(mean_lp, 0.50) AS DOUBLE) AS p50,
+             CAST(quantile_cont(mean_lp, 0.90) AS DOUBLE) AS p90
+      FROM lp)
+    SELECT source,
+           CASE WHEN mean_lp < thr.p10 THEN 'low'
+                WHEN mean_lp < thr.p50 THEN 'mid_low'
+                WHEN mean_lp < thr.p90 THEN 'mid_high'
+                ELSE 'high' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM lp CROSS JOIN thr
+    GROUP BY source, tier
+    """,
+)
+def quality_tier_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-relative quality calibration: docs bucket into tiers by
+    the CORPUS percentiles of their LM score — two passes (score, then
+    a 1-row threshold aggregate broadcast back), never a global sort or
+    single-partition window. Per-doc scores round to 9 digits BEFORE
+    thresholding on both engines so summation-order ULPs cannot flip a
+    doc across a tier boundary."""
+    docs = load(spark, sf, "documents")
+    w = docs.select(
+        "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    cnt = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").cast("bigint").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    lp = (
+        w.join(cnt, "word")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum(F.log((F.col("c") + 1.0) / (F.col("t") + F.col("v"))))
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_lp")
+        )
+    )
+    thr = lp.agg(
+        F.expr("percentile(mean_lp, 0.10)").cast("double").alias("p10"),
+        F.expr("percentile(mean_lp, 0.50)").cast("double").alias("p50"),
+        F.expr("percentile(mean_lp, 0.90)").cast("double").alias("p90"),
+    )
+    tier = (
+        F.when(F.col("mean_lp") < F.col("p10"), "low")
+        .when(F.col("mean_lp") < F.col("p50"), "mid_low")
+        .when(F.col("mean_lp") < F.col("p90"), "mid_high")
+        .otherwise("high")
+    )
+    return (
+        lp.join(F.broadcast(thr))
+        .groupBy("source", tier.alias("tier"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
