@@ -4088,3 +4088,74 @@ def quality_tier_counts(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("source", tier.alias("tier"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@register(
+    "dedup_keep_best",
+    r"""
+    WITH RECURSIVE
+    sh AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS shingle
+           FROM documents,
+                UNNEST(range(1, greatest(length(text) - 6, 2))) AS t(i)),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS nc
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pairs AS (SELECT id_a, id_b
+              FROM inter JOIN sz sa ON id_a = sa.doc_id
+                         JOIN sz sb ON id_b = sb.doc_id
+              WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.6),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (SELECT id, id AS r FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+    comp AS (SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+             FROM reach GROUP BY id),
+    w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents),
+    q AS (SELECT doc_id,
+                 round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 9) AS score
+          FROM w),
+    grouped AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component, q.score
+      FROM documents d LEFT JOIN comp c USING (doc_id) JOIN q USING (doc_id))
+    SELECT doc_id, component, score FROM (
+      SELECT doc_id, component, score,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY score DESC, doc_id) AS rk
+      FROM grouped)
+    WHERE rk = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-BEST dedup: one survivor per near-dup cluster, chosen by
+    quality (lexical diversity; ties break to the lower id) instead of
+    the arbitrary min-id canonical — the policy a training pipeline
+    actually wants (near-dups differ by boilerplate; keep the cleanest).
+    Components from min-label propagation; survivor selection is a
+    component-partitioned window (singleton docs are their own
+    component, so the whole corpus flows through one rank)."""
+    docs = load(spark, sf, "documents")
+    prs = D.ngram_jaccard_pairs(docs, "text", "doc_id", k=8, threshold=0.6)
+    comp = D.connected_components(prs).withColumnRenamed("node", "doc_id")
+    ws = F.split(F.trim("text"), r"\s+")
+    q = docs.select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(ws)).cast("double") / F.size(ws), 9
+        ).alias("score"),
+    )
+    grouped = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .join(q, "doc_id")
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("score"), "doc_id")
+    return (
+        grouped.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "component", "score")
+    )
