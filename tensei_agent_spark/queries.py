@@ -4159,3 +4159,68 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .select("doc_id", "component", "score")
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH ref AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), ref.mx) AS BIGINT) AS recency,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS monetary
+      FROM orders CROSS JOIN ref GROUP BY o_custkey, ref.mx),
+    thr AS (
+      SELECT CAST(quantile_cont(recency, 0.5) AS DOUBLE) AS r_med,
+             CAST(quantile_cont(frequency, 0.5) AS DOUBLE) AS f_med,
+             CAST(quantile_cont(monetary, 0.5) AS DOUBLE) AS m_med
+      FROM rfm)
+    SELECT concat(CASE WHEN recency <= thr.r_med THEN 'R+' ELSE 'R-' END,
+                  CASE WHEN frequency > thr.f_med THEN 'F+' ELSE 'F-' END,
+                  CASE WHEN monetary > thr.m_med THEN 'M+' ELSE 'M-' END) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(SUM(monetary), 2) AS total_monetary
+    FROM rfm CROSS JOIN thr
+    GROUP BY segment
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary roll-up,
+    median thresholds computed once and broadcast back (two-pass, no
+    global sort), customers bucketed into the 8 R±F±M± segments. All
+    comparisons run on doubles derived from identical ints/decimals;
+    the segment monetary total rounds to absorb summation-order ULPs."""
+    o = load(spark, sf, "orders")
+    ref = o.agg(F.max("o_orderdate").alias("_mx"))
+    rfm = (
+        o.join(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("_mx").cast("date"), F.max("o_orderdate").cast("date"))
+            .cast("bigint")
+            .alias("recency"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    thr = rfm.agg(
+        F.expr("percentile(recency, 0.5)").cast("double").alias("r_med"),
+        F.expr("percentile(frequency, 0.5)").cast("double").alias("f_med"),
+        F.expr("percentile(monetary, 0.5)").cast("double").alias("m_med"),
+    )
+    seg = F.concat(
+        F.when(F.col("recency") <= F.col("r_med"), "R+").otherwise("R-"),
+        F.when(F.col("frequency") > F.col("f_med"), "F+").otherwise("F-"),
+        F.when(F.col("monetary") > F.col("m_med"), "M+").otherwise("M-"),
+    )
+    return (
+        rfm.join(F.broadcast(thr))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+    )
