@@ -4224,3 +4224,73 @@ def customer_rfm_segments(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("monetary"), 2).alias("total_monetary"),
         )
     )
+
+
+@register(
+    "basket_part_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+    part_freq AS (SELECT l_partkey, COUNT(*) AS f FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 3)
+    SELECT part_a, part_b, CAST(n_both AS BIGINT) AS n_both,
+           round(CAST(n_both AS DOUBLE) * n_orders.n
+                 / (fa.f * CAST(fb.f AS DOUBLE)), 9) AS lift
+    FROM pairs
+      JOIN part_freq fa ON part_a = fa.l_partkey
+      JOIN part_freq fb ON part_b = fb.l_partkey
+      CROSS JOIN n_orders
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: part pairs appearing in ≥3
+    of the same orders, scored by lift = P(ab)/(P(a)·P(b)). The
+    self-join is keyed on the order (baskets are small, so the
+    in-basket pair fan-out is bounded by basket size², not corpus
+    size); frequencies and the order count are broadcast-sized sides."""
+    items = (
+        load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    part_freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    return (
+        pairs.join(
+            part_freq.select(F.col("l_partkey").alias("part_a"), F.col("f").alias("fa")),
+            "part_a",
+        )
+        .join(
+            part_freq.select(F.col("l_partkey").alias("part_b"), F.col("f").alias("fb")),
+            "part_b",
+        )
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                * F.col("n")
+                / (F.col("fa") * F.col("fb").cast("double")),
+                9,
+            ).alias("lift"),
+        )
+    )
