@@ -4294,3 +4294,41 @@ def basket_part_pairs(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "chunk_dup_stats",
+    """
+    WITH ch AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(0, greatest(0, CAST(ceil((len(text) - 100) / 100.0) AS INT))),
+        i -> substring(text, i * 100 + 1, 100))) AS chunk
+      FROM documents WHERE len(text) > 0),
+    dup AS (SELECT md5(chunk) AS hsh, COUNT(*) AS c FROM ch GROUP BY md5(chunk))
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           CAST(SUM(c) AS BIGINT) AS n_total_chunks,
+           CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_in_dup_groups
+    FROM dup
+    """,
+)
+def chunk_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level duplication report: chunk the corpus into 100-char
+    windows (operators/text.chunk_text, overlap 0), hash each chunk, and
+    measure how much chunk mass sits in duplicate groups — duplication
+    that document-level dedup misses and that inflates token counts
+    after packing. One explode + one hash aggregate."""
+    from .operators import text as T2
+
+    chunks = T2.chunk_text(
+        load(spark, sf, "documents"), size=100, overlap=0
+    )
+    dup = chunks.groupBy(F.md5("chunk").alias("hsh")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return dup.agg(
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum("c").cast("bigint").alias("n_total_chunks"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_in_dup_groups"),
+    )
