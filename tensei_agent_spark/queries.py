@@ -4332,3 +4332,45 @@ def chunk_dup_stats(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_in_dup_groups"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    cnt AS (SELECT cur, nxt, COUNT(*) AS n FROM seq
+            WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+    tot AS (SELECT cur, SUM(n) AS t FROM cnt GROUP BY cur)
+    SELECT c.cur, c.nxt, CAST(c.n AS BIGINT) AS n,
+           round(CAST(c.n AS DOUBLE) / t, 9) AS p
+    FROM cnt c JOIN tot USING (cur)
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order behavior model: P(next event type | current) from
+    per-user event sequences — the transition matrix behind session
+    simulation and anomaly scoring. One user-partitioned lead window
+    (ordered by ts with event_id as the deterministic tiebreak for
+    simultaneous events), then two low-cardinality aggregates."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf, "events").select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    )
+    cnt = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("cur").agg(F.sum("n").alias("t"))
+    return cnt.join(tot, "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 9).alias("p"),
+    )
