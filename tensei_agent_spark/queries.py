@@ -4374,3 +4374,57 @@ def event_transition_matrix(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 9).alias("p"),
     )
+
+
+@register(
+    "dau_wau_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT u.user_id) AS wau
+      FROM (SELECT DISTINCT day FROM ud) d
+      JOIN ud u ON u.day <= d.day AND u.day > d.day - 7
+      GROUP BY d.day)
+    SELECT CAST(dau.day AS VARCHAR) AS day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 9) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day. Rolling DISTINCT
+    does not decompose into a window aggregate, so WAU joins the
+    deduped (user, day) frame to the day spine with a 7-day band — a
+    bounded 7× fan-out of user-days, NOT a global window (the
+    single-partition trap) and NOT an approximation. At larger horizons
+    swap HLL sketch unions per day."""
+    ud = (
+        load(spark, sf, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = ud.select("day").distinct().withColumnRenamed("day", "d")
+    wau = (
+        ud.join(
+            days,
+            (F.col("day") <= F.col("d"))
+            & (F.col("day") > F.date_sub(F.col("d"), 7)),
+        )
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == wau.d)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 9).alias(
+                "stickiness"
+            ),
+        )
+    )
