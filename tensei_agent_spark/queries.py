@@ -4428,3 +4428,82 @@ def dau_wau_stickiness(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "shipping_delay_profile",
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(delay) AS BIGINT) AS min_days,
+           CAST(quantile_cont(delay, 0.5) AS DOUBLE) AS median_days,
+           CAST(quantile_cont(delay, 0.95) AS DOUBLE) AS p95_days,
+           CAST(MAX(delay) AS BIGINT) AS max_days
+    FROM d GROUP BY o_orderpriority
+    """,
+)
+def shipping_delay_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Order→ship lead-time distribution per priority class: one fact
+    join (AQE-planned) and a grouped profile with exact percentiles
+    over integer day counts (identical interpolation in both engines;
+    swap percentile_approx at 100 TB). The SLA view of the same join
+    the TPC-H shapes exercise for revenue."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("delay"),
+    )
+    return d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("delay").alias("min_days"),
+        F.expr("percentile(delay, 0.5)").cast("double").alias("median_days"),
+        F.expr("percentile(delay, 0.95)").cast("double").alias("p95_days"),
+        F.max("delay").alias("max_days"),
+    )
+
+
+@register(
+    "hapax_rate_by_source",
+    r"""
+    WITH w AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+      FROM documents),
+    c AS (SELECT source, word, COUNT(*) AS n FROM w GROUP BY source, word)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS hapax_rate
+    FROM c GROUP BY source
+    """,
+)
+def hapax_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary richness per source: the fraction of each source's
+    vocabulary occurring exactly once (hapax legomena) — low hapax rate
+    flags template/boilerplate feeds, very high flags OCR noise. Two
+    partial-aggregated shuffles keyed by (source, word) then source."""
+    docs = load(spark, sf, "documents")
+    w = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    c = w.groupBy("source", "word").agg(F.count(F.lit(1)).alias("n"))
+    return c.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("hapax"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("hapax_rate"),
+    )
