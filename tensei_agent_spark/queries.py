@@ -4507,3 +4507,91 @@ def hapax_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).alias("hapax_rate"),
     )
+
+
+@register(
+    "grouping_sets_revenue",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind ROLLUP/CUBE,
+    both already covered): three granularities in ONE scan — Spark
+    expands the sets into a single Expand + aggregate instead of three
+    scans unioned."""
+    o = load(spark, sf, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "zipf_slope",
+    r"""
+    WITH c AS (
+      SELECT word, COUNT(*) AS f
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+            FROM documents)
+      GROUP BY word),
+    r AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, word) AS DOUBLE)) AS x,
+             ln(CAST(f AS DOUBLE)) AS y
+      FROM c),
+    s AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy
+          FROM r)
+    SELECT CAST(n AS BIGINT) AS vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope
+    FROM s
+    """,
+)
+def zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary: least-squares
+    fit of ln(freq) on ln(rank) via the closed-form co-moment formula
+    (a regression AGGREGATE — one pass over the ranked vocabulary).
+    Natural corpora sit near −1; strong deviation flags synthetic or
+    templated text. The rank window orders the vocabulary, which is
+    corpus-small; the regression itself is a 1-row aggregate. Slope
+    rounds to 6 digits to absorb summation-order ULPs in the co-moment
+    sums."""
+    docs = load(spark, sf, "documents")
+    c = (
+        docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), "word")
+    r = c.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n")
+    return s.select(
+        n.cast("bigint").alias("vocab"),
+        F.round(
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (n * F.col("sxx") - F.col("sx") * F.col("sx")),
+            6,
+        ).alias("slope"),
+    )
