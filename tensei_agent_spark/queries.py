@@ -4595,3 +4595,56 @@ def zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("slope"),
     )
+
+
+@register(
+    "doc_word_entropy",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+    c AS (
+      SELECT doc_id, word, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(ws) AS word FROM w) GROUP BY doc_id, word),
+    t AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY doc_id)
+    SELECT c.doc_id,
+           round(ln(CAST(t.tot AS DOUBLE))
+                 - SUM(n * ln(CAST(n AS DOUBLE))) / t.tot, 9) AS entropy
+    FROM c JOIN t ON c.doc_id = t.doc_id
+    GROUP BY c.doc_id, t.tot
+    """,
+)
+def doc_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Shannon word entropy per document, SHUFFLE-FREE: sort the word
+    array so equal words are adjacent, then a single ``aggregate`` fold
+    accumulates Σ n_i·ln(n_i) over the run lengths; H = ln(N) − Σ/N.
+    The oracle computes the identical quantity the relational way
+    (per-word counts + join); the Spark plan is a pure map over the
+    corpus — low entropy flags repetitive/templated docs, complementing
+    the diversity fractions."""
+    docs = load(spark, sf, "documents")
+    run_term = (
+        "aggregate(array_sort(_w), "
+        "struct('' AS prev, 0L AS run, cast(0.0 AS double) AS acc), "
+        "(a, w) -> struct(w AS prev, "
+        "  if(w = a.prev, a.run + 1, 1L) AS run, "
+        "  a.acc + if(w = a.prev, "
+        # run grows r-1 → r: add r·ln(r) − (r−1)·ln(r−1) incrementally
+        "    (a.run + 1) * ln(a.run + 1) - a.run * ln(a.run), "
+        "    cast(0.0 AS double)) AS acc), "
+        "a -> a.acc)"
+    )
+    w = F.split(F.trim("text"), r"\s+")
+    base = docs.select(
+        "doc_id", w.alias("_w")
+    ).select(
+        "doc_id",
+        F.size("_w").alias("_n"),
+        F.expr(run_term).alias("_sum_nlnn"),
+    )
+    return base.select(
+        "doc_id",
+        F.round(
+            F.log(F.col("_n").cast("double")) - F.col("_sum_nlnn") / F.col("_n"),
+            9,
+        ).alias("entropy"),
+    )
