@@ -4648,3 +4648,39 @@ def doc_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).alias("entropy"),
     )
+
+
+@register(
+    "embedding_norm_profile",
+    """
+    WITH n AS (
+      SELECT vec_id, label,
+             sqrt(CAST(SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
+               * CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)) AS l2
+      FROM embeddings, UNNEST(range(1, 65)) t(i) GROUP BY vec_id, label)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(MIN(l2), 9) AS min_norm,
+           round(CAST(quantile_cont(l2, 0.5) AS DOUBLE), 9) AS median_norm,
+           round(MAX(l2), 9) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding health check: L2-norm distribution per cluster label —
+    near-zero or wildly spread norms flag a broken encoder before any
+    ANN index is built. Norms come from the exact-decimal dot product
+    (bit-stable across engines); the profile is one grouped aggregate
+    with an exact median."""
+    emb = SIM.with_norm2(load(spark, sf, "embeddings"), "embedding", "n2")
+    n = emb.select(
+        "label", F.sqrt(F.col("n2").cast("double")).alias("l2")
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.min("l2"), 9).alias("min_norm"),
+        F.round(F.expr("percentile(l2, 0.5)").cast("double"), 9).alias(
+            "median_norm"
+        ),
+        F.round(F.max("l2"), 9).alias("max_norm"),
+    )
