@@ -3986,16 +3986,36 @@ def source_overlap_matrix(spark: SparkSession, sf: str) -> DataFrame:
     curation heatmap that decides which source to drop when two feeds
     mirror the same content."""
     docs = load(spark, sf, "documents")
-    sh = D.char_shingles(
-        docs.select(F.col("source"), "text"), "text", "source", 20, distinct=True
+    # bucket-explode instead of a self-join: the self-join recomputes
+    # the shingle scan per alias (no exchange reuse across subtree
+    # aliases — same lesson as the LSH pair generation). ONE shuffle:
+    # raw (src, shingle) postings groupBy shingle with collect_set (the
+    # set dedups, so no separate distinct exchange); per-source sizes
+    # AND source pairs both derive from the bucket sets. Buckets are
+    # bounded by |sources|, so the in-bucket quadratic is ≤ 190 pairs.
+    raw = D.char_shingles(
+        docs.select(F.col("source"), "text"), "text", "source", 20, distinct=False
     ).withColumnRenamed("source", "src")
-    sz = sh.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.withColumnRenamed("src", "src_a")
-    b = sh.withColumnRenamed("src", "src_b")
+    buckets = raw.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("src")).alias("ss")
+    )
+    sz = (
+        buckets.select(F.explode("ss").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
+        buckets.filter(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.src_a", "p.src_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     jac = F.col("n_shared").cast("double") / (
