@@ -160,15 +160,18 @@ def ngram_jaccard_pairs(
     )
     # PPJoin positional + length pruning INSIDE the bucket lambda: for
     # the pair's first shared prefix shingle, overlap ≤ 1 + min of the
-    # remaining suffix lengths; pairs that cannot reach ⌈t·max(|A|,|B|)⌉
-    # (or fail |min| ≥ t·|max|) never materialize as rows.
+    # remaining suffix lengths. J ≥ t requires overlap ≥
+    # ⌈t/(1+t)·(|A|+|B|)⌉ (exact, from c ≥ t(na+nb−c)) — strictly
+    # tighter than ⌈t·max⌉ whenever sizes are comparable — so pairs that
+    # cannot reach it (or fail |min| ≥ t·|max|) never materialize.
+    t2 = threshold / (1.0 + threshold)
     pair_arr = (
         "filter(flatten(transform(ds, (x, i) -> "
         "transform(slice(ds, i + 2, size(ds)), y -> struct("
         "least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b, "
         "1 + least(x.n_sh - x.pos, y.n_sh - y.pos) AS ub, "
         "greatest(x.n_sh, y.n_sh) AS nmax, least(x.n_sh, y.n_sh) AS nmin)))), "
-        f"p -> p.ub >= ceil(p.nmax * {threshold}) "
+        f"p -> p.ub >= ceil((p.nmax + p.nmin) * {t2}) "
         f"AND p.nmin >= {threshold} * p.nmax)"
     )
     cand = (
