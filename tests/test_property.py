@@ -133,3 +133,48 @@ def test_spec_json_roundtrip():
         ), mapping_key="a", limit=10, order_by={"s": ["a"]}),),
     )
     assert Pipeline.from_json(p.to_json()) == p
+
+
+def test_prefix_filtered_jaccard_equals_brute_force(spark):
+    """The PPJoin-style candidate pruning must be EXACT: on random
+    corpora (including near-dups and short/ragged docs), the operator's
+    pairs equal a brute-force all-pairs Jaccard computed in Python."""
+    import random
+
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(1234)
+    alphabet = "abcdef "
+    docs = []
+    for i in range(40):
+        docs.append((i, "".join(rng.choice(alphabet) for _ in range(rng.randint(10, 80)))))
+    # planted near-dups and exact dups
+    for i in range(8):
+        base = docs[i][1]
+        docs.append((100 + i, base))  # exact dup
+        docs.append((200 + i, base[:-2] + "zz"))  # near dup
+
+    k, thr = 4, 0.5
+
+    def shingles(t):
+        n = max(len(t) - k + 1, 1)
+        return {t[p : p + k] for p in range(n)}
+
+    expected = set()
+    for (ia, ta) in docs:
+        for (ib, tb) in docs:
+            if ia >= ib:
+                continue
+            sa, sb = shingles(ta), shingles(tb)
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= thr:
+                expected.add((ia, ib))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", k, thr).collect()
+    }
+    assert got == expected
+    assert len(expected) >= 8  # the planted dups are actually in play
