@@ -4704,3 +4704,91 @@ def embedding_norm_profile(spark: SparkSession, sf: str) -> DataFrame:
         ),
         F.round(F.max("l2"), 9).alias("max_norm"),
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    """
+    WITH rev AS (
+      SELECT n_name, s_suppkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS r
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_name, s_suppkey),
+    tot AS (SELECT n_name, SUM(r) AS t FROM rev GROUP BY n_name)
+    SELECT rev.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           round(SUM(POWER(CAST(rev.r AS DOUBLE) / CAST(tot.t AS DOUBLE), 2)), 9) AS hhi
+    FROM rev JOIN tot ON rev.n_name = tot.n_name
+    GROUP BY rev.n_name
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier revenue concentration per nation (Herfindahl index —
+    Σ share²): HHI near 1/n means balanced supply, near 1 a single
+    dominant supplier. Exact-decimal revenue shares; two nation-keyed
+    aggregates with the totals joined back (dimension-sized side)."""
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    rev = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(_m("l_extendedprice") * (F.lit(1) - _m("l_discount"))).alias("_r")
+        )
+    )
+    tot = rev.groupBy("n_name").agg(F.sum("_r").alias("_t"))
+    share = F.col("_r").cast("double") / F.col("_t").cast("double")
+    return (
+        rev.join(tot, "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.pow(share, 2)), 9).alias("hhi"),
+        )
+    )
+
+
+@register(
+    "order_weekday_seasonality",
+    """
+    WITH d AS (
+      SELECT dayname(o_orderdate) AS weekday,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d)
+    SELECT weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           round(CAST(COUNT(*) AS DOUBLE) / tot.n, 9) AS order_share,
+           CAST(SUM(p) AS DOUBLE) AS revenue
+    FROM d CROSS JOIN tot
+    GROUP BY weekday, tot.n
+    """,
+)
+def order_weekday_seasonality(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekday seasonality of order volume and revenue. Weekday labels
+    come from the locale-independent English day NAME (Spark's
+    dayofweek() numbers Sunday=1 while DuckDB's numbers Sunday=0 — the
+    name is the portable encoding); one low-cardinality aggregate plus
+    a 1-row total broadcast."""
+    o = load(spark, sf, "orders")
+    tot = o.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        o.select(
+            F.date_format("o_orderdate", "EEEE").alias("weekday"),
+            F.col("o_totalprice").cast("decimal(14,2)").alias("_p"),
+        )
+        .join(F.broadcast(tot))
+        .groupBy("weekday", "_n")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.count(F.lit(1)).cast("double") / F.col("_n"), 9).alias(
+                "order_share"
+            ),
+            F.sum("_p").cast("double").alias("revenue"),
+        )
+        .drop("_n")
+    )
