@@ -497,22 +497,65 @@ def connected_components(
     pair-level dedup alone under-merges (A≈B, B≈C but A̸≈C split into
     two groups); the component is the true dedup cluster.
 
-    Each iteration is one distributed hash join (edges ⋈ labels) + a
-    min aggregate — labels hop one edge per round, so convergence takes
-    O(component diameter) rounds, and dedup components are shallow by
-    construction (near-dup balls). Only the loop CONTROL is driver-side
-    (a 1-row sum per round checks the fixpoint); label state never
-    leaves the cluster, and ``localCheckpoint`` truncates the growing
-    lineage each round. For planet-scale graphs swap in the
-    large-star/small-star algorithm; for dedup graphs this simple
-    propagation is the right tool.
+    Two execution paths, chosen by edge count:
+
+    - **small graph** (≤200k edges — the normal dedup case, since only
+      near-dups produce edges): stream the edge list to the driver and
+      union-find; one pass, no join rounds.
+    - **large graph**: distributed min-label propagation — one hash
+      join (edges ⋈ labels) + min aggregate per round, O(component
+      diameter) rounds (dedup components are shallow near-dup balls).
+      Only the loop CONTROL is driver-side (a 1-row fixpoint sum);
+      label state never leaves the cluster and ``localCheckpoint``
+      truncates lineage each round. For planet-scale graphs swap in
+      large-star/small-star.
     """
+    # Materialize the pair list ONCE before the symmetric union — the
+    # two union branches are separate subtrees, and Spark re-executes
+    # the (potentially expensive) pair pipeline for each alias without
+    # this checkpoint (measured: it doubled the Jaccard-family runtime).
+    p = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).localCheckpoint()
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .localCheckpoint()
     )
+    # Size-adaptive fast path: dedup pair graphs are usually TINY
+    # relative to the corpus (only near-dups appear). When the edge
+    # list fits comfortably on the driver, a union-find there beats
+    # O(diameter) distributed join rounds; the propagation loop below
+    # remains the path for genuinely large graphs. The cutoff is an
+    # edge COUNT (already materialized by the checkpoint — the count is
+    # free), so no data-dependent surprise at scale.
+    if edges.count() <= 200_000:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in edges.toLocalIterator():
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller root so the representative IS the min
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        rows = [(n, find(n)) for n in parent]
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("node", edges.schema["src"].dataType),
+                StructField("component", edges.schema["src"].dataType),
+            ]
+        )
+        return edges.sparkSession.createDataFrame(rows, schema)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
