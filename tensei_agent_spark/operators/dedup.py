@@ -490,6 +490,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """Transitive dedup clusters: connected components over a near-dup
     pair list by min-label propagation. Returns (node, component) with
@@ -527,7 +528,7 @@ def connected_components(
     # remains the path for genuinely large graphs. The cutoff is an
     # edge COUNT (already materialized by the checkpoint — the count is
     # free), so no data-dependent surprise at scale.
-    if edges.count() <= 200_000:
+    if edges.count() <= driver_threshold:
         parent: dict = {}
 
         def find(x):

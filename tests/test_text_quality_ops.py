@@ -90,3 +90,24 @@ def test_operators_handle_empty_inputs(spark):
     one = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
     assert ngram_jaccard_pairs(one).count() == 0
     assert repetition_features(one).count() == 1
+
+
+def test_connected_components_distributed_path_matches_driver_path(spark):
+    from tensei_agent_spark.operators.dedup import connected_components
+
+    # chain + pair + triangle — force the distributed propagation loop
+    # with driver_threshold=0 and require identical components to the
+    # driver union-find fast path.
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    fast = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    assert dist == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
