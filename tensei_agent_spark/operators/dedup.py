@@ -130,8 +130,19 @@ def ngram_jaccard_pairs(
         .agg(F.collect_set("shingle").alias("_shs"))
         .withColumn("n_sh", F.size("_shs"))
     )
-    postings = sh_sets.select(
-        F.col(id_col), "n_sh", F.explode("_shs").alias("shingle")
+    # Candidate generation runs on 64-bit xxhash TOKENS, not strings:
+    # every shuffle in the freq/rank/bucket stages moves 8-byte longs
+    # instead of k-char strings. This stays EXACT: a hash collision can
+    # only MERGE tokens, which inflates token overlap and shrinks token
+    # set sizes — both relax the candidate bounds — so true pairs always
+    # survive to the verification join, which intersects the REAL string
+    # sets.
+    tokens = F.array_distinct(F.transform("_shs", lambda s: F.xxhash64(s)))
+    tok_sets = sh_sets.select(
+        F.col(id_col), tokens.alias("_ts")
+    ).withColumn("n_sh", F.size("_ts"))
+    postings = tok_sets.select(
+        F.col(id_col), "n_sh", F.explode("_ts").alias("shingle")
     )
     freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
