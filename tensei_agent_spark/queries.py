@@ -4792,3 +4792,191 @@ def order_weekday_seasonality(spark: SparkSession, sf: str) -> DataFrame:
         )
         .drop("_n")
     )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS p
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    new AS (
+      SELECT o_orderkey,
+             CAST(o_totalprice AS DECIMAL(14,2))
+               + CASE WHEN o_orderkey % 7 = 0 THEN CAST(10.00 AS DECIMAL(14,2))
+                      ELSE CAST(0.00 AS DECIMAL(14,2)) END AS p
+      FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                WHEN old.p <> new.p THEN 'update'
+                ELSE 'unchanged' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(COALESCE(new.p, CAST(0.00 AS DECIMAL(14,2)))) AS DOUBLE) AS new_total
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    GROUP BY 1
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: full-outer join
+    on the key classifies every row as insert / delete / update /
+    unchanged — the set-oriented twin of the reference's per-row upsert
+    decision (DatabaseWriterActor.scala:269-348 Insert/Update/Ignore).
+    The two snapshots are deterministic slices of `orders` (key-modulo
+    membership, +10.00 price drift); the join is key-partitioned on both
+    sides so it co-partitions in one exchange each at any scale."""
+    o = load(spark, sf, "orders")
+    p = F.col("o_totalprice").cast("decimal(14,2)")
+    old = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("_ok"), p.alias("_op")
+    )
+    drift = F.when(
+        F.col("o_orderkey") % 7 == 0, F.lit("10.00").cast("decimal(14,2)")
+    ).otherwise(F.lit("0.00").cast("decimal(14,2)"))
+    new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("_nk"), (p + drift).alias("_np")
+    )
+    change = (
+        F.when(F.col("_ok").isNull(), "insert")
+        .when(F.col("_nk").isNull(), "delete")
+        .when(F.col("_op") != F.col("_np"), "update")
+        .otherwise("unchanged")
+    )
+    zero = F.lit("0.00").cast("decimal(14,2)")
+    return (
+        old.join(new, old["_ok"] == new["_nk"], "full_outer")
+        .select(change.alias("change_type"), F.coalesce("_np", zero).alias("_p"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_p").cast("double").alias("new_total"),
+        )
+    )
+
+
+@register(
+    "event_near_dup_throttle",
+    """
+    WITH w AS (
+      SELECT event_type,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+                  <= 300000000
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(is_dup) AS BIGINT) AS n_near_dups
+    FROM w GROUP BY event_type
+    """,
+)
+def event_near_dup_throttle(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch twin of watermarked stream dedup: flag events that repeat
+    the same (user, type) within 300s of the previous occurrence —
+    accidental double-fires / retry storms. One user-keyed window (the
+    partition key is high-cardinality so the sort is per-user-local,
+    never global) feeding a low-cardinality aggregate. The time delta
+    compares exact integer microseconds (`unix_micros` ≙ `epoch_us`),
+    immune to double rounding at the 300s boundary."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    prev = F.lag(us).over(w)
+    is_dup = F.when(us - prev <= 300_000_000, 1).otherwise(0)
+    return (
+        ev.select("event_type", is_dup.alias("_d"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_d").cast("bigint").alias("n_near_dups"),
+        )
+    )
+
+
+@register(
+    "yearly_revenue_growth",
+    """
+    WITH y AS (
+      SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1)
+    SELECT yr,
+           CAST(rev AS DOUBLE) AS revenue,
+           n_orders,
+           round(CAST(rev AS DOUBLE) / CAST(LAG(rev) OVER (ORDER BY yr) AS DOUBLE) - 1, 9)
+             AS yoy_growth
+    FROM y
+    """,
+)
+def yearly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Year-over-year revenue growth: exact DECIMAL yearly totals, then
+    a lag window over the handful of year rows (the unpartitioned
+    ordered window is safe only because it follows the full aggregation
+    — one row per year regardless of data scale). First year's growth
+    is NULL by construction on both engines."""
+    o = load(spark, sf, "orders")
+    y = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    wl = Window.orderBy("yr")
+    return y.select(
+        "yr",
+        F.col("_rev").cast("double").alias("revenue"),
+        "n_orders",
+        F.round(
+            F.col("_rev").cast("double")
+            / F.lag("_rev").over(wl).cast("double")
+            - 1,
+            9,
+        ).alias("yoy_growth"),
+    )
+
+
+@register(
+    "customer_top_decile",
+    """
+    WITH r AS (
+      SELECT c_custkey, n_name,
+             percent_rank() OVER
+               (PARTITION BY n_name
+                ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey) AS pr,
+             cume_dist() OVER
+               (PARTITION BY n_name
+                ORDER BY CAST(c_acctbal AS DECIMAL(12,2)), c_custkey) AS cd
+      FROM customer JOIN nation ON c_nationkey = n_nationkey)
+    SELECT c_custkey, n_name,
+           round(pr, 9) AS pct_rank,
+           round(cd, 9) AS cume_d
+    FROM r WHERE pr >= 0.9
+    """,
+)
+def customer_top_decile(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-position screening: percent_rank + cume_dist of
+    account balance within each nation, keeping the top decile. The
+    order-by carries the custkey tiebreak so ranks are deterministic;
+    both engines compute percent_rank as (rank-1)/(n-1) in double on
+    identical ranks. Nation partitions keep every sort local."""
+    cust = load(spark, sf, "customer")
+    nation = F.broadcast(load(spark, sf, "nation"))
+    j = cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").cast("decimal(12,2)"), F.col("c_custkey")
+    )
+    return (
+        j.select(
+            "c_custkey",
+            "n_name",
+            F.percent_rank().over(w).alias("_pr"),
+            F.cume_dist().over(w).alias("_cd"),
+        )
+        .filter(F.col("_pr") >= 0.9)
+        .select(
+            "c_custkey",
+            "n_name",
+            F.round("_pr", 9).alias("pct_rank"),
+            F.round("_cd", 9).alias("cume_d"),
+        )
+    )
