@@ -4980,3 +4980,149 @@ def customer_top_decile(spark: SparkSession, sf: str) -> DataFrame:
             F.round("_cd", 9).alias("cume_d"),
         )
     )
+
+
+@register(
+    "stats_equidepth_histogram",
+    """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.25) AS b1,
+             quantile_cont(l_extendedprice, 0.50) AS b2,
+             quantile_cont(l_extendedprice, 0.75) AS b3
+      FROM lineitem)
+    SELECT 1 + CAST(l_extendedprice > b.b1 AS INT)
+             + CAST(l_extendedprice > b.b2 AS INT)
+             + CAST(l_extendedprice > b.b3 AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price
+    FROM lineitem CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def stats_equidepth_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth (quartile-bucketed) histogram without a global sort:
+    pass 1 computes the three interpolated quartile boundaries, pass 2
+    bins every row with a pure map against the broadcast 1-row boundary
+    table — the scale-correct alternative to `ntile()` over all rows,
+    whose single global window would serialize 100 TB through one task.
+    Spark `percentile` and DuckDB `quantile_cont` share the
+    lower+(upper-lower)*frac interpolation on identical doubles."""
+    li = load(spark, sf, "lineitem")
+    b = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("_b1"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("_b2"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("_b3"),
+    )
+    p = F.col("l_extendedprice")
+    bucket = (
+        F.lit(1)
+        + (p > F.col("_b1")).cast("int")
+        + (p > F.col("_b2")).cast("int")
+        + (p > F.col("_b3")).cast("int")
+    )
+    return (
+        li.join(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(p).cast("double").alias("min_price"),
+            F.max(p).cast("double").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_exact",
+    """
+    WITH r AS (
+      SELECT lang, doc_id,
+             row_number() OVER
+               (PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM r WHERE rn <= 50
+    GROUP BY lang
+    """,
+)
+def stratified_sample_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k stratified sampling: 50 docs per language stratum, chosen
+    by rank over the md5 of the key — deterministic, engine-portable,
+    and uniform (the hash destroys any correlation with insertion
+    order). Per-stratum windows sort only within each language
+    partition; contrast with `df.sampleBy`, whose per-row Bernoulli
+    draw cannot hit an exact k. Checksum certifies the identical
+    member set across engines."""
+    docs = load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") <= 50)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+@register(
+    "doc_bigram_logprob",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM w, UNNEST(range(1, len(ws))) t(i)),
+    cb AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    cu AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM cb GROUP BY w1)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(SUM(ln(CAST(cb.c2 AS DOUBLE) / cu.c1)) / COUNT(*), 9)
+             AS mean_logprob
+    FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1)
+    GROUP BY bg.doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM fluency score: mean log P(w2|w1) per document with
+    P(w2|w1) = c(w1,w2)/c(w1·) counted over the whole corpus — the
+    second-order upgrade of `doc_unigram_logprob` (word ORDER now
+    matters: shuffled text scores low even with a natural word mix).
+    One explode produces the bigram stream; the model tables are
+    corpus-small (AQE broadcasts them back); log ratios derive from
+    identical integers so only the per-doc mean needs the round guard."""
+    docs = load(spark, sf, "documents")
+    w = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ws")
+    ).filter(F.size("ws") >= 2)
+    bg = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"
+            )
+        ).alias("_b"),
+    ).select("doc_id", "_b.w1", "_b.w2")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cu = cb.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    return (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(F.col("c2").cast("double") / F.col("c1")))
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_logprob"),
+        )
+    )

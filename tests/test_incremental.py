@@ -55,3 +55,53 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     got = spark.read.parquet(path)
     assert got.count() == 10_000
     assert got.agg({"v": "sum"}).collect()[0][0] == 10_000 * 9_999 // 2
+
+
+def test_zorder_layout_narrows_file_envelopes(spark, tmp_path):
+    """Z-order clustering on (l_orderkey, l_suppkey) must leave every
+    output file with a min/max envelope far narrower than the global
+    range on BOTH columns — that envelope is exactly what row-group
+    statistics expose for data skipping."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from tensei_agent_spark.operators.maintenance import zorder_layout
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    n_rows = df.count()
+    out = str(tmp_path / "li_z")
+    zorder_layout(spark, df, ["l_orderkey", "l_suppkey"], out, n_files=8)
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) == 8
+
+    spans = {"l_orderkey": [], "l_suppkey": []}
+    total_rows = 0
+    glob_min = {c: float("inf") for c in spans}
+    glob_max = {c: float("-inf") for c in spans}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        total_rows += md.num_rows
+        schema_names = [md.schema.column(i).name for i in range(md.num_columns)]
+        per_file = {c: [float("inf"), float("-inf")] for c in spans}
+        for rg in range(md.num_row_groups):
+            for i, name in enumerate(schema_names):
+                if name in spans:
+                    st = md.row_group(rg).column(i).statistics
+                    per_file[name][0] = min(per_file[name][0], st.min)
+                    per_file[name][1] = max(per_file[name][1], st.max)
+        for c in spans:
+            spans[c].append(per_file[c][1] - per_file[c][0])
+            glob_min[c] = min(glob_min[c], per_file[c][0])
+            glob_max[c] = max(glob_max[c], per_file[c][1])
+
+    assert total_rows == n_rows
+    for c in spans:
+        full = glob_max[c] - glob_min[c]
+        mean_span = sum(spans[c]) / len(spans[c])
+        # 8 files over a 2-D curve → each dim should shrink well below
+        # the full range (a single-column sort leaves the other dim at
+        # ~100% of the range in every file).
+        assert mean_span < 0.6 * full, (c, mean_span, full)
