@@ -106,3 +106,25 @@ def test_profiles_scan_once(spark):
     for name in ("stats_numeric_profile", "stats_string_profile",
                  "stats_sampled_profile"):
         assert _plan(spark, name).count("Scan parquet") == 1, name
+
+
+def test_equidepth_histogram_has_no_global_window(spark):
+    """The equi-depth histogram must bin via broadcast boundaries, not
+    ntile() — a global window would serialize the table through one
+    task at scale."""
+    plan = _plan(spark, "stats_equidepth_histogram")
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_throttle_window_is_user_partitioned(spark):
+    """The near-dup throttle's lag window must partition by user (sort
+    stays local per key); an empty partition spec would be a global
+    sort."""
+    plan = _plan(spark, "event_near_dup_throttle")
+    assert "windowspecdefinition(user_id" in plan
+
+
+def test_stratified_sample_window_is_per_stratum(spark):
+    plan = _plan(spark, "stratified_sample_exact")
+    assert "windowspecdefinition(lang" in plan
