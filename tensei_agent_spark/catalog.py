@@ -33,14 +33,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark rejects.
-        # Read nanos as long and truncate to microseconds — exactly what
-        # DuckDB does internally, so oracle comparisons stay exact.
+        # Some driver builds write events.ts as TIMESTAMP(NANOS) parquet,
+        # which Spark rejects; others write TIMESTAMP(MICROS), which it
+        # reads natively. Handle both: with nanosAsLong the nanos variant
+        # surfaces as LongType and we truncate to micros (exactly what
+        # DuckDB does internally, so oracle comparisons stay exact);
+        # the micros variant arrives as a timestamp already.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # Session TZ is pinned to UTC, so NTZ→LTZ keeps the same wall
+            # clock AND the same instant; downstream unix_micros/window
+            # code (and the DuckDB oracle) see identical values.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
