@@ -5126,3 +5126,159 @@ def doc_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+@register(
+    "inverted_index_postings",
+    r"""
+    WITH wd AS (
+      SELECT DISTINCT doc_id, w AS word
+      FROM documents,
+           UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) t(w)
+      WHERE w <> '')
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
+    FROM wd
+    GROUP BY word
+    HAVING COUNT(*) <= 380
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf: str) -> DataFrame:
+    """Inverted-index construction: term -> ordered posting list of the
+    documents containing it, restricted to the rare tail of the
+    vocabulary (df <= 380 on this corpus — the selective terms that
+    carry retrieval signal; near-stopwords that hit every document are
+    excluded). One explode to
+    (word, doc) pairs, a distinct to collapse within-doc repeats, then
+    a single word-keyed aggregate builds every posting list; the df
+    filter bounds list length, so no posting list can exceed the HAVING
+    ceiling regardless of corpus size. Postings serialize to a CSV
+    string so both engines hash the identical ordered value."""
+    docs = load(spark, sf, "documents")
+    wd = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    return (
+        wd.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.expr(
+                "array_join(transform(sort_array(collect_list(doc_id)),"
+                " x -> CAST(x AS STRING)), ',')"
+            ).alias("postings"),
+        )
+        .filter(F.col("df") <= 380)
+    )
+
+
+@register(
+    "open_orders_daily",
+    """
+    WITH closes AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS close_ts
+      FROM lineitem GROUP BY l_orderkey),
+    deltas AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, 1 AS delta
+      FROM orders
+      UNION ALL
+      SELECT CAST(CAST(close_ts AS DATE) + 1 AS VARCHAR) AS d, -1
+      FROM closes),
+    daily AS (
+      SELECT d, CAST(SUM(delta) AS BIGINT) AS net FROM deltas GROUP BY d)
+    SELECT d, net,
+           CAST(SUM(net) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS open_orders
+    FROM daily
+    """,
+)
+def open_orders_daily(spark: SparkSession, sf: str) -> DataFrame:
+    """Concurrent-interval counting by delta sweep: how many orders are
+    "open" (placed, last line not yet shipped) on each calendar day.
+    The naive plan — range-join every order against a day spine — fans
+    out to days x orders rows; instead each interval becomes two delta
+    events (+1 at open, -1 the day after close), which aggregate to one
+    row per day BEFORE the cumulative sum. The only window runs over
+    the aggregated day series (a few thousand rows however large the
+    fact tables are), so the single-partition sort is trivially cheap
+    while the heavy lifting stays in hash aggregates."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    opens = orders.select(
+        F.to_date("o_orderdate").cast("string").alias("d"),
+        F.lit(1).alias("delta"),
+    )
+    closed = closes.select(
+        F.date_add(F.to_date("close_ts"), 1).cast("string").alias("d"),
+        F.lit(-1).alias("delta"),
+    )
+    daily = (
+        opens.unionByName(closed)
+        .groupBy("d")
+        .agg(F.sum("delta").cast("bigint").alias("net"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "d", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    )
+
+
+@register(
+    "event_value_decile_matrix",
+    """
+    WITH b AS (
+      SELECT quantile_cont(value,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+      FROM events)
+    SELECT event_type,
+           CAST(1 + len(list_filter(b.bs, x -> value > x)) AS INT)
+             AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events CROSS JOIN b
+    GROUP BY event_type, decile
+    """,
+)
+def event_value_decile_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-dimensional contingency matrix: global value decile x
+    event_type. Pass 1 computes the nine interpolated decile
+    boundaries; pass 2 broadcasts that 1-row table and bins every event
+    with a pure map (a fold over the boundary array) — no `ntile()`
+    global window, so the plan stays two hash aggregates and scales to
+    any event count. Spark `percentile` and DuckDB `quantile_cont`
+    share the lower+(upper-lower)*frac interpolation on identical
+    doubles, and min/max are order-insensitive, so values hash-match
+    without rounding guards."""
+    ev = load(spark, sf, "events")
+    b = ev.agg(
+        F.expr(
+            "percentile(value,"
+            " array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D, 0.8D, 0.9D))"
+        ).alias("_bs")
+    )
+    return (
+        ev.join(F.broadcast(b))
+        .groupBy(
+            "event_type",
+            (
+                F.lit(1)
+                + F.expr(
+                    "aggregate(_bs, 0, (acc, x) -> acc + CAST(value > x AS INT))"
+                )
+            ).cast("int").alias("decile"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").cast("double").alias("min_value"),
+            F.max("value").cast("double").alias("max_value"),
+        )
+    )
