@@ -5282,3 +5282,93 @@ def event_value_decile_matrix(spark: SparkSession, sf: str) -> DataFrame:
             F.max("value").cast("double").alias("max_value"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    prev = "r0"
+    body = [
+        """
+    WITH edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT src AS node, 1.0 / n.n AS r FROM deg CROSS JOIN n)"""
+    ]
+    for i in range(1, iters + 1):
+        body.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             SUM(CAST(round({prev}.r / deg.d, 12) AS DECIMAL(30,12))) AS s
+      FROM edges e
+      JOIN {prev} ON e.src = {prev}.node
+      JOIN deg ON e.src = deg.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT c{i}.node, 0.15 / n.n + 0.85 * CAST(c{i}.s AS DOUBLE) AS r
+      FROM c{i} CROSS JOIN n)"""
+        )
+        prev = f"r{i}"
+    body.append(
+        f"""
+    SELECT node AS partkey, round(r, 9) AS pagerank FROM {prev}"""
+    )
+    return "".join(body)
+
+
+@register("part_copurchase_pagerank", _pagerank_oracle(3))
+def part_copurchase_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the part
+    co-purchase graph: parts are linked when they appear in the same
+    order. The iterative-algorithm pattern on Spark: the edge list is
+    built ONCE (self-join bounded by basket size, then distinct) and
+    each iteration is one src-keyed join plus one dst-keyed aggregate —
+    the rank table stays node-sized, orders of magnitude smaller than
+    the edges, so at scale it broadcasts and the edge list never
+    re-shuffles. For long runs you'd checkpoint every few iterations to
+    truncate lineage; three unrolled iterations keep the whole program
+    oracle-expressible as chained CTEs. Cross-engine determinism: each
+    contribution rounds to a fixed 12-decimal DECIMAL before the exact
+    (order-insensitive) decimal SUM, so no float-summation-order drift;
+    the damping step is pure IEEE double arithmetic on identical
+    inputs."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    ranks = (
+        deg.join(F.broadcast(n))
+        .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r"))
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                F.sum(
+                    F.round(F.col("r") / F.col("d"), 12).cast("decimal(30,12)")
+                ).alias("s")
+            )
+        )
+        ranks = contrib.join(F.broadcast(n)).select(
+            "node",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85) * F.col("s").cast("double")
+            ).alias("r"),
+        )
+    return ranks.select(
+        F.col("node").alias("partkey"), F.round("r", 9).alias("pagerank")
+    )

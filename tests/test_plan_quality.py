@@ -128,3 +128,35 @@ def test_throttle_window_is_user_partitioned(spark):
 def test_stratified_sample_window_is_per_stratum(spark):
     plan = _plan(spark, "stratified_sample_exact")
     assert "windowspecdefinition(lang" in plan
+
+
+def test_open_orders_sweep_has_no_join(spark):
+    """Concurrent-interval counting must stay a delta sweep: two scans,
+    hash aggregates, one tiny window — a Join anywhere means it
+    regressed to the days x orders range-join formulation."""
+    plan = _plan(spark, "open_orders_daily")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decile_matrix_has_no_global_window(spark):
+    """The 2-D contingency matrix bins with broadcast percentile
+    boundaries — an ntile()/Window over the raw events would serialize
+    the fact table through one task."""
+    plan = _plan(spark, "event_value_decile_matrix")
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan  # 1-row boundary table must broadcast
+
+
+def test_inverted_index_is_join_free(spark):
+    plan = _plan(spark, "inverted_index_postings")
+    assert "Join" not in plan
+
+
+def test_pagerank_rank_table_broadcasts_n(spark):
+    """Each PageRank iteration joins edges to the node-sized rank/deg
+    tables; the 1-row N table must broadcast (no shuffle for a scalar),
+    and nothing may plan as a cartesian product."""
+    plan = _plan(spark, "part_copurchase_pagerank")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 4  # N joined per iteration + init
