@@ -5372,3 +5372,138 @@ def part_copurchase_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("partkey"), F.round("r", 9).alias("pagerank")
     )
+
+
+@register(
+    "daily_event_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT day, n_events,
+             CAST(SUM(n_events) OVER t AS BIGINT) AS s,
+             CAST(SUM(n_events * n_events) OVER t AS BIGINT) AS ss,
+             CAST(COUNT(*) OVER t AS BIGINT) AS k
+      FROM daily
+      WINDOW t AS (ORDER BY day ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING))
+    SELECT day, n_events,
+           round((n_events - CAST(s AS DOUBLE) / k)
+             / sqrt((ss - CAST(s AS DOUBLE) * s / k) / (k - 1)), 9) AS z_score
+    FROM w
+    WHERE k >= 14
+      AND ss * k > s * s
+    """,
+)
+def daily_event_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series anomaly score: each day's event count as a z-score
+    against the trailing 28 days (current day excluded, so a spike
+    cannot mask itself). The fact table collapses to one row per day
+    FIRST; the trailing window then runs over that tiny series, so the
+    single-partition sort is constant-cost at any event volume. Mean
+    and variance derive from exact BIGINT window sums (sum, sum of
+    squares) — identical integers on both engines, so the doubles
+    agree bit-for-bit and only the final score needs a round guard.
+    Warm-up days (fewer than 14 prior points) and zero-variance
+    windows are excluded."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    t = (
+        Window.orderBy("day").rowsBetween(-28, -1)
+    )
+    w = daily.select(
+        "day",
+        "n_events",
+        F.sum("n_events").over(t).cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(t).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).over(t).cast("bigint").alias("k"),
+    )
+    mean = F.col("s").cast("double") / F.col("k")
+    var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("k")) / (
+        F.col("k") - 1
+    )
+    return (
+        w.filter(
+            (F.col("k") >= 14)
+            & (F.col("ss") * F.col("k") > F.col("s") * F.col("s"))
+        )
+        .select(
+            "day",
+            "n_events",
+            F.round((F.col("n_events") - mean) / F.sqrt(var), 9).alias("z_score"),
+        )
+    )
+
+
+@register(
+    "copurchase_triangles",
+    """
+    WITH e AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1
+      JOIN e e2 ON e1.dst = e2.src
+      JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) m
+    GROUP BY node
+    """,
+)
+def copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting on the strong co-purchase graph (parts bought
+    together in >= 2 distinct orders — the weight threshold prunes the
+    quadratic noise floor of dense baskets before any triangle work).
+    Edges are oriented src < dst so every triangle materializes exactly
+    once as (a<b<c): one wedge join (e1.dst = e2.src) builds a-b-c
+    paths, one closing equi-join checks the a-c edge. Wedge fan-out is
+    bounded by out-degree under the orientation; at production scale
+    you orient by (degree, id) instead of raw id so hub nodes land on
+    the low-fan-out side — same plan shape, one extra degree join.
+    Output: per-node triangle membership counts."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("src", "dst")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    members = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return members.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

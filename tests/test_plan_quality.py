@@ -160,3 +160,17 @@ def test_pagerank_rank_table_broadcasts_n(spark):
     plan = _plan(spark, "part_copurchase_pagerank")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastExchange") >= 4  # N joined per iteration + init
+
+
+def test_anomaly_window_runs_over_day_series(spark):
+    """The z-score window must sit ABOVE the day aggregate (tiny
+    series), never over raw events, and needs no join at all."""
+    plan = _plan(spark, "daily_event_anomaly")
+    assert "Join" not in plan
+    assert plan.index("Window") < plan.index("HashAggregate")  # executed plan prints top-down
+
+
+def test_triangle_joins_are_equi(spark):
+    plan = _plan(spark, "copurchase_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
