@@ -5344,8 +5344,15 @@ def part_copurchase_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
+        # Iteration-invariant: without persist every iteration's lineage
+        # replays the basket self-join (3x for ranks + once for deg) —
+        # measured ~2x end-to-end at sf0.1. At cluster scale this is a
+        # disk-backed persist or a checkpoint, same reasoning.
+        .persist()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    ).persist()
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
     ranks = (
         deg.join(F.broadcast(n))
