@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load
 from .operators import dedup as D
+from .operators import graph as G
 from .operators import joins as J
 from .operators import stats as S
 
@@ -5344,38 +5345,8 @@ def part_copurchase_pagerank(spark: SparkSession, sf: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
-        # Iteration-invariant: without persist every iteration's lineage
-        # replays the basket self-join (3x for ranks + once for deg) —
-        # measured ~2x end-to-end at sf0.1. At cluster scale this is a
-        # disk-backed persist or a checkpoint, same reasoning.
-        .persist()
     )
-    deg = edges.groupBy("src").agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    ).persist()
-    n = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranks = (
-        deg.join(F.broadcast(n))
-        .select(F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r"))
-    )
-    for _ in range(3):
-        contrib = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.sum(
-                    F.round(F.col("r") / F.col("d"), 12).cast("decimal(30,12)")
-                ).alias("s")
-            )
-        )
-        ranks = contrib.join(F.broadcast(n)).select(
-            "node",
-            (
-                F.lit(0.15) / F.col("n")
-                + F.lit(0.85) * F.col("s").cast("double")
-            ).alias("r"),
-        )
+    ranks = G.pagerank(edges, iters=3, damping=0.85, contrib_scale=12)
     return ranks.select(
         F.col("node").alias("partkey"), F.round("r", 9).alias("pagerank")
     )
@@ -5490,27 +5461,4 @@ def copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("src", "dst")
     )
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.src"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .select(
-            F.col("e1.src").alias("a"),
-            F.col("e1.dst").alias("b"),
-            F.col("e2.dst").alias("c"),
-        )
-    )
-    members = (
-        tri.select(F.col("a").alias("node"))
-        .unionAll(tri.select(F.col("b").alias("node")))
-        .unionAll(tri.select(F.col("c").alias("node")))
-    )
-    return members.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
-    )
+    return G.triangle_counts(e)
