@@ -147,6 +147,7 @@ def run_pipeline(
     pipeline_or_plan: Pipeline | CompiledPlan,
     source_frames: dict[str, DataFrame] | None = None,
     write: bool = True,
+    metrics: dict[str, dict] | None = None,
 ) -> dict[str, DataFrame]:
     """Execute the whole job: read sources once, run recipes in FK
     order, remap FKs through generated-key maps, write targets.
@@ -154,6 +155,16 @@ def run_pipeline(
     ``source_frames`` lets callers inject pre-built DataFrames (tests,
     or non-spec sources); missing ones are read from the spec. Returns
     the final frame per recipe (post FK-remap) for inspection.
+
+    ``metrics``: pass a dict to collect per-recipe run accounting —
+    ``{recipe: {"rows_processed": n, "null_cells": n}}`` — via
+    ``DataFrame.observe``, which piggybacks the aggregates on the write
+    job itself (no second scan, no driver materialization). This is the
+    Spark-native form of the reference's progress accounting (progress
+    ticks every 5000 rows, ``tensei.conf:31``), and like the reference
+    it counts rows PROCESSED by the recipe, upstream of the writer's
+    unique-column dedup filter. Only populated when ``write=True``:
+    observation results exist once an action runs.
     """
     plan = (
         pipeline_or_plan
@@ -200,5 +211,21 @@ def run_pipeline(
             # initialization order depend on which module loads first.
             from ..sinks import write_target
 
+            obs = None
+            if metrics is not None:
+                from pyspark.sql import Observation
+
+                obs = Observation(f"recipe_{recipe.name}")
+                null_cells = None
+                for c in out.columns:
+                    term = F.sum(F.col(c).isNull().cast("long"))
+                    null_cells = term if null_cells is None else null_cells + term
+                out = out.observe(
+                    obs,
+                    F.count(F.lit(1)).alias("rows_processed"),
+                    null_cells.alias("null_cells"),
+                )
             write_target(out, target)
+            if obs is not None:
+                metrics[recipe.name] = obs.get
     return results

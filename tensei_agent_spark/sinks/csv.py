@@ -37,18 +37,23 @@ def write_csv(df: DataFrame, spec: TargetSpec) -> None:
     }
     order_by = spec.options.get("order_by")
     single = str(spec.options.get("single_file", "")).lower() in ("1", "true", "yes")
-    out = df
-    if order_by:
-        out = out.orderBy(*order_by)
     if single:
+        # coalesce(1) + local sort, NOT a global orderBy: orderBy inserts
+        # a RangePartitioning exchange whose boundary-sampling job
+        # re-executes the whole upstream (double scan, and double-counted
+        # `observe` metrics); with one output partition a local sort is
+        # the same file for one pass.
+        one = df.coalesce(1)
+        if order_by:
+            one = one.sortWithinPartitions(*order_by)
         tmp = spec.uri + "._spark_tmp"
-        (out.coalesce(1).write.mode(spec.mode if spec.mode != "upsert" else "overwrite")
+        (one.write.mode(spec.mode if spec.mode != "upsert" else "overwrite")
             .options(**opts).csv(tmp))
         part = glob.glob(os.path.join(tmp, "part-*"))[0]
         shutil.move(part, spec.uri)
         shutil.rmtree(tmp)
     else:
-        writer = out.sortWithinPartitions(*order_by) if order_by else out
+        writer = df.sortWithinPartitions(*order_by) if order_by else df
         writer.write.mode(spec.mode if spec.mode != "upsert" else "overwrite").options(
             **opts
         ).csv(spec.uri)

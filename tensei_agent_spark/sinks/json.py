@@ -55,13 +55,16 @@ def write_json(df: DataFrame, spec: TargetSpec) -> None:
     names = [f.name for f in spec.fields] if spec.fields else df.columns
     out = nest_columns(df, names) if any("." in n for n in names) else df
     order_by = spec.options.get("order_by")
-    if order_by:
-        out = out.orderBy(*order_by)
     single = str(spec.options.get("single_file", "")).lower() in ("1", "true", "yes")
     mode = spec.mode if spec.mode != "upsert" else "overwrite"
     if single:
+        # See sinks/csv.py: local sort after coalesce(1), not a global
+        # orderBy — avoids the range-sampling job re-executing upstream.
+        out = out.coalesce(1)
+        if order_by:
+            out = out.sortWithinPartitions(*order_by)
         tmp = spec.uri + "._spark_tmp"
-        out.coalesce(1).write.mode(mode).json(tmp)
+        out.write.mode(mode).json(tmp)
         part = glob.glob(os.path.join(tmp, "part-*"))[0]
         # one JSON array document, reference-style
         with open(part, encoding="utf-8") as fh:
@@ -70,4 +73,6 @@ def write_json(df: DataFrame, spec: TargetSpec) -> None:
             fh.write("[" + ",".join(lines) + "]")
         shutil.rmtree(tmp)
     else:
+        if order_by:
+            out = out.sortWithinPartitions(*order_by)
         out.write.mode(mode).json(spec.uri)

@@ -327,3 +327,34 @@ def test_prepare_applies_target_formatting(spark):
     assert str(rows[2]["amount"]) == "3.00"
     assert rows[1]["code"] == "AB-12"
     assert rows[2]["code"] is None
+
+
+def test_run_metrics_observed_on_write_job(spark, persons_path, tmp_path):
+    """`metrics=` collects per-recipe rows/null accounting via
+    DataFrame.observe — on the write job itself, no second scan
+    (≙ the reference's progress ticks, tensei.conf:31)."""
+    out_path = str(tmp_path / "out.csv")
+    p = Pipeline(
+        name="copy-csv-metrics",
+        sources=(SourceSpec("persons", "csv", persons_path, PERSON_FIELDS),),
+        targets=(
+            TargetSpec(
+                "out", "csv", out_path,
+                fields=(Field("id", "long"), Field("name")),
+                options={"single_file": True, "order_by": ["id"]},
+            ),
+        ),
+        recipes=(
+            Recipe(
+                "copy", "out",
+                mappings=(
+                    Mapping((ColumnRef("persons", "id"),), ("id",)),
+                    Mapping((ColumnRef("persons", "firstname"),), ("name",)),
+                ),
+            ),
+        ),
+    )
+    metrics: dict[str, dict] = {}
+    run_pipeline(spark, p, metrics=metrics)
+    assert metrics["copy"]["rows_processed"] == 3
+    assert metrics["copy"]["null_cells"] == 0
