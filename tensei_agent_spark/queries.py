@@ -5462,3 +5462,72 @@ def copurchase_triangles(spark: SparkSession, sf: str) -> DataFrame:
         .select("src", "dst")
     )
     return G.triangle_counts(e)
+
+
+@register(
+    "contrastive_negatives",
+    """
+    WITH v AS (
+      SELECT vec_id, label,
+             CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 16 AS bucket
+      FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS anchor_id, c.vec_id AS negative_id,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY md5(concat(CAST(a.vec_id AS VARCHAR), ':',
+                                   CAST(c.vec_id AS VARCHAR))),
+                        c.vec_id) AS rk
+      FROM v a JOIN v c
+        ON a.bucket = c.bucket AND a.label <> c.label)
+    SELECT anchor_id, negative_id, CAST(rk AS INT) AS rk
+    FROM pairs WHERE rk <= 3
+    """,
+)
+def contrastive_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 3
+    negatives (different label) per anchor. Candidates are blocked by a
+    hash bucket shared between anchor and negative, so pair generation
+    is a bucket-keyed EQUI-join whose fan-out is (N/B)^2 * B rows — the
+    tunable-cost alternative to the N^2 cross join, at the price of
+    sampling negatives only within the anchor's bucket (fine: buckets
+    are a uniform hash of ids, so the restriction is unbiased). The
+    pick itself ranks by md5(anchor:candidate) — stable across runs,
+    engines, and partitionings, unlike rand()-based sampling; the
+    per-anchor window sorts only within a bucket's candidate list."""
+    emb = load(spark, sf, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        (
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 16
+        ).alias("bucket"),
+    )
+    a = v.alias("a")
+    c = v.alias("c")
+    w = Window.partitionBy("a.vec_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("a.vec_id").cast("string"),
+                F.lit(":"),
+                F.col("c.vec_id").cast("string"),
+            )
+        ),
+        F.col("c.vec_id"),
+    )
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.label") != F.col("c.label")),
+        )
+        .select(
+            F.col("a.vec_id").alias("anchor_id"),
+            F.col("c.vec_id").alias("negative_id"),
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )

@@ -174,3 +174,12 @@ def test_triangle_joins_are_equi(spark):
     plan = _plan(spark, "copurchase_triangles")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_sampling_join_is_bucket_equi(spark):
+    """Negative candidate generation must hash-join on the bucket key
+    (label inequality as a residual filter) — a nested-loop plan means
+    the blocking regressed to the N^2 cross join."""
+    plan = _plan(spark, "contrastive_negatives")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
