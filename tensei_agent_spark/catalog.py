@@ -31,6 +31,12 @@ DIM_TABLES = frozenset({"region", "nation", "customer", "supplier", "part"})
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Every query loads tables through here, including under a caller-
+    # provided SparkSession (the driver contract passes its own). Pin
+    # the session timezone defensively: date/window functions over the
+    # instant-typed events.ts column must evaluate in UTC to match the
+    # DuckDB oracle, whatever the host session was built with.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # Some driver builds write events.ts as TIMESTAMP(NANOS) parquet,

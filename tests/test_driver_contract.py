@@ -54,3 +54,32 @@ def test_rows_only_queries_are_documented_exceptions():
         "embedding_near_dup_fast",    # FP ULP twin
     }
     assert rows_only <= allowed, rows_only - allowed
+
+
+def test_events_queries_survive_non_utc_host_session(spark, duck):
+    """The driver supplies its own SparkSession; catalog.load must pin
+    UTC so instant-typed event timestamps evaluate identically to the
+    DuckDB oracle even if the host session was built with another
+    timezone."""
+    from tensei_agent_spark.catalog import TABLES
+    from tensei_agent_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    for t in TABLES:
+        duck.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        q = REGISTRY["events_hourly_rollup"]
+        got = q.build(spark, sf).toPandas()
+        want = duck.execute(q.oracle).fetchdf()
+        cols = sorted(got.columns)
+        g = got[cols].sort_values(cols).reset_index(drop=True).astype(str)
+        w = want[cols].sort_values(cols).reset_index(drop=True).astype(str)
+        assert g.equals(w)
+        # load() pinned it back
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
