@@ -413,19 +413,23 @@ def simhash_near_dup_pairs(
     within hamming < bands shares ≥1 band), then keep pairs with
     hamming(simhash) ≤ max_hamming.
 
-    Pairs are generated by grouping ids per (band, band_key) bucket and
-    exploding in-bucket combinations — NOT a self-join: a self-join of
-    the derived signature frame would recompute the whole fingerprint
-    pipeline (corpus scan + hash shuffle) twice, since Spark only reuses
-    an exchange when both subtrees canonicalize identically. One scan,
-    one hash shuffle, pair fan-out bounded by bucket size (LSH buckets
-    are small by design; a pathological hot bucket means the banding is
-    too coarse — widen ``band_key`` — not that the plan is wrong).
-    Output: (id_a, id_b, hamming), id_a < id_b.
+    Pairs come from a band-keyed SELF-JOIN of the PERSISTED fingerprint
+    table (node-sized: one long per doc). Persisting first matters —
+    without it the self-join would recompute the whole fingerprint
+    pipeline (corpus scan + hash shuffle) twice, since Spark only
+    reuses an exchange when both subtrees canonicalize identically.
+    The join itself beats the collect_list + in-bucket-lambda
+    formulation: xor/bit_count/comparison run inside whole-stage
+    codegen instead of an interpreted higher-order function (measured
+    ~2x at sf0.1 where coarse 4-bit bands give ~10^6-pair fan-out),
+    and the hamming filter runs BEFORE the dedup exchange, so the
+    distinct only moves true near-dups. A pathological hot bucket
+    means the banding is too coarse — widen ``band_key`` — not that
+    the plan is wrong. Output: (id_a, id_b, hamming), id_a < id_b.
     """
     width = bits // bands
     mask = (1 << width) - 1
-    sig = simhash_fingerprints(docs, text_col, id_col, bits)
+    sig = simhash_fingerprints(docs, text_col, id_col, bits).persist()
     band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select(F.col(id_col), "simhash", band).select(
         F.col(id_col),
@@ -435,28 +439,22 @@ def simhash_near_dup_pairs(
         # only takes a literal shift amount)
         F.expr(f"shiftright(simhash, band * {width}) & {mask}").alias("band_key"),
     )
-    buckets = (
-        banded.groupBy("band", "band_key")
-        .agg(
-            F.collect_list(
-                F.struct(F.col(id_col).alias("id"), F.col("simhash"))
-            ).alias("ds")
-        )
-        .filter(F.size("ds") >= 2)
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("_ha"), "band", "band_key"
     )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(ds, (x, i) -> "
-            "transform(slice(ds, i + 2, size(ds)), y -> struct("
-            "least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b, "
-            "bit_count(x.simhash ^ y.simhash) AS hamming))))"
-        )
-    ).alias("p")
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "band", "band_key"
+    )
     return (
-        buckets.select(pair)
-        .select("p.id_a", "p.id_b", "p.hamming")
-        .distinct()
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
 
 
