@@ -5531,3 +5531,64 @@ def contrastive_negatives(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "copurchase_two_hop_reach",
+    """
+    WITH e0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    e AS (SELECT p1 AS src, p2 AS dst FROM e0
+          UNION ALL SELECT p2, p1 FROM e0),
+    h2 AS (
+      SELECT e1.src, e2.dst
+      FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      WHERE e2.dst <> e1.src
+      UNION
+      SELECT src, dst FROM e)
+    SELECT src AS partkey,
+           CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_within_2_hops
+    FROM h2 GROUP BY src
+    """,
+)
+def copurchase_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """K-hop reachability (k=2) on the strong co-purchase graph — the
+    unrolled-BFS join pattern: frontier-extend is one equi-join of the
+    edge list with itself, the self-loop guard is a residual predicate,
+    and the 1-hop U 2-hop union dedups in the same aggregate that
+    counts per-source reach. Each extra hop is one more join over the
+    SAME edge list (persist it for deep walks); neighborhood counts
+    stay node-sized. The weight threshold (>= 2 shared orders) keeps
+    hub fan-out bounded — on the unthresholded dense graph 2 hops
+    reach nearly everything and the join is all cost, no signal."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    e = e0.select(F.col("p1").alias("src"), F.col("p2").alias("dst")).unionAll(
+        e0.select(F.col("p2").alias("src"), F.col("p1").alias("dst"))
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    two = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .filter(F.col("e2.dst") != F.col("e1.src"))
+        .select(F.col("e1.src").alias("src"), F.col("e2.dst").alias("dst"))
+    )
+    reach = two.unionAll(e.select("src", "dst"))
+    return reach.groupBy(F.col("src").alias("partkey")).agg(
+        F.count_distinct("dst").cast("bigint").alias("n_within_2_hops")
+    )
