@@ -5592,3 +5592,80 @@ def copurchase_two_hop_reach(spark: SparkSession, sf: str) -> DataFrame:
     return reach.groupBy(F.col("src").alias("partkey")).agg(
         F.count_distinct("dst").cast("bigint").alias("n_within_2_hops")
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    body = [
+        """
+    WITH e0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2),
+    e_0 AS (SELECT p1 AS src, p2 AS dst FROM e0
+            UNION ALL SELECT p2, p1 FROM e0)"""
+    ]
+    for r in range(1, rounds + 1):
+        body.append(
+            f""",
+    d_{r} AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+              FROM e_{r - 1} GROUP BY src),
+    keep_{r} AS (SELECT src FROM d_{r} WHERE d >= {k}),
+    e_{r} AS (
+      SELECT e.src, e.dst FROM e_{r - 1} e
+      JOIN keep_{r} ka ON e.src = ka.src
+      JOIN keep_{r} kb ON e.dst = kb.src)"""
+        )
+    body.append(
+        f"""
+    SELECT src AS partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e_{rounds} GROUP BY src HAVING COUNT(*) >= {k}"""
+    )
+    return "".join(body)
+
+
+@register("copurchase_kcore", _kcore_oracle(3, 3))
+def copurchase_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """K-core decomposition (k=3, three peeling rounds) of the strong
+    co-purchase graph: repeatedly drop nodes with induced degree < k —
+    the standard dense-subgraph / community-seed primitive. Each round
+    is one degree aggregate plus two semi-join-shaped filters against
+    the survivor set (node-sized, broadcastable); the edge list is
+    persisted because every round's induced subgraph derives from the
+    previous one. Three unrolled rounds keep the program
+    oracle-expressible; at scale the loop runs until the survivor
+    count stops changing, checkpointing every few rounds. Output:
+    nodes of the (approximate) 3-core with their induced degree."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    e = (
+        e0.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .unionAll(e0.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+        .persist()
+    )
+    k = 3
+    for _ in range(3):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+    return (
+        e.groupBy(F.col("src").alias("partkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )
