@@ -5669,3 +5669,61 @@ def copurchase_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
+
+
+@register(
+    "customer_churn_by_year",
+    """
+    WITH y AS (
+      SELECT DISTINCT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr
+      FROM orders),
+    mx AS (SELECT MAX(yr) AS max_yr FROM y)
+    SELECT a.yr AS year,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(*) FILTER (b.o_custkey IS NULL) AS BIGINT)
+             AS n_churned,
+           round(CAST(COUNT(*) FILTER (b.o_custkey IS NULL) AS DOUBLE)
+             / COUNT(*), 9) AS churn_rate
+    FROM y a CROSS JOIN mx
+    LEFT JOIN y b
+      ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+    WHERE a.yr < mx.max_yr
+    GROUP BY a.yr
+    """,
+)
+def customer_churn_by_year(spark: SparkSession, sf: str) -> DataFrame:
+    """Year-over-year customer churn: of the customers active in year
+    Y, how many placed no order in Y+1. The activity table collapses
+    to distinct (customer, year) FIRST — the join and aggregate then
+    run on |customers|x|years| rows, not |orders|. Churn is a LEFT
+    join against the next year's activity with a null-probe count
+    (the set-oriented form of per-row existence checks); the final
+    year is excluded via a broadcast 1-row max rather than a second
+    scan-derived constant. Rate derives from two exact counts, so
+    only the division needs a round guard."""
+    orders = load(spark, sf, "orders")
+    y = orders.select(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).distinct()
+    mx = y.agg(F.max("yr").alias("max_yr"))
+    a = y.alias("a")
+    b = y.alias("b")
+    joined = (
+        a.join(F.broadcast(mx))
+        .filter(F.col("a.yr") < F.col("max_yr"))
+        .join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+            "left",
+        )
+    )
+    churned = F.sum(F.col("b.o_custkey").isNull().cast("long")).cast("bigint")
+    return joined.groupBy(F.col("a.yr").alias("year")).agg(
+        F.count(F.lit(1)).alias("n_active"),
+        churned.alias("n_churned"),
+        F.round(
+            churned.cast("double") / F.count(F.lit(1)), 9
+        ).alias("churn_rate"),
+    )
