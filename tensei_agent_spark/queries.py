@@ -5727,3 +5727,66 @@ def customer_churn_by_year(spark: SparkSession, sf: str) -> DataFrame:
             churned.cast("double") / F.count(F.lit(1)), 9
         ).alias("churn_rate"),
     )
+
+
+@register(
+    "event_type_couse_matrix",
+    """
+    WITH tu AS (SELECT DISTINCT user_id, event_type FROM events),
+    sz AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM tu GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2)
+    SELECT type_a, type_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / (sa.n + sb.n - n_shared), 9)
+             AS jaccard
+    FROM pairs
+    JOIN sz sa ON type_a = sa.event_type
+    JOIN sz sb ON type_b = sb.event_type
+    """,
+)
+def event_type_couse_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral overlap matrix: Jaccard similarity between the user
+    sets of every event-type pair (which features are used by the same
+    people). The fact table collapses to distinct (user, type) first,
+    so the self-join fans out at most |types|² rows per user — bounded
+    by the type-universe size, never by event volume — and the
+    |types|-row size table rides broadcast joins onto the pair counts.
+    Same one-collapse-then-pair shape as `source_overlap_matrix`, on
+    the behavioral axis."""
+    ev = load(spark, sf, "events")
+    tu = ev.select("user_id", "event_type").distinct()
+    sz = tu.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = tu.alias("a")
+    b = tu.alias("b")
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("_na"))
+    sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("_nb"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("n_shared")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
