@@ -5790,3 +5790,68 @@ def event_type_couse_matrix(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "nation_revenue_share_rollup",
+    """
+    WITH nr AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    rt AS (SELECT region, SUM(rev) AS region_rev FROM nr GROUP BY region),
+    gt AS (SELECT SUM(rev) AS total_rev FROM nr)
+    SELECT nr.region, nr.nation,
+           CAST(nr.rev AS DOUBLE) AS revenue,
+           round(CAST(nr.rev AS DOUBLE) / CAST(rt.region_rev AS DOUBLE), 9)
+             AS share_of_region,
+           round(CAST(nr.rev AS DOUBLE) / CAST(gt.total_rev AS DOUBLE), 9)
+             AS share_of_total
+    FROM nr JOIN rt USING (region) CROSS JOIN gt
+    """,
+)
+def nation_revenue_share_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical percent-of-parent: each nation's revenue as a share
+    of its region and of the world. The fact scan aggregates ONCE to
+    the |nations|-row leaf table; both parent levels re-aggregate that
+    tiny table and broadcast back — no second fact scan, no
+    partition-by-region window over raw orders. All three sums are
+    exact DECIMAL (region/global totals are sums of identical leaf
+    decimals, so the engines agree bit-for-bit before the rounded
+    division). The star join runs dimension-broadcast like q5."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    nr = (
+        orders.join(
+            customer, orders["o_custkey"] == customer["c_custkey"]
+        )
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(_m("o_totalprice")).alias("rev"))
+    )
+    rt = nr.groupBy("region").agg(F.sum("rev").alias("region_rev"))
+    gt = nr.agg(F.sum("rev").alias("total_rev"))
+    return (
+        nr.join(F.broadcast(rt), "region")
+        .join(F.broadcast(gt))
+        .select(
+            "region",
+            "nation",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("rev").cast("double") / F.col("region_rev").cast("double"), 9
+            ).alias("share_of_region"),
+            F.round(
+                F.col("rev").cast("double") / F.col("total_rev").cast("double"), 9
+            ).alias("share_of_total"),
+        )
+    )
