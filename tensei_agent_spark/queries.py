@@ -5855,3 +5855,50 @@ def nation_revenue_share_rollup(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("share_of_total"),
         )
     )
+
+
+@register(
+    "user_longest_streak",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    s AS (
+      SELECT user_id, day,
+             (day - DATE '1970-01-01')
+               - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS grp
+      FROM d),
+    runs AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM s GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+    """,
+)
+def user_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive active
+    days. Distinct (user, day) first, then the classic island key —
+    epoch-day minus the user-ordered row number is constant within a
+    consecutive run — turns streak detection into two hash aggregates.
+    The only window is partitioned per user and ordered over that
+    user's distinct days (bounded by the calendar, not event volume),
+    so the pattern holds at any scale; no self-join, no day spine."""
+    ev = load(spark, sf, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    s = d.select(
+        "user_id",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01"))
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    runs = s.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
