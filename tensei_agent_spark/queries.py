@@ -5902,3 +5902,89 @@ def user_longest_streak(spark: SparkSession, sf: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak_days"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+@register(
+    "event_trigram_paths",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT event_type AS e1, e2, e3,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM s WHERE e3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n_paths DESC, e1, e2, e3
+    LIMIT 25
+    """,
+)
+def event_trigram_paths(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral path mining: the 25 most common 3-step event
+    sequences across users — the n-gram upgrade of the pairwise
+    transition matrix. Two lead() windows per user (ordered by time
+    with event_id as the deterministic tie-break) build the trigram
+    stream in one pass with no self-joins; the aggregate's key space
+    is |types|³, so map-side partial counting absorbs the volume
+    before one small exchange."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        s.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "e1", "e2", "e3")
+        .limit(25)
+    )
+
+
+@register(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substring(CAST(CAST(o_totalprice AS DECIMAL(14,2))
+               AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM d)
+    SELECT digit,
+           CAST(COUNT(*) AS BIGINT) AS n_values,
+           round(CAST(COUNT(*) AS DOUBLE) / n.total, 9) AS observed_p,
+           round(log10(1.0 + 1.0 / digit), 9) AS benford_p
+    FROM d CROSS JOIN n
+    GROUP BY digit, n.total
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford's-law screen on order amounts: observed first-digit
+    distribution vs the log10(1 + 1/d) expectation — the classic
+    fabricated-data / unit-mixing detector for financial columns.
+    First digits come from the DECIMAL string form (both engines
+    render the same canonical digits, unlike double formatting); one
+    pure-map projection, one 9-bucket aggregate, and the 1-row total
+    broadcasts back for the shares."""
+    orders = load(spark, sf, "orders")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(_m("o_totalprice").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return (
+        d.join(F.broadcast(n))
+        .groupBy("digit", "total")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_values"))
+        .select(
+            "digit",
+            "n_values",
+            F.round(F.col("n_values").cast("double") / F.col("total"), 9).alias(
+                "observed_p"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9).alias("benford_p"),
+        )
+    )
