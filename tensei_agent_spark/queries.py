@@ -5988,3 +5988,48 @@ def benford_first_digit(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.log10(1.0 + 1.0 / F.col("digit")), 9).alias("benford_p"),
         )
     )
+
+
+@register(
+    "weighted_median_quantity",
+    """
+    WITH q AS (
+      SELECT CAST(l_quantity AS DECIMAL(12,2)) AS qty,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS w
+      FROM lineitem GROUP BY 1),
+    c AS (
+      SELECT qty, w,
+             SUM(w) OVER (ORDER BY qty
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(w) OVER () AS tw
+      FROM q)
+    SELECT CAST(MIN(qty) AS DOUBLE) AS weighted_median_qty,
+           CAST(MAX(tw) AS DOUBLE) AS total_weight
+    FROM c WHERE cw * 2 >= tw
+    """,
+)
+def weighted_median_quantity(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted median: the order quantity at which half the revenue
+    mass sits at or below — robust 'typical deal size' weighted by
+    value, not row count. The fact table first aggregates weight per
+    DISTINCT quantity (a domain of dozens of values), so the
+    cumulative-weight window and the half-mass probe run over a
+    constant-size series however many lineitems exist; exact DECIMAL
+    weights make the crossing point engine-identical with no epsilon."""
+    li = load(spark, sf, "lineitem")
+    q = li.groupBy(_m("l_quantity").alias("qty")).agg(
+        F.sum(_m("l_extendedprice")).alias("w")
+    )
+    wc = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = q.select(
+        "qty",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return c.filter(F.col("cw") * 2 >= F.col("tw")).agg(
+        F.min("qty").cast("double").alias("weighted_median_qty"),
+        F.max("tw").cast("double").alias("total_weight"),
+    )
