@@ -6033,3 +6033,70 @@ def weighted_median_quantity(spark: SparkSession, sf: str) -> DataFrame:
         F.min("qty").cast("double").alias("weighted_median_qty"),
         F.max("tw").cast("double").alias("total_weight"),
     )
+
+
+@register(
+    "part_abc_classification",
+    """
+    WITH pr AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    c AS (
+      SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(rev) OVER () AS tw
+      FROM pr)
+    SELECT CASE WHEN cw * 5 <= tw * 4 THEN 'A'
+                WHEN cw * 20 <= tw * 19 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           round(CAST(SUM(rev) AS DOUBLE) / CAST(MAX(tw) AS DOUBLE), 9)
+             AS revenue_share
+    FROM c GROUP BY 1
+    """,
+)
+def part_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by revenue,
+    class A = the head covering 80% of cumulative revenue, B = next
+    15%, C = the tail. The fact table aggregates to one row per part
+    FIRST, so the ranking window runs over the part dimension (bounded
+    catalog, not order volume); class boundaries compare exact DECIMAL
+    cumulative sums against integer-scaled totals (cw*5 <= tw*4), so
+    no float epsilon can flip a part across engines. The deliberate
+    single-partition window over the part dimension is the documented
+    trade-off — for a 10^8-part catalog, switch to a two-pass
+    percentile-boundary plan like `stats_equidepth_histogram`."""
+    li = load(spark, sf, "lineitem")
+    pr = li.groupBy("l_partkey").agg(
+        F.sum(_m("l_extendedprice") * (1 - _m("l_discount"))).alias("rev")
+    )
+    wc = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = pr.select(
+        "rev",
+        F.sum("rev").over(wc).alias("cw"),
+        F.sum("rev").over(wt).alias("tw"),
+    )
+    klass = (
+        F.when(F.col("cw") * 5 <= F.col("tw") * 4, F.lit("A"))
+        .when(F.col("cw") * 20 <= F.col("tw") * 19, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        c.groupBy(klass.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("rev").cast("double").alias("revenue"),
+            F.round(
+                F.sum("rev").cast("double") / F.max("tw").cast("double"), 9
+            ).alias("revenue_share"),
+        )
+    )
