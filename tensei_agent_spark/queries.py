@@ -6100,3 +6100,88 @@ def part_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+@register(
+    "part_single_source_risk",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem GROUP BY 1, 2),
+    tot AS (
+      SELECT l_partkey,
+             SUM(qty) AS total_qty,
+             MAX(qty) AS top_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_suppliers
+      FROM ps GROUP BY l_partkey)
+    SELECT l_partkey, n_suppliers,
+           CAST(total_qty AS DOUBLE) AS total_qty,
+           round(CAST(top_qty AS DOUBLE) / CAST(total_qty AS DOUBLE), 9)
+             AS top_supplier_share
+    FROM tot
+    ORDER BY top_supplier_share DESC, l_partkey
+    LIMIT 20
+    """,
+)
+def part_single_source_risk(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-sourcing risk report: the 20 parts most dependent on one
+    supplier (highest top-supplier volume share). Two chained hash
+    aggregates — (part, supplier) totals, then per-part
+    total/max/count — express 'share of the largest contributor' with
+    NO window and NO self-join; only the 20-row report is sorted
+    (top-k over the aggregated part dimension, partial take before
+    the exchange). The general shape for top-contributor
+    concentration checks at any scale."""
+    li = load(spark, sf, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_m("l_quantity")).alias("qty")
+    )
+    tot = ps.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty"),
+        F.max("qty").alias("top_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+    )
+    return (
+        tot.select(
+            "l_partkey",
+            "n_suppliers",
+            F.col("total_qty").cast("double").alias("total_qty"),
+            F.round(
+                F.col("top_qty").cast("double")
+                / F.col("total_qty").cast("double"),
+                9,
+            ).alias("top_supplier_share"),
+        )
+        .orderBy(F.desc("top_supplier_share"), "l_partkey")
+        .limit(20)
+    )
+
+
+@register(
+    "order_size_histogram",
+    """
+    WITH sz AS (
+      SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey)
+    SELECT n_lines,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lineitems
+    FROM sz GROUP BY n_lines
+    """,
+)
+def order_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Lines-per-order histogram — the two-level aggregation shape
+    (fact → per-key size → size distribution) that answers 'how big
+    are my groups' for basket analysis and partition-sizing decisions.
+    First aggregate is the only one that touches fact volume; the
+    second runs on |orders| rows keyed by a handful of distinct
+    sizes, so map-side partials collapse it almost entirely."""
+    li = load(spark, sf, "lineitem")
+    sz = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+    return sz.groupBy("n_lines").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("n_lines").cast("bigint").alias("n_lineitems"),
+    )
