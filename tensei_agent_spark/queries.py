@@ -6185,3 +6185,73 @@ def order_size_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         F.sum("n_lines").cast("bigint").alias("n_lineitems"),
     )
+
+
+@register(
+    "session_bounce_stats",
+    """
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                    > 1800000000
+                  OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM x),
+    sess AS (
+      SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s GROUP BY user_id, sid)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS bounce_rate,
+           round(CAST(SUM(n) AS DOUBLE) / COUNT(*), 9)
+             AS avg_events_per_session
+    FROM sess
+    """,
+)
+def session_bounce_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionized bounce rate: sessions are 30-minute-gap islands per
+    user (batch twin of the stateful streaming sessionizer); a bounce
+    is a single-event session. Session ids come from the classic
+    cumulative-sum-of-start-flags — both windows are per-user,
+    time-ordered with event_id as the deterministic tie-break, so ONE
+    exchange on user_id feeds the lag, the running sum, and the
+    per-session aggregate. Gap comparisons run on exact microsecond
+    integers; only the two final ratios need round guards."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    x = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap > 1800000000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = x.select("user_id", F.sum("new_s").over(wr).alias("sid"))
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    bounces = F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("bigint")
+    return sess.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounces.alias("n_bounces"),
+        F.round(bounces.cast("double") / F.count(F.lit(1)), 9).alias(
+            "bounce_rate"
+        ),
+        F.round(
+            F.sum("n").cast("double") / F.count(F.lit(1)), 9
+        ).alias("avg_events_per_session"),
+    )
