@@ -6255,3 +6255,65 @@ def session_bounce_stats(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n").cast("double") / F.count(F.lit(1)), 9
         ).alias("avg_events_per_session"),
     )
+
+
+@register(
+    "nation_priority_independence",
+    """
+    WITH o AS (
+      SELECT n.n_name AS nation, ord.o_orderpriority AS priority
+      FROM orders ord
+      JOIN customer c ON ord.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    cnt AS (SELECT nation, priority, CAST(COUNT(*) AS BIGINT) AS n
+            FROM o GROUP BY 1, 2),
+    rm AS (SELECT nation, CAST(SUM(n) AS BIGINT) AS rn
+           FROM cnt GROUP BY nation),
+    cm AS (SELECT priority, CAST(SUM(n) AS BIGINT) AS cn
+           FROM cnt GROUP BY priority),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cnt)
+    SELECT cnt.nation, cnt.priority, cnt.n,
+           round(CAST(rm.rn AS DOUBLE) * cm.cn / t.tot, 9) AS expected_n,
+           round(pow(cnt.n - CAST(rm.rn AS DOUBLE) * cm.cn / t.tot, 2)
+             / (CAST(rm.rn AS DOUBLE) * cm.cn / t.tot), 9) AS chi2_term
+    FROM cnt
+    JOIN rm USING (nation)
+    JOIN cm USING (priority)
+    CROSS JOIN t
+    """,
+)
+def nation_priority_independence(spark: SparkSession, sf: str) -> DataFrame:
+    """Chi-square independence profile of the nation x order-priority
+    contingency table: per-cell observed count, expected count under
+    independence (row_total x col_total / grand_total), and the chi²
+    term — the screen for 'does this category mix differ by segment'.
+    One fact aggregate to the |nations|x|priorities| cell table; both
+    margins and the grand total re-aggregate that tiny table and
+    broadcast back (same shape as the hierarchical rollup). All inputs
+    are exact integers, so the derived doubles agree bit-for-bit."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    o = orders.join(
+        customer, orders["o_custkey"] == customer["c_custkey"]
+    ).join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+    cnt = o.groupBy(
+        F.col("n_name").alias("nation"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rm = cnt.groupBy("nation").agg(F.sum("n").cast("bigint").alias("rn"))
+    cm = cnt.groupBy("priority").agg(F.sum("n").cast("bigint").alias("cn"))
+    t = cnt.agg(F.sum("n").cast("bigint").alias("tot"))
+    exp = F.col("rn").cast("double") * F.col("cn") / F.col("tot")
+    return (
+        cnt.join(F.broadcast(rm), "nation")
+        .join(F.broadcast(cm), "priority")
+        .join(F.broadcast(t))
+        .select(
+            "nation",
+            "priority",
+            "n",
+            F.round(exp, 9).alias("expected_n"),
+            F.round(F.pow(F.col("n") - exp, 2) / exp, 9).alias("chi2_term"),
+        )
+    )
