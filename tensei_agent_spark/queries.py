@@ -6317,3 +6317,61 @@ def nation_priority_independence(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.pow(F.col("n") - exp, 2) / exp, 9).alias("chi2_term"),
         )
     )
+
+
+@register(
+    "new_vs_returning_revenue",
+    """
+    WITH fy AS (
+      SELECT o_custkey,
+             CAST(MIN(EXTRACT(year FROM o_orderdate)) AS INT) AS first_yr
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS year,
+           CAST(SUM(CASE WHEN fy.first_yr = EXTRACT(year FROM o.o_orderdate)
+                 THEN CAST(o.o_totalprice AS DECIMAL(14,2))
+                 ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+             AS new_customer_revenue,
+           CAST(SUM(CASE WHEN fy.first_yr < EXTRACT(year FROM o.o_orderdate)
+                 THEN CAST(o.o_totalprice AS DECIMAL(14,2))
+                 ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+             AS returning_revenue,
+           CAST(COUNT(DISTINCT CASE
+                 WHEN fy.first_yr = EXTRACT(year FROM o.o_orderdate)
+                 THEN o.o_custkey END) AS BIGINT) AS n_new_customers
+    FROM orders o JOIN fy ON o.o_custkey = fy.o_custkey
+    GROUP BY 1
+    """,
+)
+def new_vs_returning_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch cohort attribution: each year's revenue split into
+    new customers (first-ever order that year) vs returning. The
+    customer's acquisition year is ONE aggregate over the same fact
+    table, joined back on the customer key — no per-customer window
+    over raw orders, and the join is customer-keyed (it shuffles
+    |customers|-scale rows, never broadcast: the acquisition table
+    grows with the data). Conditional DECIMAL sums keep both revenue
+    columns exact; the distinct new-customer count dedups inside the
+    year group."""
+    orders = load(spark, sf, "orders")
+    fy = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).cast("int").alias("first_yr")
+    )
+    o = orders.select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        _m("o_totalprice").alias("price"),
+    ).join(fy, "o_custkey")
+    zero = F.lit(0).cast(MONEY)
+    return o.groupBy(F.col("yr").alias("year")).agg(
+        F.sum(F.when(F.col("first_yr") == F.col("yr"), F.col("price")).otherwise(zero))
+        .cast("double")
+        .alias("new_customer_revenue"),
+        F.sum(F.when(F.col("first_yr") < F.col("yr"), F.col("price")).otherwise(zero))
+        .cast("double")
+        .alias("returning_revenue"),
+        F.count_distinct(
+            F.when(F.col("first_yr") == F.col("yr"), F.col("o_custkey"))
+        )
+        .cast("bigint")
+        .alias("n_new_customers"),
+    )
