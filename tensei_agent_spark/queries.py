@@ -6375,3 +6375,80 @@ def new_vs_returning_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_new_customers"),
     )
+
+
+@register(
+    "interpurchase_gap_profile",
+    """
+    WITH g AS (
+      SELECT date_diff('day',
+               LAG(CAST(o_orderdate AS DATE)) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders)
+    SELECT CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_days) AS BIGINT) AS min_days,
+           CAST(MAX(gap_days) AS BIGINT) AS max_days,
+           round(quantile_cont(gap_days, 0.25), 9) AS p25_days,
+           round(quantile_cont(gap_days, 0.50), 9) AS median_days,
+           round(quantile_cont(gap_days, 0.75), 9) AS p75_days
+    FROM g
+    """,
+)
+def interpurchase_gap_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-purchase cadence: the distribution of days between a
+    customer's consecutive orders — the input to repurchase-cycle and
+    win-back timing decisions. One customer-partitioned lag window
+    produces the gap stream (first orders contribute NULL and drop
+    out); the profile is exact interpolated quartiles over integer day
+    counts, which Spark `percentile` and DuckDB `quantile_cont`
+    compute identically. At extreme scale swap the exact percentile
+    for `percentile_approx` as documented in `stats_quantiles`."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        F.datediff(
+            F.to_date("o_orderdate"), F.lag(F.to_date("o_orderdate")).over(w)
+        ).alias("gap_days")
+    )
+    return g.agg(
+        F.count("gap_days").cast("bigint").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+        F.round(F.expr("percentile(gap_days, 0.25)"), 9).alias("p25_days"),
+        F.round(F.expr("percentile(gap_days, 0.50)"), 9).alias("median_days"),
+        F.round(F.expr("percentile(gap_days, 0.75)"), 9).alias("p75_days"),
+    )
+
+
+@register(
+    "order_value_log2_histogram",
+    """
+    SELECT CAST(floor(log2(o_totalprice)) AS INT) AS log2_band,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1
+    """,
+)
+def order_value_log2_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Log-scale (powers-of-two) order-value histogram — the
+    one-glance magnitude profile for long-tailed money columns. Pure
+    map-side binning (`floor(log2(x))`) straight into one hash
+    aggregate: no boundary table, no percentile pass, no window —
+    the cheapest possible distribution sketch, ideal as a first look
+    before the equi-depth machinery. Both engines evaluate log2 on
+    identical doubles; min/max per band are order-insensitive."""
+    orders = load(spark, sf, "orders")
+    return (
+        orders.filter(F.col("o_totalprice") > 0)
+        .groupBy(
+            F.floor(F.log2("o_totalprice")).cast("int").alias("log2_band")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
