@@ -6452,3 +6452,59 @@ def order_value_log2_histogram(spark: SparkSession, sf: str) -> DataFrame:
             F.max("o_totalprice").cast("double").alias("max_price"),
         )
     )
+
+
+@register(
+    "embedding_dim_profile",
+    """
+    WITH x AS (
+      SELECT CAST(i AS INT) AS dim,
+             CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+               AS DECIMAL(18,9)) AS v
+      FROM embeddings, UNNEST(range(1, 65)) t(i)),
+    s AS (
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(v) AS sv, SUM(v * v) AS svv
+      FROM x GROUP BY dim)
+    SELECT dim, n,
+           round(CAST(sv AS DOUBLE) / n, 9) AS mean_v,
+           round((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+             / (n - 1), 9) AS var_v
+    FROM s
+    """,
+)
+def embedding_dim_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding QA: per-dimension mean and variance across the corpus
+    — the screen for dead dimensions (variance ~ 0 carries no signal)
+    and mis-centered ones (mean far from 0 after normalization). One
+    posexplode to (dim, component) rows, then 64-key hash aggregation
+    of exact DECIMAL sums and sums-of-squares — component values round
+    to DECIMAL(18,9) identically in both engines, so the moment sums
+    are order-insensitive and bit-equal; only the final mean/variance
+    divisions need round guards. Same plan shape at any corpus size:
+    the key space is the dimensionality, not the row count."""
+    emb = load(spark, sf, "embeddings")
+    x = emb.select(
+        F.posexplode("embedding").alias("pos", "comp")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.col("comp").cast("double").cast("decimal(18,9)").alias("v"),
+    )
+    s = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    return s.select(
+        "dim",
+        "n",
+        F.round(F.col("sv").cast("double") / F.col("n"), 9).alias("mean_v"),
+        F.round(
+            (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+            )
+            / (F.col("n") - 1),
+            9,
+        ).alias("var_v"),
+    )
