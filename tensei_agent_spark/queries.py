@@ -6508,3 +6508,85 @@ def embedding_dim_profile(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).alias("var_v"),
     )
+
+
+@register(
+    "top_terms_per_language",
+    r"""
+    WITH wc AS (
+      SELECT lang, w AS word, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents,
+           UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) t(w)
+      WHERE w <> ''
+      GROUP BY lang, w),
+    r AS (
+      SELECT lang, word, n,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n DESC, word) AS rk
+      FROM wc)
+    SELECT lang, word, n, CAST(rk AS INT) AS rk
+    FROM r WHERE rk <= 5
+    """,
+)
+def top_terms_per_language(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-5 terms per language — the windowed top-k-per-group shape:
+    explode to (lang, word) with map-side partial counting, one
+    aggregate to the (lang, word) count table, then a rank window
+    PARTITIONED BY language (each partition sorts only its own
+    vocabulary — never a global sort). Word as the deterministic
+    tie-break makes the cut identical across engines. The per-segment
+    vocabulary fingerprint for corpus drift review."""
+    docs = load(spark, sf, "documents")
+    wc = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "word")
+    return (
+        wc.select("lang", "word", "n", F.row_number().over(w).cast("int").alias("rk"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "missing_order_days",
+    """
+    WITH span AS (
+      SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+             CAST(MAX(o_orderdate) AS DATE) AS d1
+      FROM orders),
+    spine AS (
+      SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        AS day
+      FROM span),
+    active AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders)
+    SELECT CAST(s.day AS VARCHAR) AS day
+    FROM spine s LEFT JOIN active a ON s.day = a.day
+    WHERE a.day IS NULL
+    """,
+)
+def missing_order_days(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-continuity audit: calendar days inside the observed order
+    span with NO orders at all — silent ingestion gaps that row counts
+    never reveal. The day spine generates from the broadcast 1-row
+    min/max span (|days| rows regardless of order volume); the fact
+    side collapses to distinct active days before the anti-join probe,
+    so both join inputs are calendar-sized."""
+    orders = load(spark, sf, "orders")
+    span = orders.agg(
+        F.to_date(F.min("o_orderdate")).alias("d0"),
+        F.to_date(F.max("o_orderdate")).alias("d1"),
+    )
+    spine = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    active = orders.select(F.to_date("o_orderdate").alias("day")).distinct()
+    return (
+        spine.join(active, "day", "left_anti")
+        .select(F.col("day").cast("string").alias("day"))
+    )
