@@ -6590,3 +6590,91 @@ def missing_order_days(spark: SparkSession, sf: str) -> DataFrame:
         spine.join(active, "day", "left_anti")
         .select(F.col("day").cast("string").alias("day"))
     )
+
+
+@register(
+    "event_value_ecdf_probes",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(CAST(SUM(CASE WHEN value <= 10 THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 9) AS p_le_10,
+           round(CAST(SUM(CASE WHEN value <= 50 THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 9) AS p_le_50,
+           round(CAST(SUM(CASE WHEN value <= 100 THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 9) AS p_le_100,
+           round(CAST(SUM(CASE WHEN value <= 500 THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*), 9) AS p_le_500
+    FROM events
+    """,
+)
+def event_value_ecdf_probes(spark: SparkSession, sf: str) -> DataFrame:
+    """Empirical CDF probed at fixed thresholds — the inverse of the
+    percentile question ('what fraction sits below X' instead of
+    'what value sits at fraction p'), answered with conditional
+    aggregates in ONE scan and zero sorts. The cheapest distribution
+    check when the thresholds are known a priori (SLA limits, pricing
+    tiers); counts are exact integers, so the ratios agree
+    bit-for-bit."""
+    ev = load(spark, sf, "events")
+    def probe(t):
+        return F.round(
+            F.sum(F.when(F.col("value") <= t, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias(f"p_le_{t}")
+    return ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        probe(10), probe(50), probe(100), probe(500),
+    )
+
+
+@register(
+    "revenue_concentration_trend",
+    """
+    WITH cy AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+             o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS rev
+      FROM orders GROUP BY 1, 2),
+    r AS (
+      SELECT year, rev,
+             row_number() OVER (PARTITION BY year
+               ORDER BY rev DESC, o_custkey) AS rk
+      FROM cy)
+    SELECT year,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           CAST(SUM(CASE WHEN rk <= 10 THEN rev
+                 ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+             AS top10_revenue,
+           round(CAST(SUM(CASE WHEN rk <= 10 THEN rev
+                 ELSE CAST(0 AS DECIMAL(14,2)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 9) AS top10_share
+    FROM r GROUP BY year
+    """,
+)
+def revenue_concentration_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Concentration trend: the share of each year's revenue held by
+    its top-10 customers — is the business diversifying or keying on
+    whales? The fact table aggregates to (customer, year) first; the
+    rank window partitions PER YEAR over that aggregated table, so no
+    partition ever exceeds the customer count and no global sort
+    exists. Conditional exact-DECIMAL sums fold the top-10 and total
+    into the same aggregate pass; customer key breaks rank ties
+    deterministically."""
+    orders = load(spark, sf, "orders")
+    cy = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("year"), F.col("o_custkey")
+    ).agg(F.sum(_m("o_totalprice")).alias("rev"))
+    w = Window.partitionBy("year").orderBy(F.desc("rev"), "o_custkey")
+    r = cy.select("year", "rev", F.row_number().over(w).alias("rk"))
+    zero = F.lit(0).cast("decimal(14,2)")
+    top = F.sum(F.when(F.col("rk") <= 10, F.col("rev")).otherwise(zero))
+    return r.groupBy("year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("rev").cast("double").alias("total_revenue"),
+        top.cast("double").alias("top10_revenue"),
+        F.round(
+            top.cast("double") / F.sum("rev").cast("double"), 9
+        ).alias("top10_share"),
+    )
