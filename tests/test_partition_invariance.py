@@ -1,0 +1,48 @@
+"""Results must be invariant to the physical partitioning.
+
+A query whose output changes with `spark.sql.shuffle.partitions` is
+leaking execution order into its results (nondeterministic ranks,
+float-sum ordering, first/last without ordering) — correct at sf0.001
+by luck, wrong on a cluster. Run a representative slice of the
+registry at a hostile low partition count and compare against the
+default-width run."""
+
+from __future__ import annotations
+
+import pytest
+
+from tensei_agent_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# One query per sensitive shape: window ranks, decimal aggregation,
+# iterative graph, LSH bucketing, island keys, top-k with ties.
+SAMPLE = [
+    "q1_pricing_summary",
+    "stratified_sample_exact",
+    "part_copurchase_pagerank",
+    "dedup_minhash_lsh",
+    "user_longest_streak",
+    "part_single_source_risk",
+    "revenue_concentration_trend",
+]
+
+
+def _rows(spark, name):
+    df = REGISTRY[name].build(spark, SF)
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(str(r[c]) for c in cols) for r in df.select(*cols).collect()]
+    )
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_result_invariant_under_partition_count(spark, name):
+    baseline = _rows(spark, name)
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert narrow == baseline
