@@ -6678,3 +6678,82 @@ def revenue_concentration_trend(spark: SparkSession, sf: str) -> DataFrame:
             top.cast("double") / F.sum("rev").cast("double"), 9
         ).alias("top10_share"),
     )
+
+
+@register(
+    "event_value_drift_ks",
+    """
+    WITH mid AS (
+      SELECT epoch_us(MIN(ts))
+               + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 2 AS m
+      FROM events),
+    tagged AS (
+      SELECT CASE WHEN epoch_us(ts) < mid.m THEN 'H1' ELSE 'H2' END
+               AS half,
+             value
+      FROM events CROSS JOIN mid),
+    probes AS (
+      SELECT half, p.t AS probe,
+             round(CAST(SUM(CASE WHEN value <= p.t THEN 1 ELSE 0 END)
+               AS DOUBLE) / COUNT(*), 9) AS cdf
+      FROM tagged
+      CROSS JOIN (SELECT unnest([5, 10, 25, 50, 100, 250, 500]) AS t) p
+      GROUP BY half, p.t)
+    SELECT a.probe,
+           a.cdf AS cdf_h1,
+           b.cdf AS cdf_h2,
+           round(abs(a.cdf - b.cdf), 9) AS cdf_gap
+    FROM probes a JOIN probes b
+      ON a.probe = b.probe AND a.half = 'H1' AND b.half = 'H2'
+    """,
+)
+def event_value_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution-shift monitor: the event-value CDF of the first
+    half of the timeline vs the second, probed at fixed thresholds —
+    max(cdf_gap) is a probe-based Kolmogorov-Smirnov statistic, the
+    standard drift alarm between a reference window and fresh data.
+    The midpoint is a broadcast 1-row aggregate; each half's CDF
+    values come from conditional counts in one scan (probes fan the
+    scan out 7x BEFORE aggregation, collapsing to 14 rows), and the
+    final alignment joins two 7-row frames. Integer counts throughout
+    — only the ratios round."""
+    ev = load(spark, sf, "events")
+    mid = ev.agg(
+        (
+            F.min(F.unix_micros("ts"))
+            + (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 2
+        ).alias("m")
+    )
+    tagged = ev.join(F.broadcast(mid)).select(
+        F.when(F.unix_micros("ts") < F.col("m"), "H1")
+        .otherwise("H2")
+        .alias("half"),
+        "value",
+    )
+    probes = tagged.select(
+        "half",
+        "value",
+        F.explode(F.array(*[F.lit(t) for t in [5, 10, 25, 50, 100, 250, 500]])).alias(
+            "probe"
+        ),
+    ).groupBy("half", "probe").agg(
+        F.round(
+            F.sum(F.when(F.col("value") <= F.col("probe"), 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count(F.lit(1)),
+            9,
+        ).alias("cdf")
+    )
+    a = probes.filter(F.col("half") == "H1").select(
+        "probe", F.col("cdf").alias("cdf_h1")
+    )
+    b = probes.filter(F.col("half") == "H2").select(
+        "probe", F.col("cdf").alias("cdf_h2")
+    )
+    return a.join(b, "probe").select(
+        "probe",
+        "cdf_h1",
+        "cdf_h2",
+        F.round(F.abs(F.col("cdf_h1") - F.col("cdf_h2")), 9).alias("cdf_gap"),
+    )
