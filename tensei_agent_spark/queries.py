@@ -6757,3 +6757,72 @@ def event_value_drift_ks(spark: SparkSession, sf: str) -> DataFrame:
         "cdf_h2",
         F.round(F.abs(F.col("cdf_h1") - F.col("cdf_h2")), 9).alias("cdf_gap"),
     )
+
+
+@register(
+    "source_length_wordcount_corr",
+    r"""
+    WITH x AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS a,
+             CAST(len(list_filter(
+               string_split_regex(trim(text), '\s+'), w -> w <> ''))
+               AS BIGINT) AS b
+      FROM documents),
+    m AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a) AS BIGINT) AS sa, CAST(SUM(b) AS BIGINT) AS sb,
+             CAST(SUM(a * a) AS BIGINT) AS saa,
+             CAST(SUM(b * b) AS BIGINT) AS sbb,
+             CAST(SUM(a * b) AS BIGINT) AS sab
+      FROM x GROUP BY source)
+    SELECT source, n,
+           round((CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * sb / n)
+             / sqrt((saa - CAST(sa AS DOUBLE) * sa / n)
+                  * (sbb - CAST(sb AS DOUBLE) * sb / n)), 9) AS pearson_r
+    FROM m
+    WHERE saa * n > sa * sa AND sbb * n > sb * sb
+    """,
+)
+def source_length_wordcount_corr(spark: SparkSession, sf: str) -> DataFrame:
+    """GROUPED correlation — Pearson r between document length and
+    word count, per source (a near-1 r is healthy prose; divergence
+    flags sources with abnormal tokenization, e.g. CJK or markup
+    blobs). The global `stats_correlation` pattern generalized to
+    per-group: all five co-moment sums are exact BIGINTs folded in
+    ONE hash aggregate per source, so the doubles derive from
+    identical integers on both engines (built-in `corr` is
+    float-order-dependent and would hash-drift). Zero-variance groups
+    are excluded with exact integer tests."""
+    docs = load(spark, sf, "documents")
+    x = docs.select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("a"),
+        F.size(
+            F.filter(
+                F.split(F.trim("text"), r"\s+"), lambda w: w != ""
+            )
+        )
+        .cast("bigint")
+        .alias("b"),
+    )
+    m = x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sa"),
+        F.sum("b").cast("bigint").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+    )
+    cov = F.col("sab").cast("double") - F.col("sa").cast("double") * F.col("sb") / F.col("n")
+    va = F.col("saa") - F.col("sa").cast("double") * F.col("sa") / F.col("n")
+    vb = F.col("sbb") - F.col("sb").cast("double") * F.col("sb") / F.col("n")
+    return (
+        m.filter(
+            (F.col("saa") * F.col("n") > F.col("sa") * F.col("sa"))
+            & (F.col("sbb") * F.col("n") > F.col("sb") * F.col("sb"))
+        )
+        .select(
+            "source", "n", F.round(cov / F.sqrt(va * vb), 9).alias("pearson_r")
+        )
+    )
