@@ -6826,3 +6826,91 @@ def source_length_wordcount_corr(spark: SparkSession, sf: str) -> DataFrame:
             "source", "n", F.round(cov / F.sqrt(va * vb), 9).alias("pearson_r")
         )
     )
+
+
+@register(
+    "part_name_token_revenue",
+    r"""
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS r
+      FROM lineitem GROUP BY l_partkey),
+    tok AS (
+      SELECT p_partkey, w AS token
+      FROM part, UNNEST(string_split(lower(p_name), ' ')) t(w)
+      WHERE w <> '')
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(rev.r) AS DOUBLE) AS revenue
+    FROM tok JOIN rev ON tok.p_partkey = rev.l_partkey
+    GROUP BY token
+    ORDER BY revenue DESC, token
+    LIMIT 20
+    """,
+)
+def part_name_token_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Text-to-fact attribution: revenue attributed to each token of
+    the part NAME (which product words sell) — the hybrid that joins
+    an exploded text dimension onto aggregated fact revenue. Revenue
+    aggregates per part BEFORE the token explode, so the join moves
+    |parts| rows, never lineitems, and the explode fans out only the
+    small dimension. Exact decimal revenue; top-20 take with token
+    tie-break."""
+    li = load(spark, sf, "lineitem")
+    part = load(spark, sf, "part")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(_m("l_extendedprice") * (1 - _m("l_discount"))).alias("r")
+    )
+    tok = part.select(
+        F.col("p_partkey"),
+        F.explode(F.split(F.lower("p_name"), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    return (
+        tok.join(rev, tok["p_partkey"] == rev["l_partkey"])
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("r").cast("double").alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "token")
+        .limit(20)
+    )
+
+
+@register(
+    "customer_tenure_histogram",
+    """
+    WITH t AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MIN(o_orderdate) AS DATE),
+                              CAST(MAX(o_orderdate) AS DATE)) AS tenure_days
+      FROM orders GROUP BY o_custkey)
+    SELECT CAST(floor(tenure_days / 365.0) AS INT) AS tenure_years,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MIN(tenure_days) AS BIGINT) AS min_days,
+           CAST(MAX(tenure_days) AS BIGINT) AS max_days
+    FROM t GROUP BY 1
+    """,
+)
+def customer_tenure_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer tenure distribution: days between each customer's
+    first and latest order, bucketed by whole years — the lifecycle
+    profile behind retention planning. Two-level aggregation again
+    (fact → per-customer min/max span → year-bucket histogram);
+    integer day arithmetic end-to-end, no windows, no joins."""
+    orders = load(spark, sf, "orders")
+    t = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.max("o_orderdate")), F.to_date(F.min("o_orderdate"))
+        ).alias("tenure_days")
+    )
+    return t.groupBy(
+        # floor, not a bare int cast: DuckDB's double->int CAST rounds
+        # half-even while Spark's truncates — floor agrees everywhere.
+        F.floor(F.col("tenure_days") / 365.0).cast("int").alias("tenure_years")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.min("tenure_days").cast("bigint").alias("min_days"),
+        F.max("tenure_days").cast("bigint").alias("max_days"),
+    )
