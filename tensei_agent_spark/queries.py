@@ -6914,3 +6914,123 @@ def customer_tenure_histogram(spark: SparkSession, sf: str) -> DataFrame:
         F.min("tenure_days").cast("bigint").alias("min_days"),
         F.max("tenure_days").cast("bigint").alias("max_days"),
     )
+
+
+@register(
+    "brand_share_trend",
+    """
+    WITH br AS (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS year,
+             p.p_brand AS brand,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS rev
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY 1, 2),
+    yt AS (SELECT year, SUM(rev) AS total FROM br GROUP BY year),
+    sh AS (
+      SELECT br.year, br.brand,
+             round(CAST(br.rev AS DOUBLE) / CAST(yt.total AS DOUBLE), 9)
+               AS share
+      FROM br JOIN yt USING (year))
+    SELECT year, brand, share,
+           round(share - lag(share) OVER
+             (PARTITION BY brand ORDER BY year), 9) AS share_delta
+    FROM sh
+    """,
+)
+def brand_share_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Brand market-share trend: each brand's share of yearly revenue
+    plus its year-over-year delta — the drift report behind assortment
+    decisions. One fact scan aggregates to (year, brand); yearly
+    totals re-aggregate that tiny table and broadcast back; the lag
+    window partitions PER BRAND over a handful of year rows. Exact
+    decimal revenue, shares rounded once and the delta computed on the
+    already-rounded shares so both engines subtract identical
+    doubles."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    part = load(spark, sf, "part")
+    br = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("year"),
+            F.col("p_brand").alias("brand"),
+        )
+        .agg(F.sum(_m("l_extendedprice") * (1 - _m("l_discount"))).alias("rev"))
+    )
+    yt = br.groupBy("year").agg(F.sum("rev").alias("total"))
+    sh = br.join(F.broadcast(yt), "year").select(
+        "year",
+        "brand",
+        F.round(
+            F.col("rev").cast("double") / F.col("total").cast("double"), 9
+        ).alias("share"),
+    )
+    w = Window.partitionBy("brand").orderBy("year")
+    return sh.select(
+        "year",
+        "brand",
+        "share",
+        F.round(F.col("share") - F.lag("share").over(w), 9).alias("share_delta"),
+    )
+
+
+@register(
+    "brand_size_price_regression",
+    """
+    WITH m AS (
+      SELECT p_brand AS brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(p_size) AS BIGINT) AS sx,
+             CAST(SUM(p_size * p_size) AS BIGINT) AS sxx,
+             SUM(CAST(p_retailprice AS DECIMAL(14,2))) AS sy,
+             SUM(p_size * CAST(p_retailprice AS DECIMAL(14,2))) AS sxy
+      FROM part GROUP BY p_brand)
+    SELECT brand, n,
+           round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / (sxx - CAST(sx AS DOUBLE) * sx / n), 9) AS slope,
+           round(CAST(sy AS DOUBLE) / n
+             - (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+               / (sxx - CAST(sx AS DOUBLE) * sx / n)
+               * (CAST(sx AS DOUBLE) / n), 9) AS intercept
+    FROM m
+    WHERE sxx * n > sx * sx
+    """,
+)
+def brand_size_price_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped closed-form OLS: per-brand least-squares fit of retail
+    price on size (does this brand charge for size, and from what
+    base). The global Zipf regression generalized per group: one hash
+    aggregate folds all moment sums — integer x-moments exact as
+    BIGINT, price moments exact as DECIMAL — and slope/intercept
+    derive from those identical numbers on both engines. Groups with
+    zero size-variance are excluded by an exact integer test."""
+    part = load(spark, sf, "part")
+    m = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("p_size").cast("bigint").alias("sx"),
+        F.sum(F.col("p_size") * F.col("p_size")).cast("bigint").alias("sxx"),
+        F.sum(F.col("p_retailprice").cast("decimal(14,2)")).alias("sy"),
+        F.sum(
+            F.col("p_size") * F.col("p_retailprice").cast("decimal(14,2)")
+        ).alias("sxy"),
+    )
+    slope = (
+        F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    ) / (F.col("sxx") - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+    intercept = F.col("sy").cast("double") / F.col("n") - slope * (
+        F.col("sx").cast("double") / F.col("n")
+    )
+    return (
+        m.filter(F.col("sxx") * F.col("n") > F.col("sx") * F.col("sx"))
+        .select(
+            "brand",
+            "n",
+            F.round(slope, 9).alias("slope"),
+            F.round(intercept, 9).alias("intercept"),
+        )
+    )
