@@ -7034,3 +7034,47 @@ def brand_size_price_regression(spark: SparkSession, sf: str) -> DataFrame:
             F.round(intercept, 9).alias("intercept"),
         )
     )
+
+
+@register(
+    "segment_ltv_quartiles",
+    """
+    WITH ltv AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+               AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment, o.o_custkey)
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           quantile_cont(v, 0.25) AS p25_ltv,
+           quantile_cont(v, 0.50) AS median_ltv,
+           quantile_cont(v, 0.75) AS p75_ltv,
+           MAX(v) AS max_ltv
+    FROM ltv GROUP BY segment
+    """,
+)
+def segment_ltv_quartiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer lifetime value quartiles per market segment — the
+    spread report that says whether a segment's revenue is broad-based
+    or whale-driven. LTV is one exact-decimal aggregate per (segment,
+    customer); the quartiles are exact interpolated percentiles per
+    segment over those per-customer values. The decimal sums cast to
+    double BEFORE the percentile, so interpolation inputs are
+    bit-identical and the outputs need NO round guard — round(x, 9)
+    itself disagrees at the ULP between engines on some
+    representations, so raw doubles are the safer comparison here."""
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    ltv = (
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"), F.col("o_custkey"))
+        .agg(F.sum(_m("o_totalprice").cast("decimal(14,2)")).cast("double").alias("v"))
+    )
+    return ltv.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.expr("percentile(v, 0.25)").alias("p25_ltv"),
+        F.expr("percentile(v, 0.50)").alias("median_ltv"),
+        F.expr("percentile(v, 0.75)").alias("p75_ltv"),
+        F.max("v").alias("max_ltv"),
+    )
