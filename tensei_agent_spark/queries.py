@@ -5308,7 +5308,9 @@ def _pagerank_oracle(iters: int = 3) -> str:
       JOIN deg ON e.src = deg.src
       GROUP BY e.dst),
     r{i} AS (
-      SELECT c{i}.node, 0.15 / n.n + 0.85 * CAST(c{i}.s AS DOUBLE) AS r
+      SELECT c{i}.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
+               + 0.85 * CAST(c{i}.s AS DOUBLE) AS r
       FROM c{i} CROSS JOIN n)"""
         )
         prev = f"r{i}"
