@@ -7080,3 +7080,56 @@ def segment_ltv_quartiles(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("percentile(v, 0.75)").alias("p75_ltv"),
         F.max("v").alias("max_ltv"),
     )
+
+
+@register(
+    "trade_flow_matrix",
+    """
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def trade_flow_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Bilateral trade-flow matrix: revenue shipped from every supplier
+    nation to every customer nation — TPC-H q7 generalized from one
+    nation pair to the full |nations|² matrix in ONE fact scan (q7's
+    filtered plan would need 625 passes). Customer and supplier joins
+    shuffle on their keys; both nation dims broadcast; the aggregate's
+    key space is the nation-pair square, so map-side partials collapse
+    the fact volume before one tiny exchange. Exact decimal revenue."""
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    customer = load(spark, sf, "customer")
+    supplier = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
+        .join(F.broadcast(cn), customer["c_nationkey"] == F.col("_cnk"))
+        .join(F.broadcast(sn), supplier["s_nationkey"] == F.col("_snk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(_m("l_extendedprice") * (1 - _m("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
