@@ -7133,3 +7133,54 @@ def trade_flow_matrix(spark: SparkSession, sf: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+@register(
+    "user_activity_gini",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id),
+    r AS (
+      SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM u),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM r)
+    SELECT n AS n_users,
+           sx AS total_events,
+           round(2.0 * six / (n * CAST(sx AS DOUBLE)) - (n + 1.0) / n, 9)
+             AS gini
+    FROM s
+    """,
+)
+def user_activity_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Gini coefficient of user activity — the inequality summary
+    (0 = everyone equally active, →1 = a few power users do
+    everything) that complements the HHI concentration index. Computed
+    by the rank-sum identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    ascending-sorted per-user counts: one hash aggregate to user
+    counts, one rank window over the user-bounded aggregate (with user
+    id tie-break), one moment fold. All moments are exact BIGINTs, so
+    the final expression evaluates on identical doubles; magnitudes
+    stay far below the 2^53 range where round guards become
+    ULP-unstable."""
+    ev = load(spark, sf, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.orderBy("x", "user_id")
+    r = u.select("x", F.row_number().over(w).alias("i"))
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("bigint").alias("six"),
+    )
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.col("sx").alias("total_events"),
+        F.round(
+            2.0 * F.col("six") / (F.col("n") * F.col("sx").cast("double"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            9,
+        ).alias("gini"),
+    )
