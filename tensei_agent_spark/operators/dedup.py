@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
+
 
 def dedup_exact(
     df: DataFrame,
@@ -149,8 +151,8 @@ def ngram_jaccard_pairs(
     # Map-side set construction (no shuffle); persisted because it is
     # referenced three times (candidate postings + both verification
     # sides). MEMORY_AND_DISK by default, so at scale it spills, not
-    # OOMs.
-    sh_sets = shingle_sets(docs, text_col, id_col, k).persist()
+    # OOMs; cache.track releases it when the next registry query builds.
+    sh_sets = track(shingle_sets(docs, text_col, id_col, k))
     # Candidate generation runs on 64-bit xxhash TOKENS, not strings:
     # every shuffle in the freq/rank/bucket stages moves 8-byte longs
     # instead of k-char strings. This stays EXACT: a hash collision can
@@ -254,7 +256,7 @@ def ngram_jaccard_pairs(
     b = sh_sets.select(
         F.col(id_col).alias("id_b"), F.col("_shs").alias("_sb"), F.col("n_sh").alias("n_b")
     )
-    return (
+    pairs = (
         screened.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
@@ -265,6 +267,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+    return pairs
 
 
 MINHASH_P = (1 << 31) - 1  # Mersenne prime: (a·h+b) fits signed 64-bit
@@ -429,7 +432,7 @@ def simhash_near_dup_pairs(
     """
     width = bits // bands
     mask = (1 << width) - 1
-    sig = simhash_fingerprints(docs, text_col, id_col, bits).persist()
+    sig = track(simhash_fingerprints(docs, text_col, id_col, bits))
     band = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sig.select(F.col(id_col), "simhash", band).select(
         F.col(id_col),
@@ -445,7 +448,7 @@ def simhash_near_dup_pairs(
     b = banded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("_hb"), "band", "band_key"
     )
-    return (
+    pairs = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -456,6 +459,7 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    return pairs
 
 
 def minhash_lsh_pairs(

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..cache import track
+
 
 def degrees(edges: DataFrame) -> DataFrame:
     """Out-degree per node of a directed edge list (src, dst) →
@@ -49,13 +51,22 @@ def pagerank(
     double arithmetic (cheaper; last-bit nondeterminism under shuffle
     ordering is acceptable in production ranking).
 
+    Nodes with zero in-degree keep their teleport mass (1-d)/n each
+    iteration: per-iteration sums are left-joined back onto the full
+    node set with s=0, the standard formulation — not only dst-keyed
+    survivors.
+
+    Persisted intermediates are registered with ``cache.track`` so a
+    registry sweep releases them before the next query builds.
+
     Output: (node, r) — ranks sum to ~1 over nodes.
     """
-    edges = edges.select("src", "dst").persist()
-    deg = degrees(edges).persist()
+    edges = track(edges.select("src", "dst"))
+    deg = track(degrees(edges))
+    nodes = track(deg.select(F.col("src").alias("node")))
     n = deg.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    ranks = deg.join(F.broadcast(n)).select(
-        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("r")
+    ranks = nodes.join(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
     )
     for _ in range(iters):
         contrib = F.col("r") / F.col("d")
@@ -69,11 +80,13 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(contrib).alias("s"))
         )
+        # keep in-degree-0 nodes: left join the node set, missing sums → 0
+        sums = nodes.join(sums, "node", "left")
         ranks = sums.join(F.broadcast(n)).select(
             "node",
             (
                 F.lit(1.0 - damping) / F.col("n")
-                + F.lit(damping) * F.col("s").cast("double")
+                + F.lit(damping) * F.coalesce(F.col("s").cast("double"), F.lit(0.0))
             ).alias("r"),
         )
     return ranks

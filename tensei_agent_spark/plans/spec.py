@@ -47,6 +47,11 @@ class Field:
     unique: bool = False  # unique="true" → write-side dedup
     format: str | None = None  # formattime/formatnum pattern
     auto_increment: bool = False  # DB identity column
+    # DFASDL ``length`` / ``max-length`` hints: fixed-width vs bounded
+    # strings steer the per-dialect column type (CHAR(n) / VARCHAR(n) /
+    # unbounded text — ``helpers/DatabaseHelpers.scala:252-690``).
+    length: int | None = None
+    max_length: int | None = None
 
 
 @dataclass(frozen=True)

@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import cache
 from .catalog import load
 from .operators import dedup as D
 from .operators import graph as G
@@ -50,7 +51,18 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, oracle: str | None, bench: bool = False):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(fn, oracle, bench)
+        def build(spark: SparkSession, sf: str) -> DataFrame:
+            # Release the previous query's tracked caches so a sweep over
+            # the whole registry never accumulates cached blocks
+            # (operators/cache.track). Safe: unpersist only drops blocks,
+            # results of an already-built plan are recomputed if re-used.
+            cache.release_all()
+            return fn(spark, sf)
+
+        build.__name__ = fn.__name__
+        build.__doc__ = fn.__doc__
+        build.__wrapped__ = fn
+        REGISTRY[name] = Query(build, oracle, bench)
         return fn
 
     return deco
@@ -5272,8 +5284,12 @@ def event_value_decile_matrix(spark: SparkSession, sf: str) -> DataFrame:
             "event_type",
             (
                 F.lit(1)
+                # coalesce: NULL values land in decile 1 on BOTH engines
+                # (DuckDB's list_filter treats the NULL comparison as
+                # false; without the coalesce Spark would propagate NULL)
                 + F.expr(
-                    "aggregate(_bs, 0, (acc, x) -> acc + CAST(value > x AS INT))"
+                    "aggregate(_bs, 0, (acc, x) ->"
+                    " acc + coalesce(CAST(value > x AS INT), 0))"
                 )
             ).cast("int").alias("decile"),
         )
@@ -5652,10 +5668,9 @@ def copurchase_kcore(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("w") >= 2)
         .select("p1", "p2")
     )
-    e = (
+    e = cache.track(
         e0.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
         .unionAll(e0.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-        .persist()
     )
     k = 3
     for _ in range(3):

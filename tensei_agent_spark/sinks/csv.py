@@ -53,7 +53,11 @@ def write_csv(df: DataFrame, spec: TargetSpec) -> None:
         shutil.move(part, spec.uri)
         shutil.rmtree(tmp)
     else:
-        writer = df.sortWithinPartitions(*order_by) if order_by else df
+        # Multi-file targets use a global orderBy: range partitioning makes
+        # the part files concatenate into a globally sorted stream, which is
+        # the documented `order_by` contract (the range-sampling double-scan
+        # concern only bites the observe-metrics single_file path above).
+        writer = df.orderBy(*order_by) if order_by else df
         writer.write.mode(spec.mode if spec.mode != "upsert" else "overwrite").options(
             **opts
         ).csv(spec.uri)

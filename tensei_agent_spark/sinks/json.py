@@ -73,6 +73,9 @@ def write_json(df: DataFrame, spec: TargetSpec) -> None:
             fh.write("[" + ",".join(lines) + "]")
         shutil.rmtree(tmp)
     else:
+        # Global orderBy for multi-file targets: range partitioning keeps the
+        # concatenated part files globally sorted (the order_by contract);
+        # see sinks/csv.py for why single_file uses a local sort instead.
         if order_by:
-            out = out.sortWithinPartitions(*order_by)
+            out = out.orderBy(*order_by)
         out.write.mode(mode).json(spec.uri)
