@@ -30,6 +30,11 @@ from .operators import dedup as D
 from .operators import graph as G
 from .operators import joins as J
 from .operators import stats as S
+from .operators.windows import (
+    ntile_from_rank,
+    with_global_prefix_sum,
+    with_global_rank,
+)
 
 MONEY = "decimal(12,2)"
 
@@ -2413,15 +2418,20 @@ def nation_supplier_names(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def customer_balance_quartiles(spark: SparkSession, sf: str) -> DataFrame:
-    """ntile window + re-aggregation. The global ntile needs a total
-    order — at 100 TB swap for percentile_approx boundaries + a
-    broadcast range join; kept exact here because the oracle compares
-    per-quartile extrema (tie-broken by custkey so both engines tile
+    """ntile + re-aggregation WITHOUT the single-partition global
+    window: a distributed global rank (range-partition + local
+    row_number + broadcast offsets, ``operators/windows.py``) and the
+    ntile bucket formula in pure integer arithmetic reproduce
+    ``ntile(4) OVER (ORDER BY ...)`` bit-exactly while every stage
+    stays parallel (tie-broken by custkey so both engines tile
     identically)."""
-    cust = load(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    cust = load(spark, sf, "customer").select("c_acctbal", "c_custkey")
+    r = with_global_rank(cust, ["c_acctbal", "c_custkey"], out="_i")
+    n1 = cust.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    q = ntile_from_rank(F.col("_i"), F.col("_n"), 4)
     return (
-        cust.select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        r.join(F.broadcast(n1))
+        .select("c_acctbal", q.cast("int").alias("q"))
         .groupBy("q")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -3501,12 +3511,14 @@ def events_robust_outliers(spark: SparkSession, sf: str) -> DataFrame:
 )
 def daily_revenue_ma7(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series features over the daily revenue series: 7-day moving
-    average and day-over-day delta. The windowed SUM runs over exact
-    DECIMAL daily totals (summation-order-free, so segment-tree vs
-    running-sum window engines agree bit-for-bit) and casts to DOUBLE
-    only at the end. The day series is tiny (one row per day) — the
-    single-partition ordered window is fine HERE because it follows a
-    full aggregation; never do this on raw rows."""
+    average and day-over-day delta. The moving SUM runs over exact
+    DECIMAL daily totals (summation-order-free, so any aggregation
+    order agrees bit-for-bit) and casts to DOUBLE only at the end.
+    The 7-row frame and the lag are computed WITHOUT a
+    single-partition window: distributed global row index
+    (``operators/windows.py``), each row fans its revenue out to the 7
+    indices it covers (explode + hash aggregate), and lag is an
+    equi-join on index-1."""
     daily = (
         load(spark, sf, "orders")
         .groupBy(
@@ -3514,15 +3526,23 @@ def daily_revenue_ma7(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_rev"))
     )
-    w7 = Window.orderBy("day").rowsBetween(-6, 0)
-    wl = Window.orderBy("day")
-    return daily.select(
-        "day",
-        F.col("_rev").cast("double").alias("revenue"),
-        (F.sum("_rev").over(w7).cast("double") / F.count(F.lit(1)).over(w7)).alias(
-            "ma7"
-        ),
-        (F.col("_rev") - F.lag("_rev").over(wl)).cast("double").alias("delta"),
+    r = with_global_rank(daily, ["day"], out="_i")
+    contrib = r.select(
+        F.explode(F.sequence(F.col("_i"), F.col("_i") + 6)).alias("_i"), "_rev"
+    )
+    m = contrib.groupBy("_i").agg(
+        F.sum("_rev").alias("_s"), F.count(F.lit(1)).alias("_k")
+    )
+    prev = r.select((F.col("_i") + 1).alias("_i"), F.col("_rev").alias("_prev"))
+    return (
+        r.join(m, "_i")
+        .join(prev, "_i", "left")
+        .select(
+            "day",
+            F.col("_rev").cast("double").alias("revenue"),
+            (F.col("_s").cast("double") / F.col("_k")).alias("ma7"),
+            (F.col("_rev") - F.col("_prev")).cast("double").alias("delta"),
+        )
     )
 
 
@@ -4597,19 +4617,19 @@ def zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
     fit of ln(freq) on ln(rank) via the closed-form co-moment formula
     (a regression AGGREGATE — one pass over the ranked vocabulary).
     Natural corpora sit near −1; strong deviation flags synthetic or
-    templated text. The rank window orders the vocabulary, which is
-    corpus-small; the regression itself is a 1-row aggregate. Slope
-    rounds to 6 digits to absorb summation-order ULPs in the co-moment
-    sums."""
+    templated text. Vocabulary ranking is a DISTRIBUTED global rank
+    (``operators/windows.py`` — a web-scale corpus vocabulary does NOT
+    fit one partition); the regression itself is a 1-row aggregate.
+    Slope rounds to 6 digits to absorb summation-order ULPs in the
+    co-moment sums."""
     docs = load(spark, sf, "documents")
     c = (
         docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    w = Window.orderBy(F.desc("f"), "word")
-    r = c.select(
-        F.log(F.row_number().over(w).cast("double")).alias("x"),
+    r = with_global_rank(c, [F.desc("f"), F.col("word")], out="_rk").select(
+        F.log(F.col("_rk").cast("double")).alias("x"),
         F.log(F.col("f").cast("double")).alias("y"),
     )
     s = r.agg(
@@ -4923,10 +4943,10 @@ def event_near_dup_throttle(spark: SparkSession, sf: str) -> DataFrame:
 )
 def yearly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
     """Year-over-year revenue growth: exact DECIMAL yearly totals, then
-    a lag window over the handful of year rows (the unpartitioned
-    ordered window is safe only because it follows the full aggregation
-    — one row per year regardless of data scale). First year's growth
-    is NULL by construction on both engines."""
+    lag as a distributed rank + equi-join on index-1
+    (``operators/windows.py`` — no single-partition window anywhere in
+    the registry). First year's growth is NULL by construction on both
+    engines."""
     o = load(spark, sf, "orders")
     y = o.groupBy(
         F.year("o_orderdate").cast("bigint").alias("yr")
@@ -4934,17 +4954,19 @@ def yearly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_rev"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    wl = Window.orderBy("yr")
-    return y.select(
-        "yr",
-        F.col("_rev").cast("double").alias("revenue"),
-        "n_orders",
-        F.round(
-            F.col("_rev").cast("double")
-            / F.lag("_rev").over(wl).cast("double")
-            - 1,
-            9,
-        ).alias("yoy_growth"),
+    r = with_global_rank(y, ["yr"], out="_i")
+    prev = r.select((F.col("_i") + 1).alias("_i"), F.col("_rev").alias("_prev"))
+    return (
+        r.join(prev, "_i", "left")
+        .select(
+            "yr",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_orders",
+            F.round(
+                F.col("_rev").cast("double") / F.col("_prev").cast("double") - 1,
+                9,
+            ).alias("yoy_growth"),
+        )
     )
 
 
@@ -5218,10 +5240,9 @@ def open_orders_daily(spark: SparkSession, sf: str) -> DataFrame:
     The naive plan — range-join every order against a day spine — fans
     out to days x orders rows; instead each interval becomes two delta
     events (+1 at open, -1 the day after close), which aggregate to one
-    row per day BEFORE the cumulative sum. The only window runs over
-    the aggregated day series (a few thousand rows however large the
-    fact tables are), so the single-partition sort is trivially cheap
-    while the heavy lifting stays in hash aggregates."""
+    row per day BEFORE the cumulative sum — itself a distributed exact
+    prefix sum (``operators/windows.py``), so no stage ever
+    single-partitions and the heavy lifting stays in hash aggregates."""
     li = load(spark, sf, "lineitem")
     orders = load(spark, sf, "orders")
     closes = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
@@ -5238,9 +5259,8 @@ def open_orders_daily(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("d")
         .agg(F.sum("delta").cast("bigint").alias("net"))
     )
-    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
-    return daily.select(
-        "d", "net", F.sum("net").over(w).cast("bigint").alias("open_orders")
+    return with_global_prefix_sum(daily, ["d"], "net", out="_cum").select(
+        "d", "net", F.col("_cum").cast("bigint").alias("open_orders")
     )
 
 
@@ -5324,10 +5344,10 @@ def _pagerank_oracle(iters: int = 3) -> str:
       JOIN deg ON e.src = deg.src
       GROUP BY e.dst),
     r{i} AS (
-      SELECT c{i}.node,
+      SELECT deg.src AS node,
              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / n.n
-               + 0.85 * CAST(c{i}.s AS DOUBLE) AS r
-      FROM c{i} CROSS JOIN n)"""
+               + 0.85 * CAST(COALESCE(c{i}.s, 0) AS DOUBLE) AS r
+      FROM deg LEFT JOIN c{i} ON deg.src = c{i}.node CROSS JOIN n)"""
         )
         prev = f"r{i}"
     body.append(
@@ -5396,8 +5416,9 @@ def daily_event_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     """Time-series anomaly score: each day's event count as a z-score
     against the trailing 28 days (current day excluded, so a spike
     cannot mask itself). The fact table collapses to one row per day
-    FIRST; the trailing window then runs over that tiny series, so the
-    single-partition sort is constant-cost at any event volume. Mean
+    FIRST; the trailing frame is then a distributed explode +
+    hash-aggregate over the day series (no single-partition window,
+    ``operators/windows.py`` rank + 28-way contribution fan-out). Mean
     and variance derive from exact BIGINT window sums (sum, sum of
     squares) — identical integers on both engines, so the doubles
     agree bit-for-bit and only the final score needs a round guard.
@@ -5407,16 +5428,21 @@ def daily_event_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     daily = ev.groupBy(
         F.to_date("ts").cast("string").alias("day")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-    t = (
-        Window.orderBy("day").rowsBetween(-28, -1)
-    )
-    w = daily.select(
-        "day",
+    # Trailing ROWS frame without a single-partition window: global row
+    # index (distributed), then each day row CONTRIBUTES itself to the
+    # next 28 indices via explode + hash aggregate — an equi-join plan
+    # (no BNLJ range join), exact BIGINT sums in any order.
+    r = with_global_rank(daily, ["day"], out="_i")
+    contrib = r.select(
+        F.explode(F.sequence(F.col("_i") + 1, F.col("_i") + 28)).alias("_i"),
         "n_events",
-        F.sum("n_events").over(t).cast("bigint").alias("s"),
-        F.sum(F.col("n_events") * F.col("n_events")).over(t).cast("bigint").alias("ss"),
-        F.count(F.lit(1)).over(t).cast("bigint").alias("k"),
     )
+    stats = contrib.groupBy("_i").agg(
+        F.sum("n_events").cast("bigint").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    w = r.join(stats, "_i").select("day", "n_events", "s", "ss", "k")
     mean = F.col("s").cast("double") / F.col("k")
     var = (F.col("ss") - F.col("s").cast("double") * F.col("s") / F.col("k")) / (
         F.col("k") - 1
@@ -6037,14 +6063,9 @@ def weighted_median_quantity(spark: SparkSession, sf: str) -> DataFrame:
     q = li.groupBy(_m("l_quantity").alias("qty")).agg(
         F.sum(_m("l_extendedprice")).alias("w")
     )
-    wc = Window.orderBy("qty").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.orderBy("qty").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = q.select(
-        "qty",
-        F.sum("w").over(wc).alias("cw"),
-        F.sum("w").over(wt).alias("tw"),
+    tot = q.agg(F.sum("w").alias("tw"))
+    c = with_global_prefix_sum(q, ["qty"], "w", out="cw").join(
+        F.broadcast(tot)
     )
     return c.filter(F.col("cw") * 2 >= F.col("tw")).agg(
         F.min("qty").cast("double").alias("weighted_median_qty"),
@@ -6080,28 +6101,23 @@ def part_abc_classification(spark: SparkSession, sf: str) -> DataFrame:
     """ABC / Pareto inventory classification: parts ranked by revenue,
     class A = the head covering 80% of cumulative revenue, B = next
     15%, C = the tail. The fact table aggregates to one row per part
-    FIRST, so the ranking window runs over the part dimension (bounded
+    FIRST, so the ranking runs over the part dimension (bounded
     catalog, not order volume); class boundaries compare exact DECIMAL
     cumulative sums against integer-scaled totals (cw*5 <= tw*4), so
-    no float epsilon can flip a part across engines. The deliberate
-    single-partition window over the part dimension is the documented
-    trade-off — for a 10^8-part catalog, switch to a two-pass
-    percentile-boundary plan like `stats_equidepth_histogram`."""
+    no float epsilon can flip a part across engines. The cumulative
+    revenue is a DISTRIBUTED prefix sum (range-partition + per-partition
+    running sum + broadcast decimal offsets, ``operators/windows.py``)
+    — bit-equal to the ordered window because fixed-point addition is
+    associative — and the total is a 1-row broadcast, so a 10^8-part
+    catalog never funnels through one partition."""
     li = load(spark, sf, "lineitem")
     pr = li.groupBy("l_partkey").agg(
         F.sum(_m("l_extendedprice") * (1 - _m("l_discount"))).alias("rev")
     )
-    wc = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wt = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    c = pr.select(
-        "rev",
-        F.sum("rev").over(wc).alias("cw"),
-        F.sum("rev").over(wt).alias("tw"),
-    )
+    tot = pr.agg(F.sum("rev").alias("tw"))
+    c = with_global_prefix_sum(
+        pr, [F.desc("rev"), F.col("l_partkey")], "rev", out="cw"
+    ).join(F.broadcast(tot)).select("rev", "cw", "tw")
     klass = (
         F.when(F.col("cw") * 5 <= F.col("tw") * 4, F.lit("A"))
         .when(F.col("cw") * 20 <= F.col("tw") * 19, F.lit("B"))
@@ -7176,15 +7192,16 @@ def user_activity_gini(spark: SparkSession, sf: str) -> DataFrame:
     everything) that complements the HHI concentration index. Computed
     by the rank-sum identity G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
     ascending-sorted per-user counts: one hash aggregate to user
-    counts, one rank window over the user-bounded aggregate (with user
-    id tie-break), one moment fold. All moments are exact BIGINTs, so
-    the final expression evaluates on identical doubles; magnitudes
+    counts, one DISTRIBUTED global rank over the user aggregate (with
+    user id tie-break; range-partition + broadcast offsets,
+    ``operators/windows.py`` — no single-partition window even for a
+    10^9-user domain), one moment fold. All moments are exact BIGINTs,
+    so the final expression evaluates on identical doubles; magnitudes
     stay far below the 2^53 range where round guards become
     ULP-unstable."""
     ev = load(spark, sf, "events")
     u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("x"))
-    w = Window.orderBy("x", "user_id")
-    r = u.select("x", F.row_number().over(w).alias("i"))
+    r = with_global_rank(u, ["x", "user_id"], out="i")
     s = r.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("x").cast("bigint").alias("sx"),

@@ -22,7 +22,8 @@ import urllib.parse
 import urllib.request
 
 # Schemes Spark (or the local FS) reads natively — no staging.
-_NATIVE = {"", "file", "hdfs", "s3", "s3a", "s3n", "abfs", "abfss", "gs", "wasb", "wasbs", "dbfs"}
+# "jdbc" passes through too: the JDBC reader connects itself.
+_NATIVE = {"", "file", "hdfs", "s3", "s3a", "s3n", "abfs", "abfss", "gs", "wasb", "wasbs", "dbfs", "jdbc"}
 
 
 def stage_uri(uri: str, cache_dir: str | None = None) -> str:
@@ -38,6 +39,15 @@ def stage_uri(uri: str, cache_dir: str | None = None) -> str:
         return _stage_url(uri, cache_dir)
     if scheme in ("sftp", "ftps"):
         return _stage_sftp(uri, cache_dir)
+    if scheme == "smb":
+        # The reference's URI helper recognizes smb
+        # (``helpers/URIHelpers.scala:28-33``) but ships no SMB client
+        # either; same error contract as the sftp gate.
+        raise NotImplementedError(
+            "SMB staging requires an SMB client dependency (e.g. smbprotocol); "
+            "mount the share and use a file:// path, or stage the file to a "
+            "local/object-store path"
+        )
     raise ValueError(f"unsupported URI scheme {scheme!r} for {uri!r}")
 
 

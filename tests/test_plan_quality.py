@@ -130,13 +130,17 @@ def test_stratified_sample_window_is_per_stratum(spark):
     assert "windowspecdefinition(lang" in plan
 
 
-def test_open_orders_sweep_has_no_join(spark):
-    """Concurrent-interval counting must stay a delta sweep: two scans,
-    hash aggregates, one tiny window — a Join anywhere means it
-    regressed to the days x orders range-join formulation."""
+def test_open_orders_sweep_stays_delta_sweep(spark):
+    """Concurrent-interval counting must stay a delta sweep: hash
+    aggregates + the distributed prefix-sum (whose only join is the
+    tiny broadcast offset table). A SortMergeJoin or cartesian means
+    it regressed to the days x orders range-join formulation; a
+    SinglePartition exchange means the cumulative sum went back to a
+    global window."""
     plan = _plan(spark, "open_orders_daily")
-    assert "Join" not in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
 
 
 def test_decile_matrix_has_no_global_window(spark):
@@ -162,12 +166,43 @@ def test_pagerank_rank_table_broadcasts_n(spark):
     assert plan.count("BroadcastExchange") >= 4  # N joined per iteration + init
 
 
-def test_anomaly_window_runs_over_day_series(spark):
-    """The z-score window must sit ABOVE the day aggregate (tiny
-    series), never over raw events, and needs no join at all."""
+def test_anomaly_frame_runs_over_day_series(spark):
+    """The trailing z-score frame must sit ABOVE the day aggregate
+    (tiny series), never over raw events: only equi-joins on the day
+    index (no cartesian/BNLJ range join) and no SinglePartition
+    exchange (the frame is explode + hash aggregate, not a global
+    window)."""
     plan = _plan(spark, "daily_event_anomaly")
-    assert "Join" not in plan
-    assert plan.index("Window") < plan.index("HashAggregate")  # executed plan prints top-down
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
+def _assert_windows_are_partitioned(plan: str):
+    """Every Window node must carry a partition spec (our range-pid
+    local windows) — an unpartitioned Window is the single-partition
+    global sort that dies at 100x (VERDICT r2 item 4)."""
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "_pid" in line, f"global window: {line.strip()}"
+
+
+def test_global_order_queries_have_no_global_window(spark):
+    """customer_balance_quartiles / part_abc_classification /
+    user_activity_gini / zipf_slope formerly ran ntile/rank/cumsum
+    through ONE partition; they must now use the distributed
+    range-partition + offset formulation (operators/windows.py)."""
+    for name in (
+        "customer_balance_quartiles",
+        "part_abc_classification",
+        "user_activity_gini",
+        "zipf_slope",
+        "daily_revenue_ma7",
+        "weighted_median_quantity",
+    ):
+        plan = _plan(spark, name)
+        _assert_windows_are_partitioned(plan)
+        assert "CartesianProduct" not in plan, name
 
 
 def test_triangle_joins_are_equi(spark):

@@ -1,0 +1,86 @@
+"""operators/windows.py: the distributed global-order primitives must
+be BIT-EQUAL to their single-partition Window counterparts — they are
+substituted into oracle-checked queries, so any divergence is a
+correctness bug, not a tolerance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from tensei_agent_spark.operators.windows import (
+    ntile_from_rank,
+    with_global_prefix_sum,
+    with_global_rank,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 997 rows, duplicate values (ties broken by id), several partitions.
+    return (
+        spark.range(997)
+        .select(
+            F.col("id"),
+            (F.col("id") % 13).alias("v"),
+            (F.col("id") % 7).cast("decimal(10,2)").alias("d"),
+        )
+        .repartition(9)
+    )
+
+
+def test_global_rank_equals_row_number(skewed):
+    got = with_global_rank(skewed, ["v", "id"], out="i")
+    want = skewed.select(
+        "id", F.row_number().over(Window.orderBy("v", "id")).alias("i")
+    )
+    assert (
+        got.select("id", "i").exceptAll(want).count() == 0
+        and want.exceptAll(got.select("id", "i")).count() == 0
+    )
+
+
+def test_global_rank_desc_order(skewed):
+    got = with_global_rank(skewed, [F.desc("v"), F.col("id")], out="i")
+    want = skewed.select(
+        "id", F.row_number().over(Window.orderBy(F.desc("v"), "id")).alias("i")
+    )
+    assert got.select("id", "i").exceptAll(want).count() == 0
+
+
+def test_global_prefix_sum_equals_running_window(skewed):
+    got = with_global_prefix_sum(skewed, ["v", "id"], "d", out="cum")
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = skewed.select("id", F.sum("d").over(w).alias("cum"))
+    joined = got.select("id", "cum").join(
+        want.withColumnRenamed("cum", "want"), "id"
+    )
+    assert joined.filter(F.col("cum") != F.col("want")).count() == 0
+    assert joined.count() == 997
+
+
+def test_global_prefix_sum_rejects_float():
+    import tensei_agent_spark  # noqa: F401 - spark fixture not needed
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.range(5).select(F.col("id").cast("double").alias("x"))
+    with pytest.raises(TypeError, match="exact value type"):
+        with_global_prefix_sum(df, ["x"], "x")
+
+
+@pytest.mark.parametrize("n,tiles", [(997, 4), (8, 4), (3, 4), (1000, 5), (7, 3)])
+def test_ntile_formula_matches_spark_ntile(spark, n, tiles):
+    df = spark.range(n).repartition(5)
+    got = with_global_rank(df, ["id"], out="i").select(
+        "id", ntile_from_rank(F.col("i"), F.lit(n).cast("long"), tiles).alias("q")
+    )
+    want = df.select("id", F.ntile(tiles).over(Window.orderBy("id")).alias("q"))
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_empty_input(spark):
+    df = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
+    assert with_global_rank(df, ["v", "id"]).count() == 0

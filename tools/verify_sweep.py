@@ -3,23 +3,41 @@
 Runs every registered query at sf0.01 against its DuckDB oracle with
 BIT-EXACT comparison (the driver value-hashes). Usage:
 
-    python tools/verify_sweep.py [sf_dir] [name_filter ...]
+    python tools/verify_sweep.py [sf_dir] [name_filter ...] [--out FILE]
+
+``--out`` writes a machine-readable verdict (per-query status + timing)
+— the round snapshot commits it as ``CORRECTNESS_LOCAL_r<N>.json``.
+
+Comparison rules (ordered, strictest applicable wins):
+- both integer dtypes → exact int64 compare (a float64 cast would
+  silently equate distinct values above 2^53, e.g. 64-bit hash ids);
+- any float involved  → bit-exact float64 compare (equal_nan: NULLs
+  surface as NaN);
+- everything else     → exact string compare.
 """
 
+import json
 import sys
 import time
 import traceback
 
 import duckdb
 import numpy as np
+import pandas as pd
 
 sys.path.insert(0, ".")
 import __spark_entry__ as e  # noqa: E402
 from tensei_agent_spark.catalog import TABLES  # noqa: E402
 from tensei_agent_spark.session import get_spark  # noqa: E402
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+args = sys.argv[1:]
+OUT = None
+if "--out" in args:
+    i = args.index("--out")
+    OUT = args[i + 1]
+    args = args[:i] + args[i + 2:]
+SF = args[0] if args else "/root/testdata/sf0.01"
+ONLY = set(args[1:])
 
 spark = get_spark()
 con = duckdb.connect()
@@ -34,11 +52,37 @@ qs, osql = e.queries(), e.oracle_sql()
 def norm(df):
     df = df[sorted(df.columns)].copy()
     for c in df.columns:  # array cols -> strings so sort/compare work
-        if len(df) and isinstance(df[c].iloc[0], (np.ndarray, list)):
-            df[c] = df[c].map(lambda v: str([float(x) for x in v]))
+        # Scan the WHOLE column: row 0 may be NULL while later rows
+        # hold arrays (a row-0-only probe crashes sort_values).
+        if df[c].map(lambda v: isinstance(v, (np.ndarray, list))).any():
+            df[c] = df[c].map(
+                lambda v: str([float(x) for x in v])
+                if isinstance(v, (np.ndarray, list))
+                else str(v)
+            )
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def compare_col(name, c, a, b):
+    if pd.api.types.is_integer_dtype(a) and pd.api.types.is_integer_dtype(b):
+        assert np.array_equal(
+            a.astype("int64").values, b.astype("int64").values
+        ), f"col {c} int values differ"
+        return
+    if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+        try:
+            assert np.array_equal(
+                a.astype("float64").values,
+                b.astype("float64").values,
+                equal_nan=True,
+            ), f"col {c} values differ"
+            return
+        except (ValueError, TypeError):
+            pass  # non-castable mix → string compare
+    assert a.astype(str).equals(b.astype(str)), f"col {c} str differ"
+
+
+results = {}
 fails = []
 t_all = time.time()
 for name, fn in qs.items():
@@ -48,6 +92,10 @@ for name, fn in qs.items():
     try:
         if name not in osql:
             n = fn(spark, SF).count()  # rows-only check
+            results[name] = {
+                "status": "rows_only", "rows": n,
+                "sec": round(time.time() - t0, 2),
+            }
             print(f"  {name}: rows_only n={n} ({time.time()-t0:.1f}s)", flush=True)
             continue
         g = norm(fn(spark, SF).toPandas())
@@ -57,21 +105,34 @@ for name, fn in qs.items():
         )
         assert len(g) == len(w), f"rows {len(g)} vs {len(w)}"
         for c in g.columns:
-            a, b = g[c], w[c]
-            try:  # bit-exact; equal_nan because NULLs surface as NaN
-                assert np.array_equal(
-                    a.astype("float64").values,
-                    b.astype("float64").values,
-                    equal_nan=True,
-                ), f"col {c} values differ"
-            except (ValueError, TypeError):
-                assert a.astype(str).equals(b.astype(str)), f"col {c} str differ"
+            compare_col(name, c, g[c], w[c])
+        results[name] = {
+            "status": "ok", "rows": len(g), "sec": round(time.time() - t0, 2),
+        }
         print(f"  {name}: OK n={len(g)} ({time.time()-t0:.1f}s)", flush=True)
     except Exception as ex:
         fails.append(name)
+        results[name] = {
+            "status": "fail", "err": repr(ex)[:500],
+            "sec": round(time.time() - t0, 2),
+        }
         print(f"  {name}: FAIL {ex!r} ({time.time()-t0:.1f}s)", flush=True)
         traceback.print_exc()
 
-print(f"\n{len(qs) if not ONLY else len(ONLY)} queries, {len(fails)} failed "
+summary = {
+    "sf_dir": SF,
+    "total": len(results),
+    "ok": sum(1 for r in results.values() if r["status"] == "ok"),
+    "rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+    "fail": len(fails),
+    "total_sec": round(time.time() - t_all, 1),
+    "queries": results,
+}
+if OUT:
+    with open(OUT, "w") as fh:
+        json.dump(summary, fh, indent=1, sort_keys=False)
+    print(f"wrote {OUT}")
+
+print(f"\n{len(results)} queries, {len(fails)} failed "
       f"in {time.time()-t_all:.0f}s: {fails}")
 sys.exit(1 if fails else 0)
