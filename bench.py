@@ -33,11 +33,15 @@ def main() -> None:
     for name in bench_names:
         best = float("inf")
         try:
-            for _run in range(2):  # best-of-2: steady-state, halves noise
+            # Best-of-2, plus a third sample for sub-2s queries where
+            # JVM/GC jitter is a large fraction of the measurement.
+            runs = 0
+            while runs < 2 or (runs < 3 and best < 2.0):
                 t0 = time.perf_counter()
                 df = REGISTRY[name].build(spark, sf_dir)
                 df.count()  # materialize the whole plan, rows stay off the driver
                 best = min(best, time.perf_counter() - t0)
+                runs += 1
             timings[name] = round(best, 4)
         except Exception as exc:  # one broken query must not kill the line
             print(f"bench: {name} failed: {exc!r}", flush=True)

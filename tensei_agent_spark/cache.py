@@ -11,6 +11,14 @@ bounding live caches to at most one query's working set.
 ``unpersist()`` is an optimization-only operation in Spark — dropping a
 cache never changes results, only forces recomputation — so releasing
 between build and collect of a *previous* query is always safe.
+
+**Build-then-collect contract**: the registry's sweep/bench access
+pattern is build query → execute it → build the next. Interleaving
+(build A, build B, then execute A) stays CORRECT but recomputes A's
+persisted intermediates, because building B released A's caches. The
+tracked list is also not thread-safe: concurrent builds in one session
+should each hold their own handles (call ``persist()`` directly) rather
+than share this module-global registry.
 """
 
 from __future__ import annotations

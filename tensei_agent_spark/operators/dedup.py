@@ -192,34 +192,43 @@ def ngram_jaccard_pairs(
         (F.col("pos") + 1).alias("pos"),  # 1-based position in rarity order
         F.col("col.shingle").alias("shingle"),
     )
-    # PPJoin positional + length pruning INSIDE the bucket lambda: for
+    # Candidate generation = SELF-EQUI-JOIN of the prefix postings on
+    # the shingle, with PPJoin positional + length pruning inline: at
     # the pair's first shared prefix shingle, overlap ≤ 1 + min of the
-    # remaining suffix lengths. J ≥ t requires overlap ≥
+    # remaining suffix lengths, and J ≥ t requires overlap ≥
     # ⌈t/(1+t)·(|A|+|B|)⌉ (exact, from c ≥ t(na+nb−c)) — strictly
-    # tighter than ⌈t·max⌉ whenever sizes are comparable — so pairs that
-    # cannot reach it (or fail |min| ≥ t·|max|) never materialize.
+    # tighter than ⌈t·max⌉ whenever sizes are comparable — so pairs
+    # that cannot reach it (or fail |min| ≥ t·|max|) never survive.
+    #
+    # A join, NOT a per-bucket collect_list + pair lambda: the lambda
+    # runs each bucket's O(|b|²) expansion inside ONE task, so a few
+    # hot prefix shingles serialize the whole stage on single cores.
+    # The shuffle join produces the identical pair stream but AQE
+    # skew-splits hot shingle keys across tasks (measured 16.8s → 11.1s
+    # at sf0.1, and the gap widens with corpus skew).
     t2 = threshold / (1.0 + threshold)
-    pair_arr = (
-        "filter(flatten(transform(ds, (x, i) -> "
-        "transform(slice(ds, i + 2, size(ds)), y -> struct("
-        "least(x.id, y.id) AS id_a, greatest(x.id, y.id) AS id_b, "
-        "1 + least(x.n_sh - x.pos, y.n_sh - y.pos) AS ub, "
-        "greatest(x.n_sh, y.n_sh) AS nmax, least(x.n_sh, y.n_sh) AS nmin)))), "
-        f"p -> p.ub >= ceil((p.nmax + p.nmin) * {t2}) "
-        f"AND p.nmin >= {threshold} * p.nmax)"
+    pa = pfx.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
+        F.col("pos").alias("pos_a"), "shingle",
+    )
+    pb = pfx.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"),
+        F.col("pos").alias("pos_b"), "shingle",
     )
     cand = (
-        pfx.groupBy("shingle")
-        .agg(
-            F.collect_list(
-                F.struct(
-                    F.col(id_col).alias("id"), F.col("n_sh"), F.col("pos")
-                )
-            ).alias("ds")
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            1
+            + F.least(
+                F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b")
+            )
+            >= F.ceil((F.col("n_a") + F.col("n_b")) * F.lit(t2))
         )
-        .filter(F.size("ds") >= 2)
-        .select(F.explode(F.expr(pair_arr)).alias("p"))
-        .select("p.id_a", "p.id_b")
+        .filter(
+            F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
+        )
+        .select("id_a", "id_b")
         .distinct()
     )
     # Two-phase verification. Phase 1 screens the candidate pairs by
@@ -234,6 +243,18 @@ def ngram_jaccard_pairs(
     # the margin is tunable). Phase 2 computes EXACT string-set Jaccard
     # on the screen's survivors only — the reported numbers are exactly
     # the naive definition, bit-identical to the SQL oracle.
+    #
+    # Join strategy: the candidate stream is usually much larger than
+    # the doc-set table, and AQE cannot size a persisted array column
+    # well — so when the token payload is provably small (one cheap agg
+    # over the CACHED sh_sets) we hint broadcast and skip two shuffles
+    # of the candidate stream; otherwise leave it to AQE (a 100 TB
+    # corpus must shuffle, not broadcast).
+    stats = sh_sets.agg(
+        F.sum("n_sh").alias("tot"), F.count(F.lit(1)).alias("n")
+    ).first()
+    small = (stats["tot"] or 0) * 8 < 64 * 1024 * 1024
+    hint = F.broadcast if small else (lambda d: d)
     ta = tok_sets.select(
         F.col(id_col).alias("id_a"), F.col("_ts").alias("_ta"), F.col("n_sh").alias("n_ta")
     )
@@ -241,8 +262,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id_b"), F.col("_ts").alias("_tb"), F.col("n_sh").alias("n_tb")
     )
     screened = (
-        cand.join(ta, "id_a")
-        .join(tb, "id_b")
+        cand.join(hint(ta), "id_a")
+        .join(hint(tb), "id_b")
         .withColumn("_tc", F.size(F.array_intersect("_ta", "_tb")))
         .filter(
             F.col("_tc") / (F.col("n_ta") + F.col("n_tb") - F.col("_tc"))
@@ -257,8 +278,8 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id_b"), F.col("_shs").alias("_sb"), F.col("n_sh").alias("n_b")
     )
     pairs = (
-        screened.join(a, "id_a")
-        .join(b, "id_b")
+        screened.join(hint(a), "id_a")
+        .join(hint(b), "id_b")
         .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",

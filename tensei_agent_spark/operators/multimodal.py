@@ -22,7 +22,7 @@ function, nothing in the Spark plan.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -108,14 +108,25 @@ def extract_features(
     modality: str = "image",
     deterministic_fake: bool = False,
     batch_hint: int = 1024,
+    decoder: Callable[[bytes, str], tuple] | None = None,
 ) -> DataFrame:
     """Decode + featurize every asset via mapInPandas.
+
+    ``decoder`` is the pluggable decode kernel: a picklable callable
+    ``(payload: bytes, modality: str) -> (width, height, duration_s,
+    feature: list[float])`` shipped to the executors and applied inside
+    the Arrow batch loop — wrap PIL/soundfile/ffmpeg here. When absent,
+    :func:`decode_stub` is used (``deterministic_fake`` for the tested
+    fake, else a clear capability error).
 
     Scale shape: narrow map over existing partitions (no shuffle, no
     driver traffic); each Arrow batch carries ≤ ``batch_hint`` assets so
     executor memory is bounded by batch × asset size, not partition
     size. Output follows FEATURE_SCHEMA.
     """
+    kernel = decoder or (
+        lambda payload, mod: decode_stub(payload, mod, deterministic_fake)
+    )
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -127,7 +138,7 @@ def extract_features(
             )}
             for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(payload)
-                w, h, dur, feat = decode_stub(raw, modality, deterministic_fake)
+                w, h, dur, feat = kernel(raw, modality)
                 rows["asset_id"].append(int(asset_id))
                 rows["modality"].append(modality)
                 rows["n_bytes"].append(len(raw))

@@ -906,6 +906,7 @@ def events_props_json(spark: SparkSession, sf: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
     FROM numbered GROUP BY user_id, session_idx
     """,
+    bench=True,
 )
 def sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization (30 min), batch form — the SQL-checkable
@@ -1261,6 +1262,7 @@ def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
     FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
     WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.6
     """,
+    bench=True,
 )
 def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs by exact 8-char-shingle Jaccard ≥ 0.6 (inverted-
@@ -1604,6 +1606,7 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
             f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(16)
         ),
     ),
+    bench=True,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs: 4-bit LSH bands → candidate join →
@@ -1653,6 +1656,7 @@ def text_quality(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE 'fr' END AS predicted_lang
     FROM scored
     """,
+    bench=True,
 )
 def lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Marker-word language ID with deterministic alphabetical tiebreak."""

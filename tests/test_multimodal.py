@@ -95,3 +95,43 @@ def test_simhash_identical_and_perturbed(spark):
     }
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs
+
+
+def test_extract_features_custom_decoder(spark, assets):
+    """A user-supplied decoder callable must ship to the executors and
+    run inside the mapInPandas batch loop (VERDICT r2 item 6). Defined
+    locally so cloudpickle serializes it by VALUE — a module-level
+    function in a test file pickles by reference and executors cannot
+    import the test module (the same constraint a real user's notebook
+    decoder has)."""
+
+    def _toy_decoder(payload: bytes, modality: str):
+        return (
+            len(payload) % 100, 7, 1.5,
+            [float(payload[0]), float(len(payload))],
+        )
+
+    out = extract_features(
+        assets, "payload", "asset_id", modality="video", decoder=_toy_decoder
+    ).collect()
+    assert len(out) == 20
+    by_id = {r["asset_id"]: r for r in out}
+    for i in range(20):
+        payload = f"payload-{i}".encode() * (i + 1)
+        r = by_id[i]
+        assert r["width"] == len(payload) % 100
+        assert r["height"] == 7
+        assert r["duration_s"] == 1.5
+        assert r["feature"] == [float(payload[0]), float(len(payload))]
+        assert r["digest"] == hashlib.md5(payload).hexdigest()
+
+
+def test_decoder_closure_serializes(spark, assets):
+    """Closures (captured state) must survive pickling to executors."""
+    scale = 3.0
+    out = extract_features(
+        assets, "payload", "asset_id",
+        decoder=lambda p, m: (1, 1, 0.0, [scale * len(p)]),
+    )
+    got = {r["asset_id"]: r["feature"][0] for r in out.collect()}
+    assert got[4] == 3.0 * len(b"payload-4" * 5)
