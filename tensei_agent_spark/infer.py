@@ -11,6 +11,10 @@
   driver-side metadata walk over a DB-API connection (tables → specs,
   columns → typed Fields, PK → ``unique``); the Spark-JDBC path gets
   schemas for free from the reader.
+- :func:`infer_jdbc` / :func:`list_tables_jdbc` — the real
+  java.sql.DatabaseMetaData walk (PK → ``unique``, identity →
+  ``auto_increment``, imported keys → ``foreign_keys``), exercised
+  live against the Derby embedded driver.
 
 All functions return ``(fields, options)`` ready to drop into a
 :class:`~tensei_agent_spark.plans.spec.SourceSpec` — inference is a
@@ -225,6 +229,125 @@ def infer_dbapi(connect, table: str) -> tuple[Field, ...]:
             )
     finally:
         cur.close()
+
+
+# java.sql.Types → Spark DDL type strings (the JDBC-metadata analogue
+# of _DBAPI_TYPE_MAP; constants from the public java.sql.Types API).
+_JDBC_TYPE_MAP = {
+    -7: "boolean",   # BIT
+    -6: "smallint",  # TINYINT
+    -5: "long",      # BIGINT
+    -4: "binary",    # LONGVARBINARY
+    -3: "binary",    # VARBINARY
+    -2: "binary",    # BINARY
+    -1: "string",    # LONGVARCHAR
+    1: "string",     # CHAR
+    4: "int",        # INTEGER
+    5: "smallint",   # SMALLINT
+    6: "double",     # FLOAT
+    7: "float",      # REAL
+    8: "double",     # DOUBLE
+    12: "string",    # VARCHAR
+    16: "boolean",   # BOOLEAN
+    91: "date",      # DATE
+    92: "string",    # TIME (no Spark time type)
+    93: "timestamp", # TIMESTAMP
+    2004: "binary",  # BLOB
+    2005: "string",  # CLOB
+    -15: "string",   # NCHAR
+    -9: "string",    # NVARCHAR
+    2011: "string",  # NCLOB
+}
+_JDBC_CHAR = {1, -15}        # fixed-width → Field.length
+_JDBC_VARCHAR = {12, -9}     # bounded → Field.max_length
+
+
+def list_tables_jdbc(spark, url: str, driver: str | None = None) -> list[str]:
+    """Enumerate user tables via java.sql.DatabaseMetaData.getTables
+    (≙ ``DatabaseSchemaExtractor.getTables``,
+    ``helpers/DatabaseSchemaExtractor.scala:130-157``)."""
+    from .sinks.jdbc import _jvm_connection
+
+    conn = _jvm_connection(spark, url, driver)
+    try:
+        rs = conn.getMetaData().getTables(None, None, "%", None)
+        out = []
+        while rs.next():
+            if (rs.getString("TABLE_TYPE") or "").upper() == "TABLE":
+                out.append(rs.getString("TABLE_NAME"))
+        rs.close()
+        return out
+    finally:
+        conn.close()
+
+
+def infer_jdbc(
+    spark, url: str, table: str, driver: str | None = None
+) -> tuple[tuple[Field, ...], dict[str, tuple[str, str]]]:
+    """JDBC DatabaseMetaData → (Fields, foreign_keys).
+
+    ≙ the reference's per-dialect table-details statements + PK/FK
+    harvest (``helpers/DatabaseSchemaExtractor.scala:1660-1800``), but
+    through the portable java.sql.DatabaseMetaData API the JVM already
+    holds: getColumns (type / size / scale / nullable / identity),
+    getPrimaryKeys (→ ``Field.unique``), getImportedKeys (→ the
+    ``TargetSpec.foreign_keys`` mapping ``column → (parent_table,
+    parent_column)`` that drives recipe topological ordering and key
+    remapping).
+
+    Driver-side metadata-only pass — no data is read; the distributed
+    read then applies the inferred schema explicitly.
+    """
+    from .sinks.jdbc import _jvm_connection
+
+    conn = _jvm_connection(spark, url, driver)
+    try:
+        meta = conn.getMetaData()
+        pks: set[str] = set()
+        rs = meta.getPrimaryKeys(None, None, table)
+        while rs.next():
+            pks.add(rs.getString("COLUMN_NAME"))
+        rs.close()
+
+        fks: dict[str, tuple[str, str]] = {}
+        rs = meta.getImportedKeys(None, None, table)
+        while rs.next():
+            fks[rs.getString("FKCOLUMN_NAME")] = (
+                rs.getString("PKTABLE_NAME"),
+                rs.getString("PKCOLUMN_NAME"),
+            )
+        rs.close()
+
+        fields: list[Field] = []
+        rs = meta.getColumns(None, None, table, "%")
+        while rs.next():
+            name = rs.getString("COLUMN_NAME")
+            jtype = rs.getInt("DATA_TYPE")
+            size = rs.getInt("COLUMN_SIZE")
+            scale = rs.getInt("DECIMAL_DIGITS")
+            if jtype in (2, 3):  # NUMERIC / DECIMAL
+                stype = f"decimal({size},{scale})"
+            else:
+                stype = _JDBC_TYPE_MAP.get(jtype, "string")
+            fields.append(
+                Field(
+                    name,
+                    stype,
+                    nullable=rs.getInt("NULLABLE") != 0,  # columnNoNulls=0
+                    unique=name in pks,
+                    auto_increment=(
+                        (rs.getString("IS_AUTOINCREMENT") or "").upper() == "YES"
+                    ),
+                    length=size if jtype in _JDBC_CHAR and size > 0 else None,
+                    max_length=(
+                        size if jtype in _JDBC_VARCHAR and size > 0 else None
+                    ),
+                )
+            )
+        rs.close()
+        return tuple(fields), fks
+    finally:
+        conn.close()
 
 
 def schema_diff(old: StructType, new: StructType) -> dict:

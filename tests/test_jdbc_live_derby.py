@@ -203,3 +203,41 @@ def test_parallel_partitioned_write(spark, derby_url):
     )
     assert back.rdd.getNumPartitions() == 4
     assert back.count() == 5000
+
+
+def test_schema_extraction_from_metadata(spark, derby_url):
+    """DatabaseSchemaExtractor parity over java.sql.DatabaseMetaData:
+    columns + types + widths, PK → unique, identity → auto_increment,
+    imported keys → the foreign_keys mapping."""
+    from tensei_agent_spark.infer import infer_jdbc, list_tables_jdbc
+
+    jvm_execute(
+        spark, derby_url,
+        ['CREATE TABLE "META_PARENT" ('
+         '"pid" BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY, '
+         '"code" CHAR(3) NOT NULL, "label" VARCHAR(40), '
+         '"price" DECIMAL(12,2), "created" TIMESTAMP)',
+         'CREATE TABLE "META_CHILD" ('
+         '"cid" BIGINT PRIMARY KEY, '
+         '"parent_id" BIGINT REFERENCES "META_PARENT" ("pid"), '
+         '"note" VARCHAR(100))'],
+        DRIVER,
+    )
+    tables = list_tables_jdbc(spark, derby_url, DRIVER)
+    assert {"META_PARENT", "META_CHILD"} <= set(tables)
+
+    fields, fks = infer_jdbc(spark, derby_url, "META_PARENT", DRIVER)
+    by = {f.name: f for f in fields}
+    assert by["pid"].type == "long" and by["pid"].unique and by["pid"].auto_increment
+    assert not by["pid"].nullable
+    assert by["code"].type == "string" and by["code"].length == 3
+    assert not by["code"].nullable and not by["code"].unique
+    assert by["label"].max_length == 40 and by["label"].nullable
+    assert by["price"].type == "decimal(12,2)"
+    assert by["created"].type == "timestamp"
+    assert fks == {}
+
+    cfields, cfks = infer_jdbc(spark, derby_url, "META_CHILD", DRIVER)
+    cby = {f.name: f for f in cfields}
+    assert cby["cid"].unique and not cby["cid"].auto_increment
+    assert cfks == {"parent_id": ("META_PARENT", "pid")}

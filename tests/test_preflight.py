@@ -69,8 +69,13 @@ def test_stage_uri_passthrough_and_reject(tmp_path):
     local = str(tmp_path / "x.csv")
     assert stage_uri(local) == local
     assert stage_uri("s3a://bucket/key.parquet") == "s3a://bucket/key.parquet"
+    assert stage_uri("jdbc:derby:/tmp/db").startswith("jdbc:")  # passthrough
     with pytest.raises(ValueError, match="unsupported URI scheme"):
         stage_uri("gopher://host/file")
+    # smb is a RECOGNIZED scheme (URIHelpers.scala:28-33) with a
+    # documented capability gap — same contract as the sftp gate.
+    with pytest.raises(NotImplementedError, match="SMB"):
+        stage_uri("smb://host/share/file.csv")
 
 
 def test_push_file_local_copy(tmp_path):
