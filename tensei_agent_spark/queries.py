@@ -1924,7 +1924,7 @@ def q9(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q21(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape (no receipt/commit dates in this schema, so the
-    late-delivery predicate becomes sole-supplier): per CHINA supplier,
+    late-delivery predicate becomes sole-supplier): per NATION_9 supplier,
     count 'F'-order lineitems where that supplier is the ONLY supplier
     on the order. The correlated NOT EXISTS (inequality anti-join — a
     theta join at scale) is rewritten as a per-order distinct-supplier

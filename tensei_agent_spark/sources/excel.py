@@ -3,10 +3,15 @@
 The reference converts ``.xls/.xlsx`` to a temp CSV (separator ``~~~``)
 with Apache POI before parsing (``ExcelToCSVConverter.scala:42-150``).
 We follow the same stage-then-parse shape: convert the workbook to CSV
-driver-side, then run the distributed CSV reader. The conversion backend
-is ``openpyxl``/``pandas`` when available; neither is a baked-in
-dependency here, so the converter is gated behind an import-try with the
-Spark-side plumbing (spec → schema → reader) fully real.
+driver-side, then run the distributed CSV reader.
+
+``.xlsx`` needs no optional dependency: OOXML is a zip of XML parts, so
+the primary backend here is a stdlib ``zipfile`` + ``xml.etree`` reader
+(workbook sheet map → sharedStrings → sheetData cells). It emits the
+*stored* cell values (POI applies locale/number-format rendering,
+``ExcelToCSVConverter.scala:89-92``; downstream DFASDL typing re-parses
+either way). Legacy binary ``.xls`` still requires pandas+xlrd and
+stays import-gated.
 
 Spec options: ``sheet`` (name or 0-based index, default first).
 """
@@ -14,7 +19,10 @@ Spec options: ``sheet`` (name or 0-based index, default first).
 from __future__ import annotations
 
 import os
+import re
 import tempfile
+import xml.etree.ElementTree as ET
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -25,29 +33,134 @@ from . import register
 # cell content (``ExcelToCSVConverter.scala`` / ``tensei.conf:78``).
 SEPARATOR = "~~~"
 
+_CELL_REF = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _local(tag: str) -> str:
+    """Strip the XML namespace from an element tag."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _col_index(ref: str) -> int:
+    """'A1' -> 0, 'BC12' -> 54 (0-based column from a cell reference)."""
+    m = _CELL_REF.match(ref)
+    n = 0
+    for ch in m.group(1):
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
+def _text_of(elem) -> str:
+    """Concatenate all <t> descendants (plain and rich-text runs)."""
+    return "".join(t.text or "" for t in elem.iter() if _local(t.tag) == "t")
+
+
+def _fmt_number(raw: str) -> str:
+    """Render the stored numeric string the way POI/pandas would:
+    '5.0' -> '5' (xlsx stores every number as a float), else verbatim."""
+    try:
+        f = float(raw)
+    except ValueError:
+        return raw
+    return str(int(f)) if f == int(f) and "e" not in raw.lower() else raw
+
+
+def read_xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str]]:
+    """Read one worksheet of an ``.xlsx`` with the stdlib only.
+
+    Returns a dense list of rows (ragged rows padded with ``""``), cell
+    values as strings: shared/inline strings resolved, booleans as
+    TRUE/FALSE, numerics via :func:`_fmt_number`.
+    """
+    with zipfile.ZipFile(path) as zf:
+        # sheet name -> r:id, in workbook order
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        sheets = [
+            (s.get("name"), s.get(
+                "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+            ))
+            for s in wb.iter()
+            if _local(s.tag) == "sheet"
+        ]
+        if not sheets:
+            raise ValueError(f"{path}: workbook has no sheets")
+        if isinstance(sheet, int):
+            if sheet >= len(sheets):
+                raise ValueError(f"{path}: sheet index {sheet} out of range")
+            name, rid = sheets[sheet]
+        else:
+            match = [s for s in sheets if s[0] == sheet]
+            if not match:
+                raise ValueError(f"{path}: no sheet named {sheet!r}")
+            name, rid = match[0]
+        # r:id -> part path via the workbook relationships
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        target = next(
+            r.get("Target")
+            for r in rels.iter()
+            if _local(r.tag) == "Relationship" and r.get("Id") == rid
+        )
+        part = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+        # shared strings table (absent when no string cells exist)
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in zf.namelist():
+            sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            shared = [_text_of(si) for si in sst if _local(si.tag) == "si"]
+        rows: list[list[str]] = []
+        sheet_xml = ET.fromstring(zf.read(part))
+        for row in sheet_xml.iter():
+            if _local(row.tag) != "row":
+                continue
+            cells: list[str] = []
+            for c in row:
+                if _local(c.tag) != "c":
+                    continue
+                idx = _col_index(c.get("r")) if c.get("r") else len(cells)
+                while len(cells) < idx:
+                    cells.append("")
+                t = c.get("t", "n")
+                v = next((ch for ch in c if _local(ch.tag) == "v"), None)
+                is_ = next((ch for ch in c if _local(ch.tag) == "is"), None)
+                if t == "s":
+                    val = shared[int(v.text)] if v is not None else ""
+                elif t == "inlineStr":
+                    val = _text_of(is_) if is_ is not None else ""
+                elif t == "b":
+                    val = "TRUE" if v is not None and v.text == "1" else "FALSE"
+                elif t in ("str", "e"):
+                    val = v.text or "" if v is not None else ""
+                else:  # numeric
+                    val = _fmt_number(v.text) if v is not None and v.text else ""
+                cells.append(val)
+            rows.append(cells)
+    width = max((len(r) for r in rows), default=0)
+    return [r + [""] * (width - len(r)) for r in rows]
+
 
 def excel_to_csv(path: str, sheet: str | int = 0, out_dir: str | None = None) -> str:
     """Convert one workbook sheet to a SEPARATOR-delimited CSV file."""
-    try:
-        import pandas as pd
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError("excel conversion requires pandas") from e
-    try:
-        pdf = pd.read_excel(path, sheet_name=sheet, header=None, dtype=str)
-    except ImportError as e:
-        raise NotImplementedError(
-            "excel conversion requires an engine (openpyxl for .xlsx, "
-            "xlrd for legacy .xls); none is installed in this environment"
-        ) from e
+    if path.lower().endswith((".xlsx", ".xlsm")):
+        rows = read_xlsx_rows(path, sheet=sheet)
+    else:  # legacy binary .xls — needs pandas + xlrd
+        try:
+            import pandas as pd
+
+            pdf = pd.read_excel(path, sheet_name=sheet, header=None, dtype=str)
+        except ImportError as e:
+            raise NotImplementedError(
+                "legacy .xls conversion requires pandas + xlrd; "
+                "neither is bundled — convert to .xlsx"
+            ) from e
+        rows = [
+            ["" if v is None or v != v else str(v) for v in rec]
+            for rec in pdf.itertuples(index=False)
+        ]
     d = out_dir or tempfile.mkdtemp(prefix="tensei_excel_")
     os.makedirs(d, exist_ok=True)
     dest = os.path.join(d, os.path.basename(path) + ".csv")
-    pdf.to_csv(dest, sep="\x1f", index=False, header=False)
-    # pandas refuses multi-char seps on write; post-process to SEPARATOR.
-    with open(dest, encoding="utf-8") as fh:
-        content = fh.read().replace("\x1f", SEPARATOR)
     with open(dest, "w", encoding="utf-8") as fh:
-        fh.write(content)
+        for r in rows:
+            fh.write(SEPARATOR.join(r) + "\n")
     return dest
 
 

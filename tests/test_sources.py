@@ -85,14 +85,134 @@ def test_xml_source(spark, tmp_path):
 
 
 def test_excel_gated(tmp_path):
-    """Excel conversion is import-gated: without an engine it must raise
-    the documented NotImplementedError, not crash arbitrarily."""
+    """Corrupt workbooks must raise a clear error, not crash arbitrarily;
+    legacy .xls without pandas+xlrd raises the documented gate."""
     from tensei_agent_spark.sources.excel import excel_to_csv
 
     fake = tmp_path / "wb.xlsx"
     fake.write_bytes(b"PK\x03\x04 not a real workbook")
     with pytest.raises((NotImplementedError, ValueError, Exception)):
         excel_to_csv(str(fake))
+
+
+def _write_xlsx(path, sheets):
+    """Build a minimal OOXML workbook with the stdlib (the test-side
+    inverse of sources/excel.py's stdlib reader). ``sheets`` is a list of
+    (name, rows); string cells go inline, numbers stay numeric."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def col(i):
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(65 + r) + s
+        return s
+
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org'
+            '/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/>'
+            '<Default Extension="rels" ContentType="application/vnd.openxmlformats'
+            '-package.relationships+xml"/></Types>',
+        )
+        zf.writestr(
+            "_rels/.rels",
+            f'<Relationships xmlns="http://schemas.openxmlformats.org/package/2006'
+            f'/relationships"><Relationship Id="rId1" Type="{rns}/officeDocument" '
+            f'Target="xl/workbook.xml"/></Relationships>',
+        )
+        sheet_tags = "".join(
+            f'<sheet name="{nm}" sheetId="{i+1}" r:id="rId{i+1}"/>'
+            for i, (nm, _) in enumerate(sheets)
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>{sheet_tags}'
+            "</sheets></workbook>",
+        )
+        rels = "".join(
+            f'<Relationship Id="rId{i+1}" Type="{rns}/worksheet" '
+            f'Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006'
+            f'/relationships">{rels}</Relationships>',
+        )
+        for i, (_, rows) in enumerate(sheets):
+            body = []
+            for rn, row in enumerate(rows, start=1):
+                cells = []
+                for ci, v in enumerate(row):
+                    if v is None:
+                        continue  # skipped cell — reader must pad
+                    ref = f"{col(ci)}{rn}"
+                    if isinstance(v, bool):
+                        cells.append(
+                            f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>')
+                    elif isinstance(v, (int, float)):
+                        cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+                    else:
+                        cells.append(
+                            f'<c r="{ref}" t="inlineStr"><is><t>{v}</t></is></c>')
+                body.append(f'<row r="{rn}">{"".join(cells)}</row>')
+            zf.writestr(
+                f"xl/worksheets/sheet{i+1}.xml",
+                f'<worksheet xmlns="{ns}"><sheetData>{"".join(body)}'
+                "</sheetData></worksheet>",
+            )
+
+
+def test_xlsx_stdlib_reader(tmp_path):
+    """The stdlib OOXML reader resolves inline strings, booleans,
+    numerics (float-stored ints render as ints), skipped cells, and
+    sheet selection by name and index."""
+    from tensei_agent_spark.sources.excel import read_xlsx_rows
+
+    wb = tmp_path / "wb.xlsx"
+    _write_xlsx(
+        str(wb),
+        [
+            ("data", [["id", "name", "flag"], [1, "alice", True],
+                      [2.5, None, False]]),
+            ("other", [["x"], [99]]),
+        ],
+    )
+    rows = read_xlsx_rows(str(wb), sheet=0)
+    assert rows == [
+        ["id", "name", "flag"],
+        ["1", "alice", "TRUE"],
+        ["2.5", "", "FALSE"],
+    ]
+    assert read_xlsx_rows(str(wb), sheet="other") == [["x"], ["99"]]
+    with pytest.raises(ValueError):
+        read_xlsx_rows(str(wb), sheet="missing")
+
+
+def test_excel_source_end_to_end(spark, tmp_path):
+    """Full path: xlsx → ~~~-separated staging CSV (the reference's
+    ExcelToCSVConverter shape) → distributed CSV read with typed fields."""
+    from tensei_agent_spark.sources import read_source
+
+    wb = tmp_path / "books.xlsx"
+    _write_xlsx(
+        str(wb),
+        [("s1", [[1, "dune", 9.99], [2, "foundation", 7.5]])],
+    )
+    spec = SourceSpec(
+        "books", "excel", str(wb),
+        (Field("id", "long"), Field("title"), Field("price", "decimal(10,2)")),
+    )
+    rows = {r["id"]: r for r in read_source(spark, spec).collect()}
+    assert rows[1]["title"] == "dune" and str(rows[1]["price"]) == "9.99"
+    assert str(rows[2]["price"]) == "7.50"
 
 
 def test_struct_type_mapping():
