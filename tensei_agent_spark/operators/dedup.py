@@ -143,30 +143,45 @@ def ngram_jaccard_pairs(
     pair shares a shingle within both docs' first |X| − ⌈t·|X|⌉ + 1
     ordered shingles. Hot shingles sort LAST, so they never generate
     candidates. Candidates (ids only — no arrays ride the bucket
-    shuffle) then verify exactly: join the two shingle sets back by id
-    and intersect arrays. Measured at sf0.1 (5000 docs, max bucket
-    3859): the naive form times out; this runs in seconds with ~10⁴
-    candidates instead of ~10⁸ bucket pairs.
+    shuffle) then verify exactly against the real string sets. Measured
+    at sf0.1 (5000 docs, max bucket 3859): the naive form times out;
+    this runs in seconds with ~10⁴ candidates instead of ~10⁸ bucket
+    pairs. (The df order is load-bearing: an order-agnostic hash order
+    — which would make prefixes map-side-computable — measured 13×
+    more candidates and 5× the wall clock, because mid-frequency
+    shingles land in prefixes.)
     """
-    # Map-side set construction (no shuffle); persisted because it is
-    # referenced three times (candidate postings + both verification
-    # sides). MEMORY_AND_DISK by default, so at scale it spills, not
-    # OOMs; cache.track releases it when the next registry query builds.
-    sh_sets = track(shingle_sets(docs, text_col, id_col, k))
-    # Candidate generation runs on 64-bit xxhash TOKENS, not strings:
-    # every shuffle in the freq/rank/bucket stages moves 8-byte longs
-    # instead of k-char strings. This stays EXACT: a hash collision can
-    # only MERGE tokens, which inflates token overlap and shrinks token
-    # set sizes — both relax the candidate bounds — so true pairs always
-    # survive to the verification join, which intersects the REAL string
-    # sets.
-    tokens = F.array_distinct(F.transform("_shs", lambda s: F.xxhash64(s)))
-    tok_sets = sh_sets.select(
-        F.col(id_col), tokens.alias("_ts")
-    ).withColumn("n_sh", F.size("_ts"))
+    # Candidate generation runs ENTIRELY on 64-bit xxhash TOKENS — the
+    # corpus-wide string shingle arrays are never materialized (strings
+    # are re-shingled later for the handful of surviving docs only).
+    # Every shuffle in the rank/bucket/screen stages therefore moves
+    # 8-byte longs instead of k-char strings. This stays EXACT: a hash
+    # collision can only MERGE tokens, which inflates token overlap and
+    # shrinks token set sizes — both relax the candidate bounds — so
+    # true pairs always survive to the final string-set verification.
+    #
+    # tok_sets is a pure map expression (ZERO exchanges), persisted
+    # because it feeds both the postings and the screening join.
+    # MEMORY_AND_DISK by default, so at scale it spills, not OOMs;
+    # cache.track releases it when the next registry query builds.
+    tok_arr = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> xxhash64(substring({text_col}, i, {k}))))"
+    )
+    tok_sets = track(
+        docs.select(F.col(id_col), tok_arr.alias("_ts")).withColumn(
+            "n_sh", F.size("_ts")
+        )
+    )
     postings = tok_sets.select(
         F.col(id_col), "n_sh", F.explode("_ts").alias("shingle")
     )
+    # Document frequency by hash-aggregate + hash-join, then per-doc
+    # rarity order by collect_list + array_sort. Deliberately NOT window
+    # functions: a count-over-shingle / row_number-over-id pair moves
+    # the same stream through two full SORTS (WindowExec sorts within
+    # every partition), measured 2× slower than this hash-only shape.
     freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = (
         postings.join(freq, "shingle")
@@ -229,7 +244,6 @@ def ngram_jaccard_pairs(
             F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
         )
         .select("id_a", "id_b")
-        .distinct()
     )
     # Two-phase verification. Phase 1 screens the candidate pairs by
     # intersecting the 64-bit TOKEN arrays — long-typed intersection is
@@ -244,17 +258,27 @@ def ngram_jaccard_pairs(
     # on the screen's survivors only — the reported numbers are exactly
     # the naive definition, bit-identical to the SQL oracle.
     #
-    # Join strategy: the candidate stream is usually much larger than
-    # the doc-set table, and AQE cannot size a persisted array column
-    # well — so when the token payload is provably small (one cheap agg
-    # over the CACHED sh_sets) we hint broadcast and skip two shuffles
-    # of the candidate stream; otherwise leave it to AQE (a 100 TB
-    # corpus must shuffle, not broadcast).
-    stats = sh_sets.agg(
+    # Join strategy + dedup placement: a pair sharing several prefix
+    # shingles appears several times in `cand`. When the token payload
+    # is provably small (one cheap agg over the CACHED tok_sets) we
+    # broadcast the screen sides. Whether to distinct BEFORE the screen
+    # depends on the duplication factor, which grows as the threshold
+    # drops (prefix length ≈ (1−t)·n, and each extra shared prefix
+    # shingle is another duplicate): measured at sf0.1, t=0.8 has 1.3×
+    # duplication and screening the raw stream then deduping survivors
+    # saves the distinct shuffle (6.8s → 4.1s), while t=0.6 has 3×
+    # duplication (5.9M raw vs 2.0M distinct) and screening raw costs
+    # 25s of redundant array intersects. Non-broadcast (at-scale)
+    # screens always distinct first so duplicates don't ride two
+    # shuffles.
+    stats = tok_sets.agg(
         F.sum("n_sh").alias("tot"), F.count(F.lit(1)).alias("n")
     ).first()
     small = (stats["tot"] or 0) * 8 < 64 * 1024 * 1024
     hint = F.broadcast if small else (lambda d: d)
+    defer_distinct = small and threshold >= 0.7
+    if not defer_distinct:
+        cand = cand.distinct()
     ta = tok_sets.select(
         F.col(id_col).alias("id_a"), F.col("_ts").alias("_ta"), F.col("n_sh").alias("n_ta")
     )
@@ -271,15 +295,31 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b")
     )
-    a = sh_sets.select(
-        F.col(id_col).alias("id_a"), F.col("_shs").alias("_sa"), F.col("n_sh").alias("n_a")
+    if defer_distinct:
+        screened = screened.distinct()
+    # Phase 2 re-derives the STRING shingle sets for the surviving pairs
+    # only, by joining each side's raw text back on and shingling on the
+    # fly — one straight-line pipeline, no corpus-wide string arrays.
+    # The text join prunes the scan to (id, text); survivors number in
+    # the hundreds, so AQE broadcasts the pair side at any corpus size.
+    sh_expr = (
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length({{c}}) - {k - 1}, 1)),"
+        f" i -> substring({{c}}, i, {k})))"
     )
-    b = sh_sets.select(
-        F.col(id_col).alias("id_b"), F.col("_shs").alias("_sb"), F.col("n_sh").alias("n_b")
+    da = docs.select(
+        F.col(id_col).alias("id_a"), F.col(text_col).alias("_txa")
+    )
+    db = docs.select(
+        F.col(id_col).alias("id_b"), F.col(text_col).alias("_txb")
     )
     pairs = (
-        screened.join(hint(a), "id_a")
-        .join(hint(b), "id_b")
+        screened.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("_sa", F.expr(sh_expr.format(c="_txa")))
+        .withColumn("_sb", F.expr(sh_expr.format(c="_txb")))
+        .withColumn("n_a", F.size("_sa"))
+        .withColumn("n_b", F.size("_sb"))
         .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
