@@ -73,6 +73,115 @@ def exact_text_dups(
     )
 
 
+def word_ngram_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 10,
+    step: int = 1,
+) -> DataFrame:
+    """Explode each document into hashed w-word windows.
+
+    ``step=1`` gives every overlapping window (the exact-substring-dedup
+    building block of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" — their suffix-array pass reduces to finding
+    repeated fixed-length windows); ``step=w`` gives non-overlapping
+    blocks (the CCNet paragraph-dedup analogue for text without
+    paragraph structure). Output: (id, start_pos, win_hash) where
+    win_hash = md5 of the space-joined window — portable to any SQL
+    oracle.
+
+    All map-side (split + sequence + slice + md5): ZERO exchanges;
+    downstream repeat-detection is one hash shuffle on win_hash. Docs
+    shorter than w words produce no spans.
+    """
+    words = F.split(F.trim(F.col(text_col)), r" +")
+    d = (
+        docs.select(F.col(id_col), words.alias("_ws"))
+        .withColumn("_nw", F.size("_ws"))
+        .filter(F.col("_nw") >= w)
+    )
+    idx = F.explode(
+        F.sequence(F.lit(1), F.col("_nw") - F.lit(w) + 1, F.lit(step))
+    )
+    return d.select(F.col(id_col), idx.alias("start_pos"), "_ws").select(
+        F.col(id_col),
+        "start_pos",
+        F.md5(F.concat_ws(" ", F.slice("_ws", F.col("start_pos"), w))).alias(
+            "win_hash"
+        ),
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 10,
+    step: int = 1,
+) -> DataFrame:
+    """Windows whose content repeats anywhere in the corpus:
+    (win_hash, n_occurrences, n_docs, canonical_id), repeats only.
+
+    One hash shuffle on win_hash with map-side partial aggregation —
+    the partial collapses each partition's span stream to its distinct
+    hashes, so the exchange carries ~|distinct windows| rows, not
+    |corpus words|. Boilerplate windows are by definition hot keys;
+    AQE's skew handling splits them. Scales.
+    """
+    spans = word_ngram_spans(docs, text_col, id_col, w, step)
+    return (
+        spans.groupBy("win_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct(id_col).alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = r"\n\n+",
+    normalize: bool = True,
+) -> DataFrame:
+    """CCNet-style segment (paragraph) dedup: split each document on
+    ``sep``, hash each normalized segment, and return every document's
+    segments annotated with corpus-wide duplication, so a consumer can
+    drop repeated segments (keep = first occurrence by (id, position)).
+
+    Output: (id, seg_pos, seg_hash, n_copies, keep). One shuffle
+    (window by seg_hash would single-partition hot boilerplate — the
+    global-first-occurrence flag is computed with a min-struct
+    aggregation + broadcast-eligible join instead).
+    """
+    segs = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("seg_pos", "_seg"),
+    ).filter(F.length(F.trim("_seg")) > 0)
+    norm = F.trim(F.col("_seg"))
+    if normalize:
+        norm = F.lower(F.regexp_replace(norm, r"\s+", " "))
+    segs = segs.select(F.col(id_col), "seg_pos", F.md5(norm).alias("seg_hash"))
+    firsts = segs.groupBy("seg_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min(F.struct(F.col(id_col), F.col("seg_pos"))).alias("_first"),
+    )
+    return segs.join(firsts, "seg_hash").select(
+        F.col(id_col),
+        "seg_pos",
+        "seg_hash",
+        "n_copies",
+        (
+            (F.col(f"_first.{id_col}") == F.col(id_col))
+            & (F.col("_first.seg_pos") == F.col("seg_pos"))
+        ).alias("keep"),
+    )
+
+
 def char_shingles(
     docs: DataFrame,
     text_col: str = "text",

@@ -1272,6 +1272,46 @@ def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SPANS_ORACLE = """
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+      FROM documents
+    ), eligible AS (
+      SELECT doc_id, ws, len(ws) AS nw FROM words WHERE len(ws) >= 10
+    ), spans AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i + 9 AS INT)], ' ')) AS win_hash
+      FROM eligible, UNNEST(range(1, nw - 10 + 2{step})) AS t(i)
+    )
+    SELECT win_hash, COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS canonical_id
+    FROM spans GROUP BY win_hash HAVING COUNT(*) > 1
+"""
+
+
+@register("repeated_ngram_spans", _SPANS_ORACLE.format(step=""))
+def repeated_ngram_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring dedup signal (Lee et al. 2022 reduced to fixed
+    windows): every overlapping 10-word window whose content repeats
+    anywhere in the corpus, with occurrence/document counts. Map-side
+    window hashing + ONE partial-aggregated hash shuffle — the exchange
+    carries distinct hashes, not the corpus word stream
+    (operators/dedup.repeated_spans)."""
+    return D.repeated_spans(
+        load(spark, sf, "documents"), "text", "doc_id", w=10, step=1
+    )
+
+
+@register("dedup_word_blocks", _SPANS_ORACLE.format(step=", 10"))
+def dedup_word_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-overlapping 10-word block dedup — the CCNet paragraph-dedup
+    analogue for text without paragraph structure (same plan as
+    repeated_ngram_spans at 1/10th the span volume)."""
+    return D.repeated_spans(
+        load(spark, sf, "documents"), "text", "doc_id", w=10, step=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # Transformer-registry parity (SURVEY.md §2.7) — built via functions.build
 # ---------------------------------------------------------------------------

@@ -104,4 +104,4 @@ def write_target(df: DataFrame, spec: TargetSpec) -> None:
     WRITERS[spec.format](prepare(df, spec), spec)
 
 
-from . import csv, jdbc, json, parquet  # noqa: E402,F401
+from . import csv, jdbc, json, orc, parquet  # noqa: E402,F401

@@ -46,4 +46,4 @@ def read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     return READERS[spec.format](spark, spec)
 
 
-from . import csv, jdbc, json, xml, excel, net  # noqa: E402,F401
+from . import columnar, csv, jdbc, json, xml, excel, net  # noqa: E402,F401

@@ -80,3 +80,55 @@ def test_double_and_decimal_topk_rank_agreement(spark):
     fast = {(r["query_id"], r["rank"]): r["cand_id"]
             for r in brute_force_topk(emb, q, k=10, arith="double").collect()}
     assert exact == fast
+
+
+def test_word_ngram_spans_and_blocks(spark):
+    """Overlapping windows and non-overlapping blocks: counts, short-doc
+    exclusion, and cross-doc repeat detection."""
+    from tensei_agent_spark.operators.dedup import repeated_spans, word_ngram_spans
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # 6 words -> 4 windows of w=3
+            (2, "x y z a b c d"),     # shares window "a b c" and "b c d"
+            (3, "p q"),               # too short: no spans
+        ],
+        "doc_id long, text string",
+    )
+    spans = word_ngram_spans(docs, w=3).collect()
+    assert len(spans) == 4 + 5
+    assert {r["doc_id"] for r in spans} == {1, 2}
+
+    rep = {r["win_hash"]: r for r in repeated_spans(docs, w=3).collect()}
+    assert len(rep) == 2  # "a b c" and "b c d" each appear in docs 1+2
+    assert all(r["n_occurrences"] == 2 and r["n_docs"] == 2
+               and r["canonical_id"] == 1 for r in rep.values())
+
+    # non-overlapping blocks of doc 1: "a b c", "d e f" — no repeats
+    blocks = word_ngram_spans(docs.filter("doc_id = 1"), w=3, step=3).collect()
+    assert sorted(r["start_pos"] for r in blocks) == [1, 4]
+
+
+def test_segment_dedup_paragraphs(spark):
+    """Paragraph-level exact dedup: repeated paragraphs flagged, first
+    occurrence (by id, position) kept, normalization folds case/ws."""
+    from tensei_agent_spark.operators.dedup import segment_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Intro text.\n\nSHARED  boilerplate\n\nunique one"),
+            (2, "shared boilerplate\n\nunique two"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = segment_dedup(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # the normalized shared paragraph has 2 copies; doc 1's is kept
+    shared = [r for r in rows if r["n_copies"] == 2]
+    assert len(shared) == 2
+    keepers = {r["doc_id"]: r["keep"] for r in shared}
+    assert keepers == {1: True, 2: False}
+    # unique paragraphs all keep
+    assert all(r["keep"] for r in rows if r["n_copies"] == 1)

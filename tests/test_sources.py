@@ -215,6 +215,56 @@ def test_excel_source_end_to_end(spark, tmp_path):
     assert str(rows[2]["price"]) == "7.50"
 
 
+def test_columnar_orc_roundtrip(spark, tmp_path):
+    """ORC sink → ORC source round-trip with spec schema and options;
+    parquet source reads through the same registry path."""
+    from tensei_agent_spark.plans.spec import TargetSpec
+    from tensei_agent_spark.sinks import write_target
+
+    df = spark.createDataFrame(
+        [(1, "ada", 10.5), (2, "alan", 7.25)], "id long, name string, bal double"
+    )
+    orc_uri = str(tmp_path / "out_orc")
+    write_target(df, TargetSpec("t", "orc", orc_uri))
+    spec = SourceSpec(
+        "s", "orc", orc_uri,
+        (Field("id", "long"), Field("name"), Field("bal", "double")),
+    )
+    rows = {r["id"]: r for r in read_source(spark, spec).collect()}
+    assert rows[1]["name"] == "ada" and rows[2]["bal"] == 7.25
+
+    pq_uri = str(tmp_path / "out_pq")
+    df.write.parquet(pq_uri)
+    pq = read_source(
+        spark, SourceSpec("p", "parquet", pq_uri, (Field("id", "long"), Field("name")))
+    )
+    # spec-driven projection prunes to the two requested columns
+    assert pq.columns == ["id", "name"] and pq.count() == 2
+
+    with pytest.raises(NotImplementedError):
+        read_source(spark, SourceSpec("a", "avro", pq_uri, None))
+
+
+def test_orc_partitioned_write(spark, tmp_path):
+    """partition_by lays out one directory per key value — the layout
+    that gives partition pruning on read."""
+    import os
+
+    from tensei_agent_spark.plans.spec import TargetSpec
+    from tensei_agent_spark.sinks import write_target
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], "id long, grp string"
+    )
+    uri = str(tmp_path / "part_orc")
+    write_target(df, TargetSpec("t", "orc", uri, options={"partition_by": ["grp"]}))
+    assert sorted(
+        d for d in os.listdir(uri) if d.startswith("grp=")
+    ) == ["grp=a", "grp=b"]
+    back = read_source(spark, SourceSpec("s", "orc", uri, None))
+    assert back.filter("grp = 'a'").count() == 2
+
+
 def test_struct_type_mapping():
     st = to_struct_type(
         (Field("a", "long"), Field("b", "decimal(12,2)"), Field("c", "date"))
