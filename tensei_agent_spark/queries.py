@@ -1836,6 +1836,22 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("embedding_kmeans", None)  # iterative, float-order-sensitive → rows-only
+def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings table: per-cluster
+    (n, sse, mean_d2) after ≤8 deterministic iterations (k lowest-id
+    init, first-wins ties). Assignment is a zero-shuffle map stage
+    against broadcast-literal centroids; each iteration's only exchange
+    is the partial-aggregated per-cluster mean (operators/clustering).
+    No SQL oracle: an 8-iteration 64-dim unrolled recursive CTE is not
+    expressible portably — determinism is asserted in pytest instead."""
+    from .operators.clustering import cluster_profile, kmeans
+
+    emb = load(spark, sf, "embeddings")
+    assigned, _, _ = kmeans(emb, k=8, dim=64, max_iter=8)
+    return cluster_profile(assigned)
+
+
 @register("ann_ivf_topk", None)  # approximate (recall<1) → rows-only check
 def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate top-k: KMeans coarse quantizer (trained on a
