@@ -19,4 +19,5 @@ from .pipeline import (  # noqa: F401
     sliding_counts,
     stream_dedup,
     stream_upsert_to_db,
+    user_value_anomalies,
 )

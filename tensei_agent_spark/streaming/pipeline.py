@@ -298,3 +298,153 @@ def attribute_purchases(
         ),
         how,
     )
+
+
+def _make_stats_processor(threshold_sigma: float, min_history: int):
+    """Build the StatefulProcessor for ``user_value_anomalies`` —
+    defined lazily because the base-class import requires the Spark 4
+    transformWithState API."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class P(StatefulProcessor):
+        def init(self, handle) -> None:
+            # One (n, sum, sum_sq) triple per user — O(keys) state, no
+            # per-event history retained.
+            self._agg = handle.getValueState(
+                "agg", "n long, s double, s2 double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            st = self._agg.get()
+            n, s, s2 = (st[0], st[1], st[2]) if st else (0, 0.0, 0.0)
+            out = []
+            for pdf in rows:
+                # Deterministic within a micro-batch: process in event
+                # order, not arrival order.
+                pdf = pdf.sort_values("ts")
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    v = float(v)
+                    if n >= min_history:
+                        mean = s / n
+                        var = max(s2 / n - mean * mean, 0.0)
+                        if abs(v - mean) > threshold_sigma * var ** 0.5:
+                            out.append((key[0], ts, v, mean, var ** 0.5))
+                    n, s, s2 = n + 1, s + v, s2 + v * v
+            self._agg.update((n, s, s2))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["user_id", "ts", "value", "mean", "std"]
+                )
+
+        def close(self) -> None:
+            pass
+
+    return P()
+
+
+ANOMALY_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("mean", DoubleType()),
+        StructField("std", DoubleType()),
+    ]
+)
+
+
+_ANOMALY_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("s2", DoubleType()),
+    ]
+)
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf Python package for
+    its state-server wire format; it is not bundled here."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _make_anomaly_fn(threshold_sigma: float, min_history: int):
+    """applyInPandasWithState twin of the StatefulProcessor — identical
+    per-event logic, GroupState instead of a state handle."""
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                v = float(v)
+                if n >= min_history:
+                    mean = s / n
+                    var = max(s2 / n - mean * mean, 0.0)
+                    if abs(v - mean) > threshold_sigma * var ** 0.5:
+                        out.append((key[0], ts, v, mean, var ** 0.5))
+                n, s, s2 = n + 1, s + v, s2 + v * v
+        state.update((n, s, s2))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "ts", "value", "mean", "std"]
+            )
+
+    return fn
+
+
+def user_value_anomalies(
+    events: DataFrame,
+    threshold_sigma: float = 3.0,
+    min_history: int = 5,
+    api: str = "auto",
+) -> DataFrame:
+    """Per-user running anomaly detection: each user's value stream is
+    scored against the running mean/std of that user's OWN history so
+    far; values more than ``threshold_sigma`` standard deviations out
+    (after ``min_history`` observations) emit an alert row.
+
+    State is a single (n, sum, sum_sq) triple per user (constant-size —
+    no history buffer), hash-partitioned by user_id exactly like a
+    streaming aggregate.
+
+    Two interchangeable engines producing identical output:
+    ``api="tws"`` uses Spark 4's ``transformWithStateInPandas``
+    arbitrary-state API (requires the protobuf Python package, which its
+    state-server protocol imports; raises a clear gate error when
+    absent); ``api="apis"`` uses ``applyInPandasWithState``.
+    ``"auto"`` picks tws when protobuf is importable, else apis.
+    """
+    if api == "auto":
+        api = "tws" if _tws_available() else "apis"
+    if api == "tws":
+        if not _tws_available():
+            raise NotImplementedError(
+                "transformWithStateInPandas requires the protobuf Python "
+                "package (pyspark.sql.streaming.proto imports it); install "
+                "protobuf or use api='apis'"
+            )
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_stats_processor(
+                threshold_sigma, min_history
+            ),
+            outputStructType=ANOMALY_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_anomaly_fn(threshold_sigma, min_history),
+        outputStructType=ANOMALY_SCHEMA,
+        stateStructType=_ANOMALY_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

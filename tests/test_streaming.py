@@ -250,3 +250,48 @@ def test_stream_left_outer_attribution(spark, events_dir):
     accounted = matched.select("view_id").distinct().count() + unmatched.count()
     assert n_views - withholdable <= accounted <= n_views
     assert unmatched.count() > 0
+
+
+def test_transform_with_state_anomalies(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas: per-user running mean/std
+    anomaly detection. A user with a stable history and one spike must
+    alert exactly on the spike; the stable user never alerts."""
+    import datetime as dt
+
+    from tensei_agent_spark.streaming import user_value_anomalies
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: ten 10.0s, then a 1000.0 spike, then ten more 10.0s
+    vals = [10.0] * 10 + [1000.0] + [10.0] * 10
+    for i, v in enumerate(vals):
+        rows.append((100 + i, base + dt.timedelta(minutes=i), 1, "m", v, "{}"))
+    # user 2: steady ramp well inside 3 sigma of a constant? constant stream
+    for i in range(15):
+        rows.append((200 + i, base + dt.timedelta(minutes=i), 2, "m", 5.0, "{}"))
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+              "value double, props string"
+    ).coalesce(1).write.parquet(str(src))
+
+    from tensei_agent_spark.streaming import read_event_stream, run_to_completion
+
+    stream = read_event_stream(spark, str(src))
+    out = user_value_anomalies(stream, threshold_sigma=3.0, min_history=5)
+    run_to_completion(out, "anomaly_sink", "append")
+    got = spark.table("anomaly_sink").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["user_id"] == 1 and r["value"] == 1000.0 and abs(r["mean"] - 10.0) < 1e-9
+
+
+def test_anomaly_tws_gate():
+    """The transformWithStateInPandas engine must raise its documented
+    gate (not crash mid-query) when protobuf is absent."""
+    from tensei_agent_spark.streaming.pipeline import _tws_available, user_value_anomalies
+
+    if _tws_available():
+        pytest.skip("protobuf present — tws path covered by the main test")
+    with pytest.raises(NotImplementedError, match="protobuf"):
+        user_value_anomalies(None, api="tws")
