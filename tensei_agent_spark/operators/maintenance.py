@@ -13,6 +13,7 @@ import os
 import shutil
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def compact_parquet(
@@ -60,8 +61,6 @@ def zorder_key(df, cols: list[str], bits: int = 16):
     interleaved dimension, so range-partitioning by the key clusters
     files on all of them at once.
     """
-    from pyspark.sql import functions as F
-
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"_min_{c}") for c in cols],
         *[F.max(c).cast("double").alias(f"_max_{c}") for c in cols],
@@ -113,3 +112,57 @@ def zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def upsert_partitioned_parquet(
+    spark: SparkSession,
+    updates,
+    path: str,
+    key_cols: list[str],
+    partition_col: str,
+) -> int:
+    """Keyed MERGE into a partitioned parquet table, rewriting ONLY the
+    partitions the update batch touches (what Delta/Iceberg MERGE does
+    under the hood, expressed on plain parquet).
+
+    1. The batch's distinct partition values are collected (bounded by
+       the batch, not the table — driver-scale).
+    2. Existing rows are read from ONLY those partitions (partition
+       pruning keeps the scan proportional to the touched slice, not
+       the table).
+    3. surviving old rows = existing ANTI-JOIN update keys; union the
+       updates; write back under ``partitionOverwriteMode=dynamic`` so
+       Spark replaces exactly the partitions present in the output —
+       untouched partitions' files are never rewritten (asserted in
+       tests via on-disk file identity).
+
+    Returns the number of partitions rewritten. The swap is per-
+    partition directory rename — same object-store caveat as
+    ``compact_parquet``.
+    """
+    touched = [
+        r[0] for r in updates.select(partition_col).distinct().collect()
+    ]
+    if not touched:
+        return 0
+    if os.path.isdir(path) and any(
+        e.startswith(f"{partition_col}=") for e in os.listdir(path)
+    ):
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(touched))
+            .select(*updates.columns)  # align column order for union
+        )
+        keep = existing.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        merged = keep.unionByName(updates)
+    else:
+        merged = updates
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return len(touched)

@@ -105,3 +105,47 @@ def test_zorder_layout_narrows_file_envelopes(spark, tmp_path):
         # the full range (a single-column sort leaves the other dim at
         # ~100% of the range in every file).
         assert mean_span < 0.6 * full, (c, mean_span, full)
+
+
+def test_upsert_partitioned_parquet_rewrites_only_touched(spark, tmp_path):
+    """Partition-scoped MERGE: updated keys replaced, new keys added,
+    and the files of untouched partitions are byte-identical on disk
+    (dynamic partition overwrite never rewrote them)."""
+    import os
+
+    from tensei_agent_spark.operators.maintenance import upsert_partitioned_parquet
+
+    path = str(tmp_path / "tbl")
+    seed = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)],
+        "id long, part string, v long",
+    )
+    seed.write.partitionBy("part").parquet(path)
+
+    def files_of(part):
+        d = os.path.join(path, f"part={part}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    before_b = files_of("b")
+    updates = spark.createDataFrame(
+        [(2, "a", 99), (4, "a", 40)], "id long, part string, v long"
+    )
+    n = upsert_partitioned_parquet(spark, updates, path, ["id"], "part")
+    assert n == 1  # only partition a touched
+
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10, 2: 99, 3: 30, 4: 40}
+    assert files_of("b") == before_b  # untouched partition not rewritten
+
+
+def test_upsert_partitioned_parquet_bootstrap(spark, tmp_path):
+    """First write (no existing table) just lays down the partitions."""
+    from tensei_agent_spark.operators.maintenance import upsert_partitioned_parquet
+
+    path = str(tmp_path / "fresh")
+    df = spark.createDataFrame([(1, "a", 1)], "id long, part string, v long")
+    assert upsert_partitioned_parquet(spark, df, path, ["id"], "part") == 1
+    assert spark.read.parquet(path).count() == 1
