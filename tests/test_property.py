@@ -178,3 +178,44 @@ def test_prefix_filtered_jaccard_equals_brute_force(spark):
     }
     assert got == expected
     assert len(expected) >= 8  # the planted dups are actually in play
+
+
+@SLOW
+@given(
+    st.lists(  # corpus: up to 6 docs of up to 12 simple words
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(2, 4),  # window width
+)
+def test_repeated_spans_matches_python_model(spark, docs_words, w):
+    """repeated_spans == a direct Python recomputation of window
+    multiset counts, for any corpus and window width."""
+    from collections import Counter
+
+    from tensei_agent_spark.operators.dedup import repeated_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["win_hash"]: (r["n_occurrences"], r["n_docs"], r["canonical_id"])
+        for r in repeated_spans(df, w=w).collect()
+    }
+
+    occurrences: dict[str, list[int]] = {}
+    for i, ws in enumerate(docs_words):
+        # Spark's split on ' +' after trim: empty text -> ['']
+        ws = [x for x in " ".join(ws).split(" ") if x != ""] or [""]
+        if len(ws) < w:
+            continue
+        for j in range(len(ws) - w + 1):
+            occurrences.setdefault(" ".join(ws[j:j + w]), []).append(i)
+    import hashlib
+
+    expect = {}
+    for win, ids in occurrences.items():
+        if len(ids) > 1:
+            h = hashlib.md5(win.encode()).hexdigest()
+            expect[h] = (len(ids), len(set(ids)), min(ids))
+    assert got == expect
