@@ -1839,7 +1839,7 @@ def multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
 @register("embedding_kmeans", None)  # iterative, float-order-sensitive → rows-only
 def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings table: per-cluster
-    (n, sse, mean_d2) after ≤8 deterministic iterations (k lowest-id
+    (n, sse, mean_d2) after ≤5 deterministic iterations (k lowest-id
     init, first-wins ties). Assignment is a zero-shuffle map stage
     against broadcast-literal centroids; each iteration's only exchange
     is the partial-aggregated per-cluster mean (operators/clustering).
@@ -1848,7 +1848,7 @@ def embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.clustering import cluster_profile, kmeans
 
     emb = load(spark, sf, "embeddings")
-    assigned, _, _ = kmeans(emb, k=8, dim=64, max_iter=8)
+    assigned, _, _ = kmeans(emb, k=8, dim=64, max_iter=5)
     return cluster_profile(assigned)
 
 
