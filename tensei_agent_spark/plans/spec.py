@@ -52,6 +52,11 @@ class Field:
     # unbounded text — ``helpers/DatabaseHelpers.scala:252-690``).
     length: int | None = None
     max_length: int | None = None
+    # DFASDL ``ref`` element: this field consumes NO input — its value
+    # is a copy of another element of the same row (``source_id`` attr;
+    # ``BaseParser.scala:285-312`` SaveReferenceData). Applied as a
+    # post-read projection alias in sources/__init__.read_source.
+    ref: str | None = None
 
 
 @dataclass(frozen=True)

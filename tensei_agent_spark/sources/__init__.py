@@ -35,7 +35,15 @@ def to_struct_type(fields: tuple[Field, ...]) -> StructType:
 
 def read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     """Dispatch by format (≙ ``Parser.scala:451-511`` subparser choice),
-    staging network URIs to local files first (≙ NetworkFileParser)."""
+    staging network URIs to local files first (≙ NetworkFileParser).
+
+    ``ref`` fields (DFASDL reference elements — copies of another
+    element's value, ``BaseParser.scala:285-312``) consume no input:
+    they are stripped from the physical read schema and appended as
+    cast projection aliases afterwards.
+    """
+    from pyspark.sql import functions as F
+
     from .net import stage_uri
 
     if spec.format not in READERS:
@@ -43,7 +51,14 @@ def read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     staged = stage_uri(spec.uri)
     if staged != spec.uri:
         spec = SourceSpec(spec.name, spec.format, staged, spec.fields, spec.options)
-    return READERS[spec.format](spark, spec)
+    ref_fields = tuple(f for f in (spec.fields or ()) if f.ref)
+    if ref_fields:
+        phys = tuple(f for f in spec.fields if not f.ref)
+        spec = SourceSpec(spec.name, spec.format, spec.uri, phys, spec.options)
+    df = READERS[spec.format](spark, spec)
+    for f in ref_fields:
+        df = df.withColumn(f.name, F.col(f.ref).cast(f.type))
+    return df
 
 
 from . import columnar, csv, jdbc, json, xml, excel, net  # noqa: E402,F401

@@ -291,3 +291,22 @@ def test_csv_locale_decimal_separator(spark, tmp_path):
     )
     rows = {r["name"]: str(r["price"]) for r in read_source(spark, spec).collect()}
     assert rows == {"widget": "1234.56", "bolt": "7.50", "nut": "999.00"}
+
+
+def test_ref_field_copies_sibling_element(spark, tmp_path):
+    """DFASDL `ref` elements (BaseParser.scala:285-312): a field that
+    consumes no input and mirrors another element's value, with its own
+    declared type. The CSV has exactly two physical columns."""
+    p = tmp_path / "r.csv"
+    p.write_text("1,42\n2,7\n")
+    spec = SourceSpec(
+        "s", "csv", str(p),
+        (
+            Field("id", "long"),
+            Field("amount", "string"),
+            Field("amount_num", "long", ref="amount"),
+        ),
+    )
+    rows = {r["id"]: r for r in read_source(spark, spec).collect()}
+    assert rows[1]["amount"] == "42" and rows[1]["amount_num"] == 42
+    assert rows[2]["amount_num"] == 7
