@@ -68,8 +68,22 @@ def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
 def read_text(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     """Non-delimited flat grammar: read raw lines, extract per-field via
     the spec's regex ``format`` attributes (≙ formatstr elements,
-    ``FileParserFunctions.scala:146-260``)."""
-    lines = spark.read.text(spec.uri)
+    ``FileParserFunctions.scala:146-260``).
+
+    ``recordSep`` option: for multi-line records (the reference's
+    vCard/email grammars — one DFASDL record spans several physical
+    lines) set the record terminator; it becomes the reader's
+    ``lineSep`` so each record arrives as one blob and field regexes
+    match across its inner newlines. Records stay splittable: Spark's
+    text source splits on the custom separator, not on \\n.
+    """
+    reader = spark.read
+    record_sep = spec.options.get("recordSep")
+    if record_sep:
+        reader = reader.option("lineSep", record_sep)
+    lines = reader.text(spec.uri)
+    if record_sep:  # drop empty trailing fragments between separators
+        lines = lines.filter(F.length(F.trim("value")) > 0)
     if not spec.fields:
         return lines
     cols = []

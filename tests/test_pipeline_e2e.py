@@ -358,3 +358,56 @@ def test_run_metrics_observed_on_write_job(spark, persons_path, tmp_path):
     run_pipeline(spark, p, metrics=metrics)
     assert metrics["copy"]["rows_processed"] == 3
     assert metrics["copy"]["null_cells"] == 0
+
+
+def test_splitting_one_source_two_targets(spark, persons_path, tmp_path):
+    """usecases/databases/Splitting.scala shape: one source fans out to
+    two targets through independent recipes — names to one CSV,
+    birthdays to another. Both goldens asserted literally."""
+    names_path = str(tmp_path / "names.csv")
+    days_path = str(tmp_path / "days.csv")
+    p = Pipeline(
+        name="split",
+        sources=(SourceSpec("persons", "csv", persons_path, PERSON_FIELDS),),
+        targets=(
+            TargetSpec(
+                "names", "csv", names_path,
+                fields=(Field("id", "long"), Field("name")),
+                options={"single_file": True, "order_by": ["id"]},
+            ),
+            TargetSpec(
+                "days", "csv", days_path,
+                fields=(Field("id", "long"), Field("birthday", "date")),
+                options={"single_file": True, "order_by": ["id"]},
+            ),
+        ),
+        recipes=(
+            Recipe(
+                "r_names", "names",
+                mappings=(
+                    Mapping((ColumnRef("persons", "id"),), ("id",)),
+                    Mapping(
+                        (ColumnRef("persons", "lastname"),
+                         ColumnRef("persons", "firstname")),
+                        ("name",),
+                        mode="all_to_all",
+                        transformers=(("concat", {"separator": ", "}),),
+                    ),
+                ),
+            ),
+            Recipe(
+                "r_days", "days",
+                mappings=(
+                    Mapping((ColumnRef("persons", "id"),), ("id",)),
+                    Mapping((ColumnRef("persons", "birthday"),), ("birthday",)),
+                ),
+            ),
+        ),
+    )
+    run_pipeline(spark, p)
+    assert open(names_path).read() == (
+        "1,\"Einstein, Albert\"\n2,\"Curie, Marie\"\n3,\"Newton, Isaac\"\n"
+    )
+    assert open(days_path).read() == (
+        "1,1879-03-14\n2,1867-11-07\n3,1643-01-04\n"
+    )

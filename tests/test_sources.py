@@ -310,3 +310,26 @@ def test_ref_field_copies_sibling_element(spark, tmp_path):
     rows = {r["id"]: r for r in read_source(spark, spec).collect()}
     assert rows[1]["amount"] == "42" and rows[1]["amount_num"] == 42
     assert rows[2]["amount_num"] == 7
+
+
+def test_vcard_multiline_grammar(spark, tmp_path):
+    """Multi-line flat records (the reference's vCard parser fixtures):
+    recordSep turns each card into one parse unit; field regexes match
+    across the card's inner newlines."""
+    p = tmp_path / "cards.vcf"
+    p.write_text(
+        "BEGIN:VCARD\nFN:Ada Lovelace\nTEL:+44-1\nEND:VCARD\n"
+        "BEGIN:VCARD\nFN:Alan Turing\nTEL:+44-2\nEND:VCARD\n"
+    )
+    spec = SourceSpec(
+        "cards", "text", str(p),
+        (
+            Field("full_name", "string", format=r"FN:([^\n]+)"),
+            Field("tel", "string", format=r"TEL:([^\n]+)"),
+        ),
+        {"recordSep": "END:VCARD\n"},
+    )
+    rows = sorted(
+        (r["full_name"], r["tel"]) for r in read_source(spark, spec).collect()
+    )
+    assert rows == [("Ada Lovelace", "+44-1"), ("Alan Turing", "+44-2")]
