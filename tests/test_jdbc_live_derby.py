@@ -241,3 +241,69 @@ def test_schema_extraction_from_metadata(spark, derby_url):
     cby = {f.name: f for f in cfields}
     assert cby["cid"].unique and not cby["cid"].auto_increment
     assert cfks == {"parent_id": ("META_PARENT", "pid")}
+
+
+def test_copy_between_databases_pipeline(spark, derby_url):
+    """usecases/databases/CopyBetweenDatabases.scala, live: a full
+    Pipeline whose SOURCE and TARGET are both JDBC tables — read via
+    the jdbc source, recipe transformer applied, written to a second
+    table through the jdbc sink; result read back and asserted."""
+    from tensei_agent_spark.plans import (
+        ColumnRef, Mapping, Pipeline, Recipe, run_pipeline,
+    )
+
+    src_df = spark.createDataFrame(
+        [(1, "ada", "lovelace"), (2, "alan", "turing")],
+        "id long, first string, last string",
+    )
+    write_target(
+        src_df,
+        _spec(
+            derby_url, "LIVE_SRC_PEOPLE", "append",
+            (Field("id", "long", unique=True, nullable=False),
+             Field("first", max_length=32), Field("last", max_length=32)),
+        ),
+    )
+    p = Pipeline(
+        name="db-to-db",
+        sources=(
+            SourceSpec(
+                "people", "jdbc", derby_url,
+                options={"driver": DRIVER, "table": "LIVE_SRC_PEOPLE"},
+            ),
+        ),
+        targets=(
+            TargetSpec(
+                "LIVE_DST_PEOPLE", "jdbc", derby_url,
+                fields=(
+                    Field("id", "long", unique=True, nullable=False),
+                    Field("full_name", max_length=80),
+                ),
+                mode="append",
+                options={"driver": DRIVER},
+            ),
+        ),
+        recipes=(
+            Recipe(
+                "copy", "LIVE_DST_PEOPLE",
+                mappings=(
+                    Mapping((ColumnRef("people", "id"),), ("id",)),
+                    Mapping(
+                        (ColumnRef("people", "first"), ColumnRef("people", "last")),
+                        ("full_name",),
+                        mode="all_to_all",
+                        transformers=(("concat", {"separator": " "}),),
+                    ),
+                ),
+            ),
+        ),
+    )
+    run_pipeline(spark, p)
+    rows = jvm_query(
+        spark, derby_url,
+        'SELECT "id", "full_name" FROM "LIVE_DST_PEOPLE" ORDER BY "id"',
+        DRIVER,
+    )
+    assert [(int(r[0]), r[1]) for r in rows] == [
+        (1, "ada lovelace"), (2, "alan turing"),
+    ]
