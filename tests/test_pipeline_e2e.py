@@ -411,3 +411,40 @@ def test_splitting_one_source_two_targets(spark, persons_path, tmp_path):
     assert open(days_path).read() == (
         "1,1879-03-14\n2,1867-11-07\n3,1643-01-04\n"
     )
+
+
+def test_mapping_mode_association_pairwise(spark, persons_path, tmp_path):
+    """usecases/databases/MappingModeAssociation.scala: MapOneToOne with
+    several source/target pairs in ONE mapping zips them pairwise (each
+    source element feeds exactly its positional counterpart), with the
+    transformer chain applied per pair."""
+    out_path = str(tmp_path / "assoc.csv")
+    p = Pipeline(
+        name="assoc",
+        sources=(SourceSpec("persons", "csv", persons_path, PERSON_FIELDS),),
+        targets=(
+            TargetSpec(
+                "out", "csv", out_path,
+                fields=(Field("fn"), Field("ln")),
+                options={"single_file": True, "order_by": ["fn"]},
+            ),
+        ),
+        recipes=(
+            Recipe(
+                "assoc", "out",
+                mappings=(
+                    Mapping(
+                        (ColumnRef("persons", "firstname"),
+                         ColumnRef("persons", "lastname")),
+                        ("fn", "ln"),
+                        mode="one_to_one",
+                        transformers=(("lower_or_upper", {"perform": "upper"}),),
+                    ),
+                ),
+            ),
+        ),
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == (
+        "ALBERT,EINSTEIN\nISAAC,NEWTON\nMARIE,CURIE\n"
+    )
