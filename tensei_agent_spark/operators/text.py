@@ -216,3 +216,28 @@ def repetition_features(
         "dup_2gram_frac",
         (max_freq.cast("double") / F.col("n_words")).alias("top_word_frac"),
     )
+
+
+# HTML entity map for clean_text; &amp; decodes LAST so "&amp;lt;" ends
+# as the literal "&lt;", not an (incorrect) double-unescaped "<".
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def clean_text(text: Column) -> Column:
+    """Markup-stripping cleaner for crawled corpora: drop HTML tags,
+    decode the common entities, remove control characters, collapse
+    whitespace, trim. Pure JVM regex chain — one map pass, no shuffle,
+    and every pattern is RE2/DuckDB-portable so the cleaning is
+    oracle-checkable."""
+    c = F.regexp_replace(text, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.regexp_replace(c, ent, ch)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))

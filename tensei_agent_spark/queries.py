@@ -1654,6 +1654,46 @@ def dedup_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return D.simhash_near_dup_pairs(load(spark, sf, "documents"), "text", "doc_id")
 
 
+def _clean_html_oracle() -> str:
+    """Build the DuckDB twin of operators/text.clean_text over the same
+    wrapped input (DuckDB regexp_replace needs the 'g' flag; Spark's is
+    global by default)."""
+    from .operators.text import HTML_ENTITIES
+
+    c = "concat('<p class=\"x\">', text, '</p> &amp; <b>bold</b>', chr(7))"
+    c = f"regexp_replace({c}, '<[^>]+>', ' ', 'g')"
+    for ent, ch in HTML_ENTITIES:
+        sql_ch = ch.replace("'", "''")
+        c = f"regexp_replace({c}, '{ent}', '{sql_ch}', 'g')"
+    c = f"regexp_replace({c}, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')"
+    c = f"trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+    return f"""
+    SELECT doc_id, {c} AS cleaned, length({c}) AS clean_len
+    FROM documents
+    """
+
+
+@register("text_clean_html", _clean_html_oracle())
+def text_clean_html(spark: SparkSession, sf: str) -> DataFrame:
+    """Markup-stripping cleaner (operators/text.clean_text) over the
+    corpus wrapped in synthetic HTML + entities + a control char: tags
+    out, entities decoded in fixed order (&amp; last), control chars
+    dropped, whitespace collapsed. Pure map pass, bit-exact vs the SQL
+    twin."""
+    docs = load(spark, sf, "documents")
+    wrapped = F.concat(
+        F.lit('<p class="x">'),
+        F.col("text"),
+        F.lit("</p> &amp; <b>bold</b>\x07"),
+    )
+    cleaned = TXT.clean_text(wrapped)
+    return docs.select(
+        "doc_id",
+        cleaned.alias("cleaned"),
+        F.length(cleaned).alias("clean_len"),
+    )
+
+
 @register(
     "text_quality",
     """

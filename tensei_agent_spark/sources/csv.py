@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.spec import SourceSpec
+from ..plans.spec import Field, SourceSpec
 from . import register, to_struct_type
 
 
@@ -25,6 +25,12 @@ def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     # numeric fields are read as strings and normalized JVM-side.
     dec_sep = str(options.pop("decimalSeparator", "") or "")
     grp_sep = str(options.pop("groupingSeparator", "") or "")
+    # ``captureCorrupt``: keep the raw line of rows that failed the
+    # grammar in a ``_corrupt_record`` column instead of silently
+    # nulling fields (≙ the reference marking a broken parse branch and
+    # logging the offset, ``BaseParser.scala:602-611``). Good rows carry
+    # NULL there; split with ``df.filter("_corrupt_record IS NULL")``.
+    capture_corrupt = bool(options.pop("captureCorrupt", False))
     opts = {
         "header": "false",
         "sep": ",",
@@ -52,6 +58,9 @@ def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
                 replace(f, type="string") if f in localized else f
                 for f in spec.fields
             )
+        if capture_corrupt:
+            read_fields = read_fields + (Field("_corrupt_record", "string"),)
+            reader = reader.option("columnNameOfCorruptRecord", "_corrupt_record")
         reader = reader.schema(to_struct_type(read_fields))
     else:
         reader = reader.option("inferSchema", "true")

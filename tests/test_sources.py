@@ -333,3 +333,21 @@ def test_vcard_multiline_grammar(spark, tmp_path):
         (r["full_name"], r["tel"]) for r in read_source(spark, spec).collect()
     )
     assert rows == [("Ada Lovelace", "+44-1"), ("Alan Turing", "+44-2")]
+
+
+def test_csv_capture_corrupt_records(spark, tmp_path):
+    """captureCorrupt keeps the raw line of grammar-breaking rows in
+    _corrupt_record (the reference marks the branch BROKEN and logs the
+    offset); clean rows carry NULL there."""
+    p = tmp_path / "bad.csv"
+    p.write_text("1,alice\nnot-a-number,bob\n3,carol\n")
+    spec = SourceSpec(
+        "s", "csv", str(p),
+        (Field("id", "long"), Field("name")),
+        {"captureCorrupt": True},
+    )
+    df = read_source(spark, spec).cache()
+    good = df.filter("_corrupt_record IS NULL")
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    assert sorted(r["id"] for r in good.collect()) == [1, 3]
+    assert [r["_corrupt_record"] for r in bad.collect()] == ["not-a-number,bob"]

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from tensei_agent_spark.operators.dedup import shared_shingle_contamination
 from tensei_agent_spark.operators.text import repetition_features
 
@@ -111,3 +113,16 @@ def test_connected_components_distributed_path_matches_driver_path(spark):
     }
     assert fast == dist
     assert dist == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_clean_text_entity_order_and_controls(spark):
+    """&amp;lt; must decode to the literal '&lt;' (amp decodes LAST, no
+    double-unescape); tags drop, control chars vanish, whitespace
+    collapses."""
+    from tensei_agent_spark.operators.text import clean_text
+
+    df = spark.createDataFrame(
+        [("<b>a</b>  &amp;lt; b\x07\tc &nbsp;d",)], "s string"
+    )
+    (got,) = df.select(clean_text(F.col("s")).alias("c")).first()
+    assert got == "a &lt; b c d"
