@@ -69,14 +69,18 @@ def kmeans(
     monotonicity, asserted in tests). Empty clusters keep their previous
     centroid. ``dim`` is probed from the first row when omitted.
     """
-    if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
     init = (
         emb.select(id_col, vec_col)
         .orderBy(id_col)
         .limit(k)
         .collect()
     )
+    if len(init) < k:
+        raise ValueError(
+            f"kmeans: k={k} but the input has only {len(init)} rows"
+        )
+    if dim is None:
+        dim = len(init[0][vec_col])
     centroids = [[float(x) for x in r[vec_col]] for r in init]
     sse_history: list[float] = []
     for _ in range(max_iter):

@@ -380,10 +380,17 @@ def ngram_jaccard_pairs(
     # 25s of redundant array intersects. Non-broadcast (at-scale)
     # screens always distinct first so duplicates don't ride two
     # shuffles.
-    stats = tok_sets.agg(
-        F.sum("n_sh").alias("tot"), F.count(F.lit(1)).alias("n")
+    # Size the broadcast decision from BOUNDED eager work (a metadata
+    # count + a 512-row length sample), not a full corpus scan: builds
+    # that never execute (explain/plan audits) must not pay a corpus
+    # materialization, and the estimate only steers a hint. The sample
+    # mean is an upper bound on distinct-token count per doc.
+    n_docs = docs.count()
+    sample = docs.limit(512).agg(
+        F.avg(F.length(text_col)).alias("len")
     ).first()
-    small = (stats["tot"] or 0) * 8 < 64 * 1024 * 1024
+    est_tokens = max((sample["len"] or 0) - k + 1, 1) * n_docs
+    small = est_tokens * 8 < 64 * 1024 * 1024
     hint = F.broadcast if small else (lambda d: d)
     defer_distinct = small and threshold >= 0.7
     if not defer_distinct:

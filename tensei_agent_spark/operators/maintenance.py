@@ -14,6 +14,7 @@ import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def compact_parquet(
@@ -145,16 +146,24 @@ def upsert_partitioned_parquet(
     ]
     if not touched:
         return 0
-    if os.path.isdir(path) and any(
-        e.startswith(f"{partition_col}=") for e in os.listdir(path)
-    ):
-        existing = (
-            spark.read.parquet(path)
-            .filter(F.col(partition_col).isin(touched))
+    # Existence probe through Spark's FS layer (NOT os.path — the table
+    # may live on HDFS/S3, where a local probe is always false and
+    # would silently drop every pre-existing row of touched partitions).
+    try:
+        existing = spark.read.parquet(path)
+        has_table = partition_col in existing.columns
+    except AnalysisException:
+        has_table = False
+    if has_table:
+        # isin() never matches NULL; a NULL partition value in the batch
+        # must read back the __HIVE_DEFAULT_PARTITION__ rows explicitly.
+        pred = F.col(partition_col).isin([t for t in touched if t is not None])
+        if any(t is None for t in touched):
+            pred = pred | F.col(partition_col).isNull()
+        keep = (
+            existing.filter(pred)
             .select(*updates.columns)  # align column order for union
-        )
-        keep = existing.join(
-            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+            .join(updates.select(*key_cols).distinct(), key_cols, "left_anti")
         )
         merged = keep.unionByName(updates)
     else:

@@ -147,11 +147,18 @@ def ntile_from_rank(rank: Column, n_rows: Column, tiles: int) -> Column:
     ``floor(n/tiles)+1`` rows, the rest ``floor(n/tiles)``; bucket k's
     upper boundary is ``k*base + min(k, rem)``.
     """
+    if tiles < 1:
+        raise ValueError(f"ntile requires tiles >= 1, got {tiles}")
     if tiles & (tiles - 1) == 0:
         shift = tiles.bit_length() - 1
         base = F.shiftright(n_rows, shift)  # exact n DIV tiles
     else:
-        base = ((n_rows - F.pmod(n_rows, F.lit(tiles))) / tiles).cast("long")
+        # Exact n DIV tiles without float: subtract the remainder, then
+        # divide in DECIMAL (exact when the numerator is divisible) —
+        # a '/' double divide rounds above 2^53 and would silently
+        # shift every bucket boundary.
+        exact_num = (n_rows - F.pmod(n_rows, F.lit(tiles))).cast("decimal(38,0)")
+        base = (exact_num / F.lit(tiles)).cast("long")
     rem = n_rows - base * tiles
     expr = F.lit(tiles)
     for k in range(tiles - 1, 0, -1):

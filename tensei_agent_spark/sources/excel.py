@@ -111,6 +111,12 @@ def read_xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str]]:
         for row in sheet_xml.iter():
             if _local(row.tag) != "row":
                 continue
+            # Entirely empty rows are OMITTED from sheetData; honor the
+            # r attribute so positions match the POI/pandas conversion
+            # (a position-based DFASDL spec counts blank records).
+            if row.get("r"):
+                while len(rows) < int(row.get("r")) - 1:
+                    rows.append([])
             cells: list[str] = []
             for c in row:
                 if _local(c.tag) != "c":
@@ -158,9 +164,18 @@ def excel_to_csv(path: str, sheet: str | int = 0, out_dir: str | None = None) ->
     d = out_dir or tempfile.mkdtemp(prefix="tensei_excel_")
     os.makedirs(d, exist_ok=True)
     dest = os.path.join(d, os.path.basename(path) + ".csv")
+
+    def esc(v: str) -> str:
+        # Excel-style escaping (the reference's EXCEL_STYLE_ESCAPING):
+        # quote cells containing the separator, quotes, or newlines —
+        # an Alt+Enter multi-line cell must not split the record.
+        if SEPARATOR in v or '"' in v or "\n" in v or "\r" in v:
+            return '"' + v.replace('"', '""') + '"'
+        return v
+
     with open(dest, "w", encoding="utf-8") as fh:
         for r in rows:
-            fh.write(SEPARATOR.join(r) + "\n")
+            fh.write(SEPARATOR.join(esc(v) for v in r) + "\n")
     return dest
 
 
@@ -174,7 +189,10 @@ def read_excel(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         format="csv",
         uri=staged,
         fields=spec.fields,
-        options={"sep": SEPARATOR, **opts},
+        # multiLine: quoted cells may carry embedded newlines (the
+        # converter Excel-escapes them); the staged file is one local
+        # file, so losing line-level splittability costs nothing.
+        options={"sep": SEPARATOR, "multiLine": "true", **opts},
     )
     from .csv import read_csv
 

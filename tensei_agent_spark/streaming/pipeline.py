@@ -319,11 +319,14 @@ def _make_stats_processor(threshold_sigma: float, min_history: int):
             st = self._agg.get()
             n, s, s2 = (st[0], st[1], st[2]) if st else (0, 0.0, 0.0)
             out = []
-            for pdf in rows:
-                # Deterministic within a micro-batch: process in event
-                # order, not arrival order.
-                pdf = pdf.sort_values("ts")
-                for ts, v in zip(pdf["ts"], pdf["value"]):
+            # Deterministic within a micro-batch: a large group arrives
+            # as SEVERAL Arrow chunks, so the event-time sort must run
+            # over the concatenated group — a per-chunk sort would
+            # still process chunks in arrival order.
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                whole = pd.concat(chunks).sort_values("ts")
+                for ts, v in zip(whole["ts"], whole["value"]):
                     v = float(v)
                     if n >= min_history:
                         mean = s / n
@@ -383,9 +386,12 @@ def _make_anomaly_fn(threshold_sigma: float, min_history: int):
 
         n, s, s2 = state.get if state.exists else (0, 0.0, 0.0)
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, v in zip(pdf["ts"], pdf["value"]):
+        # Sort over the CONCATENATED group, not per chunk (see the
+        # StatefulProcessor twin).
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks).sort_values("ts")
+            for ts, v in zip(whole["ts"], whole["value"]):
                 v = float(v)
                 if n >= min_history:
                     mean = s / n

@@ -149,3 +149,23 @@ def test_upsert_partitioned_parquet_bootstrap(spark, tmp_path):
     df = spark.createDataFrame([(1, "a", 1)], "id long, part string, v long")
     assert upsert_partitioned_parquet(spark, df, path, ["id"], "part") == 1
     assert spark.read.parquet(path).count() == 1
+
+
+def test_upsert_partitioned_parquet_null_partition(spark, tmp_path):
+    """A NULL partition value in the update batch must read back the
+    default-partition rows (isin() alone never matches NULL) instead of
+    silently dropping the non-updated ones."""
+    from tensei_agent_spark.operators.maintenance import upsert_partitioned_parquet
+
+    path = str(tmp_path / "nulltbl")
+    seed = spark.createDataFrame(
+        [(1, None, 10), (2, None, 20), (3, "a", 30)],
+        "id long, part string, v long",
+    )
+    seed.write.partitionBy("part").parquet(path)
+    updates = spark.createDataFrame(
+        [(2, None, 99)], "id long, part string, v long"
+    )
+    upsert_partitioned_parquet(spark, updates, path, ["id"], "part")
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10, 2: 99, 3: 30}

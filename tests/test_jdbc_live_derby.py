@@ -307,3 +307,30 @@ def test_copy_between_databases_pipeline(spark, derby_url):
     assert [(int(r[0]), r[1]) for r in rows] == [
         (1, "ada lovelace"), (2, "alan turing"),
     ]
+
+
+def test_overwrite_drop_failure_propagates(spark, derby_url):
+    """A DROP TABLE that fails for a reason OTHER than nonexistence
+    (here: a dependent view) must propagate — swallowing it would turn
+    overwrite into a silent append onto stale rows."""
+    df = spark.createDataFrame([(1, "a")], "id long, name string")
+    fields = (Field("id", "long", unique=True), Field("name", max_length=32))
+    write_target(df, _spec(derby_url, "LIVE_VIEWED", "append", fields))
+    jvm_execute(
+        spark, derby_url,
+        ['CREATE VIEW "LIVE_VIEWED_V" AS SELECT "id" FROM "LIVE_VIEWED"'],
+        DRIVER,
+    )
+    try:
+        with pytest.raises(Exception, match="(?i)view|depend|X0Y23"):
+            write_target(
+                spark.createDataFrame([(2, "b")], "id long, name string"),
+                _spec(derby_url, "LIVE_VIEWED", "overwrite", fields),
+            )
+        # the table kept its original content — no silent append
+        rows = jvm_query(
+            spark, derby_url, 'SELECT "id" FROM "LIVE_VIEWED"', DRIVER
+        )
+        assert [int(r[0]) for r in rows] == [1]
+    finally:
+        jvm_execute(spark, derby_url, ['DROP VIEW "LIVE_VIEWED_V"'], DRIVER)

@@ -351,3 +351,50 @@ def test_csv_capture_corrupt_records(spark, tmp_path):
     bad = df.filter("_corrupt_record IS NOT NULL")
     assert sorted(r["id"] for r in good.collect()) == [1, 3]
     assert [r["_corrupt_record"] for r in bad.collect()] == ["not-a-number,bob"]
+
+
+def test_xlsx_multiline_cell_and_empty_row(tmp_path, spark):
+    """An Alt+Enter multi-line cell must survive conversion as ONE
+    record (Excel-style quoting + multiLine read), and a workbook row
+    omitted from sheetData (entirely empty) must stay a blank record so
+    positions match the POI conversion."""
+    import zipfile
+
+    from tensei_agent_spark.sources import read_source
+    from tensei_agent_spark.sources.excel import read_xlsx_rows
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    wb = tmp_path / "ml.xlsx"
+    with zipfile.ZipFile(str(wb), "w") as zf:
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+            f'<sheet name="s" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package'
+            f'/2006/relationships"><Relationship Id="rId1" Type="{rns}/worksheet" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        # row 1: id + multi-line note; row 2 omitted (empty); row 3: data
+        zf.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1"><v>1</v></c>'
+            '<c r="B1" t="inlineStr"><is><t>line1\nline2</t></is></c></row>'
+            '<row r="3"><c r="A3"><v>3</v></c>'
+            '<c r="B3" t="inlineStr"><is><t>plain</t></is></c></row>'
+            "</sheetData></worksheet>",
+        )
+    rows = read_xlsx_rows(str(wb))
+    assert rows[0] == ["1", "line1\nline2"]
+    assert rows[1] == ["", ""]  # the omitted empty row is preserved
+    assert rows[2] == ["3", "plain"]
+
+    spec = SourceSpec(
+        "ml", "excel", str(wb), (Field("id", "long"), Field("note"))
+    )
+    got = {r["id"]: r["note"] for r in read_source(spark, spec).collect()}
+    assert got[1] == "line1\nline2" and got[3] == "plain"

@@ -84,3 +84,25 @@ def test_ntile_formula_matches_spark_ntile(spark, n, tiles):
 def test_empty_input(spark):
     df = spark.range(0).select(F.col("id"), F.col("id").alias("v"))
     assert with_global_rank(df, ["v", "id"]).count() == 0
+
+
+def test_ntile_non_power_of_two_matches_sql(spark):
+    """tiles=3 boundaries must match Spark's own ntile; tiles=0 raises
+    (the old power-of-two test let 0 through as shift=-1)."""
+    import pytest
+    from pyspark.sql import Window
+
+    from tensei_agent_spark.operators.windows import ntile_from_rank
+
+    df = spark.range(1, 11).withColumn("v", F.col("id"))
+    w = Window.orderBy("v")
+    expect = df.withColumn("t", F.ntile(3).over(w))
+    got = df.withColumn("r", F.row_number().over(w)).withColumn(
+        "t2", ntile_from_rank(F.col("r"), F.lit(10), 3)
+    )
+    pairs = {
+        r["id"]: r["t"] for r in expect.collect()
+    }, {r["id"]: r["t2"] for r in got.collect()}
+    assert pairs[0] == pairs[1]
+    with pytest.raises(ValueError, match="tiles"):
+        ntile_from_rank(F.col("r"), F.lit(10), 0)
