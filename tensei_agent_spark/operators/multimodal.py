@@ -139,7 +139,7 @@ def extract_features(
             for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
                 raw = bytes(payload)
                 w, h, dur, feat = kernel(raw, modality)
-                rows["asset_id"].append(int(asset_id))
+                rows["asset_id"].append(asset_id)
                 rows["modality"].append(modality)
                 rows["n_bytes"].append(len(raw))
                 rows["digest"].append(hashlib.md5(raw).hexdigest())
@@ -149,9 +149,15 @@ def extract_features(
                 rows["feature"].append(feat)
             yield pd.DataFrame(rows)
 
+    # asset_id keeps the INPUT id column's type (string paths from the
+    # binaryFile source are ids too, not just numeric keys).
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [StructField("asset_id", id_type)] + list(FEATURE_SCHEMA.fields[1:])
+    )
     src = df.select(F.col(id_col), F.col(binary_col))
     return src.mapInPandas(
-        run, FEATURE_SCHEMA, barrier=False
+        run, schema, barrier=False
     ).withColumn("feature", F.col("feature").cast("array<double>"))
 
 

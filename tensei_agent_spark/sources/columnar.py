@@ -49,3 +49,25 @@ def read_avro(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         "the spark-avro datasource jar is not bundled in this environment; "
         "add org.apache.spark:spark-avro to spark.jars.packages to enable"
     )
+
+
+@register("binary")
+def read_binary_files(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    """Whole-file binary source (Spark's ``binaryFile`` format): one row
+    per file — (path, modificationTime, length, content) — the ingest
+    path for the multimodal pipeline (operators/multimodal): raw
+    image/audio/video bytes become an opaque binary column with file
+    metadata attached.
+
+    Options: ``pathGlobFilter`` (e.g. ``*.png``) pushes the name filter
+    into file listing; ``recursiveFileLookup`` walks subdirectories.
+    Files larger than ``spark.sql.sources.binaryFile.maxLength`` (2 GiB
+    default cap) fail loudly rather than truncate.
+    """
+    reader = spark.read.format("binaryFile")
+    for key, val in spec.options.items():
+        reader = reader.option(key, str(val))
+    df = reader.load(spec.uri)
+    if spec.fields:
+        df = df.select(*[f.name for f in spec.fields])
+    return df

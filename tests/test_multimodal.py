@@ -135,3 +135,30 @@ def test_decoder_closure_serializes(spark, assets):
     )
     got = {r["asset_id"]: r["feature"][0] for r in out.collect()}
     assert got[4] == 3.0 * len(b"payload-4" * 5)
+
+
+def test_binary_file_source_feeds_multimodal(spark, tmp_path):
+    """binaryFile source → opaque payload column → extract_features:
+    the realistic multimodal ingest path, with glob pushdown."""
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.multimodal import extract_features
+    from tensei_agent_spark.plans.spec import Field, SourceSpec
+    from tensei_agent_spark.sources import read_source
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG fakedata A")
+    (tmp_path / "b.png").write_bytes(b"\x89PNG fakedata BB")
+    (tmp_path / "skip.txt").write_bytes(b"not an image")
+    spec = SourceSpec(
+        "imgs", "binary", str(tmp_path),
+        (Field("path"), Field("length", "long"), Field("content", "binary")),
+        {"pathGlobFilter": "*.png"},
+    )
+    df = read_source(spark, spec)
+    assert df.count() == 2  # glob filter pruned the .txt
+    feats = extract_features(
+        df.select(F.col("path").alias("doc_id"), F.col("content").alias("payload")),
+        "payload", "doc_id", modality="image", deterministic_fake=True,
+    )
+    rows = feats.collect()
+    assert len(rows) == 2 and all(r["feature"] is not None for r in rows)
