@@ -181,3 +181,67 @@ def frame_sample_plan(
         df.select(F.col(id_col), F.explode(F.sequence(F.lit(0), n)).alias("frame_idx"))
         .withColumn("sample_ts_s", F.col("frame_idx") * every_s)
     )
+
+
+def transform_assets(
+    df: DataFrame,
+    binary_col: str,
+    id_col: str,
+    kernel: "Callable[[bytes], bytes] | None" = None,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Payload → payload transform (resize / transcode / re-encode):
+    the write-side twin of :func:`extract_features`, same Arrow-batched
+    ``mapInPandas`` shape — binary in, binary out, partitioning
+    untouched, no shuffle, memory bounded per batch.
+
+    ``kernel`` is a picklable ``bytes -> bytes`` (wrap PIL resize or an
+    ffmpeg transcode here). ``deterministic_fake=True`` installs a
+    testable stand-in (truncate-to-half, min 1 byte) so the distributed
+    plumbing is exercised without codecs; with neither, a clear
+    capability error is raised — not silence.
+
+    Output: (id, <binary_col> transformed, n_bytes_in, n_bytes_out).
+    """
+    if kernel is None:
+        if not deterministic_fake:
+            raise NotImplementedError(
+                "no transform kernel: pass kernel=(bytes -> bytes) "
+                "wrapping your codec, or deterministic_fake=True for "
+                "the test stand-in"
+            )
+        kernel = lambda b: b[: max(len(b) // 2, 1)]  # noqa: E731
+
+    id_type = df.schema[id_col].dataType
+    bin_type = df.schema[binary_col].dataType
+    schema = StructType(
+        [
+            StructField(id_col, id_type),
+            StructField(binary_col, bin_type),
+            StructField("n_bytes_in", LongType()),
+            StructField("n_bytes_out", LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_ids, out_bin, n_in, n_out = [], [], [], []
+            for asset_id, payload in zip(pdf[id_col], pdf[binary_col]):
+                raw = bytes(payload)
+                new = kernel(raw)
+                out_ids.append(asset_id)
+                out_bin.append(new)
+                n_in.append(len(raw))
+                n_out.append(len(new))
+            yield pd.DataFrame(
+                {
+                    id_col: out_ids, binary_col: out_bin,
+                    "n_bytes_in": n_in, "n_bytes_out": n_out,
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(binary_col)).mapInPandas(
+        run, schema, barrier=False
+    )

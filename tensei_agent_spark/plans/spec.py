@@ -63,7 +63,8 @@ class Field:
 class SourceSpec:
     """One source connection + schema.
 
-    ``format`` ∈ {csv, json, xml, jdbc, parquet, excel}; ``uri`` is a
+    ``format`` ∈ {csv, text, json, xml, jdbc, parquet, orc, binary,
+    excel}; ``uri`` is a
     path / URL / JDBC URL (network URLs are staged locally first, see
     sources/net.py). ``fields=None`` → infer the schema (SchemaExtractor
     parity, infer.py).

@@ -162,3 +162,30 @@ def test_binary_file_source_feeds_multimodal(spark, tmp_path):
     )
     rows = feats.collect()
     assert len(rows) == 2 and all(r["feature"] is not None for r in rows)
+
+
+def test_transform_assets_roundtrip_and_gate(spark):
+    """Payload->payload transform: fake kernel halves each asset through
+    the distributed path; a custom kernel plugs in; no kernel raises the
+    documented gate."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.multimodal import transform_assets
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"0123456789")), (2, bytearray(b"abcd"))],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in
+           transform_assets(df, "payload", "doc_id",
+                            deterministic_fake=True).collect()}
+    assert bytes(out[1]["payload"]) == b"01234" and out[1]["n_bytes_out"] == 5
+    assert out[2]["n_bytes_in"] == 4 and out[2]["n_bytes_out"] == 2
+
+    rev = transform_assets(df, "payload", "doc_id", kernel=lambda b: b[::-1])
+    got = {r["doc_id"]: bytes(r["payload"]) for r in rev.collect()}
+    assert got[2] == b"dcba"
+
+    with pytest.raises(NotImplementedError, match="kernel"):
+        transform_assets(df, "payload", "doc_id")
