@@ -80,9 +80,16 @@ def _vote_column(values: list[str]) -> Field:
         return Field("", "long")
     for pat, sep in ((_DEC_DOT_RE, "."), (_DEC_COMMA_RE, ",")):
         if all(pat.match(v) for v in vals):
-            digits = max(len(v.replace("-", "").replace(sep, "")) for v in vals)
+            # Precision must pair the WIDEST integer part with the
+            # WIDEST scale: per-value maxima taken independently
+            # (max total digits, max scale) under-size mixed-magnitude
+            # columns — ['1000.5', '1.23456'] needs decimal(9,5), not
+            # decimal(6,5), which silently nulls 1000.5 on read.
+            int_digits = max(
+                len(v.replace("-", "").rsplit(sep, 1)[0]) for v in vals
+            )
             scale = max(len(v.rsplit(sep, 1)[1]) for v in vals)
-            f = Field("", f"decimal({max(digits, scale + 1)},{scale})")
+            f = Field("", f"decimal({int_digits + scale},{scale})")
             return f if sep == "." else Field(f.name, f.type, format=",")
     if (fmt := _parses_all(vals, DATE_FORMATS)) is not None:
         return Field("", "date", format=fmt)
@@ -141,7 +148,15 @@ def infer_csv(path: str, sample_lines: int = 100, encoding: str = "utf-8"):
     for i, name in enumerate(names):
         voted = _vote_column([r[i] for r in body if i < len(r)])
         fields.append(Field(name, voted.type, format=voted.format))
-    return tuple(fields), {"sep": sep, "header": str(header).lower()}
+    options = {"sep": sep, "header": str(header).lower()}
+    # A comma-decimal column (format=',') is only readable if the reader
+    # gets the locale option — read_csv localizes (string-read +
+    # translate) solely on options['decimalSeparator'].
+    if any(
+        f.format == "," and f.type.startswith("decimal") for f in fields
+    ):
+        options["decimalSeparator"] = ","
+    return tuple(fields), options
 
 
 def spec_from_csv(name: str, path: str, **kw) -> SourceSpec:

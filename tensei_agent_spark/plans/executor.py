@@ -81,8 +81,14 @@ def combine_sources(
         out = _qualified(frames[driving], driving)
         key = _qual(driving, recipe.mapping_key)
         for other in used[1:]:
-            rhs = _qualified(frames[other], other).withColumnRenamed(
-                _qual(other, recipe.mapping_key), key
+            # Join on a COPY of the lookup key, keeping the qualified
+            # original: a mapping may reference the key from the lookup
+            # source (ColumnRef(other, mapping_key)), and on a left-join
+            # miss its value must be NULL — renaming the key away would
+            # make that reference unresolvable.
+            other_key = _qual(other, recipe.mapping_key)
+            rhs = _qualified(frames[other], other).withColumn(
+                key, F.col(other_key)
             )
             out = mapping_key_join(out, rhs, key, how="left", broadcast_right=True)
         return out, {s: s for s in used}

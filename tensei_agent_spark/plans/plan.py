@@ -41,6 +41,10 @@ def validate(p: Pipeline) -> list[str]:
         errors.append("duplicate source names")
     if len(target_names) != len(p.targets):
         errors.append("duplicate target names")
+    # Recipe names key the FK topological sort's graph dicts — a
+    # duplicate would silently drop all but one recipe there.
+    if len({r.name for r in p.recipes}) != len(p.recipes):
+        errors.append("duplicate recipe names")
 
     source_cols = {
         s.name: {f.name for f in s.fields} if s.fields is not None else None

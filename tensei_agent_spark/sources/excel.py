@@ -192,7 +192,12 @@ def read_excel(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         # multiLine: quoted cells may carry embedded newlines (the
         # converter Excel-escapes them); the staged file is one local
         # file, so losing line-level splittability costs nothing.
-        options={"sep": SEPARATOR, "multiLine": "true", **opts},
+        # escape='"': the converter writes RFC4180 doubled quotes;
+        # Spark's default escape is backslash and would hand back the
+        # doubling verbatim.
+        options={
+            "sep": SEPARATOR, "multiLine": "true", "escape": '"', **opts,
+        },
     )
     from .csv import read_csv
 

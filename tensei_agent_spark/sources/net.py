@@ -37,7 +37,11 @@ def stage_uri(uri: str, cache_dir: str | None = None) -> str:
         return uri
     if scheme in ("http", "https", "ftp"):
         return _stage_url(uri, cache_dir)
-    if scheme in ("sftp", "ftps"):
+    if scheme == "ftps":
+        # FTPS is FTP-over-TLS, NOT SSH: stdlib ftplib.FTP_TLS, never
+        # paramiko (an SSH client cannot speak to an FTPS endpoint).
+        return _stage_ftps(uri, cache_dir)
+    if scheme == "sftp":
         return _stage_sftp(uri, cache_dir)
     if scheme == "smb":
         # The reference's URI helper recognizes smb
@@ -97,12 +101,25 @@ def push_file(local_path: str, uri: str) -> None:
         finally:
             ftp.quit()
         return
-    if scheme in ("sftp", "ftps"):
+    if scheme == "ftps":
+        import ftplib
+
+        ftp = ftplib.FTP_TLS()
+        ftp.connect(parsed.hostname, parsed.port or 21)
+        ftp.login(parsed.username or "anonymous", parsed.password or "")
+        ftp.prot_p()  # encrypt the data channel too
+        try:
+            with open(local_path, "rb") as fh:
+                ftp.storbinary(f"STOR {parsed.path}", fh)
+        finally:
+            ftp.quit()
+        return
+    if scheme == "sftp":
         try:
             import paramiko
         except ImportError as e:  # pragma: no cover - env without paramiko
             raise NotImplementedError(
-                "SFTP/FTPS push requires the optional 'paramiko' dependency"
+                "SFTP push requires the optional 'paramiko' dependency"
             ) from e
         transport = paramiko.Transport((parsed.hostname, parsed.port or 22))
         transport.connect(username=parsed.username, password=parsed.password)
@@ -114,12 +131,31 @@ def push_file(local_path: str, uri: str) -> None:
     raise ValueError(f"unsupported push scheme {scheme!r} for {uri!r}")
 
 
+def _stage_ftps(uri: str, cache_dir: str | None) -> str:
+    """FTP-over-TLS fetch via stdlib ftplib.FTP_TLS (explicit mode,
+    PROT P data channel)."""
+    import ftplib
+
+    parsed = urllib.parse.urlparse(uri)
+    ftp = ftplib.FTP_TLS()
+    ftp.connect(parsed.hostname, parsed.port or 21)
+    ftp.login(parsed.username or "anonymous", parsed.password or "")
+    ftp.prot_p()
+    dest = _dest_path(uri, cache_dir)
+    try:
+        with open(dest, "wb") as out:
+            ftp.retrbinary(f"RETR {parsed.path}", out.write)
+    finally:
+        ftp.quit()
+    return dest
+
+
 def _stage_sftp(uri: str, cache_dir: str | None) -> str:
     try:
         import paramiko  # noqa: F401
     except ImportError as e:  # pragma: no cover - env without paramiko
         raise NotImplementedError(
-            "SFTP/FTPS staging requires the optional 'paramiko' dependency; "
+            "SFTP staging requires the optional 'paramiko' dependency; "
             "install it or stage the file to a local/object-store path"
         ) from e
     parsed = urllib.parse.urlparse(uri)

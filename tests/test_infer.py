@@ -39,7 +39,7 @@ def test_csv_type_voting(tmp_path):
         "2;7,00;1.5;1985-12-31;2021-07-15 23:59:59;world\n"
     )
     fields, options = infer_csv(str(p))
-    assert options == {"sep": ";", "header": "true"}
+    assert options == {"sep": ";", "header": "true", "decimalSeparator": ","}
     by_name = {f.name: f for f in fields}
     assert by_name["id"].type == "long"
     assert by_name["amount"].type.startswith("decimal") and by_name["amount"].format == ","

@@ -448,3 +448,46 @@ def test_mapping_mode_association_pairwise(spark, persons_path, tmp_path):
     assert open(out_path).read() == (
         "ALBERT,EINSTEIN\nISAAC,NEWTON\nMARIE,CURIE\n"
     )
+
+
+def test_mapping_can_reference_lookup_source_key(spark, persons_path, salary_path, tmp_path):
+    """A mapping may reference the mapping-key column FROM the lookup
+    source; on a left-join miss that reference must be NULL (the rename
+    formulation crashed with 'cannot resolve')."""
+    out_path = str(tmp_path / "k.csv")
+    # salary file only has ids 1..3; add a 4th person with no salary row
+    with open(persons_path, "a") as fh:
+        fh.write("4,Grace,Hopper,1906-12-09\n")
+    p = Pipeline(
+        name="lookup-key",
+        sources=(
+            SourceSpec("persons", "csv", persons_path, PERSON_FIELDS),
+            SourceSpec(
+                "salary", "csv", salary_path,
+                (Field("id", "long"), Field("amount", "decimal(10,2)")),
+            ),
+        ),
+        targets=(
+            TargetSpec(
+                "out", "csv", out_path,
+                fields=(Field("pid", "long"), Field("sid", "long"),
+                        Field("amount", "decimal(10,2)")),
+                options={"single_file": True, "order_by": ["pid"]},
+            ),
+        ),
+        recipes=(
+            Recipe(
+                "r", "out",
+                mapping_key="id",
+                mappings=(
+                    Mapping((ColumnRef("persons", "id"),), ("pid",)),
+                    Mapping((ColumnRef("salary", "id"),), ("sid",)),
+                    Mapping((ColumnRef("salary", "amount"),), ("amount",)),
+                ),
+            ),
+        ),
+    )
+    run_pipeline(spark, p)
+    lines = open(out_path).read().splitlines()
+    assert lines[0] == "1,1,2200.50"
+    assert lines[3] == "4,,"  # miss: lookup key and amount both NULL

@@ -40,7 +40,7 @@ def _pipeline(src_path, con, mode):
             TargetSpec(
                 "persons", "jdbc", "jdbc:duckdb:mem",
                 fields=(Field("id", "long", unique=True), Field("name"), Field("city")),
-                options={"dbapi_connect": lambda: con, "table": "persons"},
+                options={"dbapi_connect": lambda: con.cursor(), "table": "persons"},
                 mode=mode,
             ),
         ),

@@ -123,3 +123,26 @@ def test_mapping_key_must_exist_in_sources():
         ),
     )
     assert any("mapping key 'b' missing from source 's2'" in e for e in validate(p))
+
+
+def test_duplicate_recipe_names_rejected():
+    """Recipe names key the FK topo-sort graph; duplicates would
+    silently drop a recipe."""
+    from tensei_agent_spark.plans import (
+        ColumnRef, Field, Mapping, Pipeline, Recipe, SourceSpec, TargetSpec,
+    )
+    from tensei_agent_spark.plans.plan import validate
+
+    p = Pipeline(
+        name="dup",
+        sources=(SourceSpec("s", "csv", "/tmp/x.csv", (Field("id", "long"),)),),
+        targets=(
+            TargetSpec("t1", "csv", "/tmp/a.csv", fields=(Field("id", "long"),)),
+            TargetSpec("t2", "csv", "/tmp/b.csv", fields=(Field("id", "long"),)),
+        ),
+        recipes=(
+            Recipe("load", "t1", mappings=(Mapping((ColumnRef("s", "id"),), ("id",)),)),
+            Recipe("load", "t2", mappings=(Mapping((ColumnRef("s", "id"),), ("id",)),)),
+        ),
+    )
+    assert any("duplicate recipe names" in e for e in validate(p))

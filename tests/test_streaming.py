@@ -135,7 +135,7 @@ def test_stream_upsert_to_db_idempotent(spark, events_dir):
 
     _stage(spark, events_dir)
     con = duckdb.connect()
-    connect = lambda: con  # noqa: E731
+    connect = lambda: con.cursor()  # noqa: E731 - child conn per call, closable
     dialect = dialect_for("jdbc:duckdb:mem")
 
     def drain():
