@@ -67,7 +67,10 @@ def split(cols, pattern: str = ",", limit: int = -1, selected: Sequence[int] = (
     trim parts, select the given 0-based indices (one output per index)."""
     src = cols[0] if len(cols) == 1 else F.concat_ws("", *cols)
     parts = F.split(src, pattern, limit)
-    return [F.trim(F.element_at(parts, i + 1)) for i in selected]
+    # try_element_at: under ANSI (Spark 4 default) element_at THROWS on
+    # a ragged row with fewer parts than the selected index — one bad
+    # row must yield NULL (the reference's behavior), not kill the job.
+    return [F.trim(F.try_element_at(parts, F.lit(i + 1))) for i in selected]
 
 
 @register("replace")
@@ -157,7 +160,9 @@ def overwrite(cols, type: str = "string", value: str | None = None):
     t = type.lower()
     if value is None or t == "none":
         return [F.lit(None)]
-    if value == "now":
+    # 'now' is special ONLY for temporal types — a string/long constant
+    # that happens to be the word 'now' must stay a literal.
+    if value == "now" and t in ("date", "datetime", "time"):
         now = {
             "date": F.current_date(),
             "datetime": F.current_timestamp(),
@@ -193,10 +198,13 @@ def date_converter(cols, timezone: str = "UTC", format: str = "yyyy-MM-dd HH:mm:
     millis → timestamp, shifted into `timezone`."""
     out = []
     for c in cols:
+        # try_to_timestamp: under ANSI a malformed date string would
+        # abort the job; the reference substitutes a default on parse
+        # failure — NULL here (defaults apply downstream via coalesce).
         ts = F.when(
             c.cast("string").rlike(r"^-?\d+$"),
             F.timestamp_millis(c.cast("long")),
-        ).otherwise(F.to_timestamp(c.cast("string"), format))
+        ).otherwise(F.try_to_timestamp(c.cast("string"), F.lit(format)))
         if timezone and timezone != "UTC":
             ts = F.from_utc_timestamp(ts, timezone)
         out.append(ts)

@@ -95,7 +95,11 @@ def word_ngram_spans(
     downstream repeat-detection is one hash shuffle on win_hash. Docs
     shorter than w words produce no spans.
     """
-    words = F.split(F.trim(F.col(text_col)), r" +")
+    # \s+ (not ' +'): line-wrapped text must tokenize identically to the
+    # rest of the text operators — under a space-only split, a newline
+    # fuses two words into one token and identical sentences hash
+    # differently across wrapped/unwrapped copies.
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
     d = (
         docs.select(F.col(id_col), words.alias("_ws"))
         .withColumn("_nw", F.size("_ws"))

@@ -186,7 +186,6 @@ def range_join(
     length (shorter → more interval replication; longer → more false
     candidates filtered).
     """
-    bucket_s = F.unix_timestamp(F.col(point_ts)) / F.lit(1)
     secs = {"minutes": 60, "minute": 60, "hours": 3600, "hour": 3600,
             "seconds": 1, "second": 1, "days": 86400, "day": 86400}
     qty, unit = bucket.split()
@@ -225,6 +224,13 @@ def salted_join(
     a join, or stream-side skew in a broadcast-ineligible join). The
     replicated side grows ×salt — use for dimension-vs-skewed-fact shapes.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        # Replication is only correct when the replicated side never
+        # yields preserved unmatched rows: a right/full join would emit
+        # each unmatched replicated row once PER SALT VALUE.
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}"
+        )
     salted = skewed.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
     replicated = other.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

@@ -26,8 +26,11 @@ def compact_parquet(
 
     Sizes the output file count from the CURRENT on-disk bytes (the
     compressed truth — row counts mislead under compression), rewrites
-    to a sibling temp dir, then atomically swaps via rename so readers
-    never observe a half-written directory. Returns the new file count.
+    to a sibling temp dir, then swaps via two renames. Readers never
+    see a HALF-WRITTEN directory, but there is a sub-millisecond
+    not-found window between the renames (POSIX has no atomic directory
+    exchange); a crash in the window is rolled back so the path stays
+    readable. Returns the new file count.
 
     On object stores rename is not atomic — there, compact into a new
     prefix and flip a manifest/catalog pointer instead; the sizing and
@@ -47,7 +50,11 @@ def compact_parquet(
         "overwrite"
     ).parquet(tmp)
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        os.rename(old, path)  # restore — leave the directory readable
+        raise
     shutil.rmtree(old)
     return n_files
 
@@ -77,6 +84,11 @@ def zorder_key(df, cols: list[str], bits: int = 16):
         scaled.append(F.least(F.floor(frac * top).cast("long"), F.lit(top)))
     z = F.lit(0).cast("long")
     n = len(cols)
+    # Interleaved bit positions must stay < 64: Java shiftleft wraps the
+    # shift amount mod 64, which would silently fold high bit-planes
+    # onto low positions and cluster on a garbage key. Clamp the per-
+    # column resolution to what one long can interleave.
+    bits = min(bits, 64 // n)
     for b in range(bits):
         for i, s in enumerate(scaled):
             # bit b of column i lands at interleaved position b*n + i

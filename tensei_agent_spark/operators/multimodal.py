@@ -177,8 +177,13 @@ def frame_sample_plan(
     """
     dur = F.col(f"{meta_col}.n_bytes") / F.lit(65536.0)  # stub duration proxy
     n = F.least(F.ceil(dur / every_s).cast("int"), F.lit(max_frames))
+    # sequence is INCLUSIVE of both ends: 0..n-1 yields exactly n frames
+    # (0..n would emit one frame over the max_frames cap).
+    last = F.greatest(n - F.lit(1), F.lit(0))
     return (
-        df.select(F.col(id_col), F.explode(F.sequence(F.lit(0), n)).alias("frame_idx"))
+        df.select(
+            F.col(id_col), F.explode(F.sequence(F.lit(0), last)).alias("frame_idx")
+        )
         .withColumn("sample_ts_s", F.col("frame_idx") * every_s)
     )
 

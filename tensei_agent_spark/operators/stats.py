@@ -37,7 +37,10 @@ def numeric_profile(
     aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)
-        dec = col.cast("decimal(20,4)")
+        # decimal(38,4): a profiler must absorb full-range bigints (epoch
+        # micros, 64-bit hash ids) — (20,4) overflows and, under ANSI,
+        # ABORTS at values >= 10^16. Sum headroom: 10^34 / value.
+        dec = col.try_cast("decimal(38,4)")
         aggs += [
             F.count(col).alias(f"_n{i}"),
             F.count(F.when(col.isNull(), 1)).alias(f"_nn{i}"),

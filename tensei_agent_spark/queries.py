@@ -1171,21 +1171,21 @@ def fk_remap(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null,
            CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_quantity) AS mean_v
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_quantity) AS mean_v
     FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice', COUNT(l_extendedprice),
            COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END),
            CAST(MIN(l_extendedprice) AS DOUBLE),
            CAST(MAX(l_extendedprice) AS DOUBLE),
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_extendedprice)
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_extendedprice)
     FROM lineitem
     UNION ALL
     SELECT 'l_discount', COUNT(l_discount),
            COUNT(CASE WHEN l_discount IS NULL THEN 1 END),
            CAST(MIN(l_discount) AS DOUBLE),
            CAST(MAX(l_discount) AS DOUBLE),
-           CAST(SUM(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_discount)
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_discount)
     FROM lineitem
     """,
 )
@@ -1274,7 +1274,7 @@ def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 
 _SPANS_ORACLE = """
     WITH words AS (
-      SELECT doc_id, string_split_regex(trim(text), ' +') AS ws
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
       FROM documents
     ), eligible AS (
       SELECT doc_id, ws, len(ws) AS nw FROM words WHERE len(ws) >= 10
@@ -3355,14 +3355,14 @@ def stats_histogram(spark: SparkSession, sf: str) -> DataFrame:
            COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_null,
            CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_quantity) AS mean_v
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_quantity) AS mean_v
     FROM s
     UNION ALL
     SELECT 'l_extendedprice', COUNT(l_extendedprice),
            COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END),
            CAST(MIN(l_extendedprice) AS DOUBLE),
            CAST(MAX(l_extendedprice) AS DOUBLE),
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_extendedprice)
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(l_extendedprice)
     FROM s
     """,
 )

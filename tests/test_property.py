@@ -205,8 +205,8 @@ def test_repeated_spans_matches_python_model(spark, docs_words, w):
 
     occurrences: dict[str, list[int]] = {}
     for i, ws in enumerate(docs_words):
-        # Spark's split on ' +' after trim: empty text -> ['']
-        ws = [x for x in " ".join(ws).split(" ") if x != ""] or [""]
+        # Spark's split on \s+ after trim: empty text -> ['']
+        ws = " ".join(ws).split() or [""]
         if len(ws) < w:
             continue
         for j in range(len(ws) - w + 1):

@@ -64,3 +64,16 @@ def test_with_row_index_dense_and_ordered(spark):
     # dense 0..N-1 index, aligned with the requested total order
     assert [p[0] for p in pairs] == list(range(10_000))
     assert [p[1] for p in pairs] == list(range(10_000))
+
+
+def test_salted_join_rejects_right_preserving(spark):
+    """Replication duplicates unmatched replicated-side rows once per
+    salt value — right/full joins must be rejected, not silently wrong."""
+    import pytest
+
+    from tensei_agent_spark.operators.joins import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(a, b, "k", how="full")

@@ -156,3 +156,38 @@ def test_sequential_id_is_dense_and_ordered(spark):
     out = sequential_id(df, ["k"], start=10, out_col="sid").collect()
     got = {r["k"]: r["sid"] for r in out}
     assert got == {"a": 10, "b": 11, "c": 12, "d": 13, "e": 14}
+
+
+def test_ansi_safety_split_and_dates(spark):
+    """Under ANSI (Spark 4 default) a ragged split row or malformed date
+    must yield NULL — one bad row may not abort the job."""
+    from tensei_agent_spark.functions import build as T
+
+    df = spark.createDataFrame([("a,b",), ("x",)], "s string")
+    out = T("split", [F.col("s")], pattern=",", selected=[0, 2])
+    rows = df.select(out[0].alias("p0"), out[1].alias("p2")).collect()
+    assert [r["p2"] for r in rows] == [None, None]
+    assert [r["p0"] for r in rows] == ["a", "x"]
+
+    (bad,) = df.limit(1).select(
+        T("date_converter", [F.lit("garbage")])[0].alias("ts")
+    ).first()
+    assert bad is None
+
+
+def test_overwrite_now_is_literal_for_non_temporal(spark):
+    """'now' is special only for temporal types; a string constant that
+    happens to be 'now' stays the literal word."""
+    from tensei_agent_spark.functions import build as T
+
+    df = spark.range(1)
+    (v,) = df.select(
+        T("overwrite", [], type="string", value="now")[0].alias("v")
+    ).first()
+    assert v == "now"
+    (d,) = df.select(
+        T("overwrite", [], type="date", value="now")[0].alias("v")
+    ).first()
+    import datetime
+
+    assert isinstance(d, datetime.date)
