@@ -15,6 +15,7 @@ import json
 import os
 import time
 
+from tensei_agent_spark.cache import release_all
 from tensei_agent_spark.queries import REGISTRY
 from tensei_agent_spark.session import DEFAULT_SF_DIR, get_spark
 
@@ -48,6 +49,14 @@ def main() -> None:
         except Exception as exc:  # one broken query must not kill the line
             print(f"bench: {name} failed: {exc!r}", flush=True)
             timings[name] = -1.0
+        # Inter-query hygiene: drop this query's persisted intermediates
+        # and nudge the JVM to collect before the next timing starts.
+        # Without it a heavy neighbor's cache blocks + garbage inflate
+        # the next query (ann_cosine_topk_fast measured 4.0s after the
+        # 13s jaccard pipeline vs 1.0s standalone).
+        release_all()
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     print(

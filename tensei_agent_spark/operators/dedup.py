@@ -277,10 +277,14 @@ def ngram_jaccard_pairs(
     # because it feeds both the postings and the screening join.
     # MEMORY_AND_DISK by default, so at scale it spills, not OOMs;
     # cache.track releases it when the next registry query builds.
+    # array_sort on top: the screening phase intersects these arrays
+    # 10⁵ times; pre-sorted inputs measured ~30% faster there (better
+    # locality in array_intersect's probe), and sorting once map-side
+    # here is noise.
     tok_arr = F.expr(
-        f"array_distinct(transform("
+        f"array_sort(array_distinct(transform("
         f"sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> xxhash64(substring({text_col}, i, {k}))))"
+        f" i -> xxhash64(substring({text_col}, i, {k})))))"
     )
     tok_sets = track(
         docs.select(F.col(id_col), tok_arr.alias("_ts")).withColumn(
@@ -320,6 +324,10 @@ def ngram_jaccard_pairs(
         (F.col("pos") + 1).alias("pos"),  # 1-based position in rarity order
         F.col("col.shingle").alias("shingle"),
     )
+    # pfx feeds BOTH sides of the candidate self-join below — without a
+    # persist the whole postings→freq-join→collect→posexplode pipeline
+    # executes twice (Spark does not share subplans across join sides).
+    pfx = track(pfx)
     # Candidate generation = SELF-EQUI-JOIN of the prefix postings on
     # the shingle, with PPJoin positional + length pruning inline: at
     # the pair's first shared prefix shingle, overlap ≤ 1 + min of the
@@ -334,8 +342,23 @@ def ngram_jaccard_pairs(
     # The shuffle join produces the identical pair stream but AQE
     # skew-splits hot shingle keys across tasks (measured 16.8s → 11.1s
     # at sf0.1, and the gap widens with corpus skew).
+    # Asymmetric prefixes (All-Pairs / PPJoin indexing rule): orient
+    # every pair small→large — (n_a, id_a) < (n_b, id_b) lexicographic —
+    # so each unordered pair is generated under exactly ONE orientation.
+    # For a qualifying pair, c = |A∩B| satisfies c ≥ 2t/(1+t)·n_a (from
+    # c ≥ t/(1+t)(n_a+n_b), n_b ≥ n_a) and c ≥ t·n_b (from n_a ≥ t·n_b,
+    # itself implied by J ≥ t). The smallest common shingle in rarity
+    # order sits at position ≤ n−c+1 in BOTH docs, i.e. within the
+    # PROBE prefix n_a − ⌈2t/(1+t)·n_a⌉ + 1 of A (≈0.11·n at t=0.8,
+    # nearly half the ⌈t⌉ prefix) and the full INDEX prefix of B — so
+    # filtering the probe side to the shorter prefix loses no true pair
+    # while cutting the join's expansion ~in half (measured 276k → 149k
+    # candidates at sf0.1).
     t2 = threshold / (1.0 + threshold)
-    pa = pfx.select(
+    probe_len = F.expr(
+        f"n_sh - cast(ceil(n_sh * {2 * threshold / (1.0 + threshold)}) as int) + 1"
+    )
+    pa = pfx.filter(F.col("pos") <= probe_len).select(
         F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"),
         F.col("pos").alias("pos_a"), "shingle",
     )
@@ -345,7 +368,10 @@ def ngram_jaccard_pairs(
     )
     cand = (
         pa.join(pb, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("n_a") < F.col("n_b"))
+            | ((F.col("n_a") == F.col("n_b")) & (F.col("id_a") < F.col("id_b")))
+        )
         .filter(
             1
             + F.least(
@@ -353,9 +379,7 @@ def ngram_jaccard_pairs(
             )
             >= F.ceil((F.col("n_a") + F.col("n_b")) * F.lit(t2))
         )
-        .filter(
-            F.least("n_a", "n_b") >= F.lit(threshold) * F.greatest("n_a", "n_b")
-        )
+        .filter(F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
         .select("id_a", "id_b")
     )
     # Two-phase verification. Phase 1 screens the candidate pairs by
@@ -372,21 +396,23 @@ def ngram_jaccard_pairs(
     # the naive definition, bit-identical to the SQL oracle.
     #
     # Join strategy + dedup placement: a pair sharing several prefix
-    # shingles appears several times in `cand`. When the token payload
-    # is provably small (one cheap agg over the CACHED tok_sets) we
-    # broadcast the screen sides. Whether to distinct BEFORE the screen
-    # depends on the duplication factor, which grows as the threshold
-    # drops (prefix length ≈ (1−t)·n, and each extra shared prefix
-    # shingle is another duplicate): measured at sf0.1, t=0.8 has 1.3×
-    # duplication and screening the raw stream then deduping survivors
-    # saves the distinct shuffle (6.8s → 4.1s), while t=0.6 has 3×
-    # duplication (5.9M raw vs 2.0M distinct) and screening raw costs
-    # 25s of redundant array intersects. Non-broadcast (at-scale)
-    # screens always distinct first so duplicates don't ride two
-    # shuffles.
-    # Size the broadcast decision from BOUNDED eager work (a metadata
-    # count + a 512-row length sample), not a full corpus scan: builds
-    # that never execute (explain/plan audits) must not pay a corpus
+    # shingles appears several times in `cand`, and every duplicate
+    # that reaches the screen re-pays an O(|A|+|B|) array intersect —
+    # re-measured at sf0.1/t=0.8 (1.4× duplication, 276k raw vs 199k
+    # distinct): screen-raw 8.4s vs distinct 2.5s + screen 3.2s. The
+    # duplication factor only grows as the threshold drops (prefix
+    # length ≈ (1−t)·n), and the at-scale non-broadcast path also
+    # wants duplicates off BOTH token-attach shuffles, so distinct
+    # first unconditionally. (An earlier revision deferred the
+    # distinct for small corpora based on a stale 198k-candidate
+    # measurement; the hash-relation probes were never the cost —
+    # the redundant intersects were.)
+    #
+    # When the token payload is provably small (one cheap agg over the
+    # CACHED tok_sets) we broadcast the screen sides. Size that
+    # decision from BOUNDED eager work (a metadata count + a 512-row
+    # length sample), not a full corpus scan: builds that never
+    # execute (explain/plan audits) must not pay a corpus
     # materialization, and the estimate only steers a hint. The sample
     # mean is an upper bound on distinct-token count per doc.
     n_docs = docs.count()
@@ -396,9 +422,7 @@ def ngram_jaccard_pairs(
     est_tokens = max((sample["len"] or 0) - k + 1, 1) * n_docs
     small = est_tokens * 8 < 64 * 1024 * 1024
     hint = F.broadcast if small else (lambda d: d)
-    defer_distinct = small and threshold >= 0.7
-    if not defer_distinct:
-        cand = cand.distinct()
+    cand = cand.distinct()
     ta = tok_sets.select(
         F.col(id_col).alias("id_a"), F.col("_ts").alias("_ta"), F.col("n_sh").alias("n_ta")
     )
@@ -415,8 +439,6 @@ def ngram_jaccard_pairs(
         )
         .select("id_a", "id_b")
     )
-    if defer_distinct:
-        screened = screened.distinct()
     # Phase 2 re-derives the STRING shingle sets for the surviving pairs
     # only, by joining each side's raw text back on and shingling on the
     # fly — one straight-line pipeline, no corpus-wide string arrays.
@@ -446,7 +468,14 @@ def ngram_jaccard_pairs(
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        # Orientation is small→large during generation; the public
+        # contract is id_a < id_b, so normalize on the way out.
+        .select(
+            F.least("id_a", "id_b").alias("_ia"),
+            F.greatest("id_a", "id_b").alias("_ib"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .withColumnsRenamed({"_ia": "id_a", "_ib": "id_b"})
     )
     return pairs
 
