@@ -784,13 +784,15 @@ def connected_components(
     - **small graph** (≤200k edges — the normal dedup case, since only
       near-dups produce edges): stream the edge list to the driver and
       union-find; one pass, no join rounds.
-    - **large graph**: distributed min-label propagation — one hash
-      join (edges ⋈ labels) + min aggregate per round, O(component
-      diameter) rounds (dedup components are shallow near-dup balls).
-      Only the loop CONTROL is driver-side (a 1-row fixpoint sum);
-      label state never leaves the cluster and ``localCheckpoint``
-      truncates lineage each round. For planet-scale graphs swap in
-      large-star/small-star.
+    - **large graph**: delegates to :func:`connected_components_star`
+      (alternating large-star/small-star) — O(log² n) rounds regardless
+      of component diameter, two groupBy passes per round, no joins.
+      Only the loop CONTROL is driver-side (an O(1) fixpoint
+      signature); edge state never leaves the cluster and
+      ``localCheckpoint`` truncates lineage each round. (An earlier
+      revision used min-label propagation here; its O(diameter) round
+      count dies on chain-shaped near-dup components — templated crawl
+      text produces exactly those.)
     """
     # Materialize the pair list ONCE before the symmetric union — the
     # two union branches are separate subtrees, and Spark re-executes
@@ -838,31 +840,123 @@ def connected_components(
             ]
         )
         return edges.sparkSession.createDataFrame(rows, schema)
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    return connected_components_star(p, id_a="src", id_b="dst", max_iter=max_iter)
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the planet-scale path: O(log² n) rounds worst-case regardless of
+    component diameter, where min-label propagation needs O(diameter)
+    rounds (a million-node near-dup CHAIN — common in templated crawl
+    data — is a million-round death sentence for propagation but ~20
+    rounds here).
+
+    Each round is two groupBy-explode passes over the edge list (no
+    joins at all — the per-node min is a partial aggregate, so the
+    shuffle carries one row per node, not per edge):
+
+    - **large-star(u)**: attach every neighbor v > u to
+      m = min(N(u) ∪ {u}). Strictly shrinks tall nodes' neighborhoods
+      toward local minima; never disconnects (v stays reachable via m).
+    - **small-star(u)** (edges canonical v < u): attach u and all its
+      smaller neighbors to m = min(N(u) ∪ {u}).
+
+    Fixpoint: the canonical edge set is stable — checked by an O(1)
+    (count, hash-sum) aggregate pair, not a set compare. At fixpoint
+    every component is a star rooted at its global minimum, so the
+    edges themselves are the (node, component) assignment.
+
+    Returns (node, component), component = min reachable id — same
+    contract as :func:`connected_components`, equivalence-tested
+    against its union-find path in tests/test_dedup_clusters.py.
+    """
+    spark = pairs.sparkSession
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .localCheckpoint()
     )
-    prev_sum = None
-    for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("component").alias("_nbr_min"))
-        )
-        labels = (
-            labels.join(nbr, labels.node == nbr.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"),
-                    F.coalesce("_nbr_min", F.col("component")),
-                ).alias("component"),
+    if edges.isEmpty():
+        schema = edges.select(
+            F.col("u").alias("node"), F.col("u").alias("component")
+        ).schema
+        return spark.createDataFrame([], schema)
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        # Group by u over the (symmetrized for large / canonicalized
+        # for small) edge list; emit (kept neighbor, min). collect_list
+        # per node is bounded by that node's CURRENT degree — both star
+        # operations monotonically reroute high-degree fan-in to
+        # component minima, which is exactly what caps hot-node state.
+        if large:
+            sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        else:
+            sym = e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
-            .localCheckpoint()
+        grouped = sym.groupBy("u").agg(
+            F.collect_set("v").alias("_nbrs"),
+            F.least(F.min("v"), F.first("u")).alias("_m"),
         )
-        s = labels.agg(F.sum("component")).collect()[0][0]
-        if s == prev_sum:
+        if large:
+            kept = F.expr("filter(_nbrs, x -> x > u)")
+        else:
+            # small-star: all (smaller) neighbors plus u itself rewire
+            kept = F.expr("array_union(_nbrs, array(u))")
+        out = grouped.select(
+            F.explode(kept).alias("a"), F.col("_m").alias("b")
+        ).filter(F.col("a") != F.col("b"))
+        return out.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
+
+    prev_sig, converged = None, False
+    for _ in range(max_iter):
+        edges = _star(_star(edges, large=True), large=False).localCheckpoint()
+        # bit_xor, not sum: ANSI mode makes a long-sum of 64-bit hashes
+        # an overflow error; xor is overflow-free and order-insensitive.
+        # (xor alone would miss a change where two edges swap in/out with
+        # equal xor — the count catches the realistic version of that,
+        # and a same-count same-xor false fixpoint needs a 2^-64 hash
+        # coincidence on top.)
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        if (sig["n"], sig["h"]) == prev_sig:
+            converged = True
             break
-        prev_sum = s
-    return labels
+        prev_sig = (sig["n"], sig["h"])
+    if not converged:
+        # An unconverged edge set is NOT a star forest — extracting
+        # labels from it would silently split components.
+        raise RuntimeError(
+            f"star CC did not converge in {max_iter} rounds; raise max_iter"
+        )
+    # Stars: (u=member, v=root). Roots need a self row, and nodes that
+    # appeared only in self-pairs (filtered out of the edge list) come
+    # back as their own singleton component — matching the union-find
+    # path's contract exactly.
+    members = edges.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    roots = edges.select("v").distinct().select(
+        F.col("v").alias("node"), F.col("v").alias("component")
+    )
+    all_nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
+    labeled = members.union(roots)
+    singletons = all_nodes.join(
+        labeled.select("node"), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    return labeled.union(singletons)
