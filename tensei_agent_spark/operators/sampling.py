@@ -17,7 +17,7 @@ reproducible dataset splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -71,3 +71,50 @@ def deterministic_sample(
     (unlike ``df.sample``, whose outcome depends on partitioning)."""
     edge = int(fraction * BUCKETS)
     return df.filter(hash_bucket(F.col(key), salt=salt) < edge)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key: str,
+    n_shards: int,
+    salt: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle + shard assignment for training-data
+    loading.
+
+    Training runs need the corpus in a *reproducible* pseudo-random
+    order, materialized as N shard files a data loader can stream
+    (epoch reshuffle = new ``salt``). A global ``orderBy(rand())`` is
+    wrong twice at 100 TB: ``rand()`` depends on partition layout (not
+    reproducible), and a total sort is an all-data range exchange.
+    Instead:
+
+    - ``shard``: content-keyed hash bucket (pure map, no shuffle) —
+      every row's shard is a function of (key, salt) alone, so the
+      assignment survives repartitioning, retries, and engine swaps.
+    - ``pos``: rank within the shard by the md5 order key — a window
+      partitioned BY SHARD, i.e. one hash exchange on a uniformly
+      distributed key, never a single-partition global window. Shards
+      are independently ordered; a loader interleaving them sees a
+      uniform random permutation of the corpus.
+
+    Write with ``df.repartition(shard).sortWithinPartitions(pos)`` (or
+    ``partitionBy(shard)``) so each shard lands as one ordered file.
+    Portable: the DuckDB twin of the order key is
+    ``md5(concat(CAST(key AS VARCHAR), ':', salt))``.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    okey = F.md5(
+        F.concat(F.col(key).cast("string"), F.lit(":"), F.lit(salt))
+    )
+    shard = hash_bucket(F.col(key), buckets=n_shards, salt=salt + "#shard")
+    w = Window.partitionBy(shard_col).orderBy("_okey", key)
+    return (
+        df.withColumn("_okey", okey)
+        .withColumn(shard_col, shard)
+        .withColumn(pos_col, F.row_number().over(w))
+        .drop("_okey")
+    )

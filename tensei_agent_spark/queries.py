@@ -2388,6 +2388,32 @@ def train_split_counts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "corpus_shuffle_shards",
+    """
+    WITH sharded AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), 'epoch1#shard')), 1, 15)) AS BIGINT) % 8 AS shard,
+             md5(concat(CAST(doc_id AS VARCHAR), ':', 'epoch1')) AS okey
+      FROM documents)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY okey, doc_id) AS INT) AS pos
+    FROM sharded
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global corpus shuffle into 8 training shards:
+    content-keyed shard assignment (pure map) + md5-ordered position
+    within each shard (window partitioned BY SHARD — one uniform hash
+    exchange, never a single-partition global sort). Reproducible across
+    runs/engines/layouts; epoch reshuffle = new salt. See
+    operators/sampling.shuffle_shards."""
+    from .operators import sampling as SA
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    return SA.shuffle_shards(docs, "doc_id", n_shards=8, salt="epoch1")
+
+
+@register(
     "chunk_documents",
     """
     SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,

@@ -113,3 +113,46 @@ def test_leakage_safe_split_keeps_components_together(spark):
         .count()
     )
     assert leaked == 0
+
+
+def test_shuffle_shards_deterministic_and_dense(spark):
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.sampling import shuffle_shards
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    a = shuffle_shards(df, "doc_id", n_shards=4, salt="e1")
+    b = shuffle_shards(df.repartition(17), "doc_id", n_shards=4, salt="e1")
+
+    rows_a = {(r["doc_id"]): (r["shard"], r["pos"]) for r in a.collect()}
+    rows_b = {(r["doc_id"]): (r["shard"], r["pos"]) for r in b.collect()}
+    # identical assignment regardless of partition layout
+    assert rows_a == rows_b
+    assert len(rows_a) == 500
+
+    # positions are dense 1..n within every shard
+    per_shard = (
+        a.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.countDistinct("pos").alias("nd"),
+        )
+        .collect()
+    )
+    assert len(per_shard) == 4
+    for r in per_shard:
+        assert (r["lo"], r["hi"], r["nd"]) == (1, r["n"], r["n"])
+
+    # a different salt is a genuinely different permutation
+    c = shuffle_shards(df, "doc_id", n_shards=4, salt="e2")
+    rows_c = {(r["doc_id"]): (r["shard"], r["pos"]) for r in c.collect()}
+    assert rows_c != rows_a
+
+    # the per-shard order is not id order (it IS shuffled)
+    first_shard = [
+        r["doc_id"]
+        for r in a.filter("shard = 0").orderBy("pos").collect()
+    ]
+    assert first_shard != sorted(first_shard)
