@@ -1,0 +1,137 @@
+"""Mergeable-sketch operators: exact heavy hitters via Misra-Gries
+candidate generation, and HyperLogLog rollups for incremental distinct
+counts.
+
+Beyond-reference surface for 100 TB pipelines. The common thread is the
+*mergeable summary* pattern: each partition computes a bounded-size
+summary; summaries merge associatively; the full data stream never
+shuffles.
+
+- :func:`heavy_hitters_exact` — EXACT frequent items (freq ≥ φ·N) with
+  exact counts, in two passes: a Misra-Gries summary per partition
+  (bounded state, no shuffle of the item stream) proposes a candidate
+  superset, then only the candidates are counted exactly. The full-
+  shuffle twin (`word_counts_top100`-style groupBy over every token) is
+  exact too but moves the whole token stream; here the shuffle carries
+  ≤ partitions × ⌈1/φ⌉ candidate rows + one broadcast.
+- :func:`distinct_rollup` — per-bucket HLL sketches (binary, storable)
+  merged upward with ``hll_union_agg``: distinct-count rollups (daily →
+  weekly → monthly) without recounting base data, the classic
+  pre-aggregated-sketch warehouse pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _mg_summaries(cap: int, value_col: str):
+    """mapInPandas kernel: one Misra-Gries summary per PARTITION (the
+    iterator spans all Arrow batches of the partition), emitted as
+    (value, weight) rows. State is ≤ ``cap`` counters regardless of
+    partition size — the whole point."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized mergeable-summary form (Agarwal et al.): each Arrow
+        # batch contributes its EXACT value_counts (a zero-error
+        # summary); the merge is counter addition; the compress step
+        # subtracts the (cap+1)-th largest weight s from every counter
+        # and drops the non-positive ones. Each compress removes ≥
+        # s·(cap+1) total weight, so Σs ≤ n_p/(cap+1) — the classic MG
+        # undercount bound — without a per-row Python loop.
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[value_col].dropna().value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > cap:
+                s = sorted(counters.values(), reverse=True)[cap]
+                counters = {k: w - s for k, w in counters.items() if w > s}
+        if counters:
+            yield pd.DataFrame(
+                {"value": list(counters), "weight": list(counters.values())}
+            )
+
+    return fn
+
+
+def heavy_hitters_exact(
+    items: DataFrame,
+    value_col: str,
+    k: int,
+    value_type: str = "string",
+) -> DataFrame:
+    """All values with frequency ≥ N/k, with EXACT counts.
+
+    Output: (value, cnt), cnt ≥ ⌈N/k⌉, N = non-null row count. ``k`` is
+    an integer share denominator (k=1000 ⇒ "at least 0.1% of the
+    stream") so the threshold is exact integer arithmetic — a float phi
+    would make ⌈phi·N⌉ ULP-dependent and engine-divergent.
+
+    Pass 1 runs Misra-Gries with k counters per partition
+    (`mapInPandas`; per-partition bounded imperative state is exactly
+    the case the built-in aggregates cannot express). Merged MG
+    summaries underestimate any item's true count by < N/(k+1) < N/k
+    total across partitions, so every true heavy hitter survives pass 1
+    — the candidate set is a guaranteed SUPERSET (with false
+    positives). Pass 2 counts ONLY the candidates exactly (hash
+    aggregate after a broadcast semi-join) and applies the threshold,
+    which also evicts the false positives. Result is bit-identical to
+    the naive full groupBy, but the only thing shuffled is ≤
+    partitions × k summary rows plus the candidate counts.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    src = items.select(F.col(value_col).alias("value")).filter(
+        F.col("value").isNotNull()
+    )
+    summaries = src.mapInPandas(
+        _mg_summaries(k, "value"),
+        schema=f"value {value_type}, weight long",
+    )
+    candidates = summaries.select("value").distinct()
+    counted = (
+        src.join(F.broadcast(candidates), "value", "left_semi")
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = src.count()
+    threshold = -(-total // k)  # ceil(N/k), exact
+    return counted.filter(F.col("cnt") >= threshold)
+
+
+def distinct_rollup(
+    df: DataFrame,
+    bucket_col,
+    value_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-bucket HLL sketches: (bucket, sketch, estimate).
+
+    The binary ``sketch`` column is the storable/mergeable artifact —
+    persist it per day and roll up months without touching base data.
+    ``lg_k=12`` ⇒ ~1.6% standard error in ~4 KB per bucket.
+    """
+    return (
+        df.groupBy(bucket_col)
+        .agg(F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("sketch"))
+        .withColumn("estimate", F.hll_sketch_estimate("sketch"))
+    )
+
+
+def merge_rollup(
+    sketches: DataFrame,
+    regroup_col,
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Merge stored HLL sketches upward (e.g. day → week): one
+    ``hll_union_agg`` over the tiny sketch table — no rescan, no
+    re-shuffle of base data."""
+    return (
+        sketches.groupBy(regroup_col)
+        .agg(F.hll_union_agg(sketch_col).alias("sketch"))
+        .withColumn("estimate", F.hll_sketch_estimate("sketch"))
+    )

@@ -2720,6 +2720,62 @@ def word_counts_top100(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "heavy_hitter_words",
+    r"""
+    WITH toks AS (
+      SELECT w
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) t(w)
+      WHERE w <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks, tot
+    GROUP BY w, tot.n
+    HAVING COUNT(*) * 500 >= tot.n
+    """,
+)
+def heavy_hitter_words(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT heavy hitters (words with freq ≥ N/500) via two-pass
+    Misra-Gries: bounded per-partition summaries propose a guaranteed
+    candidate superset, then only candidates are counted exactly — the
+    token stream itself never shuffles (word_counts_top100 is the
+    full-shuffle twin). Bit-identical to the naive HAVING oracle; see
+    operators/sketches.heavy_hitters_exact."""
+    from .operators.sketches import heavy_hitters_exact
+
+    docs = load(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    return heavy_hitters_exact(toks, "word", k=500).withColumnRenamed(
+        "value", "word"
+    )
+
+
+@register("sketch_distinct_rollup", None)  # HLL estimate — no SQL twin
+def sketch_distinct_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct users per WEEK computed by merging stored per-DAY HLL
+    sketches (hll_sketch_agg → hll_union_agg) — the pre-aggregated
+    sketch rollup pattern: month/quarter rollups re-aggregate the tiny
+    sketch table, never the event stream. ±~1.6% at lg_k=12; error
+    bound asserted against exact countDistinct in
+    tests/test_sketches.py. Deterministic (hash-based), hence stable
+    rows-only check."""
+    from .operators.sketches import distinct_rollup, merge_rollup
+
+    ev = load(spark, sf, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = distinct_rollup(ev, "day", "user_id")
+    weekly = merge_rollup(
+        daily.withColumn("week", F.date_trunc("week", "day")), "week"
+    )
+    return weekly.select(
+        F.col("week").cast("date").alias("week_start"),
+        F.col("estimate").cast("long").alias("est_users"),
+    )
+
+
+@register(
     "unpivot_price_components",
     """
     -- each branch casts to DOUBLE itself: UNION ALL would otherwise
