@@ -2720,6 +2720,113 @@ def word_counts_top100(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "bm25_topk",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) t(w)
+      WHERE w <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE w IN ('vector', 'hash', 'stream')
+      GROUP BY doc_id, w),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    contrib AS (
+      SELECT tf.doc_id,
+             tf.w,
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+               / (tf.tf + CAST(1.2 AS DOUBLE)
+                  * (1.0 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl)) AS c
+      FROM tf JOIN df ON tf.w = df.w
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats),
+    scored AS (
+      SELECT doc_id,
+             round(COALESCE(SUM(CASE WHEN w = 'vector' THEN c END), 0)
+                   + COALESCE(SUM(CASE WHEN w = 'hash' THEN c END), 0)
+                   + COALESCE(SUM(CASE WHEN w = 'stream' THEN c END), 0),
+                   9) AS bm25
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75, Lucene's non-negative
+    ln(1 + (N-df+0.5)/(df+0.5)) idf) for the query {vector, hash,
+    stream}: top-20 documents.
+
+    Scale shape: the term filter lands right after the explode so only
+    query-term postings survive into the (doc, term) aggregate (|docs| ×
+    |query| rows); doc lengths are one map-side-partial aggregate over
+    the token stream; N/avgdl is a 1-row broadcast; df is an aggregate
+    of the tiny tf table. Per-term contributions are summed as FIXED-
+    ORDER per-term columns (not a float SUM across an unordered group)
+    so the score is deterministic and engine-stable; the final top-20
+    is a TakeOrdered on (rounded score, doc_id), not a global sort."""
+    docs = load(spark, sf, "documents")
+    terms = ["vector", "hash", "stream"]
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "w")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.log(
+                1.0
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * (F.col("tf") * (F.lit(k1) + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (1.0 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("w") == t, F.col("c"))), F.lit(0.0)
+        ).alias(f"_c{i}")
+        for i, t in enumerate(terms)
+    ]
+    scored = contrib.groupBy("doc_id").agg(*per_term)
+    score = F.col("_c0")
+    for i in range(1, len(terms)):
+        score = score + F.col(f"_c{i}")
+    return (
+        scored.select("doc_id", F.round(score, 9).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
     "heavy_hitter_words",
     r"""
     WITH toks AS (
