@@ -672,6 +672,45 @@ def simhash_near_dup_pairs(
     return pairs
 
 
+def band_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, band, band_key) LSH band digests — the storable unit of a
+    MinHash index (see operators/incremental.MinHashIndex). Band b's
+    key md5-digests its seeds' minhashes in seed order, straight off
+    the wide signature row (no second shuffle)."""
+    rows_per_band = num_hashes // bands
+    wide = minhash_signatures_wide(docs, text_col, id_col, k, num_hashes, hash_fn)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"sig{i}")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(band_cols).alias("bk")).select(
+        F.col(id_col),
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -694,30 +733,9 @@ def minhash_lsh_pairs(
     shuffle; fan-out bounded by bucket size.
     Output: (id_a, id_b) distinct candidate pairs, id_a < id_b.
     """
-    rows_per_band = num_hashes // bands
-    wide = minhash_signatures_wide(docs, text_col, id_col, k, num_hashes, hash_fn)
-    # Band digests straight off the wide row (no second shuffle): band b
-    # hashes the concatenation of its seeds' minhashes in seed order.
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"sig{i}")
-                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
+    band_sig = band_signatures(
+        docs, text_col, id_col, k, num_hashes, bands, hash_fn
     )
-    band_sig = wide.select(
-        F.col(id_col), F.explode(band_cols).alias("bk")
-    ).select(F.col(id_col), F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
     buckets = (
         band_sig.groupBy("band", "band_key")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))

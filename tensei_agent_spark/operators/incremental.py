@@ -54,6 +54,126 @@ class ParquetLedger:
         df.select(self.id_col).write.mode("append").parquet(self.path)
 
 
+class MinHashIndex:
+    """Persisted banded MinHash-LSH index for INCREMENTAL near-dup
+    detection — the daily-crawl pattern: signatures of everything seen
+    so far live as a narrow parquet table of (id, band, band_key); a
+    new batch is banded once, joined against the stored bands
+    (new × old) and self-bucketed (new × new), then appended. The
+    historical corpus text is never re-scanned, its signatures never
+    recomputed — per increment the cost is O(|batch|) + one equi-join
+    against the index.
+
+    Determinism contract: band keys are a pure function of the text
+    (md5 base hash path), so incremental results are bit-identical to
+    running :func:`~.dedup.minhash_lsh_pairs` over the full corpus and
+    keeping the pairs that touch the new batch — asserted in
+    tests/test_incremental.py.
+
+    At 100 TB the index is ~|corpus| × bands rows of (long, int,
+    32-char key) — partition the parquet by ``band`` so the new×old
+    join prunes to matching band partitions and shuffles only band-key
+    hashes.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        k: int = 8,
+        num_hashes: int = 16,
+        bands: int = 4,
+        hash_fn: str = "md5",
+    ):
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.k = k
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.hash_fn = hash_fn
+
+    def stored_bands(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            from pyspark.sql.types import IntegerType, StringType
+
+            return self.spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField(self.id_col, LongType()),
+                        StructField("band", IntegerType()),
+                        StructField("band_key", StringType()),
+                    ]
+                ),
+            )
+        return self.spark.read.parquet(self.path)
+
+    def _band_signatures(self, docs: DataFrame, text_col: str) -> DataFrame:
+        from .dedup import band_signatures
+
+        return band_signatures(
+            docs,
+            text_col=text_col,
+            id_col=self.id_col,
+            k=self.k,
+            num_hashes=self.num_hashes,
+            bands=self.bands,
+            hash_fn=self.hash_fn,
+        )
+
+    def match_new(
+        self, new_docs: DataFrame, text_col: str = "text"
+    ) -> tuple[DataFrame, DataFrame]:
+        """(pairs, new_bands): near-dup candidate pairs touching the new
+        batch, and the batch's band rows (localCheckpoint-ed — commit
+        appends to the index path, which would otherwise invalidate the
+        plan that produced them, exactly the hazard documented on
+        :func:`process_increment`).
+
+        ``pairs`` = new×old (equi-join on (band, band_key) against the
+        stored index) ∪ new×new (in-bucket combinations), distinct,
+        id_a < id_b.
+        """
+        new_bands = self._band_signatures(new_docs, text_col).localCheckpoint(
+            eager=True
+        )
+        old = self.stored_bands()
+        vs_old = (
+            new_bands.join(
+                old.withColumnRenamed(self.id_col, "_old_id"),
+                ["band", "band_key"],
+            )
+            .filter(F.col(self.id_col) != F.col("_old_id"))
+            .select(
+                F.least(self.id_col, "_old_id").alias("id_a"),
+                F.greatest(self.id_col, "_old_id").alias("id_b"),
+            )
+        )
+        in_bucket = (
+            new_bands.groupBy("band", "band_key")
+            .agg(F.collect_list(self.id_col).alias("ids"))
+            .filter(F.size("ids") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "flatten(transform(ids, (x, i) -> "
+                        "transform(slice(ids, i + 2, size(ids)), y -> struct("
+                        "least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                    )
+                ).alias("p")
+            )
+            .select("p.id_a", "p.id_b")
+        )
+        return vs_old.union(in_bucket).distinct(), new_bands
+
+    def commit(self, new_bands: DataFrame) -> None:
+        """Append the batch's band rows to the index (append-only =
+        add-file on object stores; band-partitioned for join pruning)."""
+        new_bands.write.mode("append").partitionBy("band").parquet(self.path)
+
+
 def process_increment(
     batch: DataFrame, ledger: ParquetLedger, process
 ) -> DataFrame:

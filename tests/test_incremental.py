@@ -169,3 +169,46 @@ def test_upsert_partitioned_parquet_null_partition(spark, tmp_path):
     upsert_partitioned_parquet(spark, updates, path, ["id"], "part")
     got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
     assert got == {1: 10, 2: 99, 3: 30}
+
+
+def test_minhash_index_incremental_matches_full_batch(spark, tmp_path):
+    """Incremental LSH over two increments == full-batch minhash_lsh_pairs
+    restricted to pairs touching each increment — bit-identical (md5
+    signature path is deterministic)."""
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.dedup import minhash_lsh_pairs
+    from tensei_agent_spark.operators.incremental import MinHashIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batch1 = docs.filter("doc_id % 3 != 0")
+    batch2 = docs.filter("doc_id % 3 = 0")
+
+    idx = MinHashIndex(spark, str(tmp_path / "lsh_index"))
+
+    pairs1, bands1 = idx.match_new(batch1)
+    got1 = {(r["id_a"], r["id_b"]) for r in pairs1.collect()}
+    idx.commit(bands1)
+
+    pairs2, bands2 = idx.match_new(batch2)
+    got2 = {(r["id_a"], r["id_b"]) for r in pairs2.collect()}
+    idx.commit(bands2)
+
+    # full-batch ground truth
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    b1_ids = {r["doc_id"] for r in batch1.select("doc_id").collect()}
+    want1 = {p for p in full if p[0] in b1_ids and p[1] in b1_ids}
+    want2 = {p for p in full if p[0] not in b1_ids or p[1] not in b1_ids}
+    assert got1 == want1
+    assert got2 == want2
+    assert got1 | got2 == full
+
+    # index now covers everything: an already-seen doc matches itself's
+    # cohort but adds nothing new
+    stored = idx.stored_bands()
+    assert stored.select("doc_id").distinct().count() == docs.count()
