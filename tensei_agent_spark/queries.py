@@ -532,7 +532,7 @@ def q19(spark: SparkSession, sf: str) -> DataFrame:
         JOIN nation n2 ON s_nationkey = n2.n_nationkey
       WHERE r_name = 'ASIA')
     SELECT o_year,
-           CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN volume ELSE 0 END) AS DOUBLE)
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END) AS DOUBLE)
              / CAST(SUM(volume) AS DOUBLE) AS mkt_share
     FROM all_rev GROUP BY o_year
     """,
@@ -552,7 +552,7 @@ def q8(spark: SparkSession, sf: str) -> DataFrame:
     )
     region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
     volume = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
-    china = F.when(F.col("supp_nation") == "CHINA", volume).otherwise(
+    focal = F.when(F.col("supp_nation") == "NATION_7", volume).otherwise(
         F.lit(0).cast(MONEY)
     )
     return (
@@ -564,7 +564,7 @@ def q8(spark: SparkSession, sf: str) -> DataFrame:
         .join(F.broadcast(n2), supp.s_nationkey == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            (F.sum(china).cast("double") / F.sum(volume).cast("double")).alias(
+            (F.sum(focal).cast("double") / F.sum(volume).cast("double")).alias(
                 "mkt_share"
             )
         )
