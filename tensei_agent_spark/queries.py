@@ -2780,7 +2780,12 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # dl feeds both the corpus stats and the score join — persist the
+    # |docs|-row aggregate so the token stream is scanned twice (dl +
+    # tf), not four times (Spark doesn't share subplans across joins).
+    dl = cache.track(
+        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),

@@ -53,6 +53,8 @@ def test_rows_only_queries_are_documented_exceptions():
         "dedup_minhash_lsh_fast",     # xxhash64 twin
         "embedding_near_dup_fast",    # FP ULP twin
         "embedding_kmeans",           # iterative, float-order-sensitive
+        "sketch_distinct_rollup",     # HLL sketch merge (error bound in
+                                      # tests/test_sketches.py)
     }
     assert rows_only <= allowed, rows_only - allowed
 
