@@ -1,0 +1,138 @@
+"""DFASDL XML → spec compiler (plans/dfasdl.py): a reference user's
+schema documents drive Spark reads/writes directly."""
+
+import pytest
+
+from tensei_agent_spark.plans.dfasdl import (
+    parse_dfasdl,
+    resolve_foreign_keys,
+    source_spec,
+    target_spec,
+)
+
+CSV_DFASDL = """<?xml version="1.0" encoding="UTF-8"?>
+<dfasdl xmlns="http://www.dfasdl.org/DFASDL" semantic="custom" default-encoding="utf-8">
+  <seq id="rows" max="100">
+    <elem id="row">
+      <str id="city" stop-sign=";" max-length="64"/>
+      <formattime format="dd.MM.yyyy HH:mm" id="observed" stop-sign=";"/>
+      <num id="population" stop-sign=";"/>
+      <formatnum id="area" format="([-]?\\d+\\,\\d{2})" decimal-separator="," stop-sign=";"/>
+      <str id="note" defaultstr="n/a"/>
+    </elem>
+  </seq>
+</dfasdl>"""
+
+DB_DFASDL = """<?xml version="1.0" encoding="UTF-8"?>
+<dfasdl xmlns="http://www.dfasdl.org/DFASDL" semantic="niem">
+  <seq id="owners" db-primary-key="id">
+    <elem id="owners_row">
+      <num id="owners_row_id" db-column-name="id" db-auto-inc="true" max-digits="19"/>
+      <str id="owners_row_name" db-column-name="name" max-length="254" unique="true"/>
+      <date id="owners_row_since" db-column-name="since"/>
+    </elem>
+  </seq>
+  <seq id="pets">
+    <elem id="pets_row">
+      <num id="pets_row_id" db-column-name="id" db-auto-inc="true" max-digits="19"/>
+      <num id="pets_row_owner" db-column-name="owner_fk" db-foreign-key="owners_row_id" max-digits="19"/>
+      <num id="pets_row_price" db-column-name="price" precision="2" max-digits="12" defaultnum="0"/>
+    </elem>
+  </seq>
+</dfasdl>"""
+
+CHOICE_DFASDL = """<?xml version="1.0" encoding="UTF-8"?>
+<dfasdl xmlns="http://www.dfasdl.org/DFASDL" semantic="custom">
+  <seq id="lines">
+    <choice>
+      <elem id="long_row">
+        <str id="a" stop-sign=","/>
+        <str id="b" stop-sign=","/>
+        <num id="c"/>
+      </elem>
+      <elem id="short_row">
+        <str id="a2" stop-sign=","/>
+        <num id="c2"/>
+      </elem>
+    </choice>
+  </seq>
+</dfasdl>"""
+
+
+def test_parse_csv_dfasdl_types_separator_defaults():
+    (s,) = parse_dfasdl(CSV_DFASDL)
+    assert s.seq_id == "rows"
+    assert s.options["sep"] == ";"
+    assert s.options["limit"] == 100
+    assert s.options["encoding"] == "utf-8"
+    by_name = {f.name: f for f in s.fields}
+    assert [f.name for f in s.fields] == [
+        "city", "observed", "population", "area", "note",
+    ]
+    assert by_name["city"].type == "string"
+    assert by_name["city"].max_length == 64
+    assert by_name["observed"].type == "timestamp"
+    assert by_name["observed"].format == "dd.MM.yyyy HH:mm"
+    assert by_name["population"].type == "long"
+    assert by_name["area"].type == "double"  # decimal-separator => locale double
+    assert by_name["note"].default == "n/a"
+
+
+def test_db_dfasdl_target_spec_fk_pk_autoinc():
+    t = target_spec(DB_DFASDL, "pets", "jdbc:derby:memory:x", seq_id="pets")
+    by_name = {f.name: f for f in t.fields}
+    assert by_name["id"].auto_increment
+    assert by_name["price"].type == "decimal(12,2)"
+    assert by_name["price"].default == 0
+    # FK resolves through the element id to the parent's COLUMN name
+    assert t.foreign_keys == {"owner_fk": ("owners", "id")}
+
+    owners = target_spec(DB_DFASDL, "owners", "jdbc:derby:memory:x", seq_id="owners")
+    assert owners.options["primary_key"] == ("id",)
+    assert {f.name: f.unique for f in owners.fields}["name"]
+    assert owners.foreign_keys == {}
+
+
+def test_multi_seq_requires_seq_id():
+    with pytest.raises(ValueError, match="pass seq_id"):
+        source_spec(DB_DFASDL, "x", "file:///tmp/x")
+    seqs = parse_dfasdl(DB_DFASDL)
+    fks = resolve_foreign_keys(seqs)
+    assert fks == {"pets": {"owner_fk": ("owners", "id")}}
+
+
+def test_choice_layouts():
+    (s,) = parse_dfasdl(CHOICE_DFASDL)
+    assert [f.name for f in s.fields] == ["a", "b", "c"]
+    (alt,) = s.options["alt_layouts"]
+    assert [f.name for f in alt] == ["a2", "c2"]
+
+
+def test_bad_documents_rejected():
+    with pytest.raises(ValueError, match="not a DFASDL"):
+        parse_dfasdl("<cookbook/>")
+    with pytest.raises(ValueError, match="no seq"):
+        parse_dfasdl('<dfasdl xmlns="http://www.dfasdl.org/DFASDL"/>')
+    broken_fk = DB_DFASDL.replace(
+        'db-foreign-key="owners_row_id"', 'db-foreign-key="ghost"'
+    )
+    with pytest.raises(ValueError, match="ghost"):
+        resolve_foreign_keys(parse_dfasdl(broken_fk))
+
+
+def test_dfasdl_csv_end_to_end(spark, tmp_path):
+    """A DFASDL-described semicolon CSV reads through read_source with
+    typed columns, locale numbers, and default substitution."""
+    p = tmp_path / "cities.csv"
+    p.write_text(
+        "berlin;03.07.2024 10:30;3645000;891,68;capital\n"
+        "bremen;04.07.2024 09:15;569352;326,72;\n"
+    )
+    spec = source_spec(CSV_DFASDL, "cities", str(p), fmt="csv")
+    from tensei_agent_spark.sources import read_source
+
+    rows = {r["city"]: r for r in read_source(spark, spec).collect()}
+    assert rows["berlin"]["population"] == 3645000
+    assert abs(rows["berlin"]["area"] - 891.68) < 1e-9
+    assert rows["berlin"]["observed"].month == 7
+    assert rows["bremen"]["note"] == "n/a"
