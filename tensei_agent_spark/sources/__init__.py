@@ -51,6 +51,20 @@ def read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     staged = stage_uri(spec.uri)
     if staged != spec.uri:
         spec = SourceSpec(spec.name, spec.format, staged, spec.fields, spec.options)
+    # Engine-level options that must NOT reach the underlying reader:
+    # ``limit`` (DFASDL ``seq max`` / ``fixseq count`` — applied to the
+    # DataFrame below so EVERY format honors it; the JDBC reader also
+    # consumes it itself, earlier, to push LIMIT into the dialect SQL),
+    # and spec metadata (``primary_key``, ``alt_layouts``) that only
+    # sinks/plan ordering care about. Spark readers silently ignore
+    # unknown options, which would otherwise drop these semantics.
+    meta_opts = {"limit", "primary_key", "alt_layouts"}
+    limit = spec.options.get("limit")
+    if spec.format != "jdbc" and meta_opts & spec.options.keys():
+        cleaned = {
+            k: v for k, v in spec.options.items() if k not in meta_opts
+        }
+        spec = SourceSpec(spec.name, spec.format, spec.uri, spec.fields, cleaned)
     ref_fields = tuple(f for f in (spec.fields or ()) if f.ref)
     if ref_fields:
         phys = tuple(f for f in spec.fields if not f.ref)
@@ -58,6 +72,8 @@ def read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     df = READERS[spec.format](spark, spec)
     for f in ref_fields:
         df = df.withColumn(f.name, F.col(f.ref).cast(f.type))
+    if limit is not None and spec.format != "jdbc":
+        df = df.limit(int(limit))
     return df
 
 

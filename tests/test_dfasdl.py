@@ -136,3 +136,18 @@ def test_dfasdl_csv_end_to_end(spark, tmp_path):
     assert abs(rows["berlin"]["area"] - 891.68) < 1e-9
     assert rows["berlin"]["observed"].month == 7
     assert rows["bremen"]["note"] == "n/a"
+
+
+def test_dfasdl_seq_max_limits_read(spark, tmp_path):
+    """seq max="N" must cap rows for FILE formats too (it was JDBC-only
+    before read_source learned to strip/apply engine-level options)."""
+    xml = CSV_DFASDL.replace('max="100"', 'max="1"')
+    p = tmp_path / "two.csv"
+    p.write_text(
+        "a;03.07.2024 10:30;1;1,00;x\n"
+        "b;03.07.2024 10:31;2;2,00;y\n"
+    )
+    from tensei_agent_spark.sources import read_source
+
+    spec = source_spec(xml, "two", str(p), fmt="csv")
+    assert read_source(spark, spec).count() == 1
