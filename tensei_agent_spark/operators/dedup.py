@@ -711,6 +711,30 @@ def band_signatures(
     )
 
 
+def bucket_pairs(band_sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b) distinct pairs of ids sharing an LSH bucket — the
+    in-bucket combination explosion used by both the batch path
+    (:func:`minhash_lsh_pairs`) and the incremental index
+    (incremental.MinHashIndex); one implementation so the two stay
+    bit-identical (the incremental path's determinism contract)."""
+    return (
+        band_sig.groupBy("band", "band_key")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct("
+                    "least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -736,19 +760,7 @@ def minhash_lsh_pairs(
     band_sig = band_signatures(
         docs, text_col, id_col, k, num_hashes, bands, hash_fn
     )
-    buckets = (
-        band_sig.groupBy("band", "band_key")
-        .agg(F.collect_list(F.col(id_col)).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    pair = F.explode(
-        F.expr(
-            "flatten(transform(ids, (x, i) -> "
-            "transform(slice(ids, i + 2, size(ids)), y -> struct("
-            "least(x, y) AS id_a, greatest(x, y) AS id_b))))"
-        )
-    ).alias("p")
-    return buckets.select(pair).select("p.id_a", "p.id_b").distinct()
+    return bucket_pairs(band_sig, id_col)
 
 
 def shared_shingle_contamination(
@@ -895,6 +907,10 @@ def connected_components_star(
     against its union-find path in tests/test_dedup_clusters.py.
     """
     spark = pairs.sparkSession
+    # Materialize the (possibly expensive) pair pipeline ONCE: it feeds
+    # both the edge list and the singleton-recovery node set below, and
+    # Spark re-executes unshared subplans per alias.
+    pairs = pairs.select(id_a, id_b).localCheckpoint()
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))

@@ -94,21 +94,38 @@ class MinHashIndex:
         self.bands = bands
         self.hash_fn = hash_fn
 
-    def stored_bands(self) -> DataFrame:
-        if not os.path.exists(self.path):
+    def stored_bands(self, like: DataFrame | None = None) -> DataFrame:
+        """The persisted index, or an empty frame before the first
+        commit. Existence is probed through Spark's reader — NOT
+        ``os.path.exists``, which is always False for object-store URIs
+        and would silently drop every new-vs-old match. ``like``
+        (a band frame, e.g. the new batch's) supplies the id column
+        type for the empty frame so non-long doc ids work from the
+        very first increment."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self.path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
             from pyspark.sql.types import IntegerType, StringType
 
+            id_type = (
+                like.schema[self.id_col].dataType
+                if like is not None
+                else LongType()
+            )
             return self.spark.createDataFrame(
                 [],
                 StructType(
                     [
-                        StructField(self.id_col, LongType()),
+                        StructField(self.id_col, id_type),
                         StructField("band", IntegerType()),
                         StructField("band_key", StringType()),
                     ]
                 ),
             )
-        return self.spark.read.parquet(self.path)
 
     def _band_signatures(self, docs: DataFrame, text_col: str) -> DataFrame:
         from .dedup import band_signatures
@@ -136,10 +153,12 @@ class MinHashIndex:
         stored index) ∪ new×new (in-bucket combinations), distinct,
         id_a < id_b.
         """
+        from .dedup import bucket_pairs
+
         new_bands = self._band_signatures(new_docs, text_col).localCheckpoint(
             eager=True
         )
-        old = self.stored_bands()
+        old = self.stored_bands(like=new_bands)
         vs_old = (
             new_bands.join(
                 old.withColumnRenamed(self.id_col, "_old_id"),
@@ -151,21 +170,7 @@ class MinHashIndex:
                 F.greatest(self.id_col, "_old_id").alias("id_b"),
             )
         )
-        in_bucket = (
-            new_bands.groupBy("band", "band_key")
-            .agg(F.collect_list(self.id_col).alias("ids"))
-            .filter(F.size("ids") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "flatten(transform(ids, (x, i) -> "
-                        "transform(slice(ids, i + 2, size(ids)), y -> struct("
-                        "least(x, y) AS id_a, greatest(x, y) AS id_b))))"
-                    )
-                ).alias("p")
-            )
-            .select("p.id_a", "p.id_b")
-        )
+        in_bucket = bucket_pairs(new_bands, self.id_col)
         return vs_old.union(in_bucket).distinct(), new_bands
 
     def commit(self, new_bands: DataFrame) -> None:

@@ -17,7 +17,7 @@ reproducible dataset splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -94,27 +94,44 @@ def shuffle_shards(
     - ``shard``: content-keyed hash bucket (pure map, no shuffle) —
       every row's shard is a function of (key, salt) alone, so the
       assignment survives repartitioning, retries, and engine swaps.
-    - ``pos``: rank within the shard by the md5 order key — a window
-      partitioned BY SHARD, i.e. one hash exchange on a uniformly
-      distributed key, never a single-partition global window. Shards
-      are independently ordered; a loader interleaving them sees a
-      uniform random permutation of the corpus.
+    - ``pos``: rank within the shard by the md5 order key. NOT a
+      window partitioned by shard — that funnels each shard through ONE
+      task (8 shards of a 100 TB corpus = 8 spill-bound sorts). Instead
+      a RANGE-partitioned global rank over (shard, okey, key) — every
+      shard's rows occupy a contiguous rank interval, computed fully in
+      parallel — minus a broadcast per-shard offset (an n_shards-row
+      aggregate). Bit-equal to the per-shard row_number.
 
-    Write with ``df.repartition(shard).sortWithinPartitions(pos)`` (or
+    Shards are independently ordered; a loader interleaving them sees a
+    uniform random permutation of the corpus. Write with
+    ``df.repartition(shard).sortWithinPartitions(pos)`` (or
     ``partitionBy(shard)``) so each shard lands as one ordered file.
     Portable: the DuckDB twin of the order key is
     ``md5(concat(CAST(key AS VARCHAR), ':', salt))``.
     """
+    from .windows import with_global_rank
+
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     okey = F.md5(
         F.concat(F.col(key).cast("string"), F.lit(":"), F.lit(salt))
     )
     shard = hash_bucket(F.col(key), buckets=n_shards, salt=salt + "#shard")
-    w = Window.partitionBy(shard_col).orderBy("_okey", key)
+    from ..cache import track
+
+    # persisted: feeds both the per-shard base aggregate and the join
+    ranked = track(
+        with_global_rank(
+            df.withColumn("_okey", okey).withColumn(shard_col, shard),
+            [shard_col, "_okey", key],
+            out="_grank",
+        )
+    )
+    base = ranked.groupBy(shard_col).agg(
+        (F.min("_grank") - 1).alias("_base")
+    )
     return (
-        df.withColumn("_okey", okey)
-        .withColumn(shard_col, shard)
-        .withColumn(pos_col, F.row_number().over(w))
-        .drop("_okey")
+        ranked.join(F.broadcast(base), shard_col)
+        .withColumn(pos_col, (F.col("_grank") - F.col("_base")).cast("int"))
+        .drop("_okey", "_grank", "_base")
     )

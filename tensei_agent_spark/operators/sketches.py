@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..cache import track
+
 
 def _mg_summaries(cap: int, value_col: str):
     """mapInPandas kernel: one Misra-Gries summary per PARTITION (the
@@ -44,16 +46,24 @@ def _mg_summaries(cap: int, value_col: str):
         # s·(cap+1) total weight, so Σs ≤ n_p/(cap+1) — the classic MG
         # undercount bound — without a per-row Python loop.
         counters: dict = {}
+        n_part = 0
         for pdf in batches:
-            for v, c in pdf[value_col].dropna().value_counts().items():
+            col = pdf[value_col].dropna()
+            n_part += len(col)
+            for v, c in col.value_counts().items():
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > cap:
                 s = sorted(counters.values(), reverse=True)[cap]
                 counters = {k: w - s for k, w in counters.items() if w > s}
-        if counters:
-            yield pd.DataFrame(
-                {"value": list(counters), "weight": list(counters.values())}
-            )
+        # one NULL-valued sentinel row carries the partition's exact row
+        # count, so the caller gets N from the summaries instead of a
+        # third full scan of the item stream
+        yield pd.DataFrame(
+            {
+                "value": list(counters) + [None],
+                "weight": list(counters.values()) + [n_part],
+            }
+        )
 
     return fn
 
@@ -88,17 +98,26 @@ def heavy_hitters_exact(
     src = items.select(F.col(value_col).alias("value")).filter(
         F.col("value").isNotNull()
     )
-    summaries = src.mapInPandas(
-        _mg_summaries(k, "value"),
-        schema=f"value {value_type}, weight long",
+    # Summaries are tiny (≤ partitions × (k+1) rows) — persist so the
+    # candidate extraction and the N aggregation share ONE scan of the
+    # item stream; pass 2 is the only other scan.
+    summaries = track(
+        src.mapInPandas(
+            _mg_summaries(k, "value"),
+            schema=f"value {value_type}, weight long",
+        )
     )
-    candidates = summaries.select("value").distinct()
+    total = summaries.filter(F.col("value").isNull()).agg(
+        F.sum("weight")
+    ).collect()[0][0] or 0
+    candidates = summaries.filter(F.col("value").isNotNull()).select(
+        "value"
+    ).distinct()
     counted = (
         src.join(F.broadcast(candidates), "value", "left_semi")
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = src.count()
     threshold = -(-total // k)  # ceil(N/k), exact
     return counted.filter(F.col("cnt") >= threshold)
 

@@ -95,7 +95,13 @@ def _field_of(node: ET.Element, prefix: str) -> Field:
     default: str | int | float | None = None
     if "defaultnum" in a:
         raw = a["defaultnum"]
-        default = float(raw) if ("." in raw or "," in raw) else int(raw)
+        # locale decimals ("0,0") appear on formatnum defaults — Python
+        # float() only takes '.'
+        default = (
+            float(raw.replace(",", "."))
+            if ("." in raw or "," in raw)
+            else int(raw)
+        )
     elif "defaultstr" in a:
         default = a["defaultstr"]
     return Field(

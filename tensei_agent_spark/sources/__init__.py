@@ -58,9 +58,15 @@ def read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     # and spec metadata (``primary_key``, ``alt_layouts``) that only
     # sinks/plan ordering care about. Spark readers silently ignore
     # unknown options, which would otherwise drop these semantics.
-    meta_opts = {"limit", "primary_key", "alt_layouts"}
+    # ``limit`` stays in the options for jdbc only (read_jdbc pushes it
+    # into the dialect SQL itself); the pure-metadata keys are stripped
+    # for EVERY format — read_jdbc forwards leftover options as JDBC
+    # connection properties, where a str()-ified tuple is junk.
+    meta_opts = {"primary_key", "alt_layouts"}
+    if spec.format != "jdbc":
+        meta_opts = meta_opts | {"limit"}
     limit = spec.options.get("limit")
-    if spec.format != "jdbc" and meta_opts & spec.options.keys():
+    if meta_opts & spec.options.keys():
         cleaned = {
             k: v for k, v in spec.options.items() if k not in meta_opts
         }
