@@ -187,3 +187,107 @@ def upsert_partitioned_parquet(
         .parquet(path)
     )
     return len(touched)
+
+
+class ManifestTable:
+    """Manifest-pointer table: atomic commits on storage WITHOUT atomic
+    rename (S3-class object stores), the mechanism ``compact_parquet``'s
+    docstring defers to.
+
+    Layout under ``root``::
+
+        data/<uuid>.parquet/   immutable file sets, one per commit
+        _manifests/v<N>.json   snapshot N -> list of data prefixes
+        _latest                one-line pointer file: current version
+
+    Writers add NEW data prefixes and publish a new manifest, then flip
+    ``_latest`` (a one-object PUT — the only thing that must be
+    last-writer-wins; readers that raced still see a complete older
+    snapshot). Nothing is ever rewritten in place, so a reader holding
+    any version keeps a consistent file list; old versions remain
+    readable until vacuumed. This is the Iceberg/Delta commit idea
+    reduced to its load-bearing core: data immutability + one atomic
+    pointer swap.
+
+    ``overwrite=True`` publishes a manifest containing ONLY the new
+    prefix (logical truncate-and-load); ``overwrite=False`` appends the
+    new prefix to the current snapshot's list.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def _latest_path(self) -> str:
+        return os.path.join(self.root, "_latest")
+
+    def current_version(self) -> int:
+        """-1 before the first commit."""
+        try:
+            with open(self._latest_path()) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return -1
+
+    def _manifest(self, version: int) -> list[str]:
+        import json
+
+        with open(os.path.join(self.root, "_manifests", f"v{version}.json")) as f:
+            return json.load(f)["prefixes"]
+
+    def commit(self, df, overwrite: bool = False) -> int:
+        """Write ``df`` as a new immutable prefix and publish the next
+        snapshot. Returns the new version number."""
+        import json
+        import uuid
+
+        version = self.current_version()
+        prefix = os.path.join(self.root, "data", f"{uuid.uuid4().hex}.parquet")
+        df.write.mode("errorifexists").parquet(prefix)
+        prefixes = (
+            [] if (overwrite or version < 0) else list(self._manifest(version))
+        )
+        prefixes.append(prefix)
+        new_version = version + 1
+        mdir = os.path.join(self.root, "_manifests")
+        os.makedirs(mdir, exist_ok=True)
+        mpath = os.path.join(mdir, f"v{new_version}.json")
+        with open(mpath, "x") as f:  # 'x': concurrent committers conflict
+            json.dump({"prefixes": prefixes}, f)
+        # the pointer flip — on a real object store this is one PUT; on
+        # POSIX a write-then-rename keeps readers from seeing a torn file
+        tmp = self._latest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(tmp, self._latest_path())
+        return new_version
+
+    def read(self, version: int | None = None) -> "DataFrame":
+        """The snapshot as one DataFrame (current if version is None) —
+        time travel = pass an older version."""
+        v = self.current_version() if version is None else version
+        if v < 0:
+            raise FileNotFoundError(f"no commits at {self.root}")
+        return self.spark.read.parquet(*self._manifest(v))
+
+    def vacuum(self, keep_latest: int = 1) -> int:
+        """Drop manifests older than the newest ``keep_latest`` versions
+        and delete data prefixes no retained snapshot references.
+        Returns the number of prefixes deleted."""
+        current = self.current_version()
+        keep_versions = range(max(0, current - keep_latest + 1), current + 1)
+        live: set[str] = set()
+        for v in keep_versions:
+            live.update(self._manifest(v))
+        deleted = 0
+        data_root = os.path.join(self.root, "data")
+        for name in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            p = os.path.join(data_root, name)
+            if p not in live:
+                shutil.rmtree(p)
+                deleted += 1
+        for v in range(0, max(0, current - keep_latest + 1)):
+            m = os.path.join(self.root, "_manifests", f"v{v}.json")
+            if os.path.exists(m):
+                os.remove(m)
+        return deleted

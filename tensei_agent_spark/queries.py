@@ -937,6 +937,57 @@ def sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "session_window_native",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM numbered GROUP BY user_id, session_idx
+    """,
+    bench=True,
+)
+def session_window_native(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization via Spark's NATIVE session_window
+    aggregate — one hash aggregate with in-operator session merging
+    (MergingSessionsExec), no lag/cumsum window passes; the same
+    operator powers streaming session windows with state eviction.
+    Boundary semantics differ from the islands twin: an event at
+    EXACTLY gap distance starts a new session (session extension needs
+    next_start < current_end, strictly), and session_end = last_ts +
+    gap — the oracle mirrors both. Otherwise matches
+    sessionize_events_batch."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "cumulative_customer_revenue",
     """
     SELECT o_custkey, o_orderkey,

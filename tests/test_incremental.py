@@ -212,3 +212,33 @@ def test_minhash_index_incremental_matches_full_batch(spark, tmp_path):
     # cohort but adds nothing new
     stored = idx.stored_bands()
     assert stored.select("doc_id").distinct().count() == docs.count()
+
+
+def test_manifest_table_commits_time_travel_vacuum(spark, tmp_path):
+    from tensei_agent_spark.operators.maintenance import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "mtab"))
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.read()
+
+    df1 = spark.range(0, 10).withColumnRenamed("id", "k")
+    v0 = t.commit(df1)
+    assert v0 == 0 and t.read().count() == 10
+
+    df2 = spark.range(10, 15).withColumnRenamed("id", "k")
+    v1 = t.commit(df2)  # append
+    assert v1 == 1 and t.read().count() == 15
+    # time travel: v0 still reads the old snapshot
+    assert t.read(version=0).count() == 10
+
+    v2 = t.commit(spark.range(100, 103).withColumnRenamed("id", "k"),
+                  overwrite=True)
+    assert v2 == 2 and t.read().count() == 3
+    assert t.read(version=1).count() == 15
+
+    # vacuum keeps only the newest snapshot's prefixes
+    deleted = t.vacuum(keep_latest=1)
+    assert deleted == 2  # v0's and v1's extra prefix are unreferenced
+    assert t.read().count() == 3
