@@ -25,6 +25,13 @@ SAMPLE = [
     "user_longest_streak",
     "part_single_source_risk",
     "revenue_concentration_trend",
+    # round-3 shapes: range-partitioned global rank, MG summaries whose
+    # per-partition content DOES change with layout (only the final
+    # exact counts may not), star-CC fixpoint, fixed-order float sums
+    "corpus_shuffle_shards",
+    "heavy_hitter_words",
+    "dedup_components",
+    "bm25_topk",
 ]
 
 
