@@ -295,3 +295,47 @@ def test_anomaly_tws_gate():
         pytest.skip("protobuf present — tws path covered by the main test")
     with pytest.raises(NotImplementedError, match="protobuf"):
         user_value_anomalies(None, api="tws")
+
+
+def test_native_session_window_stream_equals_batch(spark, events_dir):
+    """The built-in session_window aggregate runs identically as a
+    watermarked stream and as the registered batch query
+    (session_window_native) — the operator's whole point is one code
+    path for both."""
+    _stage(spark, events_dir)
+    stream = read_event_stream(spark, events_dir, max_files_per_trigger=1)
+    sessions = (
+        stream.withWatermark("ts", "10 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    run_to_completion(sessions, "native_session_sink", "complete")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["total_value"], 2),
+        )
+        for r in spark.sql("SELECT * FROM native_session_sink").collect()
+    }
+    from tensei_agent_spark.queries import REGISTRY
+
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["total_value"], 2),
+        )
+        for r in REGISTRY["session_window_native"].build(spark, SF).collect()
+    }
+    assert got == want
