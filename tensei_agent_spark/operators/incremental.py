@@ -94,6 +94,42 @@ class MinHashIndex:
         self.bands = bands
         self.hash_fn = hash_fn
 
+    def _params(self) -> dict:
+        return {
+            "id_col": self.id_col,
+            "k": self.k,
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "hash_fn": self.hash_fn,
+        }
+
+    def _check_params(self) -> None:
+        """Band keys are only comparable under IDENTICAL signature
+        parameters; an index opened with different (k, num_hashes,
+        bands, hash_fn) would join incompatible digests and silently
+        return garbage matches. The parameters are fingerprinted next
+        to the data on first commit and validated on every use."""
+        import json
+
+        meta = os.path.join(self.path, "_minhash_params.json")
+        if os.path.exists(meta):
+            with open(meta) as f:
+                stored = json.load(f)
+            if stored != self._params():
+                raise ValueError(
+                    f"MinHashIndex at {self.path} was built with "
+                    f"{stored}; refusing to mix with {self._params()}"
+                )
+
+    def _write_params(self) -> None:
+        import json
+
+        meta = os.path.join(self.path, "_minhash_params.json")
+        if not os.path.exists(meta):
+            os.makedirs(self.path, exist_ok=True)
+            with open(meta, "w") as f:
+                json.dump(self._params(), f)
+
     def stored_bands(self, like: DataFrame | None = None) -> DataFrame:
         """The persisted index, or an empty frame before the first
         commit. Existence is probed through Spark's reader — NOT
@@ -155,6 +191,7 @@ class MinHashIndex:
         """
         from .dedup import bucket_pairs
 
+        self._check_params()
         new_bands = self._band_signatures(new_docs, text_col).localCheckpoint(
             eager=True
         )
@@ -175,8 +212,13 @@ class MinHashIndex:
 
     def commit(self, new_bands: DataFrame) -> None:
         """Append the batch's band rows to the index (append-only =
-        add-file on object stores; band-partitioned for join pruning)."""
+        add-file on object stores; band-partitioned for join pruning).
+        The parameter fingerprint lands AFTER the data (an underscore-
+        prefixed sidecar, invisible to the parquet reader) so a fresh
+        path never looks like an empty-but-parameterized index."""
+        self._check_params()
         new_bands.write.mode("append").partitionBy("band").parquet(self.path)
+        self._write_params()
 
 
 def process_increment(

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tensei_agent_spark.operators.incremental import ParquetLedger, process_increment
@@ -242,3 +243,24 @@ def test_manifest_table_commits_time_travel_vacuum(spark, tmp_path):
     deleted = t.vacuum(keep_latest=1)
     assert deleted == 2  # v0's and v1's extra prefix are unreferenced
     assert t.read().count() == 3
+
+
+def test_minhash_index_rejects_parameter_mismatch(spark, tmp_path):
+    from tensei_agent_spark.operators.incremental import MinHashIndex
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(20)
+    path = str(tmp_path / "idx")
+    idx = MinHashIndex(spark, path, bands=4)
+    _, bands = idx.match_new(docs)
+    idx.commit(bands)
+
+    other = MinHashIndex(spark, path, bands=8)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        other.match_new(docs)
+    with pytest.raises(ValueError, match="refusing to mix"):
+        other.commit(bands)
+    # same parameters still fine
+    pairs, bands2 = MinHashIndex(spark, path, bands=4).match_new(docs)
+    pairs.count()
