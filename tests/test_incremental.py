@@ -264,3 +264,21 @@ def test_minhash_index_rejects_parameter_mismatch(spark, tmp_path):
     # same parameters still fine
     pairs, bands2 = MinHashIndex(spark, path, bands=4).match_new(docs)
     pairs.count()
+
+
+def test_manifest_table_concurrent_commit_conflicts(spark, tmp_path):
+    """Two committers racing to the same next version: the second
+    manifest create must fail loudly (O_EXCL), never silently clobber."""
+    from tensei_agent_spark.operators.maintenance import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "m"))
+    t.commit(spark.range(3).withColumnRenamed("id", "k"))
+    # simulate a racer that already published v1
+    import json
+    import os
+
+    mpath = os.path.join(t.root, "_manifests", "v1.json")
+    with open(mpath, "w") as f:
+        json.dump({"prefixes": []}, f)
+    with pytest.raises(FileExistsError):
+        t.commit(spark.range(3).withColumnRenamed("id", "k"))

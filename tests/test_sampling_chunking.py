@@ -156,3 +156,48 @@ def test_shuffle_shards_deterministic_and_dense(spark):
         for r in a.filter("shard = 0").orderBy("pos").collect()
     ]
     assert first_shard != sorted(first_shard)
+
+
+def test_write_training_shards_one_ordered_file_per_shard(spark, tmp_path):
+    import glob
+    import gzip
+    import json as pyjson
+    import os
+
+    from tensei_agent_spark.sinks.shards import write_training_shards
+
+    df = spark.range(0, 300).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.concat(F.lit("doc-"), F.col("doc_id"))
+    )
+    out = str(tmp_path / "shards")
+    files = write_training_shards(df, "doc_id", out, n_shards=5, salt="e1")
+    # one file per shard, shard order
+    assert len(files) == 5
+    assert len(glob.glob(os.path.join(out, "shard=*"))) == 5
+
+    from tensei_agent_spark.operators.sampling import shuffle_shards
+
+    want = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(df, "doc_id", 5, salt="e1").collect()
+    }
+    seen = 0
+    for i, f in enumerate(files):
+        with gzip.open(f, "rt") as fh:
+            rows = [pyjson.loads(line) for line in fh]
+        # file row order IS the shard's pos order, dense from 1
+        assert [r["pos"] for r in rows] == list(range(1, len(rows) + 1))
+        # partitionBy moved the shard column into the directory name
+        shard_from_path = int(f.split("shard=")[1].split("/")[0])
+        assert shard_from_path == i
+        for r in rows:
+            assert want[r["doc_id"]] == (shard_from_path, r["pos"])
+        seen += len(rows)
+    assert seen == 300
+
+    # reproducible: a second export yields byte-identical shard contents
+    out2 = str(tmp_path / "shards2")
+    files2 = write_training_shards(df, "doc_id", out2, n_shards=5, salt="e1")
+    for a, b in zip(files, files2):
+        with gzip.open(a, "rt") as fa, gzip.open(b, "rt") as fb:
+            assert fa.read() == fb.read()
