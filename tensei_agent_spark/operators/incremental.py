@@ -103,32 +103,43 @@ class MinHashIndex:
             "hash_fn": self.hash_fn,
         }
 
+    def _meta_path(self) -> str:
+        # SIBLING prefix (…/idx_params next to …/idx), so the band scan
+        # of self.path never sees it and it works on any filesystem
+        return self.path.rstrip("/") + "_params"
+
+    def _read_params(self) -> dict | None:
+        """Stored fingerprint, or None before the first commit. Probed
+        through Spark's reader — like stored_bands, NOT the local
+        filesystem, so the guard also fires on object-store URIs."""
+        from pyspark.errors import AnalysisException
+
+        try:
+            row = self.spark.read.parquet(self._meta_path()).first()
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc):
+                raise
+            return None
+        return {k: row[k] for k in self._params()}
+
     def _check_params(self) -> None:
         """Band keys are only comparable under IDENTICAL signature
         parameters; an index opened with different (k, num_hashes,
         bands, hash_fn) would join incompatible digests and silently
         return garbage matches. The parameters are fingerprinted next
         to the data on first commit and validated on every use."""
-        import json
-
-        meta = os.path.join(self.path, "_minhash_params.json")
-        if os.path.exists(meta):
-            with open(meta) as f:
-                stored = json.load(f)
-            if stored != self._params():
-                raise ValueError(
-                    f"MinHashIndex at {self.path} was built with "
-                    f"{stored}; refusing to mix with {self._params()}"
-                )
+        stored = self._read_params()
+        if stored is not None and stored != self._params():
+            raise ValueError(
+                f"MinHashIndex at {self.path} was built with "
+                f"{stored}; refusing to mix with {self._params()}"
+            )
 
     def _write_params(self) -> None:
-        import json
-
-        meta = os.path.join(self.path, "_minhash_params.json")
-        if not os.path.exists(meta):
-            os.makedirs(self.path, exist_ok=True)
-            with open(meta, "w") as f:
-                json.dump(self._params(), f)
+        if self._read_params() is None:
+            self.spark.createDataFrame([self._params()]).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(self._meta_path())
 
     def stored_bands(self, like: DataFrame | None = None) -> DataFrame:
         """The persisted index, or an empty frame before the first

@@ -9,8 +9,10 @@ rewrites a directory into size-targeted files.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
+import uuid
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -230,17 +232,12 @@ class ManifestTable:
             return -1
 
     def _manifest(self, version: int) -> list[str]:
-        import json
-
         with open(os.path.join(self.root, "_manifests", f"v{version}.json")) as f:
             return json.load(f)["prefixes"]
 
     def commit(self, df, overwrite: bool = False) -> int:
         """Write ``df`` as a new immutable prefix and publish the next
         snapshot. Returns the new version number."""
-        import json
-        import uuid
-
         version = self.current_version()
         prefix = os.path.join(self.root, "data", f"{uuid.uuid4().hex}.parquet")
         df.write.mode("errorifexists").parquet(prefix)
@@ -252,8 +249,18 @@ class ManifestTable:
         mdir = os.path.join(self.root, "_manifests")
         os.makedirs(mdir, exist_ok=True)
         mpath = os.path.join(mdir, f"v{new_version}.json")
-        with open(mpath, "x") as f:  # 'x': concurrent committers conflict
-            json.dump({"prefixes": prefixes}, f)
+        try:
+            # 'x': concurrent committers racing to the same version
+            # conflict here instead of clobbering each other
+            with open(mpath, "x") as f:
+                json.dump({"prefixes": prefixes}, f)
+        except FileExistsError:
+            raise FileExistsError(
+                f"version {new_version} already has a manifest at {mpath}: "
+                "either a concurrent committer won the race (retry this "
+                "commit), or a previous committer crashed before flipping "
+                "_latest (run repair() to clear orphan manifests)"
+            ) from None
         # the pointer flip — on a real object store this is one PUT; on
         # POSIX a write-then-rename keeps readers from seeing a torn file
         tmp = self._latest_path() + ".tmp"
@@ -270,22 +277,57 @@ class ManifestTable:
             raise FileNotFoundError(f"no commits at {self.root}")
         return self.spark.read.parquet(*self._manifest(v))
 
-    def vacuum(self, keep_latest: int = 1) -> int:
-        """Drop manifests older than the newest ``keep_latest`` versions
-        and delete data prefixes no retained snapshot references.
-        Returns the number of prefixes deleted."""
+    def repair(self) -> int:
+        """Recover from a committer that crashed between creating its
+        manifest and flipping ``_latest``: such an orphan manifest
+        (version > current) wedges every later commit on the O_EXCL
+        create. Deletes orphan manifests (their data was never
+        published, so it becomes vacuum-able). Returns the number
+        removed."""
         current = self.current_version()
-        keep_versions = range(max(0, current - keep_latest + 1), current + 1)
+        removed = 0
+        mdir = os.path.join(self.root, "_manifests")
+        for name in os.listdir(mdir) if os.path.isdir(mdir) else []:
+            v = int(name[1:-5])  # v<N>.json
+            if v > current:
+                os.remove(os.path.join(mdir, name))
+                removed += 1
+        return removed
+
+    def vacuum(self, keep_latest: int = 1, min_age_seconds: float = 86400) -> int:
+        """Drop manifests older than the newest ``keep_latest`` (≥ 1)
+        versions and delete data prefixes no retained snapshot
+        references. Returns the number of prefixes deleted.
+
+        ``min_age_seconds``: prefixes younger than this are kept even
+        if unreferenced — an in-flight committer writes its data BEFORE
+        its manifest, so a zero-retention vacuum racing a commit would
+        delete the new snapshot's data (the same reason Iceberg/Delta
+        vacuums have a retention threshold). Pass 0 only when no
+        concurrent committers can exist."""
+        import time
+
+        if keep_latest < 1:
+            raise ValueError("keep_latest must be >= 1 (the current "
+                             "snapshot cannot be vacuumed away)")
+        current = self.current_version()
         live: set[str] = set()
-        for v in keep_versions:
-            live.update(self._manifest(v))
+        for v in range(max(0, current - keep_latest + 1), current + 1):
+            try:
+                live.update(self._manifest(v))
+            except FileNotFoundError:
+                continue  # already vacuumed in an earlier, tighter pass
         deleted = 0
+        now = time.time()
         data_root = os.path.join(self.root, "data")
         for name in os.listdir(data_root) if os.path.isdir(data_root) else []:
             p = os.path.join(data_root, name)
-            if p not in live:
-                shutil.rmtree(p)
-                deleted += 1
+            if p in live:
+                continue
+            if now - os.path.getmtime(p) < min_age_seconds:
+                continue  # possibly an in-flight commit's data
+            shutil.rmtree(p)
+            deleted += 1
         for v in range(0, max(0, current - keep_latest + 1)):
             m = os.path.join(self.root, "_manifests", f"v{v}.json")
             if os.path.exists(m):

@@ -823,13 +823,13 @@ def asof_purchase_last_view(spark: SparkSession, sf: str) -> DataFrame:
     "range_join_event_sessions",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
-      SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT user_id, event_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM flagged),
     sessions AS (
@@ -891,13 +891,13 @@ def events_props_json(spark: SparkSession, sf: str) -> DataFrame:
     "sessionize_events_batch",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
-      SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT user_id, event_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM flagged)
     SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
@@ -920,7 +920,7 @@ def sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
         | F.lag("ts").over(w).isNull(),
         1,
     ).otherwise(0)
-    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    wcum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
@@ -940,13 +940,13 @@ def sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
     "session_window_native",
     """
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
              CASE WHEN epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= 1800000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
-      SELECT user_id, ts, value,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      SELECT user_id, event_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_idx
       FROM flagged)
     SELECT user_id,

@@ -34,13 +34,16 @@ def write_training_shards(
     salt: str = "",
     fmt: str = "json",
     compression: str | None = "gzip",
-) -> list[str]:
+) -> dict[int, list[str]]:
     """Export ``df`` as ``n_shards`` shard files under ``path``.
 
-    Returns the shard file paths in shard order (``shard=<i>/part-*``).
-    ``fmt``: "json" (JSONL, loader-friendly) or "parquet". The shard
-    and pos columns are kept in the output — loaders use pos to verify
-    resume offsets.
+    Returns {shard id: file paths} with an entry for EVERY shard id in
+    [0, n_shards) — an empty list marks a shard no row hashed into
+    (possible for tiny/skewed corpora; ``partitionBy`` writes no
+    directory for it). A positional list would silently shift loader
+    indices across the gap. ``fmt``: "json" (JSONL, loader-friendly)
+    or "parquet". The pos column is kept in the output — loaders use
+    it to verify resume offsets; the shard id is the directory name.
     """
     if fmt not in ("json", "parquet"):
         raise ValueError(f"fmt must be json or parquet, got {fmt!r}")
@@ -56,15 +59,12 @@ def write_training_shards(
     if compression:
         writer = writer.option("compression", compression)
     getattr(writer, fmt)(path)
-    out: list[str] = []
-    for shard_dir in sorted(
-        glob.glob(os.path.join(path, "shard=*")),
-        key=lambda p: int(p.rsplit("=", 1)[1]),
-    ):
-        parts = sorted(
+    out: dict[int, list[str]] = {i: [] for i in range(n_shards)}
+    for shard_dir in glob.glob(os.path.join(path, "shard=*")):
+        shard_id = int(shard_dir.rsplit("=", 1)[1])
+        out[shard_id] = sorted(
             p
             for p in glob.glob(os.path.join(shard_dir, "part-*"))
             if not p.endswith(".crc")
         )
-        out.extend(parts)
     return out

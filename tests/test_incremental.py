@@ -219,8 +219,6 @@ def test_manifest_table_commits_time_travel_vacuum(spark, tmp_path):
     from tensei_agent_spark.operators.maintenance import ManifestTable
 
     t = ManifestTable(spark, str(tmp_path / "mtab"))
-    import pytest
-
     with pytest.raises(FileNotFoundError):
         t.read()
 
@@ -240,7 +238,7 @@ def test_manifest_table_commits_time_travel_vacuum(spark, tmp_path):
     assert t.read(version=1).count() == 15
 
     # vacuum keeps only the newest snapshot's prefixes
-    deleted = t.vacuum(keep_latest=1)
+    deleted = t.vacuum(keep_latest=1, min_age_seconds=0)
     assert deleted == 2  # v0's and v1's extra prefix are unreferenced
     assert t.read().count() == 3
 
@@ -282,3 +280,30 @@ def test_manifest_table_concurrent_commit_conflicts(spark, tmp_path):
         json.dump({"prefixes": []}, f)
     with pytest.raises(FileExistsError):
         t.commit(spark.range(3).withColumnRenamed("id", "k"))
+
+
+def test_manifest_repair_unwedges_orphan(spark, tmp_path):
+    """A committer that died after creating its manifest but before the
+    pointer flip wedges the table; repair() clears the orphan."""
+    import json
+    import os
+
+    from tensei_agent_spark.operators.maintenance import ManifestTable
+
+    t = ManifestTable(spark, str(tmp_path / "m"))
+    t.commit(spark.range(3).withColumnRenamed("id", "k"))
+    orphan = os.path.join(t.root, "_manifests", "v1.json")
+    with open(orphan, "w") as f:
+        json.dump({"prefixes": []}, f)
+    with pytest.raises(FileExistsError, match="repair"):
+        t.commit(spark.range(3).withColumnRenamed("id", "k"))
+    assert t.repair() == 1
+    v = t.commit(spark.range(3).withColumnRenamed("id", "k"))
+    assert v == 1 and t.read().count() == 6
+
+    # vacuum guards: keep_latest=0 rejected; over-asking tolerates
+    # already-vacuumed manifests
+    with pytest.raises(ValueError):
+        t.vacuum(keep_latest=0)
+    t.vacuum(keep_latest=1, min_age_seconds=0)
+    assert t.vacuum(keep_latest=5, min_age_seconds=0) == 0

@@ -170,9 +170,11 @@ def test_write_training_shards_one_ordered_file_per_shard(spark, tmp_path):
         "text", F.concat(F.lit("doc-"), F.col("doc_id"))
     )
     out = str(tmp_path / "shards")
-    files = write_training_shards(df, "doc_id", out, n_shards=5, salt="e1")
-    # one file per shard, shard order
-    assert len(files) == 5
+    shards = write_training_shards(df, "doc_id", out, n_shards=5, salt="e1")
+    # an entry for every shard id, one file each
+    assert sorted(shards) == [0, 1, 2, 3, 4]
+    assert all(len(v) == 1 for v in shards.values())
+    files = [shards[i][0] for i in range(5)]
     assert len(glob.glob(os.path.join(out, "shard=*"))) == 5
 
     from tensei_agent_spark.operators.sampling import shuffle_shards
@@ -197,7 +199,19 @@ def test_write_training_shards_one_ordered_file_per_shard(spark, tmp_path):
 
     # reproducible: a second export yields byte-identical shard contents
     out2 = str(tmp_path / "shards2")
-    files2 = write_training_shards(df, "doc_id", out2, n_shards=5, salt="e1")
+    shards2 = write_training_shards(df, "doc_id", out2, n_shards=5, salt="e1")
+    files2 = [shards2[i][0] for i in range(5)]
     for a, b in zip(files, files2):
         with gzip.open(a, "rt") as fa, gzip.open(b, "rt") as fb:
             assert fa.read() == fb.read()
+
+
+def test_write_training_shards_empty_shard_entry(spark, tmp_path):
+    from tensei_agent_spark.sinks.shards import write_training_shards
+
+    one = spark.range(0, 1).withColumnRenamed("id", "doc_id")
+    shards = write_training_shards(
+        one, "doc_id", str(tmp_path / "s"), n_shards=4, salt="x"
+    )
+    assert sorted(shards) == [0, 1, 2, 3]
+    assert sum(len(v) for v in shards.values()) == 1  # 3 empty, marked
