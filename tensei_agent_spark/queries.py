@@ -3255,9 +3255,10 @@ def training_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Transitive dedup clusters: 8-char-shingle Jaccard ≥0.6 pairs
-    (inverted index) closed under transitivity by distributed min-label
-    propagation (operators/dedup.connected_components — the oracle uses
-    a recursive CTE instead). Component id = min doc_id reachable;
+    (inverted index) closed under transitivity by
+    operators/dedup.connected_components (driver union-find below 200k
+    edges, large-star/small-star above — the oracle uses a recursive
+    CTE instead). Component id = min doc_id reachable;
     downstream keeps one doc per component instead of per pair."""
     prs = D.ngram_jaccard_pairs(
         load(spark, sf, "documents"), "text", "doc_id", k=8, threshold=0.6
@@ -4100,6 +4101,101 @@ def fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("dist", F.levenshtein("_na", "_nb").cast("bigint"))
         .filter(F.col("dist") <= 1)
         .select("id_a", "id_b", "dist")
+    )
+
+
+@register(
+    "customer_golden_records",
+    """
+    WITH RECURSIVE
+    c AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+          FROM customer WHERE c_nationkey = 3),
+    pairs AS (
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach AS (SELECT id, id AS r FROM nodes
+              UNION
+              SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id),
+    comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+    labeled AS (
+      SELECT c.*, COALESCE(comp.component, c.c_custkey) AS entity
+      FROM c LEFT JOIN comp ON c.c_custkey = comp.id),
+    ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY entity
+                                ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+      FROM labeled)
+    SELECT CAST(entity AS BIGINT) AS golden_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN c_name END) AS survivor_name,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS best_balance,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM ranked
+    GROUP BY entity
+    """,
+)
+def customer_golden_records(spark: SparkSession, sf: str) -> DataFrame:
+    """Master-data golden records: blocked fuzzy match (edit distance ≤1
+    inside the nation block) → transitive entity closure
+    (connected_components — the star path at scale, recursive CTE in
+    the oracle) → survivorship merge per entity (name from the member
+    with the highest (acctbal, custkey); singletons are their own
+    golden record via the left join + coalesce). The end-to-end MDM
+    pipeline the reference's CRM use cases feed by hand."""
+    c = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_nationkey") == 3)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "c_nationkey")
+    )
+    # the block key is an EQUI-join key (here one nation survives the
+    # filter, but the shape is what keeps the quadratic block-local at
+    # scale — same as fuzzy_customer_pairs)
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("_na"),
+        F.col("c_nationkey").alias("_blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("_nb"),
+        F.col("c_nationkey").alias("_blk"),
+    )
+    pairs = (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.levenshtein("_na", "_nb") <= 1)
+        .select("id_a", "id_b")
+    )
+    c = c.drop("c_nationkey")
+    comp = D.connected_components(pairs)
+    labeled = c.join(
+        comp, c.c_custkey == comp.node, "left"
+    ).withColumn("entity", F.coalesce("component", "c_custkey"))
+    w = Window.partitionBy("entity").orderBy(
+        F.desc("c_acctbal"), F.desc("c_custkey")
+    )
+    return (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .groupBy("entity")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("rn") == 1, F.col("c_name"))).alias(
+                "survivor_name"
+            ),
+            F.max("c_acctbal").cast("double").alias("best_balance"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+        .select(
+            F.col("entity").cast("bigint").alias("golden_id"),
+            "n_members",
+            "survivor_name",
+            "best_balance",
+            "n_segments",
+        )
     )
 
 
