@@ -132,3 +132,24 @@ def test_segment_dedup_paragraphs(spark):
     assert keepers == {1: True, 2: False}
     # unique paragraphs all keep
     assert all(r["keep"] for r in rows if r["n_copies"] == 1)
+
+
+def test_ngram_jaccard_bit_screen_parity(spark):
+    """The OPH bit-signature pre-screen is a pure pruning stage: with it
+    on (default) and off, the emitted pairs and jaccard values must be
+    identical on the driver corpus (sf0.01 → 25 pairs at t=0.6)."""
+    from tensei_agent_spark.catalog import load
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    on = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=8, threshold=0.6).collect()
+    }
+    off = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=8, threshold=0.6, bit_screen=False
+        ).collect()
+    }
+    assert on == off and len(on) == 25
