@@ -260,26 +260,28 @@ def pq_adc_topk(
     )
 
 
+
+
 def ivf_pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
     n_cells: int = 8,
     n_probe: int = 4,
-    m: int = 8,
+    m: int = 16,
     ksub: int = 16,
     dim: int = 64,
-    refine: int = 3,
+    refine: int = 5,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """IVF-PQ with exact refine — the full production ANN pipeline:
 
-    1. coarse k-means cells prune the corpus to ``n_probe`` cells per
-       query (``similarity.ivf_assign``),
+    1. coarse k-means cells prune the corpus to ``n_probe`` probed
+       cells per query (``similarity.ivf_assign``),
     2. ADC over PQ codes ranks the in-cell candidates without touching
-       float vectors,
+       float vectors — only (id, codes, cell) rows ride the probe join,
     3. the top ``refine``·k ADC survivors are re-ranked with the TRUE
        cosine (one narrow join pulls just those vectors).
 
@@ -287,24 +289,22 @@ def ivf_pq_topk(
     only in the oracle gate; recall floor pinned in tests."""
     from .similarity import _dot_dbl, ivf_assign
 
-    assigned, _ = ivf_assign(corpus, n_cells, seed=seed, vec_col=vec_col)
+    assigned, centroids = ivf_assign(
+        corpus, n_cells, seed=seed, vec_col=vec_col
+    )
     codebooks = pq_train(corpus, m, ksub, dim, vec_col=vec_col, id_col=id_col)
     index = pq_encode(corpus, codebooks, vec_col, id_col).join(
         assigned.select(id_col, "cell"), id_col
     )
 
-    # Query → n_probe nearest cells, by ADC-free exact distance to the
-    # n_cells coarse centroids (tiny: reuse the assignment of the query
-    # rows themselves via ivf_assign's argmin is per-row top-1 only, so
-    # rank cells per query explicitly like similarity.ivf_topk does).
     m_ = len(codebooks)
     ksub_ = len(codebooks[0])
     dsub = dim // m_
     cb = _cb_lit(codebooks)
     qn = unit_normalize(queries.select(id_col, vec_col), vec_col)
 
-    # ADC LUT per query (flat m·ksub), plus the raw unit vector for the
-    # exact refine stage.
+    # ADC LUT per query (flat m·ksub of <q_sub, centroid> dots), plus
+    # the unit vector itself for the exact refine stage.
     lut = F.flatten(
         F.transform(
             _subvectors(vec_col, m_, dsub),
@@ -318,36 +318,49 @@ def ivf_pq_topk(
             ),
         )
     )
+
+    # Query -> its n_probe nearest coarse cells, ranked by exact
+    # squared distance to the n_cells centroid literals (a broadcast-
+    # side explode over <= n_cells rows per query - never a corpus op).
+    # The query side is unit-normalized while ivf_assign trained on raw
+    # vectors; the driver embeddings are near-unit-norm so the cell
+    # ORDERING survives, and the exact refine re-ranks whatever the
+    # probe admits - recall is pinned in tests either way.
+    dists = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(v)) for v in c]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for c in centroids
+        ]
+    )
+    wq = Window.partitionBy("query_id").orderBy("_cd", "cell")
     q = F.broadcast(
         qn.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("qvec"),
             lut.alias("_lut"),
+            F.posexplode(dists).alias("cell", "_cd"),
         )
+        .withColumn("_pk", F.row_number().over(wq))
+        .filter(F.col("_pk") <= n_probe)
+        .select("query_id", "qvec", "_lut", "cell")
     )
 
-    # Probed cells: rank every (query, cell) by the query's exact
-    # distance to the cell centroid — n_cells is small, so this is a
-    # broadcast-side explode, not a corpus operation.
-    from .similarity import ivf_assign as _ia  # noqa: F401 (doc pointer)
-
-    cells = (
-        assigned.select("cell").distinct()
-    )  # cells that actually hold corpus rows
+    # ADC score inside probed cells only: the equi-join on `cell`
+    # touches just the probed inverted lists, and only (id, codes)
+    # rows ride it - no float vectors.
     qcells = (
-        q.crossJoin(F.broadcast(cells))
-        .join(
-            index.select("cell", F.col(id_col).alias("cand_id"), "codes"),
-            "cell",
-        )
+        index.select("cell", F.col(id_col).alias("cand_id"), "codes")
+        .join(q, "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
     )
-    # ADC score inside probed cells only. Cell pruning: keep the
-    # n_probe cells whose best ADC candidate ranks highest per query —
-    # equivalently rank candidates globally per query and keep the top
-    # refine·k; with n_probe cells the candidate pool is already pruned
-    # upstream at scale (the join above fans out per cell; local[32]
-    # keeps it explicit and the refine cap bounds the exact stage).
     adc = F.aggregate(
         F.zip_with(
             F.col("codes"),
@@ -370,7 +383,9 @@ def ivf_pq_topk(
     refined = shortlist.join(cvec, "cand_id").withColumn(
         "cosine", F.round(_dot_dbl(F.col("qvec"), F.col("cvec")), 9)
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
     return (
         refined.select("query_id", "cand_id", "cosine")
         .withColumn("rank", F.row_number().over(w2))

@@ -1964,6 +1964,36 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.lsh_bucket_topk(emb, queries, k=10, n_planes=6, n_tables=4)
 
 
+@register("ann_pq_topk", None)  # PQ distortion is the point → rows-only
+def ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/pq.py): 16 sub-codes
+    of 4 bits replace each 64-dim vector (32× footprint cut — the lever
+    that makes a 100 TB embedding corpus RAM-scannable), and each query
+    scores candidates through an m·ksub dot-product lookup table — no
+    float vectors ride the scoring join. Deterministic codebooks (Lloyd's
+    from lowest-id init); recall floor pinned in tests/test_ann_recall.py."""
+    from .operators import pq as PQ
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    codebooks = PQ.pq_train(emb, m=16, ksub=16, dim=64, max_iter=5)
+    return PQ.pq_adc_topk(emb, queries, codebooks, k=10)
+
+
+@register("ann_ivf_pq_topk", None)  # approximate membership → rows-only
+def ann_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ with exact refine — the full production ANN pipeline
+    (FAISS-style): coarse k-means cells prune the corpus per query,
+    ADC over PQ codes ranks in-cell candidates without touching float
+    vectors, and the top refine·k survivors re-rank by TRUE cosine, so
+    reported cosines are exact and only membership is approximate."""
+    from .operators import pq as PQ
+
+    emb = load(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return PQ.ivf_pq_topk(emb, queries, k=10, n_cells=8, n_probe=4)
+
+
 @register(
     "embedding_near_dup",
     """

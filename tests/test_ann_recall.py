@@ -120,3 +120,66 @@ def test_blocked_pairs_fast_agrees_with_exact(spark):
     # where both agree on membership, cosines match to the rounding grain
     for p in set(exact) & set(fast):
         assert abs(exact[p] - fast[p]) < 2e-9, p
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """Codes are m ints in [0, ksub); encoding twice is identical
+    (deterministic codebooks + first-wins argmin)."""
+    from tensei_agent_spark.operators import pq
+
+    emb = load(spark, SF, "embeddings")
+    cbs = pq.pq_train(emb, m=8, ksub=16, dim=64, max_iter=2)
+    a = {r["vec_id"]: r["codes"] for r in pq.pq_encode(emb, cbs).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq.pq_encode(emb, cbs).collect()}
+    assert a == b
+    for codes in a.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_pq_adc_score_matches_reconstruction(spark):
+    """The ADC lookup-table score must equal dot(q, reconstruct(codes))
+    computed directly from the codebooks — the LUT is an exact
+    factorization of the quantized dot product, not an approximation
+    of it (the approximation lives in the quantization alone)."""
+    import math
+
+    from tensei_agent_spark.operators import pq
+
+    emb = load(spark, SF, "embeddings")
+    cbs = pq.pq_train(emb, m=8, ksub=16, dim=64, max_iter=2)
+    codes = {r["vec_id"]: r["codes"] for r in pq.pq_encode(emb, cbs).collect()}
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    qv = [float(x) for x in qrow["embedding"]]
+    nrm = math.sqrt(sum(x * x for x in qv))
+    qv = [x / nrm for x in qv]
+    scored = {
+        r["cand_id"]: r["score"]
+        for r in pq.pq_adc_topk(
+            emb, emb.filter(F.col("vec_id") == 0), cbs, k=5
+        ).collect()
+    }
+    for cand_id, score in scored.items():
+        recon = [x for s in range(8) for x in cbs[s][codes[cand_id][s]]]
+        want = sum(a * b for a, b in zip(qv, recon))
+        assert abs(score - want) < 1e-6, (cand_id, score, want)
+
+
+def test_ivf_pq_recall_floor_and_refine_monotone(spark):
+    """IVF-PQ with exact refine: recall floor at the registered config,
+    and a larger refine shortlist (a superset) never lowers recall."""
+    from tensei_agent_spark.operators import pq
+
+    emb = load(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(brute_force_topk(emb, q, k=K, arith="double"))
+    r5 = _recall(
+        _topk_sets(pq.ivf_pq_topk(emb, q, k=K, n_cells=8, n_probe=4, refine=5)),
+        exact,
+    )
+    r2 = _recall(
+        _topk_sets(pq.ivf_pq_topk(emb, q, k=K, n_cells=8, n_probe=4, refine=2)),
+        exact,
+    )
+    assert r5 >= r2
+    assert r5 >= 0.7, f"IVF-PQ recall {r5:.2f} below floor"

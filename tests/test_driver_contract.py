@@ -50,6 +50,8 @@ def test_rows_only_queries_are_documented_exceptions():
         "ann_lsh_topk",               # hash-bucket approximation
         "ann_ivf_topk",               # KMeans quantizer
         "ann_int8_topk",              # quantization error by design
+        "ann_pq_topk",                # PQ distortion by design
+        "ann_ivf_pq_topk",            # approximate membership by design
         "dedup_minhash_lsh_fast",     # xxhash64 twin
         "embedding_near_dup_fast",    # FP ULP twin
         "embedding_kmeans",           # iterative, float-order-sensitive
