@@ -218,3 +218,31 @@ def test_negative_sampling_join_is_bucket_equi(spark):
     plan = _plan(spark, "contrastive_negatives")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_scoring_join_moves_no_vectors(spark):
+    """The PQ ADC scoring join must ship (id, codes) rows against the
+    broadcast query+LUT side — the corpus `embedding` column may feed
+    the encode projection but must not ride the join itself, and no
+    stage may plan as a cartesian product."""
+    plan = _plan(spark, "ann_pq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # cand_id != query_id theta
+    # Above the join only three narrow columns survive — the score
+    # projection: no embedding array outlives the scoring stage. (The
+    # encode transform referencing `embedding` pipelines INSIDE the
+    # join's streamed-side project — same stage as the scan, so no
+    # exchange ever carries a float vector.)
+    score_proj = plan.split("BroadcastNestedLoopJoin", 1)[0]
+    assert "AS score" in score_proj
+    assert "embedding" not in score_proj
+
+
+def test_jaccard_bit_screen_in_plan_and_broadcast(spark):
+    """The OPH bit screen must appear in the executed plan (bit_count
+    over the signature words) and — on the provably-small driver corpus
+    — its signature attach joins must broadcast, not shuffle."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "bit_count" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4  # freq + 2 sig + 2 token sides
