@@ -7687,3 +7687,52 @@ def user_activity_gini(spark: SparkSession, sf: str) -> DataFrame:
             9,
         ).alias("gini"),
     )
+
+
+@register(
+    "k_anonymity_report",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS grp_n
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CASE WHEN grp_n < 5 THEN 'violates_k5'
+                WHEN grp_n < 25 THEN 'k5_to_24'
+                ELSE 'k25_plus' END AS k_class,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group,
+           CAST(MAX(grp_n) AS BIGINT) AS max_group
+    FROM g GROUP BY 1
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-governance twin of the PII redaction transformer
+    (functions/transformers.py): k-anonymity audit over the customer
+    quasi-identifier tuple (nation, market segment). Rows whose
+    quasi-identifier group has fewer than k members are re-identifiable
+    by linkage; the report buckets groups into violates-k5 / k5-24 /
+    k25+ classes with group and row counts. Two partial-aggregated hash
+    shuffles (quasi-group sizes, then class rollup — the second input
+    is |distinct quasi-tuples|, tiny); all-integer output, bit-exact.
+    At 100 TB the same plan holds: the first aggregate is the only
+    corpus-sized exchange, and skewed quasi-groups partial-aggregate
+    map-side like any groupBy."""
+    cust = load(spark, sf, "customer").select("c_nationkey", "c_mktsegment")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_n")
+    )
+    k_class = (
+        F.when(F.col("grp_n") < 5, "violates_k5")
+        .when(F.col("grp_n") < 25, "k5_to_24")
+        .otherwise("k25_plus")
+    )
+    return (
+        g.select(k_class.alias("k_class"), "grp_n")
+        .groupBy("k_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("grp_n").cast("bigint").alias("n_rows"),
+            F.min("grp_n").cast("bigint").alias("min_group"),
+            F.max("grp_n").cast("bigint").alias("max_group"),
+        )
+    )
