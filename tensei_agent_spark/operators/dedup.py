@@ -313,20 +313,24 @@ def ngram_jaccard_pairs(
                 ELSE a END)"""
         )
 
+    # The screen engages only when the 0.30 cutoff margin leaves a
+    # usable threshold; below that the signature columns would be dead
+    # weight in the cache, so they are only added when used.
+    use_bit_screen = bit_screen and threshold - 0.30 > 0.05
     tok_sets = docs.select(F.col(id_col), tok_arr.alias("_ts")).withColumn(
         "n_sh", F.size("_ts")
     )
-    for w in range(4):
-        tok_sets = tok_sets.withColumn(f"_w{w}", _oph_word(w))
-    tok_sets = track(
-        tok_sets.select(
+    if use_bit_screen:
+        for w in range(4):
+            tok_sets = tok_sets.withColumn(f"_w{w}", _oph_word(w))
+        tok_sets = tok_sets.select(
             id_col,
             "_ts",
             "n_sh",
             *[F.col(f"_w{w}")["m"].alias(f"_m{w}") for w in range(4)],
             *[F.col(f"_w{w}")["s"].alias(f"_g{w}") for w in range(4)],
         )
-    )
+    tok_sets = track(tok_sets)
     postings = tok_sets.select(
         F.col(id_col), "n_sh", F.explode("_ts").alias("shingle")
     )
@@ -484,7 +488,7 @@ def ngram_jaccard_pairs(
     # than 32 joint buckets skip the screen (estimator too noisy),
     # and `bit_screen=False` restores the strictly-exact chain.
     # Measured sf0.1/t=0.6: 1.97 M → 46 k candidates in 1.6 s.
-    if bit_screen and threshold - 0.30 > 0.05:
+    if use_bit_screen:
         ga = tok_sets.select(
             F.col(id_col).alias("id_a"),
             *[F.col(f"_m{w}").alias(f"_ma{w}") for w in range(4)],
