@@ -240,13 +240,21 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 8,
     threshold: float = 0.8,
-    bit_screen: bool = True,
+    bit_screen: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by EXACT n-gram Jaccard, via prefix filtering
     (the SSJoin/PPJoin candidate-pruning lemma).
 
     Emits (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold;
     J = |A∩B| / (|A| + |B| - |A∩B|).
+
+    ``bit_screen=True`` inserts a probabilistic OPH bit-signature
+    pre-screen between candidate generation and the exact verify chain
+    — a large constant-factor win on low-entropy corpora (see the
+    inline analysis at the screen) at a quantified ~6e-4 drop risk for
+    pairs sitting exactly at the threshold. The default (False) keeps
+    every stage exact; oracle-compared registry queries use the
+    default, the rows-only ``dedup_ngram_jaccard_fast`` twin opts in.
 
     The naive inverted index (bucket every shingle, explode in-bucket
     pairs) is quadratic in bucket size and melts down on hot shingles —
@@ -484,9 +492,15 @@ def ngram_jaccard_pairs(
     # Honesty contract: this stage is PROBABILISTIC — a true pair
     # sitting exactly at the threshold carries ~6e-4 drop risk (zero
     # measured at either SF: sketch bias is upward for near-dups,
-    # and real near-dup pairs sit far above t). Pairs with fewer
-    # than 32 joint buckets skip the screen (estimator too noisy),
-    # and `bit_screen=False` restores the strictly-exact chain.
+    # and real near-dup pairs sit far above t). That risk budget is
+    # what sets the engagement floor: below 110 joint buckets σ
+    # exceeds 0.096 and the 0.30 margin would fall under 3.1σ, so
+    # those pairs skip the screen and go straight to the exact token
+    # intersect. This is also why the DEFAULT is bit_screen=False —
+    # the oracle-compared registry queries keep the strictly-exact
+    # chain, and only the declared rows-only `_fast` twin (and
+    # production callers that accept the quantified risk) turn the
+    # screen on.
     # Measured sf0.1/t=0.6: 1.97 M → 46 k candidates in 1.6 s.
     if use_bit_screen:
         ga = tok_sets.select(
@@ -506,13 +520,21 @@ def ngram_jaccard_pairs(
             match = match + F.bit_count(
                 F.expr(f"~(_ga{w} ^ _gb{w}) & _ma{w} & _mb{w}")
             )
+        # The signature tables are a fixed ~72 B/doc (id + 8 longs)
+        # regardless of text length — gate their broadcast on n_docs,
+        # not on the token-payload estimate that sizes ta/tb below.
+        sig_hint = (
+            F.broadcast
+            if n_docs * 72 < 64 * 1024 * 1024
+            else (lambda d: d)
+        )
         cand = (
-            cand.join(hint(ga), "id_a")
-            .join(hint(gb), "id_b")
+            cand.join(sig_hint(ga), "id_a")
+            .join(sig_hint(gb), "id_b")
             .withColumn("_both", both)
             .withColumn("_match", match)
             .filter(
-                (F.col("_both") < 32)
+                (F.col("_both") < 110)
                 | (
                     2.0 * F.col("_match") / F.col("_both") - 1.0
                     >= threshold - 0.30

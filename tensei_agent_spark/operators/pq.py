@@ -130,10 +130,12 @@ def pq_train(
     ]
 
     # (sub, subvec) exploded relation: m rows per vector, each dsub wide
-    # — same total width as the input, reused across iterations.
+    # — same total width as the input. Persisted for the iteration
+    # loop: every Lloyd step is a collect() action, and without the
+    # persist each one would re-run the normalize + explode scan.
     sub = norm.select(
         F.posexplode(_subvectors(vec_col, m, dsub)).alias("sub", "svec")
-    )
+    ).persist()
 
     for _ in range(max_iter):
         cb = _cb_lit(codebooks)
@@ -164,6 +166,7 @@ def pq_train(
             codebooks[r["sub"]][r["code"]] = cent
         if not moved:
             break
+    sub.unpersist()
     return codebooks
 
 
@@ -182,19 +185,59 @@ def pq_encode(
     dsub = len(codebooks[0][0])
     norm = unit_normalize(emb.select(id_col, vec_col), vec_col)
     cb = _cb_lit(codebooks)
-    codes = F.transform(
+    # Two chained transforms so each subspace's ksub distances are
+    # computed ONCE: Catalyst does not CSE across higher-order-function
+    # lambdas, and inlining the distance array into both array_position
+    # and array_min doubles the encode arithmetic.
+    dists_all = F.transform(
         _subvectors(vec_col, m, dsub),
-        lambda svec, s: (
-            F.array_position(
-                F.transform(F.element_at(cb, s + 1), lambda c: _d2(svec, c)),
-                F.array_min(
-                    F.transform(F.element_at(cb, s + 1), lambda c: _d2(svec, c))
-                ),
-            )
-            - 1
-        ).cast("int"),
+        lambda svec, s: F.transform(
+            F.element_at(cb, s + 1), lambda c: _d2(svec, c)
+        ),
+    )
+    codes = F.transform(
+        dists_all,
+        lambda d: (F.array_position(d, F.array_min(d)) - 1).cast("int"),
     )
     return norm.select(F.col(id_col), codes.alias("codes"))
+
+
+def _adc_lut(codebooks: Codebooks, vec_col: str):
+    """Flat m·ksub ADC lookup table for one (normalized) query vector:
+    position s·ksub + j holds ⟨q_sub_s, centroid_j_of_sub_s⟩."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cb = _cb_lit(codebooks)
+    return F.flatten(
+        F.transform(
+            _subvectors(vec_col, m, dsub),
+            lambda svec, s: F.transform(
+                F.element_at(cb, s + 1),
+                lambda cent: F.aggregate(
+                    F.zip_with(svec, cent, lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            ),
+        )
+    )
+
+
+def _adc_score(codebooks: Codebooks, codes_col: str = "codes", lut_col: str = "_lut"):
+    """ADC dot estimate: Σ_s LUT[s·ksub + codes[s]] — m array lookups
+    and adds per candidate. The layout constant lives HERE, next to
+    ``_adc_lut``, so the two sides cannot drift apart."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    return F.aggregate(
+        F.zip_with(
+            F.col(codes_col),
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda c, s: F.element_at(F.col(lut_col), s * ksub + c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def pq_adc_topk(
@@ -214,40 +257,17 @@ def pq_adc_topk(
     (query_id, cand_id, score, rank) — ``score`` is the ADC cosine
     estimate, run-deterministic but approximate by construction.
     ``codes`` lets callers reuse a precomputed/persisted index."""
-    m = len(codebooks)
-    ksub = len(codebooks[0])
-    dsub = len(codebooks[0][0])
     if codes is None:
         codes = pq_encode(corpus, codebooks, vec_col, id_col)
 
-    cb = _cb_lit(codebooks)
     qn = unit_normalize(queries.select(id_col, vec_col), vec_col)
-    # flat LUT: position s*ksub + j holds <q_sub_s, centroid_j_of_sub_s>
-    lut = F.flatten(
-        F.transform(
-            _subvectors(vec_col, m, dsub),
-            lambda svec, s: F.transform(
-                F.element_at(cb, s + 1),
-                lambda cent: F.aggregate(
-                    F.zip_with(svec, cent, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            ),
+    q = F.broadcast(
+        qn.select(
+            F.col(id_col).alias("query_id"),
+            _adc_lut(codebooks, vec_col).alias("_lut"),
         )
     )
-    q = F.broadcast(
-        qn.select(F.col(id_col).alias("query_id"), lut.alias("_lut"))
-    )
-    score = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m - 1)),
-            lambda c, s: F.element_at(F.col("_lut"), s * ksub + c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    score = _adc_score(codebooks)
     scored = (
         codes.select(F.col(id_col).alias("cand_id"), "codes")
         .join(q, F.col("cand_id") != F.col("query_id"))
@@ -286,7 +306,14 @@ def ivf_pq_topk(
        cosine (one narrow join pulls just those vectors).
 
     Reported cosines are exact; only membership is approximate. Rows-
-    only in the oracle gate; recall floor pinned in tests."""
+    only in the oracle gate; recall floor pinned in tests.
+
+    NOTE: codebook + coarse-quantizer training are EAGER stages (like
+    ``ivf_assign``'s KMeans fit): building this DataFrame runs the
+    Lloyd's jobs. At production scale train on a sample
+    (``corpus.sample(...)`` into ``pq_train``) and reuse the persisted
+    (codes, cell) index across query batches instead of re-deriving it
+    per call."""
     from .similarity import _dot_dbl, ivf_assign
 
     assigned, centroids = ivf_assign(
@@ -297,27 +324,10 @@ def ivf_pq_topk(
         assigned.select(id_col, "cell"), id_col
     )
 
-    m_ = len(codebooks)
-    ksub_ = len(codebooks[0])
-    dsub = dim // m_
-    cb = _cb_lit(codebooks)
     qn = unit_normalize(queries.select(id_col, vec_col), vec_col)
-
-    # ADC LUT per query (flat m·ksub of <q_sub, centroid> dots), plus
-    # the unit vector itself for the exact refine stage.
-    lut = F.flatten(
-        F.transform(
-            _subvectors(vec_col, m_, dsub),
-            lambda svec, s: F.transform(
-                F.element_at(cb, s + 1),
-                lambda cent: F.aggregate(
-                    F.zip_with(svec, cent, lambda x, y: x * y),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            ),
-        )
-    )
+    # ADC LUT per query (shared _adc_lut/_adc_score layout), plus the
+    # unit vector itself for the exact refine stage.
+    lut = _adc_lut(codebooks, vec_col)
 
     # Query -> its n_probe nearest coarse cells, ranked by exact
     # squared distance to the n_cells centroid literals (a broadcast-
@@ -361,15 +371,7 @@ def ivf_pq_topk(
         .join(q, "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
     )
-    adc = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.sequence(F.lit(0), F.lit(m_ - 1)),
-            lambda c, s: F.element_at(F.col("_lut"), s * ksub_ + c + 1),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    adc = _adc_score(codebooks)
     w = Window.partitionBy("query_id").orderBy(F.desc("_adc"), F.asc("cand_id"))
     shortlist = (
         qcells.withColumn("_adc", adc)

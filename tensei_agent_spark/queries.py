@@ -1313,13 +1313,30 @@ def dedup_exact_groups(spark: SparkSession, sf: str) -> DataFrame:
     FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
     WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.6
     """,
-    bench=True,
 )
 def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup pairs by exact 8-char-shingle Jaccard ≥ 0.6 (inverted-
-    index self-join; see operators/dedup.ngram_jaccard_pairs)."""
+    index self-join; see operators/dedup.ngram_jaccard_pairs). Every
+    stage is exact — bit-identical to the DuckDB oracle."""
     return D.ngram_jaccard_pairs(
         load(spark, sf, "documents"), "text", "doc_id", k=8, threshold=0.6
+    )
+
+
+@register("dedup_ngram_jaccard_fast", None, bench=True)  # OPH screen → rows-only
+def dedup_jaccard_fast(spark: SparkSession, sf: str) -> DataFrame:
+    """Production n-gram Jaccard: identical plan to dedup_ngram_jaccard
+    plus the OPH bit-signature pre-screen (operators/dedup.py), which
+    prunes 1.97 M candidates to 46 k with 8 longs a side before any
+    token array moves — 10.2 s → 6.4 s at sf0.1 on the low-entropy
+    corpus that defeats prefix filtering. The screen is probabilistic
+    (~6e-4 drop risk at the exact threshold, quantified inline), so
+    this twin is rows-only; the exact variant above carries the oracle
+    and an on/off parity test pins their agreement on the driver
+    corpus."""
+    return D.ngram_jaccard_pairs(
+        load(spark, sf, "documents"), "text", "doc_id",
+        k=8, threshold=0.6, bit_screen=True,
     )
 
 

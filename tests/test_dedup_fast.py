@@ -144,7 +144,9 @@ def test_ngram_jaccard_bit_screen_parity(spark):
     docs = load(spark, "/root/testdata/sf0.01", "documents")
     on = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs, k=8, threshold=0.6).collect()
+        for r in ngram_jaccard_pairs(
+            docs, k=8, threshold=0.6, bit_screen=True
+        ).collect()
     }
     off = {
         (r["id_a"], r["id_b"]): r["jaccard"]

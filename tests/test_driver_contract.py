@@ -50,6 +50,7 @@ def test_rows_only_queries_are_documented_exceptions():
         "ann_lsh_topk",               # hash-bucket approximation
         "ann_ivf_topk",               # KMeans quantizer
         "ann_int8_topk",              # quantization error by design
+        "dedup_ngram_jaccard_fast",   # OPH pre-screen by design
         "ann_pq_topk",                # PQ distortion by design
         "ann_ivf_pq_topk",            # approximate membership by design
         "dedup_minhash_lsh_fast",     # xxhash64 twin

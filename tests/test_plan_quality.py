@@ -239,10 +239,14 @@ def test_pq_adc_scoring_join_moves_no_vectors(spark):
 
 
 def test_jaccard_bit_screen_in_plan_and_broadcast(spark):
-    """The OPH bit screen must appear in the executed plan (bit_count
-    over the signature words) and — on the provably-small driver corpus
-    — its signature attach joins must broadcast, not shuffle."""
-    plan = _plan(spark, "dedup_ngram_jaccard")
+    """The OPH bit screen must appear in the fast twin's executed plan
+    (bit_count over the signature words) and — on the provably-small
+    driver corpus — its signature attach joins must broadcast, not
+    shuffle. The exact oracle-compared variant must NOT contain the
+    probabilistic screen."""
+    plan = _plan(spark, "dedup_ngram_jaccard_fast")
     assert "bit_count" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 4  # freq + 2 sig + 2 token sides
+    exact_plan = _plan(spark, "dedup_ngram_jaccard")
+    assert "bit_count" not in exact_plan
