@@ -6190,7 +6190,12 @@ def copurchase_kcore(spark: SparkSession, sf: str) -> DataFrame:
     for _ in range(3):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
         keep = deg.filter(F.col("d") >= k).select("src")
-        e = (
+        # Each round's survivor edges persist: the NEXT round references
+        # them twice (degree aggregate + semi-join input), and without a
+        # cache node the unreused subtrees double per round — a
+        # 2^rounds blowup (Spark-side build+count at sf0.01 measured
+        # ~20 s unpersisted vs ~4-7 s with per-round persists).
+        e = cache.track(
             e.join(keep, "src", "left_semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
             .select("src", "dst")
