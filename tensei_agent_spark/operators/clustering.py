@@ -22,11 +22,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .lits import dlit
+
 
 def _dist2(vec_col: str, centroid: list[float]):
     """Squared L2 distance to one literal centroid, folded dimension-
-    by-dimension in array order (deterministic float summation)."""
-    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    by-dimension in array order (deterministic float summation).
+    Centroid rendered via ``lits.dlit`` — per-scalar F.lit cost ~1 ms
+    per dimension of driver time on every plan build."""
+    lit = dlit(centroid)
     return F.aggregate(
         F.zip_with(F.col(vec_col), lit, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),

@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .lits import dlit
+
 Codebooks = list[list[list[float]]]  # [m][ksub][dsub]
 
 
@@ -70,18 +72,12 @@ def _subvectors(vec_col: str, m: int, dsub: int):
 
 
 def _cb_lit(codebooks: Codebooks):
-    """Codebooks as one literal nested array column [m][ksub][dsub]."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(x)) for x in cent])
-                    for cent in book
-                ]
-            )
-            for book in codebooks
-        ]
-    )
+    """Codebooks as one literal nested array column [m][ksub][dsub].
+
+    Rendered via ``lits.dlit`` (SQL-parsed) — the per-scalar
+    ``F.lit`` form cost ~1 s of driver time PER PLAN BUILD at
+    16×16×4, multiplied by every Lloyd iteration."""
+    return dlit(codebooks)
 
 
 def _d2(a, b):
@@ -341,7 +337,7 @@ def ivf_pq_topk(
             F.aggregate(
                 F.zip_with(
                     F.col(vec_col),
-                    F.array(*[F.lit(float(v)) for v in c]),
+                    dlit(c),
                     lambda x, y: (x - y) * (x - y),
                 ),
                 F.lit(0.0),

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .lits import dlit
+
 DEC = "decimal(18,9)"
 
 
@@ -201,7 +203,7 @@ def random_hyperplane_buckets(
         ]
         bucket = F.lit(t * (1 << n_planes))
         for p_idx, plane in enumerate(planes):
-            plane_col = F.array(*[F.lit(v) for v in plane])
+            plane_col = dlit(plane)
             dot = F.aggregate(
                 F.zip_with(vec, plane_col, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
@@ -245,7 +247,7 @@ def ivf_assign(
     vec = F.col(vec_col)
     best_cell, best_dist = None, None
     for i, c in enumerate(centroids):
-        cc = F.array(*[F.lit(v) for v in c])
+        cc = dlit(c)
         d = F.aggregate(
             F.zip_with(vec, cc, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
             F.lit(0.0),
@@ -286,7 +288,7 @@ def ivf_topk(
             F.aggregate(
                 F.zip_with(
                     qvec,
-                    F.array(*[F.lit(v) for v in c]),
+                    dlit(c),
                     lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
                 ),
                 F.lit(0.0),
