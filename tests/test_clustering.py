@@ -69,3 +69,40 @@ def test_empty_cluster_keeps_centroid(spark):
     # (first-wins tie-break sends both to cluster 0)
     assert prof.get(0) == 2 and prof.get(2) == 1 and 1 not in prof
     assert centroids[1] == [0.0, 0.0]
+
+
+def test_dlit_roundtrips_floats_exactly(spark):
+    """lits.dlit must yield the IDENTICAL doubles to per-scalar F.lit —
+    repr(float) round-trips through the SQL parser's Double.parseDouble
+    bit-exactly, including extremes and negative zero."""
+    import math
+    import random
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.lits import dlit
+
+    rnd = random.Random(7)
+    vals = [0.0, -0.0, 1e-308, -1e308, 2**-52, 1 / 3, math.pi]
+    for _ in range(40):
+        # random bit patterns, skipping non-finite
+        x = struct.unpack("<d", struct.pack("<q", rnd.getrandbits(63)))[0]
+        if math.isfinite(x):
+            vals.append(x)
+    row = (
+        spark.range(1)
+        .select(
+            dlit(vals).alias("a"),
+            F.array(*[F.lit(v) for v in vals]).alias("b"),
+        )
+        .collect()[0]
+    )
+    got = [struct.pack("<d", v) for v in row["a"]]
+    want = [struct.pack("<d", v) for v in row["b"]]
+    assert got == want
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dlit([float("nan")])
