@@ -1,0 +1,52 @@
+"""Compare two driver bench artifacts (BENCH_r{N}.json) per query.
+
+Usage: python tools/bench_compare.py BENCH_r02.json BENCH_r03.json
+
+Prints per-query seconds, the ratio, and flags regressions above 1.5x
+(the round-over-round budget VERDICT r2 set). Queries present in only
+one round are listed separately — bench-set growth is expected, silent
+drops are not.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> dict[str, float]:
+    with open(path) as f:
+        d = json.load(f)
+    q = d.get("parsed", d).get("queries", {})
+    return {k: float(v) for k, v in q.items() if v >= 0}
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    a_path, b_path = sys.argv[1], sys.argv[2]
+    a, b = load(a_path), load(b_path)
+    shared = sorted(set(a) & set(b), key=lambda k: -b[k])
+    regressions = []
+    print(f"{'query':35s} {a_path:>14s} {b_path:>14s}  ratio")
+    for k in shared:
+        r = b[k] / a[k] if a[k] else float("inf")
+        flag = "  <-- REGRESSION >1.5x" if r > 1.5 else ""
+        if r > 1.5:
+            regressions.append(k)
+        print(f"{k:35s} {a[k]:14.3f} {b[k]:14.3f}  {r:5.2f}{flag}")
+    only_a = sorted(set(a) - set(b))
+    only_b = sorted(set(b) - set(a))
+    if only_a:
+        print(f"dropped since {a_path}: {only_a}")
+    if only_b:
+        print(f"added in {b_path}: {only_b}")
+    print(
+        f"shared total: {sum(a[k] for k in shared):.2f}s -> "
+        f"{sum(b[k] for k in shared):.2f}s; {len(regressions)} regression(s)"
+    )
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()
