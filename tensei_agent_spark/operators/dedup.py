@@ -478,7 +478,6 @@ def ngram_jaccard_pairs(
     # When the token payload is provably small (the `small` estimate
     # computed above, before the rank join) we broadcast the screen
     # sides too.
-    cand = cand.distinct()
     # Bit-signature pre-screen (engaged whenever the margin leaves a
     # usable cutoff): the token screen below hauls two ~n_sh-long
     # arrays to every candidate and pays an O(n) intersect each —
@@ -502,6 +501,13 @@ def ngram_jaccard_pairs(
     # production callers that accept the quantified risk) turn the
     # screen on.
     # Measured sf0.1/t=0.6: 1.97 M → 46 k candidates in 1.6 s.
+    #
+    # Screen runs AFTER the distinct, like the token screen: the
+    # tempting screen-before-distinct order (broadcast probes pipelined
+    # into the candidate join, distinct shrunk to the survivors) was
+    # measured SLOWER end-to-end (8.1 s vs 6.9 s at sf0.1) — each
+    # duplicated pair re-pays the 16-long probe + bit arithmetic, and
+    # that redundancy outweighs the 5.9 M→150 k distinct-input cut.
     if use_bit_screen:
         ga = tok_sets.select(
             F.col(id_col).alias("id_a"),
@@ -523,25 +529,28 @@ def ngram_jaccard_pairs(
         # The signature tables are a fixed ~72 B/doc (id + 8 longs)
         # regardless of text length — gate their broadcast on n_docs,
         # not on the token-payload estimate that sizes ta/tb below.
-        sig_hint = (
-            F.broadcast
-            if n_docs * 72 < 64 * 1024 * 1024
-            else (lambda d: d)
-        )
-        cand = (
-            cand.join(sig_hint(ga), "id_a")
-            .join(sig_hint(gb), "id_b")
-            .withColumn("_both", both)
-            .withColumn("_match", match)
-            .filter(
-                (F.col("_both") < 110)
-                | (
-                    2.0 * F.col("_match") / F.col("_both") - 1.0
-                    >= threshold - 0.30
+        sig_small = n_docs * 72 < 64 * 1024 * 1024
+        sig_hint = F.broadcast if sig_small else (lambda d: d)
+
+        def _screen(pairs):
+            return (
+                pairs.join(sig_hint(ga), "id_a")
+                .join(sig_hint(gb), "id_b")
+                .withColumn("_both", both)
+                .withColumn("_match", match)
+                .filter(
+                    (F.col("_both") < 110)
+                    | (
+                        2.0 * F.col("_match") / F.col("_both") - 1.0
+                        >= threshold - 0.30
+                    )
                 )
+                .select("id_a", "id_b")
             )
-            .select("id_a", "id_b")
-        )
+
+        cand = _screen(cand.distinct())
+    else:
+        cand = cand.distinct()
     ta = tok_sets.select(
         F.col(id_col).alias("id_a"), F.col("_ts").alias("_ta"), F.col("n_sh").alias("n_ta")
     )
