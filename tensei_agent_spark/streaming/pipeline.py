@@ -454,3 +454,56 @@ def user_value_anomalies(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def serve_ann_stream(
+    spark,
+    corpus: DataFrame,
+    codebooks,
+    query_stream: DataFrame,
+    k: int = 10,
+    sink_table: str = "ann_results",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Online ANN serving: a stream of query vectors scored against a
+    STATIC product-quantization index (operators/pq.py) — the
+    batch-serving split every vector-search deployment has: the index
+    is built once (codes persisted, 32× smaller than the vectors), the
+    query stream rides ``foreachBatch``, and each micro-batch runs the
+    UNCHANGED batch ``pq_adc_topk`` — one code path, two execution
+    modes, like every other stream/batch twin in this module.
+
+    ``foreachBatch`` rather than a streaming join because per-query
+    top-k needs a rank window, which streaming DataFrames cannot
+    express; inside the batch hook the window is ordinary. Results
+    append to an in-memory sink table (tests / local verification;
+    production swaps the writer for parquet/JDBC + checkpoint).
+
+    Returns the started query; callers ``awaitTermination``.
+    """
+    from ..operators.pq import pq_adc_topk, pq_encode
+
+    codes = pq_encode(corpus, codebooks, vec_col, id_col).persist()
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        topk = pq_adc_topk(
+            corpus, batch_df, codebooks, k, vec_col, id_col, codes=codes
+        ).withColumn("batch_id", F.lit(batch_id))
+        # global temp view accumulates across batches (memory-sink
+        # semantics without a second streaming query)
+        existing = (
+            spark.table(sink_table)
+            if any(t.name == sink_table for t in spark.catalog.listTables())
+            else None
+        )
+        out = topk if existing is None else existing.unionByName(topk)
+        out.localCheckpoint().createOrReplaceTempView(sink_table)
+
+    return (
+        query_stream.writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -339,3 +339,39 @@ def test_native_session_window_stream_equals_batch(spark, events_dir):
         for r in REGISTRY["session_window_native"].build(spark, SF).collect()
     }
     assert got == want
+
+
+def test_serve_ann_stream_equals_batch(spark, tmp_path_factory):
+    """Streamed query vectors scored against the static PQ index must
+    produce exactly the batch pq_adc_topk results (one code path, two
+    execution modes) — including across multiple micro-batches."""
+    from tensei_agent_spark.operators.pq import pq_adc_topk, pq_train
+    from tensei_agent_spark.streaming.pipeline import serve_ann_stream
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    codebooks = pq_train(emb, m=8, ksub=16, dim=64, max_iter=2)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    qdir = str(tmp_path_factory.mktemp("ann_queries"))
+    # several small files → several micro-batches with maxFilesPerTrigger
+    queries.repartition(3).write.mode("overwrite").parquet(qdir)
+    qstream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    q = serve_ann_stream(
+        spark, emb, codebooks, qstream, k=5, sink_table="ann_stream_sink"
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["score"])
+        for r in spark.table("ann_stream_sink").collect()
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["score"])
+        for r in pq_adc_topk(emb, queries, codebooks, k=5).collect()
+    }
+    assert got == want
+    assert len({r["batch_id"] for r in spark.table("ann_stream_sink").collect()}) >= 2
