@@ -165,3 +165,52 @@ def ntile_from_rank(rank: Column, n_rows: Column, tiles: int) -> Column:
         boundary = F.lit(k) * base + F.least(F.lit(k), rem)
         expr = F.when(rank <= boundary, F.lit(k)).otherwise(expr)
     return expr
+
+
+def with_global_prefix_max(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    value_col: str,
+    out: str = "runmax",
+    exclusive: bool = False,
+) -> DataFrame:
+    """Attach the running ``max(value_col)`` over the global *order*,
+    distributed (range-partition + local window + broadcast offsets —
+    the same shape as ``with_global_prefix_sum``). Unlike the sum, max
+    is order-insensitive and exact for every comparable type, so there
+    is no exact-type restriction.
+
+    ``exclusive=True`` computes the max over strictly-PRECEDING rows
+    (NULL for the global first row) — the dominance test a skyline
+    operator needs.
+    """
+    order = _as_columns(order)
+    part = _range_partitioned(df, order)
+    end = -1 if exclusive else 0
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    local = part.withColumn("_lmax", F.max(value_col).over(w))
+    totals = sorted(
+        (r["_pid"], r["t"])
+        for r in local.groupBy("_pid").agg(F.max(value_col).alias("t")).collect()
+    )
+    offsets, acc = [], None
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        if t is not None:
+            acc = t if acc is None else max(acc, t)
+    vt = df.schema[value_col].dataType.simpleString()
+    off_df = F.broadcast(
+        df.sparkSession.createDataFrame(offsets, f"_pid int, _off {vt}")
+    )
+    return (
+        local.join(off_df, "_pid")
+        # greatest() skips NULLs: first-row-of-partition exclusive max
+        # falls back to the previous partitions' offset (or NULL at the
+        # global head).
+        .withColumn(out, F.greatest(F.col("_lmax"), F.col("_off")))
+        .drop("_pid", "_lmax", "_off")
+    )

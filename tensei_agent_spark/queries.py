@@ -7758,3 +7758,44 @@ def k_anonymity_report(spark: SparkSession, sf: str) -> DataFrame:
             F.max("grp_n").cast("bigint").alias("max_group"),
         )
     )
+
+
+@register(
+    "part_skyline",
+    """
+    SELECT p_partkey,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE)
+             AS p_retailprice,
+           CAST(p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE CAST(q.p_retailprice AS DECIMAL(12,2))
+              <= CAST(p.p_retailprice AS DECIMAL(12,2))
+        AND q.p_size >= p.p_size
+        AND (CAST(q.p_retailprice AS DECIMAL(12,2))
+               < CAST(p.p_retailprice AS DECIMAL(12,2))
+             OR q.p_size > p.p_size))
+    """,
+)
+def part_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Skyline / Pareto front of the part catalog: cheapest-for-their-
+    size parts (minimize retail price, maximize size) — no other part
+    is both <= price and >= size with one strict. The oracle is the
+    O(n²) NOT EXISTS dominance self-join; the engine plan is the exact
+    sort-based formulation in operators/skyline.py (per-price max, one
+    distributed exclusive prefix-max over distinct prices, join back) —
+    nothing quadratic, no single-partition window. Exact DECIMAL price
+    comparisons keep both engines' dominance tests identical."""
+    from .operators.skyline import skyline_2d
+
+    part = load(spark, sf, "part").select(
+        "p_partkey",
+        _m("p_retailprice").alias("_price"),
+        F.col("p_size").cast("bigint").alias("p_size"),
+    )
+    return skyline_2d(part, "_price", "p_size").select(
+        "p_partkey",
+        F.col("_price").cast("double").alias("p_retailprice"),
+        "p_size",
+    )

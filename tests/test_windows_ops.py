@@ -106,3 +106,50 @@ def test_ntile_non_power_of_two_matches_sql(spark):
     assert pairs[0] == pairs[1]
     with pytest.raises(ValueError, match="tiles"):
         ntile_from_rank(F.col("r"), F.lit(10), 0)
+
+
+def test_global_prefix_max_inclusive_exclusive(spark):
+    from tensei_agent_spark.operators.windows import with_global_prefix_max
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 3), (3, 9), (4, 2), (5, 9)], "k int, v int"
+    ).repartition(3)
+    inc = {
+        r["k"]: r["m"]
+        for r in with_global_prefix_max(df, ["k"], "v", out="m").collect()
+    }
+    assert inc == {1: 5, 2: 5, 3: 9, 4: 9, 5: 9}
+    exc = {
+        r["k"]: r["m"]
+        for r in with_global_prefix_max(
+            df, ["k"], "v", out="m", exclusive=True
+        ).collect()
+    }
+    assert exc == {1: None, 2: 5, 3: 5, 4: 9, 5: 9}
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    """Random points incl. duplicates and NULLs: the sort-based skyline
+    must equal the O(n^2) dominance definition computed in Python."""
+    import random
+
+    from tensei_agent_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(99)
+    pts = [(i, rng.randint(0, 20), rng.randint(0, 20)) for i in range(200)]
+    pts += [(1000 + i, x, y) for i, (_, x, y) in enumerate(pts[:10])]  # dups
+    pts += [(2000, None, 5), (2001, 3, None)]  # excluded by convention
+    df = spark.createDataFrame(pts, "id long, x int, y int").repartition(7)
+
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+
+    clean = [(i, x, y) for i, x, y in pts if x is not None and y is not None]
+    want = set()
+    for i, x, y in clean:
+        dominated = any(
+            qx <= x and qy >= y and (qx < x or qy > y)
+            for _, qx, qy in clean
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want and len(want) > 0
