@@ -7799,3 +7799,52 @@ def part_skyline(spark: SparkSession, sf: str) -> DataFrame:
         F.col("_price").cast("double").alias("p_retailprice"),
         "p_size",
     )
+
+
+@register(
+    "user_path_similarity",
+    """
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id),
+    sh AS (SELECT DISTINCT user_id, substr(path, CAST(i AS INT), 12) AS g
+           FROM paths,
+                UNNEST(range(1, greatest(length(path) - 10, 2))) AS t(i)),
+    sz AS (SELECT user_id, COUNT(*) AS n FROM sh GROUP BY user_id),
+    inter AS (SELECT a.user_id AS id_a, b.user_id AS id_b, COUNT(*) AS nc
+              FROM sh a JOIN sh b USING (g)
+              WHERE a.user_id < b.user_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 6) AS jaccard
+    FROM inter JOIN sz sa ON id_a = sa.user_id JOIN sz sb ON id_b = sb.user_id
+    WHERE CAST(nc AS DOUBLE) / (sa.n + sb.n - nc) >= 0.5
+    """,
+)
+def user_path_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Trajectory-style behavioral similarity (REPOSE/ICDE'21 problem
+    shape, sequence-similarity formulation): each user's chronological
+    event-type sequence becomes a path string, and near-identical
+    behavior pairs fall out of the SAME exact shingle-Jaccard operator
+    the document near-dup family uses (operators/dedup.py) — operator
+    reuse across domains: the path derivation is one partial-aggregated
+    collect per user (sorted in-array, deterministic), everything
+    downstream inherits the prefix-filter + two-phase-verify scale
+    shape and its oracle parity."""
+    ev = load(spark, sf, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_evs")
+        )
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.col("_evs"), lambda s: s["event_type"]), ">"
+            ).alias("path"),
+        )
+    )
+    return D.ngram_jaccard_pairs(paths, "path", "user_id", k=12, threshold=0.5)
