@@ -529,26 +529,26 @@ def ngram_jaccard_pairs(
         # The signature tables are a fixed ~72 B/doc (id + 8 longs)
         # regardless of text length — gate their broadcast on n_docs,
         # not on the token-payload estimate that sizes ta/tb below.
-        sig_small = n_docs * 72 < 64 * 1024 * 1024
-        sig_hint = F.broadcast if sig_small else (lambda d: d)
-
-        def _screen(pairs):
-            return (
-                pairs.join(sig_hint(ga), "id_a")
-                .join(sig_hint(gb), "id_b")
-                .withColumn("_both", both)
-                .withColumn("_match", match)
-                .filter(
-                    (F.col("_both") < 110)
-                    | (
-                        2.0 * F.col("_match") / F.col("_both") - 1.0
-                        >= threshold - 0.30
-                    )
+        sig_hint = (
+            F.broadcast
+            if n_docs * 72 < 64 * 1024 * 1024
+            else (lambda d: d)
+        )
+        cand = (
+            cand.distinct()
+            .join(sig_hint(ga), "id_a")
+            .join(sig_hint(gb), "id_b")
+            .withColumn("_both", both)
+            .withColumn("_match", match)
+            .filter(
+                (F.col("_both") < 110)
+                | (
+                    2.0 * F.col("_match") / F.col("_both") - 1.0
+                    >= threshold - 0.30
                 )
-                .select("id_a", "id_b")
             )
-
-        cand = _screen(cand.distinct())
+            .select("id_a", "id_b")
+        )
     else:
         cand = cand.distinct()
     ta = tok_sets.select(

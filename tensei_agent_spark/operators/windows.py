@@ -183,6 +183,12 @@ def with_global_prefix_max(
     ``exclusive=True`` computes the max over strictly-PRECEDING rows
     (NULL for the global first row) — the dominance test a skyline
     operator needs.
+
+    *order* must be a TOTAL order (same contract as
+    ``with_global_rank``): with ties, which tied row "precedes" the
+    other is partition-sort luck, so exclusive results on tied keys
+    vary run to run. ``skyline_2d`` satisfies this by pre-aggregating
+    to one row per key; other callers must add a tie-break column.
     """
     order = _as_columns(order)
     part = _range_partitioned(df, order)

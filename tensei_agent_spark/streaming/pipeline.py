@@ -482,9 +482,13 @@ def serve_ann_stream(
 
     Returns the started query; callers ``awaitTermination``.
     """
+    from .. import cache
     from ..operators.pq import pq_adc_topk, pq_encode
 
-    codes = pq_encode(corpus, codebooks, vec_col, id_col).persist()
+    # cache.track, not a bare persist: the index is released by the
+    # repo's standard lifecycle (next registry build / release_all)
+    # instead of leaking for the session lifetime.
+    codes = cache.track(pq_encode(corpus, codebooks, vec_col, id_col))
 
     def score_batch(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.head(1):
@@ -492,14 +496,23 @@ def serve_ann_stream(
         topk = pq_adc_topk(
             corpus, batch_df, codebooks, k, vec_col, id_col, codes=codes
         ).withColumn("batch_id", F.lit(batch_id))
-        # global temp view accumulates across batches (memory-sink
-        # semantics without a second streaming query)
+        # SESSION TRAP: foreachBatch runs in a CLONED SparkSession, and
+        # createOrReplaceTempView registers in whichever session roots
+        # the plan — a stream-rooted DataFrame would register the view
+        # in the clone, invisible to the caller. Per-batch top-k is
+        # bounded (|batch queries| × k rows), so collect and rebuild on
+        # the CALLER's session explicitly; the accumulate view is then
+        # unambiguously session-scoped to the caller.
+        rows = topk.collect()
+        if not rows:
+            return
+        batch_out = spark.createDataFrame(rows, topk.schema)
         existing = (
             spark.table(sink_table)
             if any(t.name == sink_table for t in spark.catalog.listTables())
             else None
         )
-        out = topk if existing is None else existing.unionByName(topk)
+        out = batch_out if existing is None else existing.unionByName(batch_out)
         out.localCheckpoint().createOrReplaceTempView(sink_table)
 
     return (

@@ -32,6 +32,8 @@ SAMPLE = [
     "heavy_hitter_words",
     "dedup_components",
     "bm25_topk",
+    # distributed exclusive prefix-max over range partitions
+    "part_skyline",
 ]
 
 

@@ -38,21 +38,50 @@ SF = "/root/testdata/sf0.001"
 OUT = "PLAN_AUDIT_r03.json"
 
 WINDOW_SPEC = re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe")
+ORDER_SUFFIXES = (
+    "ASC NULLS FIRST",
+    "ASC NULLS LAST",
+    "DESC NULLS FIRST",
+    "DESC NULLS LAST",
+)
+
+
+def _top_level_args(s: str) -> list[str]:
+    """Split a rendered argument list at top-level commas only —
+    ordering expressions may themselves contain commas (CASE, calls)."""
+    args, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        args.append(tail)
+    return [a for a in args if a]
 
 
 def global_windows(plan: str) -> list[str]:
-    """Window lines whose spec has ordering columns but no partition
-    columns (every pre-frame argument carries ASC/DESC)."""
+    """Window specs whose argument list holds only ordering expressions
+    (no partition columns). Checks EVERY windowspecdefinition on a
+    line — one Window operator can carry several specs, and a
+    partitioned first spec must not mask a global second one."""
     bad = []
     for line in plan.splitlines():
         if "windowspecdefinition(" not in line:
             continue
-        m = WINDOW_SPEC.search(line)
-        if not m:
-            continue
-        args = [a.strip() for a in m.group(1).rstrip(", ").split(",") if a.strip()]
-        if args and all(("ASC" in a or "DESC" in a) for a in args):
-            bad.append(line.strip()[:160])
+        for m in WINDOW_SPEC.finditer(line):
+            args = _top_level_args(m.group(1).rstrip(", "))
+            if args and all(
+                a.rstrip().endswith(ORDER_SUFFIXES) for a in args
+            ):
+                bad.append(line.strip()[:160])
+                break
     return bad
 
 
