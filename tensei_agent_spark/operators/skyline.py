@@ -59,3 +59,75 @@ def skyline_2d(
         )
         .drop("_gmax", "_pm")
     )
+
+
+def _pandas_skyline(pdf, min_cols: list[str], max_cols: list[str]):
+    """Block-nested-loop skyline of one in-memory block (numpy):
+    O(n·|skyline|) dominance sweeps — the standard local phase."""
+    import numpy as np
+
+    if len(pdf) == 0:
+        return pdf
+    # orient every dimension as MINIMIZE
+    mat = np.column_stack(
+        [pdf[c].to_numpy(dtype="float64") for c in min_cols]
+        + [-pdf[c].to_numpy(dtype="float64") for c in max_cols]
+    )
+    keep = np.ones(len(pdf), dtype=bool)
+    for i in range(len(pdf)):
+        if not keep[i]:
+            continue
+        le = (mat <= mat[i]).all(axis=1)
+        lt = (mat < mat[i]).any(axis=1)
+        dominators = le & lt & keep
+        if dominators.any():
+            keep[i] = False
+            continue
+        # i survives (so far); i dominates others -> drop them
+        ge = (mat >= mat[i]).all(axis=1)
+        gt = (mat > mat[i]).any(axis=1)
+        keep &= ~(ge & gt)
+        keep[i] = True
+    return pdf[keep]
+
+
+def skyline_nd(
+    df: DataFrame,
+    minimize: list[str],
+    maximize: list[str],
+) -> DataFrame:
+    """General d-dimensional skyline via the classic two-phase
+    distributed algorithm (d ≥ 3; for 2-D use the exact-relational
+    ``skyline_2d``):
+
+    1. LOCAL skyline per partition (``mapInPandas`` block-nested-loop —
+       a justified Pandas kernel: no relational formulation exists for
+       d ≥ 3, and each task touches only its own partition);
+    2. GLOBAL skyline of the union of local candidates on ONE
+       partition — sound because skyline(S) ⊆ ∪ skyline(partition_i),
+       and sized by the candidate set (the local phase already removed
+       everything partition-locally dominated; real skylines are tiny
+       relative to |D|). A candidate set too big for one task means the
+       skyline itself is that big — repartition and re-run the local
+       phase, or cap dimensions.
+
+    Exactness: dominance uses float64 compares of the raw values —
+    exact for integers < 2^53 and for decimals that arrived as exact
+    doubles; the oracle twin mirrors the same comparisons.
+    NULL in any dimension excludes the row (same convention as
+    ``skyline_2d``).
+    """
+    if len(minimize) + len(maximize) < 2:
+        raise ValueError("skyline needs at least two dimensions")
+    cond = None
+    for c in list(minimize) + list(maximize):
+        n = F.col(c).isNotNull()
+        cond = n if cond is None else (cond & n)
+    base = df.filter(cond)
+
+    def local(it):
+        for pdf in it:
+            yield _pandas_skyline(pdf, minimize, maximize)
+
+    candidates = base.mapInPandas(local, base.schema)
+    return candidates.repartition(1).mapInPandas(local, base.schema)

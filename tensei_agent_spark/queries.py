@@ -7848,3 +7848,59 @@ def user_path_similarity(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return D.ngram_jaccard_pairs(paths, "path", "user_id", k=12, threshold=0.5)
+
+
+@register(
+    "supplier_skyline",
+    """
+    WITH m AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+               AS revenue,
+             CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE)
+               / COUNT(*) AS avg_discount,
+             CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT l_suppkey, revenue, round(avg_discount, 9) AS avg_discount,
+           n_orders
+    FROM m p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM m q
+      WHERE q.avg_discount <= p.avg_discount
+        AND q.revenue >= p.revenue
+        AND q.n_orders >= p.n_orders
+        AND (q.avg_discount < p.avg_discount
+             OR q.revenue > p.revenue
+             OR q.n_orders > p.n_orders))
+    """,
+)
+def supplier_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """3-D supplier Pareto front (minimize average discount given,
+    maximize revenue and distinct orders served) — the d >= 3 case the
+    2-D sort trick cannot express, via operators/skyline.skyline_nd:
+    per-partition block-nested-loop local skylines (mapInPandas — the
+    justified Pandas kernel), then the global skyline of the tiny
+    candidate union. Metrics derive from exact DECIMAL sums and integer
+    counts cast to identical doubles in both engines, so the dominance
+    tests agree bit-for-bit; only the REPORTED avg_discount carries a
+    display round."""
+    from .operators.skyline import skyline_nd
+
+    li = load(spark, sf, "lineitem")
+    m = li.groupBy("l_suppkey").agg(
+        F.sum(_m("l_extendedprice") * (1 - _m("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        (F.sum(_m("l_discount")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_discount"
+        ),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+    sky = skyline_nd(m, minimize=["avg_discount"], maximize=["revenue", "n_orders"])
+    return sky.select(
+        "l_suppkey",
+        "revenue",
+        F.round("avg_discount", 9).alias("avg_discount"),
+        "n_orders",
+    )

@@ -153,3 +153,31 @@ def test_skyline_2d_matches_bruteforce(spark):
         if not dominated:
             want.add(i)
     assert got == want and len(want) > 0
+
+
+def test_skyline_nd_matches_bruteforce(spark):
+    """3-D two-phase skyline (local mapInPandas + global merge) equals
+    the O(n^2) dominance definition, under a hostile partition layout."""
+    import random
+
+    from tensei_agent_spark.operators.skyline import skyline_nd
+
+    rng = random.Random(5)
+    pts = [
+        (i, rng.randint(0, 12), rng.randint(0, 12), rng.randint(0, 12))
+        for i in range(300)
+    ]
+    pts += [(1000 + i, x, y, z) for i, (_, x, y, z) in enumerate(pts[:5])]
+    df = spark.createDataFrame(pts, "id long, x int, y int, z int").repartition(11)
+
+    got = {r["id"] for r in skyline_nd(df, ["x"], ["y", "z"]).collect()}
+
+    want = set()
+    for i, x, y, z in pts:
+        dominated = any(
+            qx <= x and qy >= y and qz >= z and (qx < x or qy > y or qz > z)
+            for _, qx, qy, qz in pts
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want and len(want) > 0
