@@ -7904,3 +7904,35 @@ def supplier_skyline(spark: SparkSession, sf: str) -> DataFrame:
         F.round("avg_discount", 9).alias("avg_discount"),
         "n_orders",
     )
+
+
+@register(
+    "multimodal_frame_plan",
+    """
+    WITH assets AS (
+      SELECT doc_id, octet_length(encode(text)) AS n_bytes
+      FROM documents),
+    plan AS (
+      SELECT doc_id,
+             least(CAST(ceil((n_bytes / 65536.0) / 1.0) AS INT), 16) AS n
+      FROM assets)
+    SELECT doc_id, CAST(t.i AS INT) AS frame_idx,
+           CAST(t.i AS DOUBLE) * 1.0 AS sample_ts_s
+    FROM plan, UNNEST(range(0, CAST(greatest(n, 1) AS BIGINT))) AS t(i)
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
+    which timestamps each asset's expensive decode stage should touch —
+    1 fps capped at 16 frames, duration proxied from payload size (the
+    stub's convention; a real pipeline reads container metadata). Pure
+    JVM sequence + explode, zero Python and zero shuffle: the plan
+    stage stays maximally parallel and the decode fan-out is bounded
+    per asset by construction."""
+    from .operators.multimodal import attach_asset_metadata, frame_sample_plan
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    assets = attach_asset_metadata(docs, "payload", "video", "fake")
+    return frame_sample_plan(assets, "doc_id", every_s=1.0, max_frames=16)
