@@ -7936,3 +7936,36 @@ def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
     )
     assets = attach_asset_metadata(docs, "payload", "video", "fake")
     return frame_sample_plan(assets, "doc_id", every_s=1.0, max_frames=16)
+
+
+@register(
+    "multimodal_transform",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+           CAST(greatest(octet_length(encode(text)) // 2, 1) AS BIGINT)
+             AS n_bytes_out,
+           md5(substr(text, 1,
+                      CAST(greatest(octet_length(encode(text)) // 2, 1)
+                           AS INT))) AS out_digest
+    FROM documents
+    """,
+)
+def multimodal_transform(spark: SparkSession, sf: str) -> DataFrame:
+    """Payload→payload multimodal transform through the distributed
+    path (operators/multimodal.transform_assets — the resize/transcode
+    write-side twin of extract_features): Arrow-batched mapInPandas,
+    binary in → binary out, no shuffle. The deterministic fake kernel
+    truncates to half so the oracle can reproduce byte counts AND the
+    output digest exactly (ASCII corpus: byte slicing == char slicing),
+    proving the batch plumbing end-to-end, not codec output."""
+    from .operators.multimodal import transform_assets
+
+    docs = load(spark, sf, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    out = transform_assets(docs, "payload", "doc_id", deterministic_fake=True)
+    return out.select(
+        "doc_id", "n_bytes_in", "n_bytes_out",
+        F.md5("payload").alias("out_digest"),
+    )
