@@ -116,9 +116,90 @@ def main() -> None:
             }
             print(f"{name} x{s}: {rows_out} rows in {sec}s", flush=True)
 
+    results_rel = relational_scale(spark)
+
     with open(OUT, "w") as f:
-        json.dump({"sf_dir": SF_DIR, "ops": results}, f, indent=1)
+        json.dump(
+            {"sf_dir": SF_DIR, "ops": results, "relational": results_rel},
+            f,
+            indent=1,
+        )
     print(f"wrote {OUT}", flush=True)
+
+
+# --- relational core at 1x/2x/4x ------------------------------------------
+#
+# Derived TPC-H dirs with CONSISTENT key shifting: copy i shifts every
+# entity key (orderkey/custkey/partkey/suppkey) by i*10^9, so joins
+# stay referentially intact within each copy; nation/region dimensions
+# are shared (nationkey unshifted) — exactly how a 4x-larger tenant
+# would look. The registry query builders run unchanged against the
+# derived dirs (catalog.load only needs the parquet layout).
+
+_SHIFT = 1_000_000_000
+_KEY_COLS = {
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+}
+_REL_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q9_profit_by_nation",
+    "q18_large_volume_customer",
+]
+
+
+def _scaled_dir(spark, s: int) -> str:
+    import os
+
+    out = f"/tmp/scale_smoke/sf0.1x{s}"
+    if os.path.exists(os.path.join(out, "_done")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for name in ("region", "nation"):
+        load(spark, SF_DIR, name).write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    for name, keys in _KEY_COLS.items():
+        base = load(spark, SF_DIR, name)
+        parts = []
+        for i in range(s):
+            p = base
+            for kcol in keys:
+                p = p.withColumn(kcol, F.col(kcol) + F.lit(i * _SHIFT))
+            parts.append(p)
+        scaled = parts[0]
+        for p in parts[1:]:
+            scaled = scaled.unionAll(p)
+        scaled.write.mode("overwrite").parquet(
+            os.path.join(out, f"{name}.parquet")
+        )
+    open(os.path.join(out, "_done"), "w").close()
+    return out
+
+
+def relational_scale(spark) -> dict:
+    from tensei_agent_spark.queries import REGISTRY
+
+    out: dict[str, dict] = {}
+    for s in (1, 2, 4):
+        d = _scaled_dir(spark, s)
+        for name in _REL_QUERIES:
+            release_all()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                n = REGISTRY[name].build(spark, d).count()
+                sec = round(time.perf_counter() - t0, 2)
+            except Exception as exc:
+                n, sec = None, None
+                print(f"{name} x{s} FAILED: {exc!r}", flush=True)
+            out.setdefault(name, {})[f"x{s}"] = {"rows_out": n, "sec": sec}
+            print(f"{name} x{s}: {n} rows in {sec}s", flush=True)
+    return out
 
 
 if __name__ == "__main__":
