@@ -202,9 +202,10 @@ def transform_assets(
 
     ``kernel`` is a picklable ``bytes -> bytes`` (wrap PIL resize or an
     ffmpeg transcode here). ``deterministic_fake=True`` installs a
-    testable stand-in (truncate-to-half, min 1 byte) so the distributed
-    plumbing is exercised without codecs; with neither, a clear
-    capability error is raised — not silence.
+    testable stand-in (truncate-to-half; min 1 byte for NON-empty
+    input, empty stays empty — slicing b'' cannot produce a byte) so
+    the distributed plumbing is exercised without codecs; with
+    neither, a clear capability error is raised — not silence.
 
     Output: (id, <binary_col> transformed, n_bytes_in, n_bytes_out).
     """

@@ -100,16 +100,19 @@ def skyline_nd(
     distributed algorithm (d ≥ 3; for 2-D use the exact-relational
     ``skyline_2d``):
 
-    1. LOCAL skyline per partition (``mapInPandas`` block-nested-loop —
-       a justified Pandas kernel: no relational formulation exists for
-       d ≥ 3, and each task touches only its own partition);
+    1. LOCAL skyline per Arrow batch (``mapInPandas`` block-nested-loop
+       — a justified Pandas kernel: no relational formulation exists
+       for d ≥ 3; per-batch rather than per-partition pruning is merely
+       less aggressive, never wrong, since skyline(S) ⊆ ∪ skyline(Sᵢ));
     2. GLOBAL skyline of the union of local candidates on ONE
-       partition — sound because skyline(S) ⊆ ∪ skyline(partition_i),
-       and sized by the candidate set (the local phase already removed
-       everything partition-locally dominated; real skylines are tiny
-       relative to |D|). A candidate set too big for one task means the
-       skyline itself is that big — repartition and re-run the local
-       phase, or cap dimensions.
+       partition, CONCATENATED across its Arrow batches before the
+       final sweep — batch-local sweeps in the global phase would miss
+       cross-batch dominance. Sound because the candidate union
+       contains the true skyline; sized by the candidate set (the
+       local phase already removed everything batch-locally dominated;
+       real skylines are tiny relative to |D|). A candidate set too
+       big for one task means the skyline itself is that big —
+       repartition and re-run the local phase, or cap dimensions.
 
     Exactness: dominance uses float64 compares of the raw values —
     exact for integers < 2^53 and for decimals that arrived as exact
@@ -129,5 +132,14 @@ def skyline_nd(
         for pdf in it:
             yield _pandas_skyline(pdf, minimize, maximize)
 
+    def merged(it):
+        import pandas as pd
+
+        pdfs = list(it)
+        if pdfs:
+            yield _pandas_skyline(
+                pd.concat(pdfs, ignore_index=True), minimize, maximize
+            )
+
     candidates = base.mapInPandas(local, base.schema)
-    return candidates.repartition(1).mapInPandas(local, base.schema)
+    return candidates.repartition(1).mapInPandas(merged, base.schema)

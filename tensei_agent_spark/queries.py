@@ -7943,11 +7943,13 @@ def multimodal_frame_plan(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
-           CAST(greatest(octet_length(encode(text)) // 2, 1) AS BIGINT)
-             AS n_bytes_out,
+           CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                     ELSE greatest(octet_length(encode(text)) // 2, 1) END
+                AS BIGINT) AS n_bytes_out,
            md5(substr(text, 1,
-                      CAST(greatest(octet_length(encode(text)) // 2, 1)
-                           AS INT))) AS out_digest
+                      CAST(CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                                ELSE greatest(octet_length(encode(text)) // 2,
+                                              1) END AS INT))) AS out_digest
     FROM documents
     """,
 )

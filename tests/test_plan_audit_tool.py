@@ -4,9 +4,12 @@ anywhere' claim in SCALE.md. Pure string-level tests — no Spark."""
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "tools")
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+)
 
 from plan_audit import _top_level_args, global_windows  # noqa: E402
 

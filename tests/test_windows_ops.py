@@ -181,3 +181,42 @@ def test_skyline_nd_matches_bruteforce(spark):
         if not dominated:
             want.add(i)
     assert got == want and len(want) > 0
+
+
+def test_skyline_nd_global_phase_spans_arrow_batches(spark):
+    """The global merge must check dominance ACROSS Arrow batches: with
+    a tiny batch size and a candidate union much larger than one batch,
+    a batch-local final sweep would leak dominated rows."""
+    import random
+
+    from tensei_agent_spark.operators.skyline import skyline_nd
+
+    rng = random.Random(17)
+    # 300 diagonal points (x=y=z=i): under (min x, max y, max z) every
+    # pair trades off (smaller x ⇒ smaller y), so ALL are on the front
+    # — the local phase prunes nothing and the global phase sees them
+    # all across many Arrow batches
+    pts = [(i, i, i, i) for i in range(300)]
+    # 300 strictly dominated points interleaved into the same stream
+    for i in range(300):
+        _, x, y, z = pts[rng.randrange(300)]
+        pts.append((10_000 + i, x + 1, max(y - 1, 0), max(z - 1, 0)))
+    df = spark.createDataFrame(pts, "id long, x int, y int, z int").repartition(5)
+
+    orig = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        got = {r["id"] for r in skyline_nd(df, ["x"], ["y", "z"]).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", orig)
+
+    want = set()
+    for i, x, y, z in pts:
+        dominated = any(
+            qx <= x and qy >= y and qz >= z and (qx < x or qy > y or qz > z)
+            for _, qx, qy, qz in pts
+        )
+        if not dominated:
+            want.add(i)
+    assert got == want
+    assert len(want) > 200  # the anti-correlated front really is large

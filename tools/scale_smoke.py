@@ -116,14 +116,19 @@ def main() -> None:
             }
             print(f"{name} x{s}: {rows_out} rows in {sec}s", flush=True)
 
-    results_rel = relational_scale(spark)
-
+    # Persist the ops results BEFORE the relational phase: a failure
+    # while deriving the scaled dirs must not discard minutes of
+    # already-measured numbers.
+    payload = {"sf_dir": SF_DIR, "ops": results}
     with open(OUT, "w") as f:
-        json.dump(
-            {"sf_dir": SF_DIR, "ops": results, "relational": results_rel},
-            f,
-            indent=1,
-        )
+        json.dump(payload, f, indent=1)
+    try:
+        payload["relational"] = relational_scale(spark)
+    except Exception as exc:
+        payload["relational_error"] = repr(exc)[:300]
+        print(f"relational phase FAILED: {exc!r}", flush=True)
+    with open(OUT, "w") as f:
+        json.dump(payload, f, indent=1)
     print(f"wrote {OUT}", flush=True)
 
 
@@ -155,8 +160,15 @@ _REL_QUERIES = [
 def _scaled_dir(spark, s: int) -> str:
     import os
 
+    if s == 1:
+        return SF_DIR  # identity copy would just add 0 to every key
+    # Marker carries the derivation config: a changed shift scheme or
+    # key list invalidates previously derived dirs instead of silently
+    # benchmarking stale data.
+    config = repr((_SHIFT, sorted(_KEY_COLS.items()), SF_DIR))
     out = f"/tmp/scale_smoke/sf0.1x{s}"
-    if os.path.exists(os.path.join(out, "_done")):
+    marker = os.path.join(out, "_done")
+    if os.path.exists(marker) and open(marker).read() == config:
         return out
     os.makedirs(out, exist_ok=True)
     for name in ("region", "nation"):
@@ -177,7 +189,8 @@ def _scaled_dir(spark, s: int) -> str:
         scaled.write.mode("overwrite").parquet(
             os.path.join(out, f"{name}.parquet")
         )
-    open(os.path.join(out, "_done"), "w").close()
+    with open(marker, "w") as f:
+        f.write(config)
     return out
 
 
