@@ -241,3 +241,43 @@ def clean_text(text: Column) -> Column:
         c = F.regexp_replace(c, ent, ch)
     c = F.regexp_replace(c, r"[\x00-\x08\x0B\x0C\x0E-\x1F]", "")
     return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+# Lexicon-based sentiment (EDBT'16 "Large Scale Sentiment Analysis on
+# Twitter with Spark" problem shape). A tiny built-in valence lexicon —
+# REPLACE with AFINN/VADER terms in production; the mechanics under
+# test are the scale shape: the lexicon broadcasts as a literal MAP, a
+# doc's score is one codegen'd fold over its tokens, no join and no
+# shuffle for the per-doc stage.
+SENTIMENT_LEXICON: dict[str, int] = {
+    "fast": 2, "big": 1, "small": -1, "slow": -2,
+    "good": 3, "bad": -3, "best": 4, "worst": -4,
+}
+
+
+def sentiment_totals(text: Column) -> Column:
+    """Struct (v_total, n_toks): summed token valence (exact BIGINT)
+    and token count. Callers derive ratios/signs — keeping the exact
+    integers exposed lets aggregates stay order-insensitive."""
+    lex = F.create_map(
+        *[F.lit(x) for kv in SENTIMENT_LEXICON.items() for x in kv]
+    )
+    toks = tokens(F.lower(text))
+    total = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(
+            F.element_at(lex, t).cast("long"), F.lit(0).cast("long")
+        ),
+    )
+    return F.struct(
+        total.alias("v_total"), F.size(toks).cast("long").alias("n_toks")
+    )
+
+
+def sentiment_score(text: Column) -> Column:
+    """Summed token valence / token count ∈ [-4, 4] — the per-doc
+    float ratio (display/filtering); aggregate pipelines should roll up
+    the exact integers from ``sentiment_totals`` instead."""
+    t = sentiment_totals(text)
+    return t["v_total"].cast("double") / t["n_toks"]

@@ -7971,3 +7971,64 @@ def multimodal_transform(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "n_bytes_in", "n_bytes_out",
         F.md5("payload").alias("out_digest"),
     )
+
+
+@register(
+    "doc_sentiment",
+    r"""
+    WITH lex(w, v) AS (VALUES
+      ('fast', 2), ('big', 1), ('small', -1), ('slow', -2),
+      ('good', 3), ('bad', -3), ('best', 4), ('worst', -4)),
+    toks AS (
+      SELECT doc_id, source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
+             len(string_split_regex(trim(lower(text)), '\s+')) AS n
+      FROM documents),
+    per_doc AS (
+      SELECT doc_id, source,
+             CAST(SUM(COALESCE(v, 0)) AS BIGINT) AS v_total,
+             CAST(MIN(n) AS BIGINT) AS n_toks
+      FROM toks LEFT JOIN lex USING (w)
+      GROUP BY doc_id, source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(v_total) AS DOUBLE) / SUM(n_toks), 9)
+             AS mean_sentiment,
+           CAST(SUM(CASE WHEN v_total > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_positive,
+           CAST(SUM(CASE WHEN v_total < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM per_doc GROUP BY source
+    """,
+)
+def doc_sentiment(spark: SparkSession, sf: str) -> DataFrame:
+    """Lexicon-based sentiment rollup per source (EDBT'16 Spark
+    sentiment-at-scale problem shape): each doc's valence total is a
+    single codegen'd fold over its tokens against a broadcast-literal
+    map — no join, no shuffle for the per-doc stage; the only exchange
+    is the per-source rollup. All aggregates stay INTEGER (valence
+    sums, token counts, sign tests) with exactly one double division at
+    the end — a token-weighted mean, deliberately not an average of
+    per-doc float ratios, whose summation order would differ between
+    engines."""
+    from .operators.text import sentiment_totals
+
+    docs = load(spark, sf, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        sentiment_totals(F.col("text"))["v_total"].alias("v_total"),
+        sentiment_totals(F.col("text"))["n_toks"].alias("n_toks"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.round(
+            F.sum("v_total").cast("double") / F.sum("n_toks"), 9
+        ).alias("mean_sentiment"),
+        F.sum(F.when(F.col("v_total") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_positive"),
+        F.sum(F.when(F.col("v_total") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative"),
+    )
