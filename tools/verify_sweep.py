@@ -85,6 +85,10 @@ def compare_col(name, c, a, b):
 results = {}
 fails = []
 t_all = time.time()
+# Warm the JVM + parquet footers before timing: otherwise the first
+# query's recorded seconds absorb session startup (~5 s) and read as a
+# false outlier in the committed artifact.
+spark.read.parquet(f"{SF}/region.parquet").count()
 for name, fn in qs.items():
     if ONLY and name not in ONLY:
         continue
