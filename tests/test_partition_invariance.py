@@ -34,6 +34,8 @@ SAMPLE = [
     "bm25_topk",
     # distributed exclusive prefix-max over range partitions
     "part_skyline",
+    # OPH bit screen + prefix filter: all hash-derived, layout-free
+    "dedup_ngram_jaccard_fast",
 ]
 
 

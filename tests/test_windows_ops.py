@@ -220,3 +220,40 @@ def test_skyline_nd_global_phase_spans_arrow_batches(spark):
             want.add(i)
     assert got == want
     assert len(want) > 200  # the anti-correlated front really is large
+
+
+def test_global_prefix_max_matches_pandas_cummax(spark):
+    """Random data, random-ish layout: distributed prefix max equals
+    pandas cummax over the same total order — both inclusive and
+    exclusive frames."""
+    import random
+
+    import pandas as pd
+
+    from tensei_agent_spark.operators.windows import with_global_prefix_max
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(-1000, 1000)) for i in range(500)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k int, v int").repartition(13)
+
+    pdf = pd.DataFrame(sorted(rows), columns=["k", "v"])
+    want_inc = dict(zip(pdf["k"], pdf["v"].cummax()))
+    want_exc = dict(zip(pdf["k"], pdf["v"].cummax().shift(1)))
+
+    got_inc = {
+        r["k"]: r["m"]
+        for r in with_global_prefix_max(df, ["k"], "v", out="m").collect()
+    }
+    got_exc = {
+        r["k"]: r["m"]
+        for r in with_global_prefix_max(
+            df, ["k"], "v", out="m", exclusive=True
+        ).collect()
+    }
+    assert got_inc == want_inc
+    for k, v in want_exc.items():
+        import math
+
+        expect = None if isinstance(v, float) and math.isnan(v) else int(v)
+        assert got_exc[k] == expect, (k, got_exc[k], expect)
