@@ -14,6 +14,9 @@ Query groups:
 - ``stats_*``   profiling (SURVEY.md §2.5)
 - ``dedup_* / ann_* / text_* / lang_* / tok_*`` — training-data pipeline
   operators (beyond-reference surface)
+- ``*_skyline / k_anonymity_* / doc_sentiment / user_path_similarity``
+  — analytics extensions (Pareto fronts, governance audits, lexicon
+  sentiment, behavior-path similarity)
 """
 
 from __future__ import annotations
@@ -7983,7 +7986,7 @@ def multimodal_transform(spark: SparkSession, sf: str) -> DataFrame:
       SELECT doc_id, source,
              unnest(string_split_regex(trim(lower(text)), '\s+')) AS w,
              len(string_split_regex(trim(lower(text)), '\s+')) AS n
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     per_doc AS (
       SELECT doc_id, source,
              CAST(SUM(COALESCE(v, 0)) AS BIGINT) AS v_total,
@@ -8013,12 +8016,16 @@ def doc_sentiment(spark: SparkSession, sf: str) -> DataFrame:
     engines."""
     from .operators.text import sentiment_totals
 
-    docs = load(spark, sf, "documents")
-    per_doc = docs.select(
+    # NULL-text docs are excluded on BOTH sides (the oracle's unnest
+    # would silently drop them from per_doc while a bare Spark count
+    # kept them — the explicit filter makes the contract symmetric).
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    t = sentiment_totals(F.col("text")).alias("_s")
+    per_doc = docs.select("doc_id", "source", t).select(
         "doc_id",
         "source",
-        sentiment_totals(F.col("text"))["v_total"].alias("v_total"),
-        sentiment_totals(F.col("text"))["n_toks"].alias("n_toks"),
+        F.col("_s.v_total").alias("v_total"),
+        F.col("_s.n_toks").alias("n_toks"),
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
