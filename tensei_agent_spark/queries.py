@@ -1343,7 +1343,7 @@ def dedup_jaccard_fast(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_SPANS_ORACLE = """
+_SPANS_ORACLE = r"""
     WITH words AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
       FROM documents
