@@ -1,0 +1,51 @@
+"""Contract test for the driver-facing bench CLI (``bench.py``).
+
+The external driver runs ``python bench.py`` once per round and records
+its LAST stdout line as ``BENCH_r<N>.json`` — a break here silently
+loses the round's performance artifact, so the contract is pinned:
+
+- exit code 0;
+- the last stdout line parses as ONE JSON object with the keys
+  ``metric`` / ``value`` / ``unit`` / ``queries`` / ``sf``;
+- every bench-tagged registry query appears with a positive timing
+  (``-1.0`` is the script's per-query failure sentinel).
+
+Runs at sf0.001 (~1 min) so the suite stays fast; the timing VALUES are
+box noise at this scale and deliberately unasserted.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_cli_emits_one_json_line_with_all_bench_queries():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines, "bench.py printed nothing to stdout"
+    payload = json.loads(lines[-1])
+
+    assert payload["metric"] == "headline_queries_total_sec"
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == "0.001"
+    assert payload["value"] > 0
+
+    from tensei_agent_spark.queries import REGISTRY
+
+    bench_names = {n for n, q in REGISTRY.items() if q.bench}
+    assert set(payload["queries"]) == bench_names
+    failed = {n: s for n, s in payload["queries"].items() if s <= 0}
+    assert not failed, f"bench sentinel -1.0 (query raised): {failed}"
