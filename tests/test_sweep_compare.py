@@ -1,0 +1,71 @@
+"""Unit tests for the sweep comparison kernel (tools/sweep_compare.py).
+
+The sweep simulates the external driver's value-hash gate; these pin
+the two failure modes a naive comparator has (and that an earlier
+version of the tool actually had):
+
+- a float64 cast equating distinct int64 values above 2**53
+  (64-bit hash ids differ in the low bits the cast rounds away);
+- array-typed columns whose FIRST row is NULL (a row-0-only type
+  probe crashes sort_values on unhashable lists).
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tools.sweep_compare import compare_col, norm
+
+
+def test_int64_above_2_53_not_equated_by_float_cast():
+    a = pd.Series([2**53 + 0], dtype="int64")
+    b = pd.Series([2**53 + 1], dtype="int64")
+    # float64 cast would make these equal — the comparator must not.
+    assert float(a[0]) == float(b[0])
+    with pytest.raises(AssertionError, match="int values differ"):
+        compare_col("q", "id", a, b)
+
+
+def test_equal_int64_hash_ids_pass():
+    a = pd.Series([-(2**62) + 7, 2**61 + 3], dtype="int64")
+    compare_col("q", "id", a, a.copy())
+
+
+def test_float_nan_equals_nan_but_ulp_differs():
+    a = pd.Series([1.0, np.nan])
+    compare_col("q", "x", a, a.copy())
+    b = pd.Series([np.nextafter(1.0, 2.0), np.nan])
+    with pytest.raises(AssertionError, match="values differ"):
+        compare_col("q", "x", a, b)
+
+
+def test_int_vs_float_mix_uses_bitexact_float_path():
+    a = pd.Series([3], dtype="int64")
+    compare_col("q", "x", a, pd.Series([3.0]))
+    with pytest.raises(AssertionError):
+        compare_col("q", "x", a, pd.Series([3.0000001]))
+
+
+def test_string_fallback_exact():
+    compare_col("q", "s", pd.Series(["a", None]), pd.Series(["a", None]))
+    with pytest.raises(AssertionError, match="str differ"):
+        compare_col("q", "s", pd.Series(["a"]), pd.Series(["A"]))
+
+
+def test_norm_handles_null_first_row_array_column():
+    df = pd.DataFrame(
+        {"k": [2, 1, 3], "v": [None, [1.0, 2.0], np.array([0.5])]}
+    )
+    out = norm(df)
+    # sorted by column name then values; arrays stringified, NULL kept
+    assert list(out.columns) == ["k", "v"]
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["v"].tolist() == ["[1.0, 2.0]", "None", "[0.5]"]
+
+
+def test_norm_sorts_rows_and_columns_deterministically():
+    g = pd.DataFrame({"b": [2, 1], "a": ["y", "x"]})
+    w = pd.DataFrame({"a": ["x", "y"], "b": [1, 2]})
+    ng, nw = norm(g), norm(w)
+    assert list(ng.columns) == list(nw.columns) == ["a", "b"]
+    assert ng.equals(nw)

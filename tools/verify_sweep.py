@@ -22,11 +22,10 @@ import time
 import traceback
 
 import duckdb
-import numpy as np
-import pandas as pd
 
 sys.path.insert(0, ".")
 import __spark_entry__ as e  # noqa: E402
+from tools.sweep_compare import compare_col, norm  # noqa: E402
 from tensei_agent_spark.catalog import TABLES  # noqa: E402
 from tensei_agent_spark.session import get_spark  # noqa: E402
 
@@ -47,40 +46,6 @@ for t in TABLES:
     )
 
 qs, osql = e.queries(), e.oracle_sql()
-
-
-def norm(df):
-    df = df[sorted(df.columns)].copy()
-    for c in df.columns:  # array cols -> strings so sort/compare work
-        # Scan the WHOLE column: row 0 may be NULL while later rows
-        # hold arrays (a row-0-only probe crashes sort_values).
-        if df[c].map(lambda v: isinstance(v, (np.ndarray, list))).any():
-            df[c] = df[c].map(
-                lambda v: str([float(x) for x in v])
-                if isinstance(v, (np.ndarray, list))
-                else str(v)
-            )
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
-
-
-def compare_col(name, c, a, b):
-    if pd.api.types.is_integer_dtype(a) and pd.api.types.is_integer_dtype(b):
-        assert np.array_equal(
-            a.astype("int64").values, b.astype("int64").values
-        ), f"col {c} int values differ"
-        return
-    if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-        try:
-            assert np.array_equal(
-                a.astype("float64").values,
-                b.astype("float64").values,
-                equal_nan=True,
-            ), f"col {c} values differ"
-            return
-        except (ValueError, TypeError):
-            pass  # non-castable mix → string compare
-    assert a.astype(str).equals(b.astype(str)), f"col {c} str differ"
-
 
 results = {}
 fails = []
