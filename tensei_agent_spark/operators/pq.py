@@ -133,6 +133,19 @@ def pq_train(
         F.posexplode(_subvectors(vec_col, m, dsub)).alias("sub", "svec")
     ).persist()
 
+    try:
+        _lloyd_iterate(sub, codebooks, dsub, max_iter)
+    finally:
+        # finally, not success-path: a failed collect() inside the loop
+        # must not leak the persisted relation for the session.
+        sub.unpersist()
+    return codebooks
+
+
+def _lloyd_iterate(
+    sub: DataFrame, codebooks: Codebooks, dsub: int, max_iter: int
+) -> None:
+    """Run Lloyd iterations, mutating ``codebooks`` in place."""
     for _ in range(max_iter):
         cb = _cb_lit(codebooks)
         dists = F.transform(
@@ -162,8 +175,6 @@ def pq_train(
             codebooks[r["sub"]][r["code"]] = cent
         if not moved:
             break
-    sub.unpersist()
-    return codebooks
 
 
 def pq_encode(

@@ -465,6 +465,7 @@ def serve_ann_stream(
     sink_table: str = "ann_results",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    writer=None,
 ):
     """Online ANN serving: a stream of query vectors scored against a
     STATIC product-quantization index (operators/pq.py) — the
@@ -476,9 +477,17 @@ def serve_ann_stream(
 
     ``foreachBatch`` rather than a streaming join because per-query
     top-k needs a rank window, which streaming DataFrames cannot
-    express; inside the batch hook the window is ordinary. Results
-    append to an in-memory sink table (tests / local verification;
-    production swaps the writer for parquet/JDBC + checkpoint).
+    express; inside the batch hook the window is ordinary.
+
+    ``writer`` is the production sink hook: a callable
+    ``(topk_df, batch_id) -> None`` invoked with each micro-batch's
+    scored top-k DataFrame — append to parquet/JDBC/Kafka there, with
+    per-batch work bounded by |batch queries| × k. When ``writer`` is
+    None the results instead accumulate in the ``sink_table`` temp
+    view, which is a TEST-ONLY sink: every batch collects to the
+    driver and re-unions all prior rows (O(B²) cumulative over B
+    batches), fine for the availableNow verification runs in
+    tests/test_streaming.py and wrong for any long-running stream.
 
     Returns the started query; callers ``awaitTermination``.
     """
@@ -496,6 +505,11 @@ def serve_ann_stream(
         topk = pq_adc_topk(
             corpus, batch_df, codebooks, k, vec_col, id_col, codes=codes
         ).withColumn("batch_id", F.lit(batch_id))
+        if writer is not None:
+            # Production path: hand the scored batch to the caller's
+            # sink; no driver collect, no cumulative re-union.
+            writer(topk, batch_id)
+            return
         # SESSION TRAP: foreachBatch runs in a CLONED SparkSession, and
         # createOrReplaceTempView registers in whichever session roots
         # the plan — a stream-rooted DataFrame would register the view

@@ -49,3 +49,41 @@ def test_bench_cli_emits_one_json_line_with_all_bench_queries():
     assert set(payload["queries"]) == bench_names
     failed = {n: s for n, s in payload["queries"].items() if s <= 0}
     assert not failed, f"bench sentinel -1.0 (query raised): {failed}"
+
+
+def _bench_artifact(tmp_path, name, queries):
+    p = tmp_path / name
+    p.write_text(json.dumps({"parsed": {"queries": queries}}))
+    return str(p)
+
+
+def _run_compare(old, new):
+    return subprocess.run(
+        [sys.executable, "tools/bench_compare.py", old, new],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+
+
+def test_bench_compare_flags_failed_and_missing_as_regressions(tmp_path):
+    """A query green in the old round but FAILED (-1.0 sentinel) or
+    absent in the new round must trip the nonzero exit, not just be
+    listed as 'dropped' (ADVICE r3)."""
+    old = _bench_artifact(
+        tmp_path, "old.json", {"a": 1.0, "b": 2.0, "c": 3.0}
+    )
+    new = _bench_artifact(tmp_path, "new.json", {"a": 1.1, "b": -1.0})
+    proc = _run_compare(old, new)
+    assert proc.returncode == 1, proc.stdout
+    assert "FAILED" in proc.stdout  # b regressed to the sentinel
+    assert "missing" in proc.stdout  # c vanished
+
+
+def test_bench_compare_green_when_stable_or_grown(tmp_path):
+    old = _bench_artifact(tmp_path, "old.json", {"a": 1.0})
+    new = _bench_artifact(tmp_path, "new.json", {"a": 1.2, "d": 0.5})
+    proc = _run_compare(old, new)
+    assert proc.returncode == 0, proc.stdout
+    assert "added in" in proc.stdout

@@ -375,3 +375,53 @@ def test_serve_ann_stream_equals_batch(spark, tmp_path_factory):
     }
     assert got == want
     assert len({r["batch_id"] for r in spark.table("ann_stream_sink").collect()}) >= 2
+
+
+def test_serve_ann_stream_writer_callback(spark, tmp_path_factory):
+    """The production sink hook: results flow through ``writer`` per
+    micro-batch (no temp-view accumulation, no O(B²) re-union) and
+    still equal the batch pq_adc_topk output."""
+    from tensei_agent_spark.operators.pq import pq_adc_topk, pq_train
+    from tensei_agent_spark.streaming.pipeline import serve_ann_stream
+
+    emb = load(spark, SF, "embeddings").select("vec_id", "embedding")
+    codebooks = pq_train(emb, m=8, ksub=16, dim=64, max_iter=2)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    qdir = str(tmp_path_factory.mktemp("ann_queries_writer"))
+    queries.repartition(2).write.mode("overwrite").parquet(qdir)
+    qstream = (
+        spark.readStream.schema(queries.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(qdir)
+    )
+    rows, batches = [], []
+
+    def sink(topk_df, batch_id):
+        batches.append(batch_id)
+        rows.extend(topk_df.collect())
+
+    q = serve_ann_stream(
+        spark,
+        emb,
+        codebooks,
+        qstream,
+        k=5,
+        sink_table="ann_writer_never_created",
+        writer=sink,
+    )
+    q.awaitTermination()
+
+    assert len(batches) >= 2
+    assert not any(
+        t.name == "ann_writer_never_created"
+        for t in spark.catalog.listTables()
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["score"]) for r in rows
+    }
+    want = {
+        (r["query_id"], r["rank"]): (r["cand_id"], r["score"])
+        for r in pq_adc_topk(emb, queries, codebooks, k=5).collect()
+    }
+    assert got == want

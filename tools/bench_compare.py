@@ -14,18 +14,26 @@ import json
 import sys
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str) -> tuple[dict[str, float], set[str]]:
+    """Return (ok_queries, failed_queries).
+
+    A -1.0 value is bench.py's failure sentinel; those names go into
+    the failed set instead of being silently dropped, so a query that
+    regresses from a timing to an outright failure is still visible to
+    the exit-code decision below."""
     with open(path) as f:
         d = json.load(f)
     q = d.get("parsed", d).get("queries", {})
-    return {k: float(v) for k, v in q.items() if v >= 0}
+    ok = {k: float(v) for k, v in q.items() if v >= 0}
+    failed = {k for k, v in q.items() if v < 0}
+    return ok, failed
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     a_path, b_path = sys.argv[1], sys.argv[2]
-    a, b = load(a_path), load(b_path)
+    (a, _a_failed), (b, b_failed) = load(a_path), load(b_path)
     shared = sorted(set(a) & set(b), key=lambda k: -b[k])
     regressions = []
     print(f"{'query':35s} {a_path:>14s} {b_path:>14s}  ratio")
@@ -35,10 +43,13 @@ def main() -> None:
         if r > 1.5:
             regressions.append(k)
         print(f"{k:35s} {a[k]:14.3f} {b[k]:14.3f}  {r:5.2f}{flag}")
-    only_a = sorted(set(a) - set(b))
+    # A query that was green in the old round but FAILED (-1.0) or
+    # vanished in the new round is the worst regression of all.
+    for k in sorted(set(a) - set(b)):
+        why = "FAILED" if k in b_failed else "missing"
+        regressions.append(k)
+        print(f"{k:35s} {a[k]:14.3f} {'—':>14s}  {why}  <-- REGRESSION")
     only_b = sorted(set(b) - set(a))
-    if only_a:
-        print(f"dropped since {a_path}: {only_a}")
     if only_b:
         print(f"added in {b_path}: {only_b}")
     print(

@@ -88,6 +88,11 @@ def global_windows(plan: str) -> list[str]:
 def main() -> None:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # Spark truncates long operator renderings ("... N more fields"),
+    # which could cut a windowspecdefinition before its ordering
+    # suffixes and let a global window silently escape the regex
+    # detector. Raise the limit so plans render in full.
+    spark.conf.set("spark.sql.debug.maxToStringFields", "100000")
     report: dict[str, dict] = {}
     violations = []
     t_all = time.time()
