@@ -8039,3 +8039,171 @@ def doc_sentiment(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("n_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage (operators/linkage.py)
+# ---------------------------------------------------------------------------
+
+_LINKAGE_BLOCKERS = (["c_nationkey", "c_mktsegment"], ["name_sfx"])
+_LINKAGE_FIELDS = ("nation", "seg", "bal", "name")
+
+
+def _linkage_agreements(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared front half of the linkage queries: blocking passes →
+    candidate pairs → agreement bits over the customer table."""
+    from .operators import linkage as LK
+
+    c = load(spark, sf, "customer").withColumn(
+        "name_sfx", F.expr("right(c_name, 2)")
+    )
+    pairs = LK.blocked_pairs(
+        c,
+        None,
+        _LINKAGE_BLOCKERS,
+        id_col="c_custkey",
+        compare_cols=["c_name", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+    comparators = [
+        LK.Comparator(
+            "nation",
+            lambda a, b: (F.col("c_nationkey_a") == F.col("c_nationkey_b")).cast("int"),
+        ),
+        LK.Comparator(
+            "seg",
+            lambda a, b: (F.col("c_mktsegment_a") == F.col("c_mktsegment_b")).cast("int"),
+        ),
+        LK.Comparator(
+            "bal",
+            lambda a, b: (
+                F.abs(F.col("c_acctbal_a") - F.col("c_acctbal_b")) < F.lit(100.0)
+            ).cast("int"),
+        ),
+        LK.Comparator(
+            "name",
+            lambda a, b: (
+                F.levenshtein(F.col("c_name_a"), F.col("c_name_b")) <= 2
+            ).cast("int"),
+        ),
+    ]
+    return LK.agreement_vectors(pairs, comparators)
+
+
+@register(
+    "linkage_agreement_patterns",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+             right(c_name, 2) AS name_sfx
+      FROM customer
+    ),
+    pairs AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       AND ((a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment)
+            OR a.name_sfx = b.name_sfx)
+    ),
+    bits AS (
+      SELECT CAST(a.c_nationkey = b.c_nationkey AS INT) AS g_nation,
+             CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS g_seg,
+             CAST(abs(a.c_acctbal - b.c_acctbal) < 100.0 AS INT) AS g_bal,
+             CAST(levenshtein(a.c_name, b.c_name) <= 2 AS INT) AS g_name
+      FROM pairs p
+      JOIN c a ON a.c_custkey = p.id_a
+      JOIN c b ON b.c_custkey = p.id_b
+    )
+    SELECT g_nation, g_seg, g_bal, g_name, COUNT(*) AS n_pairs
+    FROM bits GROUP BY g_nation, g_seg, g_bal, g_name
+    """,
+)
+def linkage_agreement_patterns(spark: SparkSession, sf: str) -> DataFrame:
+    """Fellegi–Sunter front end: agreement-PATTERN counts over blocked
+    candidate pairs of the customer table (probabilistic generalization
+    of the reference's merge use case, ``usecases/merge/
+    MergeTwoCSV.scala:168-216``). Two blocking passes — (nation,
+    segment) and a name-suffix key — union/distinct into candidates;
+    per-field agreement bits are JVM expressions (equality /
+    levenshtein≤2 / |Δbal|<100); the 2^4-pattern count table is the
+    ONLY relation the EM estimator consumes. Every stage is an
+    equi-join or a map — no cartesian anywhere; the oracle's OR-join is
+    DuckDB's problem, not the plan's. Integer-only output → bit-exact."""
+    from .operators.linkage import pattern_counts
+
+    return pattern_counts(
+        _linkage_agreements(spark, sf), _LINKAGE_FIELDS
+    ).select(
+        "g_nation",
+        "g_seg",
+        "g_bal",
+        "g_name",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+    )
+
+
+@register("record_linkage_em", None)  # EM weights: not SQL-expressible
+def record_linkage_em(spark: SparkSession, sf: str) -> DataFrame:
+    """Full Fellegi–Sunter estimation: EM over the pattern counts
+    (driver-side, ≤16 rows — the corpus is scanned exactly once) then
+    per-field m/u probabilities and log2 match weights. Deterministic
+    fixed-point (fixed init, early convergence stop), but the EM
+    recursion is not portably SQL-expressible → rows-only check;
+    determinism and weight ordering are pinned in pytest."""
+    from .operators.linkage import em_fellegi_sunter, match_weights
+
+    # sorted(): collect order is not deterministic across runs, and the
+    # EM accumulators are floats — fix the summation order so repeated
+    # builds are bit-identical.
+    counts = sorted(
+        (
+            [r[f"g_{f}"] for f in _LINKAGE_FIELDS],
+            r["n_pairs"],
+        )
+        for r in _linkage_agreements(spark, sf)
+        .groupBy(*[f"g_{f}" for f in _LINKAGE_FIELDS])
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    )
+    m, u, p = em_fellegi_sunter(counts, n_fields=len(_LINKAGE_FIELDS))
+    w = match_weights(m, u)
+    rows = [
+        (
+            f,
+            round(m[j], 9),
+            round(u[j], 9),
+            round(w[j][0], 9),
+            round(w[j][1], 9),
+        )
+        for j, f in enumerate(_LINKAGE_FIELDS)
+    ]
+    return spark.createDataFrame(
+        rows, "field string, m double, u double, w_agree double, w_disagree double"
+    )
+
+
+@register("record_linkage_scores", None)  # scores derive from EM weights
+def record_linkage_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end linkage: EM-learned weights re-enter the pair stream
+    as LITERALS, so scoring is a shuffle-free codegen map; output is
+    the per-score-band pair census (score rounded to 3dp ≙ the classic
+    Fellegi–Sunter decision histogram from which upper/lower thresholds
+    are read). Scale: the scored stream never collects — only the
+    ≤2^4-band histogram does."""
+    from .operators.linkage import em_fellegi_sunter, score_pairs
+
+    # ag feeds BOTH the pattern-count collect (EM input) and the scored
+    # stream — track-persist so the blocking join runs once, released
+    # by the registry lifecycle like every other double-use relation.
+    ag = cache.track(_linkage_agreements(spark, sf))
+    counts = sorted(
+        ([r[f"g_{f}"] for f in _LINKAGE_FIELDS], r["n_pairs"])
+        for r in ag.groupBy(*[f"g_{f}" for f in _LINKAGE_FIELDS])
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .collect()
+    )
+    m, u, _ = em_fellegi_sunter(counts, n_fields=len(_LINKAGE_FIELDS))
+    return (
+        score_pairs(ag, _LINKAGE_FIELDS, m, u)
+        .groupBy(F.round(F.col("score"), 3).alias("score_band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
