@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -249,3 +249,61 @@ def process_increment(
     out = process(fresh).localCheckpoint(eager=True)
     ledger.commit(out)
     return out
+
+
+def scd2_merge(
+    snapshot: DataFrame | None,
+    changes: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD-type-2 MERGE kernel: fold a change batch into a version
+    snapshot, recomputing validity intervals for ONLY the touched keys.
+
+    ``snapshot`` rows carry ``valid_from``/``valid_to``; ``changes``
+    rows carry the same payload columns plus ``valid_from`` (the change
+    event time) and no ``valid_to``. Every change becomes a version —
+    the version-per-event convention of the batch
+    ``user_event_history_scd2`` query (extending the reference's
+    keyed upsert, ``writers/DatabaseWriterActor.scala:269-348``, with
+    history instead of overwrite).
+
+    OUT-OF-ORDER SAFE by construction: intervals are never patched
+    incrementally (a late event would have to split an already-closed
+    interval — a maze of edge cases). Instead the invariant is
+    recomputed: for a touched key, all versions (old ∪ new) get
+    ``valid_to = lead(valid_from)`` under the key's window. Batches may
+    arrive in any order; the final snapshot is always bit-identical to
+    the one-shot batch window over the full history — asserted against
+    the registry oracle query in tests/test_streaming.py.
+
+    Scale shape: one window partitioned by key over ONLY the touched
+    keys' versions (never global), one semi/anti join pair on the key
+    (broadcast when the batch key set is small). Untouched keys pass
+    through untouched — pair with bucket-partitioned storage (see
+    ``streaming.pipeline.scd2_stream``) and they are not even read.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    new_rows = changes
+    if snapshot is not None:
+        touched = changes.select(*key_cols).distinct()
+        old_touched = snapshot.join(touched, key_cols, "left_semi").drop(
+            valid_to
+        )
+        untouched = snapshot.join(touched, key_cols, "left_anti")
+        merged = old_touched.unionByName(new_rows)
+    else:
+        untouched = None
+        merged = new_rows
+    recomputed = merged.withColumn(
+        valid_to, F.lead(valid_from).over(w)
+    )
+    if untouched is not None:
+        recomputed = untouched.unionByName(
+            recomputed.select(*untouched.columns)
+        )
+    return recomputed

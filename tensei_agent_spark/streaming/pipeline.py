@@ -534,3 +534,91 @@ def serve_ann_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def scd2_stream(
+    spark,
+    changes_stream: DataFrame,
+    path: str,
+    key_cols: list[str],
+    order_cols: list[str],
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    n_buckets: int = 16,
+):
+    """Streaming SCD-type-2 dimension maintenance: each micro-batch of
+    change events MERGEs into a bucket-partitioned parquet snapshot via
+    the batch :func:`~..operators.incremental.scd2_merge` kernel — one
+    code path, two execution modes, like the other stream/batch twins
+    here.
+
+    Storage is plain parquet partitioned by ``_bucket =
+    pmod(xxhash64(key), n_buckets)``; a batch
+
+    1. reads ONLY the buckets its keys hash into (partition pruning —
+       untouched buckets are neither read nor written),
+    2. recomputes validity intervals for its touched keys
+       (out-of-order safe — see the kernel docstring),
+    3. rewrites exactly the touched buckets through
+       ``maintenance.upsert_partitioned_parquet`` (dynamic partition
+       overwrite).
+
+    Per-batch cost is O(touched buckets' data), independent of the
+    dimension's total size — the property that keeps a 100 TB slowly-
+    changing dimension maintainable from a stream. At that scale
+    ``n_buckets`` grows with the dimension (buckets ≈ dim size /
+    executor-memory-sized slice) and hot keys stay confined to their
+    bucket. foreachBatch-batch semantics give at-least-once delivery;
+    replaying a batch re-merges the same events into the same versions
+    (``dropDuplicates`` on the key+order columns below), so the sink
+    is idempotent.
+
+    Returns the started query; read the snapshot with
+    ``spark.read.parquet(path)`` after ``awaitTermination``.
+    """
+    from ..operators.incremental import scd2_merge
+    from ..operators.maintenance import upsert_partitioned_parquet
+
+    def bucket_of(df: DataFrame):
+        return F.pmod(
+            F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
+        ).cast("int")
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        batch_df = batch_df.dropDuplicates([*key_cols, *order_cols])
+        touched_buckets = [
+            r[0]
+            for r in batch_df.select(bucket_of(batch_df).alias("_b"))
+            .distinct()
+            .collect()
+        ]
+        from pyspark.errors import AnalysisException
+
+        try:
+            existing = (
+                spark.read.parquet(path)
+                .filter(F.col("_bucket").isin(touched_buckets))
+                .drop("_bucket")
+            )
+        except AnalysisException:  # first batch: no table yet
+            existing = None
+        merged = scd2_merge(
+            existing,
+            batch_df,
+            key_cols,
+            order_cols,
+            valid_from,
+            valid_to,
+        )
+        out = merged.withColumn("_bucket", bucket_of(merged))
+        upsert_partitioned_parquet(
+            spark, out, path, key_cols=key_cols, partition_col="_bucket"
+        )
+
+    return (
+        changes_stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -377,6 +377,101 @@ def test_serve_ann_stream_equals_batch(spark, tmp_path_factory):
     assert len({r["batch_id"] for r in spark.table("ann_stream_sink").collect()}) >= 2
 
 
+def test_scd2_stream_equals_batch_window(spark, tmp_path_factory):
+    """Streaming SCD2 maintenance must converge to EXACTLY the one-shot
+    batch window construction (registry ``user_event_history_scd2``) —
+    including with micro-batches that arrive out of time order (the
+    repartition below scatters events across files arbitrarily)."""
+    from tensei_agent_spark.queries import REGISTRY
+    from tensei_agent_spark.streaming.pipeline import scd2_stream
+
+    changes = (
+        load(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("decimal(14,2)").cast("double").alias("value"),
+            F.col("ts").alias("valid_from"),
+        )
+    )
+    cdir = str(tmp_path_factory.mktemp("scd2_changes"))
+    # several files -> several unordered micro-batches
+    changes.repartition(4).write.mode("overwrite").parquet(cdir)
+    cstream = (
+        spark.readStream.schema(changes.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    snap_dir = str(tmp_path_factory.mktemp("scd2_snapshot")) + "/dim"
+    q = scd2_stream(
+        spark,
+        cstream,
+        snap_dir,
+        key_cols=["user_id"],
+        order_cols=["valid_from", "event_id"],
+        n_buckets=8,
+    )
+    q.awaitTermination()
+
+    got = {
+        r["event_id"]: (r["user_id"], r["value"], r["valid_from"], r["valid_to"])
+        for r in spark.read.parquet(snap_dir).drop("_bucket").collect()
+    }
+    want = {
+        r["event_id"]: (r["user_id"], r["value"], r["valid_from"], r["valid_to"])
+        for r in REGISTRY["user_event_history_scd2"].build(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_scd2_merge_out_of_order_batches(spark):
+    """Late-arriving versions splice into the middle of an existing
+    key's history: the kernel recomputes intervals, never patches."""
+    from tensei_agent_spark.operators.incremental import scd2_merge
+
+    schema = "k int, v string, valid_from int"
+    b1 = spark.createDataFrame([(1, "a", 10), (1, "c", 30)], schema)
+    snap1 = scd2_merge(None, b1, ["k"], ["valid_from"])
+    # late event lands BETWEEN the two existing versions
+    b2 = spark.createDataFrame([(1, "b", 20), (2, "x", 5)], schema)
+    snap2 = scd2_merge(snap1, b2, ["k"], ["valid_from"])
+    got = {
+        (r["k"], r["v"]): (r["valid_from"], r["valid_to"])
+        for r in snap2.collect()
+    }
+    assert got == {
+        (1, "a"): (10, 20),
+        (1, "b"): (20, 30),
+        (1, "c"): (30, None),
+        (2, "x"): (5, None),
+    }
+
+
+def test_scd2_merge_untouched_keys_pass_through(spark):
+    from tensei_agent_spark.operators.incremental import scd2_merge
+
+    schema = "k int, v string, valid_from int"
+    snap = scd2_merge(
+        None,
+        spark.createDataFrame([(1, "a", 10), (2, "x", 5)], schema),
+        ["k"],
+        ["valid_from"],
+    )
+    out = scd2_merge(
+        snap,
+        spark.createDataFrame([(2, "y", 8)], schema),
+        ["k"],
+        ["valid_from"],
+    )
+    got = {(r["k"], r["v"]): (r["valid_from"], r["valid_to"]) for r in out.collect()}
+    assert got == {
+        (1, "a"): (10, None),  # untouched key: version unchanged
+        (2, "x"): (5, 8),  # closed by the late-arriving y
+        (2, "y"): (8, None),
+    }
+
+
 def test_serve_ann_stream_writer_callback(spark, tmp_path_factory):
     """The production sink hook: results flow through ``writer`` per
     micro-batch (no temp-view accumulation, no O(B²) re-union) and
