@@ -8207,3 +8207,46 @@ def record_linkage_scores(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy(F.round(F.col("score"), 3).alias("score_band"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+@register(
+    "linkage_sorted_neighborhood",
+    """
+    WITH ranked AS (
+      SELECT c_custkey, c_name, c_acctbal,
+             row_number() OVER (ORDER BY c_acctbal, c_custkey) AS i
+      FROM customer
+    )
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(abs(a.c_acctbal - b.c_acctbal) < 10.0 AS INT) AS g_bal
+    FROM ranked a JOIN ranked b
+      ON b.i BETWEEN a.i + 1 AND a.i + 3
+    """,
+)
+def linkage_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood blocking over the customer table: sort on
+    (acctbal, custkey), pair each record with its 3 successors, attach
+    a balance-proximity agreement bit. The complementary blocker to
+    ``linkage_agreement_patterns``'s equality blocks — near-identical
+    balances land adjacent regardless of any categorical key. The
+    oracle's rank window is a plain OVER () — the SPARK side instead
+    uses the distributed rank (range partition + broadcast offsets, no
+    global window); both produce the identical total order, asserted
+    bit-exact."""
+    from .operators.linkage import sorted_neighborhood_pairs
+
+    c = load(spark, sf, "customer")
+    pairs = sorted_neighborhood_pairs(
+        c,
+        ["c_acctbal", "c_custkey"],
+        id_col="c_custkey",
+        window=3,
+        compare_cols=["c_acctbal"],
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (F.abs(F.col("c_acctbal_a") - F.col("c_acctbal_b")) < F.lit(10.0))
+        .cast("int")
+        .alias("g_bal"),
+    )

@@ -175,6 +175,40 @@ def test_pattern_counts_total_matches_pairs(spark):
     assert sum(r["n_pairs"] for r in pc.collect()) == pairs.count()
 
 
+def test_sorted_neighborhood_pairs_exact_window(spark):
+    from tensei_agent_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 6)], "id int, v double"
+    )
+    pairs = sorted_neighborhood_pairs(
+        df, ["v", "id"], id_col="id", window=2, compare_cols=["v"]
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)}
+    r13 = next(r for r in pairs if (r["id_a"], r["id_b"]) == (1, 3))
+    assert (r13["v_a"], r13["v_b"]) == (10.0, 30.0)
+
+
+def test_sorted_neighborhood_no_global_window(spark):
+    from tensei_agent_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "id int, v double"
+    )
+    plan = (
+        sorted_neighborhood_pairs(df, ["v", "id"], "id", window=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # rank must come from the per-partition path: every window spec is
+    # partitioned (by _pid), never an empty-partition global sort
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "_pid" in line, line
+
+
 def test_registry_linkage_em_sane_and_deterministic(spark):
     """Registry EM query on real data: all four fields present, every
     m/u a proper probability, and two independent builds bit-identical
