@@ -58,6 +58,9 @@ def test_rows_only_queries_are_documented_exceptions():
         "embedding_kmeans",           # iterative, float-order-sensitive
         "sketch_distinct_rollup",     # HLL sketch merge (error bound in
                                       # tests/test_sketches.py)
+        "record_linkage_em",          # EM recursion not SQL-expressible
+                                      # (recovery pinned in test_linkage)
+        "record_linkage_scores",      # scores derive from the EM weights
     }
     assert rows_only <= allowed, rows_only - allowed
 
