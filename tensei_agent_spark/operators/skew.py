@@ -1,0 +1,88 @@
+"""Skew-mitigation join/aggregate primitives.
+
+AQE (`spark.sql.adaptive.skewJoin`) splits oversized sort-merge
+partitions at runtime and is the FIRST answer to join skew — these
+operators are for the cases AQE does not reach:
+
+- broadcast-ineligible hash joins where one key holds a large share of
+  the stream (AQE splits partitions, but a single key is one
+  partition's floor);
+- high-cardinality-per-key aggregation (``collect_list``/``distinct``)
+  where one group exceeds executor memory — partial aggregation
+  doesn't shrink a distinct stream.
+
+Both are deterministic rewrites with bit-identical results to the
+plain formulation — asserted against plain-SQL oracles in the
+registry (`salted_join_revenue`) and pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["count_distinct_two_phase", "salted_join"]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_src: str | Column,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the big side's hot keys scattered across
+    ``n_salt`` sub-keys and the small side replicated to match.
+
+    ``salt_src`` names a column of ``big`` (or is an expression) whose
+    hash spreads rows of the SAME join key across salts — use a unique
+    id, never a join column (hashing the join key puts every row of a
+    key in one salt again, which is exactly the skew). Deterministic:
+    the salt is a pure function of the row, so retries and re-runs
+    land rows in the same salt (no ``rand()`` — a task retry with a
+    different salt would double/drop rows mid-shuffle).
+
+    Cost model: the small side is materialized ``n_salt`` times
+    through the shuffle (its replication IS the price of splitting the
+    hot key); the big side shuffles once on (key, salt). Worth it when
+    the hottest key's share × |big| ≫ |small| × n_salt. Result is
+    bit-identical to the plain join: every (key, salt) bucket of the
+    big side meets a full copy of its key's small rows exactly once.
+    """
+    salt_col = (
+        F.col(salt_src) if isinstance(salt_src, str) else salt_src
+    )
+    big_s = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_col), F.lit(n_salt)).cast("int")
+    )
+    small_s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return big_s.join(small_s, [*on, "_salt"], how).drop("_salt")
+
+
+def count_distinct_two_phase(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out: str = "n_distinct",
+) -> DataFrame:
+    """``groupBy(k).agg(countDistinct(v))`` with the distinct state
+    sharded: phase 1 dedups (k, v) pairs — the shuffle key includes
+    the VALUE, so a group with a billion distinct values spreads over
+    the whole cluster instead of one task's hash set — and phase 2
+    counts per key over the already-distinct stream with map-side
+    partial combine.
+
+    Spark's built-in ``countDistinct`` expands to a similar two-phase
+    plan; this explicit form exists for composition (chain further
+    per-(k,v) work between the phases) and as the documented pattern
+    for the ``collect_set``-then-size shape that does NOT rewrite
+    itself."""
+    return (
+        df.select(*group_cols, value_col)
+        .distinct()
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias(out))
+    )

@@ -8251,3 +8251,46 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("g_bal"),
     )
+
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """The salted-join skew primitive, oracle-pinned bit-identical to
+    the plain join it rewrites: lineitem (big, salted on the unique
+    l_linenumber-within-order via xxhash64(l_orderkey*8+l_linenumber))
+    × orders (small, replicated per salt) on l_orderkey, then revenue
+    per priority. On THIS uniform data the plain join wins — the
+    registry entry exists to keep the hot-key escape hatch
+    (operators/skew.py) under the same correctness gate as everything
+    else; engage it when one key's share × |big| ≫ |small| × n_salt
+    and the join is not broadcast-able."""
+    from .operators.skew import salted_join
+
+    li = load(spark, sf, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(
+        li,
+        orders,
+        on=["o_orderkey"],
+        salt_src=F.col("o_orderkey") * 8 + F.col("l_linenumber"),
+        n_salt=4,
+        how="inner",
+    )
+    rev = _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
