@@ -8294,3 +8294,58 @@ def salted_join_revenue(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_items"),
         F.sum(rev).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "l_diversity_report",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS grp_n,
+             CAST(COUNT(DISTINCT floor(c_acctbal / 2500.0)) AS BIGINT)
+               AS l_distinct
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT CASE WHEN l_distinct < 3 THEN 'violates_l3'
+                WHEN l_distinct < 5 THEN 'l3_to_4'
+                ELSE 'l5_plus' END AS l_class,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           CAST(MIN(l_distinct) AS BIGINT) AS min_l,
+           CAST(MAX(l_distinct) AS BIGINT) AS max_l
+    FROM g GROUP BY 1
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct l-diversity audit — k-anonymity's companion check: a
+    quasi-identifier group that is large (k-anonymous) but whose
+    SENSITIVE attribute (balance band = floor(acctbal/2500), the
+    categorical proxy) takes few distinct values still leaks by
+    homogeneity. Same two-exchange shape as ``k_anonymity_report``
+    (countDistinct expands to the two-phase distinct — the skew-safe
+    form operators/skew.py documents); integer-only output, bit-exact.
+    floor() explicitly on both sides — DuckDB's double→int CAST rounds
+    while Spark's truncates."""
+    cust = load(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(2500.0)).alias("_band"),
+    )
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_n"),
+        F.countDistinct("_band").cast("bigint").alias("l_distinct"),
+    )
+    l_class = (
+        F.when(F.col("l_distinct") < 3, "violates_l3")
+        .when(F.col("l_distinct") < 5, "l3_to_4")
+        .otherwise("l5_plus")
+    )
+    return (
+        g.select(l_class.alias("l_class"), "grp_n", "l_distinct")
+        .groupBy("l_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("grp_n").cast("bigint").alias("n_rows"),
+            F.min("l_distinct").cast("bigint").alias("min_l"),
+            F.max("l_distinct").cast("bigint").alias("max_l"),
+        )
+    )

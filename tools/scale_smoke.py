@@ -154,6 +154,14 @@ _REL_QUERIES = [
     "q3_shipping_priority",
     "q9_profit_by_nation",
     "q18_large_volume_customer",
+    # Linkage pair: the equality-blocked census grows QUADRATICALLY in
+    # block size (copies share name suffixes / nation-segment keys, so
+    # 2x data means 4x candidate pairs — the expected and documented
+    # curve; the mitigation at scale is blocker refinement, not a
+    # different join). sorted-neighborhood stays LINEAR (pairs = w·n)
+    # — the contrast the two curves are here to show.
+    "linkage_agreement_patterns",
+    "linkage_sorted_neighborhood",
 ]
 
 
