@@ -209,35 +209,6 @@ def range_join(
     return joined.drop("_bkt")
 
 
-def salted_join(
-    skewed: DataFrame,
-    other: DataFrame,
-    key: str,
-    salt: int = 16,
-    how: str = "inner",
-) -> DataFrame:
-    """Equi-join resilient to a hot key: salt the skewed side, replicate
-    the other side ``salt`` ways, join on (key, salt).
-
-    AQE's skew-join split handles sort-merge skew automatically; manual
-    salting is for the cases AQE can't fix (skewed *aggregations* feeding
-    a join, or stream-side skew in a broadcast-ineligible join). The
-    replicated side grows ×salt — use for dimension-vs-skewed-fact shapes.
-    """
-    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
-        # Replication is only correct when the replicated side never
-        # yields preserved unmatched rows: a right/full join would emit
-        # each unmatched replicated row once PER SALT VALUE.
-        raise ValueError(
-            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}"
-        )
-    salted = skewed.withColumn("_salt", (F.rand(seed=42) * salt).cast("int"))
-    replicated = other.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
-    )
-    return salted.join(replicated, [key, "_salt"], how).drop("_salt")
-
-
 def bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -49,7 +49,14 @@ def salted_join(
     the hottest key's share × |big| ≫ |small| × n_salt. Result is
     bit-identical to the plain join: every (key, salt) bucket of the
     big side meets a full copy of its key's small rows exactly once.
+
+    Only big-side-preserving join types are accepted: a right/full
+    join would emit each unmatched REPLICATED row once per salt value.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, got {how!r}"
+        )
     salt_col = (
         F.col(salt_src) if isinstance(salt_src, str) else salt_src
     )

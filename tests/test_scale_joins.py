@@ -7,9 +7,9 @@ from pyspark.sql import functions as F
 
 from tensei_agent_spark.operators.joins import (
     bucketed_table,
-    salted_join,
     with_row_index,
 )
+from tensei_agent_spark.operators.skew import salted_join
 
 
 def test_salted_join_matches_plain_join(spark):
@@ -23,7 +23,7 @@ def test_salted_join_matches_plain_join(spark):
     plain = skewed.join(dim, "k").agg(
         F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
     ).first()
-    salted = salted_join(skewed, dim, "k", salt=8).agg(
+    salted = salted_join(skewed, dim, ["k"], salt_src="v", n_salt=8).agg(
         F.count(F.lit(1)).alias("n"), F.sum("w").alias("s")
     ).first()
     assert (plain["n"], plain["s"]) == (salted["n"], salted["s"])
@@ -71,9 +71,7 @@ def test_salted_join_rejects_right_preserving(spark):
     salt value — right/full joins must be rejected, not silently wrong."""
     import pytest
 
-    from tensei_agent_spark.operators.joins import salted_join
-
     a = spark.createDataFrame([(1, "x")], "k long, v string")
     b = spark.createDataFrame([(1, "y")], "k long, w string")
     with pytest.raises(ValueError, match="salted_join supports"):
-        salted_join(a, b, "k", how="full")
+        salted_join(a, b, ["k"], salt_src="v", how="full")
