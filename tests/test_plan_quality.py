@@ -250,3 +250,38 @@ def test_jaccard_bit_screen_in_plan_and_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 4  # freq + 2 sig + 2 token sides
     exact_plan = _plan(spark, "dedup_ngram_jaccard")
     assert "bit_count" not in exact_plan
+
+
+def test_linkage_blocking_is_equi_and_single_distinct_free(spark):
+    """Candidate generation must plan as hash equi-joins (one per
+    blocking pass), with NO pair-level dedup aggregate: the disjoint-
+    pass rewrite replaced the dropDuplicates exchange with a cheap
+    in-flight filter. A cartesian or nested-loop here means a blocker
+    degenerated."""
+    plan = _plan(spark, "linkage_agreement_patterns")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only aggregate is the 2^f pattern census (count), never a
+    # distinct over the pair stream
+    assert "dropDuplicates" not in plan.lower()
+
+
+def test_sorted_neighborhood_rank_is_partitioned(spark):
+    """The neighbor join must ride the distributed rank: every window
+    spec partitioned (by _pid), the pairing itself a shuffle/broadcast
+    hash join on the rank — never a windowed self-scan or cartesian."""
+    plan = _plan(spark, "linkage_sorted_neighborhood")
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "_pid" in line, line
+
+
+def test_salted_join_widens_shuffle_key(spark):
+    """The salted join must hash-partition on (key, salt) — the salt
+    column must appear in the join's partitioning/keys, and the
+    replicated side must come from an explode, not a cartesian."""
+    plan = _plan(spark, "salted_join_revenue")
+    assert "CartesianProduct" not in plan
+    assert "_salt" in plan
+    assert "Generate explode" in plan or "explode" in plan
