@@ -52,6 +52,7 @@ __all__ = [
     "blocked_pairs",
     "em_fellegi_sunter",
     "exact",
+    "incremental_pairs",
     "levenshtein_within",
     "match_weights",
     "numeric_within",
@@ -162,6 +163,38 @@ def blocked_pairs(
         f"{c}_{s}" for c in compare_cols for s in ("a", "b")
     ]
     return cand.select(*keep)
+
+
+def incremental_pairs(
+    new: DataFrame,
+    corpus: DataFrame | None,
+    blockers: Sequence[Sequence[str] | str],
+    id_col: str,
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Daily-increment linkage: candidate pairs that TOUCH a new batch
+    — new×corpus plus new×new — without ever re-pairing the historical
+    corpus against itself (the O(|corpus|²-ish) cost a naive re-run of
+    :func:`blocked_pairs` over the union would pay every day).
+
+    Same incremental contract as ``incremental.MinHashIndex``: the
+    result is exactly the pairs of a full-corpus run restricted to
+    those involving at least one new record. The corpus side needs only
+    its id, blocker, and comparison columns — a narrow persisted
+    parquet "blocking index" at scale, partitioned by a blocker key so
+    the new×corpus join prunes. ``corpus=None`` (first batch)
+    degenerates to self-linkage of the batch.
+
+    Orientation: new×new pairs are ``id_a < id_b`` as usual; new×corpus
+    pairs put the NEW record on the ``id_a`` side. Ids must be unique
+    across both sides (the cross pairs are not re-deduplicated against
+    the self pairs — disjoint by construction when corpus and batch
+    share no id)."""
+    self_pairs = blocked_pairs(new, None, blockers, id_col, compare_cols)
+    if corpus is None:
+        return self_pairs
+    cross = blocked_pairs(new, corpus, blockers, id_col, compare_cols)
+    return self_pairs.unionByName(cross)
 
 
 def sorted_neighborhood_pairs(

@@ -219,3 +219,51 @@ def test_repeated_spans_matches_python_model(spark, docs_words, w):
             h = hashlib.md5(win.encode()).hexdigest()
             expect[h] = (len(ids), len(set(ids)), min(ids))
     assert got == expect
+
+
+# --- Fellegi-Sunter EM (operators/linkage.py) -----------------------------
+
+_m_probs = st.floats(min_value=0.55, max_value=0.95)
+_u_probs = st.floats(min_value=0.05, max_value=0.4)
+
+
+@given(
+    m=st.tuples(_m_probs, _m_probs, _m_probs),
+    u=st.tuples(_u_probs, _u_probs, _u_probs),
+    p=st.floats(min_value=0.02, max_value=0.3),
+)
+@settings(max_examples=40, deadline=None)
+def test_em_planted_mixture_is_fixed_point(m, u, p):
+    """EM on the EXACT expected pattern counts of a planted mixture in
+    the linkage regime (matches agree MORE than non-matches on every
+    field — the orientation the m>u init encodes; mixtures violating
+    it are a different, non-identifiable basin) must fit the planted
+    pattern distribution: the fitted (m,u,p) reproduce every pattern's
+    expected count. Driver-side pure function: no Spark needed."""
+    import itertools
+    import math
+
+    from tensei_agent_spark.operators.linkage import em_fellegi_sunter
+
+    # skip near-degenerate fields (m ≈ u): the optimum is a ridge and
+    # convergence there is glacial — undefined recovery, not a bug.
+    if any(mi - ui < 0.2 for mi, ui in zip(m, u)):
+        return
+    n = 1_000_000
+    counts = []
+    for bits in itertools.product([0, 1], repeat=3):
+        pm, pu = p, 1.0 - p
+        for j, g in enumerate(bits):
+            pm *= m[j] if g else 1.0 - m[j]
+            pu *= u[j] if g else 1.0 - u[j]
+        counts.append((list(bits), (pm + pu) * n))
+    em_m, em_u, em_p = em_fellegi_sunter(counts, n_fields=3)
+
+    # compare fitted pattern distribution against the planted one
+    for bits, want_n in counts:
+        pm, pu = em_p, 1.0 - em_p
+        for j, g in enumerate(bits):
+            pm *= em_m[j] if g else 1.0 - em_m[j]
+            pu *= em_u[j] if g else 1.0 - em_u[j]
+        got = (pm + pu) * n
+        assert math.isclose(got, want_n, rel_tol=0.05, abs_tol=n * 1e-4)
