@@ -622,3 +622,69 @@ def scd2_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def linkage_stream(
+    spark,
+    records_stream: DataFrame,
+    index_path: str,
+    blockers,
+    id_col: str,
+    compare_cols,
+    pair_writer,
+):
+    """Streaming entity resolution: each micro-batch of new records is
+    linked against everything seen before it (plus itself) via the
+    batch :func:`~..operators.linkage.incremental_pairs`, then appended
+    to the persisted blocking index — the linkage analogue of the
+    ``MinHashIndex`` daily-crawl pattern, driven by foreachBatch.
+
+    ``index_path`` holds the narrow corpus index (id + blocker +
+    comparison columns only — parquet, append-only, object-store
+    friendly). ``pair_writer(pairs_df, batch_id)`` receives each
+    batch's candidate pairs (new×old ∪ new×new); feed them to
+    ``agreement_vectors``/``score_pairs`` and a sink of your choice.
+
+    Union of all batches' pairs == the one-shot ``blocked_pairs`` over
+    the full corpus (each pair is emitted by exactly the batch that
+    completes it) — asserted in tests/test_streaming.py. Per-batch
+    cost: |batch| × matching blocks of the index, never index×index.
+    At scale, partition the index parquet by a blocker column so the
+    new×old join prunes.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.linkage import incremental_pairs
+
+    def link_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        cols = [id_col, *dict.fromkeys([*_blk_flat(blockers), *compare_cols])]
+        batch_narrow = batch_df.select(*cols)
+        try:
+            corpus = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: no index yet
+            corpus = None
+        pairs = incremental_pairs(
+            batch_narrow, corpus, blockers, id_col, compare_cols
+        )
+        pair_writer(pairs, batch_id)
+        # Append AFTER the pairs are handed off: the writer's action
+        # must see the pre-batch index (localCheckpoint inside the
+        # writer if it defers the action past this append).
+        batch_narrow.write.mode("append").parquet(index_path)
+
+    return (
+        records_stream.writeStream.foreachBatch(link_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def _blk_flat(blockers) -> list[str]:
+    out: list[str] = []
+    for blk in blockers:
+        for c in [blk] if isinstance(blk, str) else blk:
+            if c not in out:
+                out.append(c)
+    return out

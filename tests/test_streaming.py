@@ -472,6 +472,60 @@ def test_scd2_merge_untouched_keys_pass_through(spark):
     }
 
 
+def test_linkage_stream_union_equals_full_batch(spark, tmp_path_factory):
+    """Streaming entity resolution: the union of every micro-batch's
+    incremental pairs must be EXACTLY the one-shot blocked_pairs over
+    the full corpus — each unordered pair emitted once, by the batch
+    that completes it."""
+    from tensei_agent_spark.operators.linkage import blocked_pairs
+    from tensei_agent_spark.streaming.pipeline import linkage_stream
+
+    cust = load(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+    )
+    cdir = str(tmp_path_factory.mktemp("linkage_records"))
+    cust.repartition(3).write.mode("overwrite").parquet(cdir)
+    cstream = (
+        spark.readStream.schema(cust.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cdir)
+    )
+    idx = str(tmp_path_factory.mktemp("linkage_index")) + "/corpus"
+    got: set[frozenset] = set()
+    batches = []
+
+    def writer(pairs_df, batch_id):
+        batches.append(batch_id)
+        for r in pairs_df.collect():
+            p = frozenset((r["id_a"], r["id_b"]))
+            assert p not in got, f"pair {p} emitted twice"
+            got.add(p)
+
+    q = linkage_stream(
+        spark,
+        cstream,
+        idx,
+        blockers=[["c_nationkey", "c_mktsegment"]],
+        id_col="c_custkey",
+        compare_cols=["c_name"],
+        pair_writer=writer,
+    )
+    q.awaitTermination()
+
+    want = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in blocked_pairs(
+            cust,
+            None,
+            [["c_nationkey", "c_mktsegment"]],
+            "c_custkey",
+            ["c_name"],
+        ).collect()
+    }
+    assert len(batches) >= 2
+    assert got == want
+
+
 def test_serve_ann_stream_writer_callback(spark, tmp_path_factory):
     """The production sink hook: results flow through ``writer`` per
     micro-batch (no temp-view accumulation, no O(B²) re-union) and
