@@ -8349,3 +8349,62 @@ def l_diversity_report(spark: SparkSession, sf: str) -> DataFrame:
             F.max("l_distinct").cast("bigint").alias("max_l"),
         )
     )
+
+
+@register(
+    "revenue_holt_forecast",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    numbered AS (
+      SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily),
+    counts AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+    hw AS (
+      SELECT event_type, rn, x AS l, CAST(0.0 AS DOUBLE) AS t
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn,
+             CAST(0.5 AS DOUBLE) * n.x
+               + CAST(0.5 AS DOUBLE) * (hw.l + hw.t),
+             CAST(0.5 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * n.x
+                   + CAST(0.5 AS DOUBLE) * (hw.l + hw.t)) - hw.l)
+               + CAST(0.5 AS DOUBLE) * hw.t
+      FROM hw JOIN numbered n
+        ON n.event_type = hw.event_type AND n.rn = hw.rn + 1)
+    SELECT hw.event_type, CAST(c.n AS BIGINT) AS n_steps,
+           hw.l AS level, hw.t AS trend,
+           hw.l + CAST(7.0 AS DOUBLE) * hw.t AS forecast
+    FROM hw JOIN counts c ON c.event_type = hw.event_type AND hw.rn = c.n
+    """,
+)
+def revenue_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
+    """Holt linear-trend forecast of daily value per event type
+    (operators/timeseries.py): the sequential level/trend recurrence
+    runs as ONE codegen array fold per key — parallel across keys,
+    bounded by the day-horizon within a key — after a single
+    partial-aggregated daily rollup. The DuckDB oracle replays the
+    identical recurrence as a recursive CTE stepping in the same IEEE
+    double order (α=β=0.5 exactly representable; daily inputs DECIMAL
+    →DOUBLE), so the comparison is bit-exact with NO rounding guard."""
+    from .operators.timeseries import holt_forecast
+
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("x")
+    )
+    return holt_forecast(
+        daily,
+        key_cols=["event_type"],
+        step_col="d",
+        value_col="x",
+        alpha=0.5,
+        beta=0.5,
+        horizon=7,
+    )
