@@ -189,3 +189,108 @@ def test_transform_assets_roundtrip_and_gate(spark):
 
     with pytest.raises(NotImplementedError, match="kernel"):
         transform_assets(df, "payload", "doc_id")
+
+
+def _wav_bytes(freq=440.0, rate=8000, seconds=0.5):
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(rate * seconds)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack(
+                    "<h", int(20000 * math.sin(2 * math.pi * freq * i / rate))
+                )
+                for i in range(n)
+            )
+        )
+    return buf.getvalue()
+
+
+def _ppm_bytes(w, h, rgb):
+    header = f"P6\n# test comment\n{w} {h}\n255\n".encode()
+    return header + bytes(rgb) * (w * h)
+
+
+def _bmp_bytes(w, h, bgr):
+    import struct
+
+    row = bytes(bgr) * w
+    pad = (-len(row)) % 4
+    pixel = (row + b"\x00" * pad) * h
+    off = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", off + len(pixel), 0, 0, off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixel), 2835, 2835, 0, 0
+    )
+    return header + pixel
+
+
+def test_stdlib_wav_decoder_real_audio(spark):
+    import pytest
+
+    from tensei_agent_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decoder,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(_wav_bytes(seconds=0.5)))], "doc_id long, payload binary"
+    )
+    r = extract_features(
+        df, "payload", "doc_id", modality="audio", decoder=stdlib_decoder
+    ).collect()[0]
+    assert r["duration_s"] == pytest.approx(0.5, abs=1e-3)
+    rms, zcr, peak, dc = r["feature"]
+    # a full-scale-ish sine: rms ~ peak/sqrt(2), zcr ~ 2*440/8000, no DC
+    assert rms == pytest.approx(peak / 2**0.5, rel=0.01)
+    assert zcr == pytest.approx(2 * 440 / 8000, rel=0.05)
+    assert abs(dc) < 1e-3
+
+
+def test_stdlib_ppm_and_bmp_decoders(spark):
+    import pytest
+
+    from tensei_agent_spark.operators.multimodal import (
+        extract_features,
+        stdlib_decoder,
+    )
+
+    ppm = _ppm_bytes(4, 3, [255, 0, 128])
+    bmp = _bmp_bytes(5, 2, [64, 128, 255])  # BGR on disk
+    df = spark.createDataFrame(
+        [(1, bytearray(ppm)), (2, bytearray(bmp))], "doc_id long, payload binary"
+    )
+    got = {
+        r["asset_id"]: r
+        for r in extract_features(
+            df, "payload", "doc_id", modality="image", decoder=stdlib_decoder
+        ).collect()
+    }
+    p = got[1]
+    assert (p["width"], p["height"]) == (4, 3)
+    assert p["feature"][:3] == pytest.approx([1.0, 0.0, 128 / 255], abs=1e-9)
+    assert p["feature"][3:] == pytest.approx([0.0, 0.0, 0.0], abs=1e-9)  # flat
+    b = got[2]
+    assert (b["width"], b["height"]) == (5, 2)
+    # stored BGR (64,128,255) → reported RGB means
+    assert b["feature"] == pytest.approx(
+        [255 / 255, 128 / 255, 64 / 255], abs=1e-9
+    )
+
+
+def test_stdlib_decoder_gates_unknown_formats():
+    import pytest
+
+    from tensei_agent_spark.operators.multimodal import stdlib_decoder
+
+    with pytest.raises(NotImplementedError, match="no stdlib decoder"):
+        stdlib_decoder(b"\x89PNG\r\n\x1a\n....", "image")
