@@ -209,6 +209,57 @@ def range_join(
     return joined.drop("_bkt")
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    key: str,
+    a_start: str = "start_a",
+    a_end: str = "end_a",
+    b_start: str = "start_b",
+    b_end: str = "end_b",
+    bucket: str = "30 minutes",
+) -> DataFrame:
+    """Join interval rows of ``a`` to OVERLAPPING interval rows of
+    ``b`` (closed intervals, same key): ``a.start <= b.end AND
+    b.start <= a.end`` — the interval×interval sibling of
+    :func:`range_join`.
+
+    Both sides explode to the time buckets they span and equi-join on
+    (key, bucket); the exact overlap predicate filters false bucket
+    neighbors. A pair sharing several buckets would surface once PER
+    shared bucket — instead of a distinct shuffle, the pair is emitted
+    only at its FIRST shared bucket (``greatest`` of the two start
+    buckets), the same dedup-free trick as the linkage disjoint
+    blocking passes: pure filter, no extra exchange.
+
+    Candidates per row = intervals overlapping its buckets — bounded
+    by interval density per key, never |a|·|b|. Column names must not
+    collide across sides (alias before calling)."""
+    secs = {"minutes": 60, "minute": 60, "hours": 3600, "hour": 3600,
+            "seconds": 1, "second": 1, "days": 86400, "day": 86400}
+    qty, unit = bucket.split()
+    width = int(qty) * secs[unit]
+
+    def bkt(col: str):
+        return F.floor(F.unix_timestamp(F.col(col)) / width).cast("long")
+
+    ax = a.withColumn("_fb_a", bkt(a_start)).withColumn(
+        "_bkt", F.explode(F.sequence(bkt(a_start), bkt(a_end)))
+    )
+    bx = b.withColumn("_fb_b", bkt(b_start)).withColumn(
+        "_bkt", F.explode(F.sequence(bkt(b_start), bkt(b_end)))
+    )
+    return (
+        ax.join(bx, [key, "_bkt"])
+        .filter(
+            (F.col(a_start) <= F.col(b_end))
+            & (F.col(b_start) <= F.col(a_end))
+        )
+        .filter(F.col("_bkt") == F.greatest("_fb_a", "_fb_b"))
+        .drop("_bkt", "_fb_a", "_fb_b")
+    )
+
+
 def bucketed_table(
     df: DataFrame,
     table_name: str,

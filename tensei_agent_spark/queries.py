@@ -8408,3 +8408,54 @@ def revenue_holt_forecast(spark: SparkSession, sf: str) -> DataFrame:
         beta=0.5,
         horizon=7,
     )
+
+
+@register(
+    "view_purchase_overlap_windows",
+    """
+    WITH v AS (
+      SELECT user_id, event_id,
+             ts - INTERVAL 30 MINUTE AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'view'),
+    p AS (
+      SELECT user_id, event_id,
+             ts - INTERVAL 30 MINUTE AS s, ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'purchase')
+    SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+    FROM v JOIN p ON v.user_id = p.user_id
+     AND v.s <= p.e AND p.s <= v.e
+    GROUP BY v.user_id
+    """,
+)
+def view_purchase_overlap_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval×interval overlap join (operators/joins.py::
+    interval_overlap_join): ±30 min windows around each view vs each
+    purchase, per user — overlapping attention/conversion windows
+    counted per user. Both interval sets explode to time buckets and
+    equi-join on (user, bucket); each overlapping pair is emitted only
+    at its first shared bucket (filter, not a distinct shuffle). The
+    oracle is DuckDB's theta join — the plan here never runs one."""
+    from .operators.joins import interval_overlap_join
+
+    ev = load(spark, sf, "events")
+    mk = lambda t: (  # noqa: E731
+        ev.filter(F.col("event_type") == t).select(
+            "user_id",
+            F.col("event_id").alias(f"id_{t}"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTE")).alias(f"s_{t}"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias(f"e_{t}"),
+        )
+    )
+    pairs = interval_overlap_join(
+        mk("view"),
+        mk("purchase"),
+        key="user_id",
+        a_start="s_view",
+        a_end="e_view",
+        b_start="s_purchase",
+        b_end="e_purchase",
+        bucket="30 minutes",
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlaps")
+    )

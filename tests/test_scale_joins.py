@@ -75,3 +75,43 @@ def test_salted_join_rejects_right_preserving(spark):
     b = spark.createDataFrame([(1, "y")], "k long, w string")
     with pytest.raises(ValueError, match="salted_join supports"):
         salted_join(a, b, ["k"], salt_src="v", how="full")
+
+
+def test_interval_overlap_join_exact_and_once(spark):
+    """Bucketed overlap join must equal the theta-join result with each
+    overlapping pair emitted exactly once — including pairs spanning
+    many shared buckets and touching-endpoint pairs."""
+    from tensei_agent_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [
+            (1, 10, 0, 100),     # long: overlaps both b-intervals
+            (1, 11, 500, 510),   # disjoint from everything
+            (1, 12, 200, 200),   # degenerate point interval
+            (2, 13, 0, 50),      # other key: must not cross keys
+        ],
+        "k int, id_a int, sa long, ea long",
+    ).select(
+        "k", "id_a",
+        F.timestamp_seconds("sa").alias("sa"),
+        F.timestamp_seconds("ea").alias("ea"),
+    )
+    b = spark.createDataFrame(
+        [
+            (1, 20, 90, 300),    # overlaps 10 (90..100) and contains 12
+            (1, 21, 100, 100),   # touches 10 exactly at its end point
+            (1, 22, 301, 400),   # disjoint
+        ],
+        "k int, id_b int, sb long, eb long",
+    ).select(
+        "k", "id_b",
+        F.timestamp_seconds("sb").alias("sb"),
+        F.timestamp_seconds("eb").alias("eb"),
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(
+            a, b, "k", "sa", "ea", "sb", "eb", bucket="1 minute"
+        ).collect()
+    )
+    assert got == [(10, 20), (10, 21), (12, 20)]
