@@ -151,3 +151,100 @@ def test_dfasdl_seq_max_limits_read(spark, tmp_path):
 
     spec = source_spec(xml, "two", str(p), fmt="csv")
     assert read_source(spark, spec).count() == 1
+
+
+# --- Property fuzz: random schemas round-trip through the compiler ---------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True).filter(
+    lambda s: s != "zz_rid"  # reserved for the test's row-id column
+)
+_str_val = st.from_regex(r"[A-Za-z0-9 _.-]{1,20}", fullmatch=True).map(
+    str.strip
+).filter(bool)
+_num_val = st.integers(min_value=-(10**12), max_value=10**12)
+_date_val = st.dates().map(lambda d: d.isoformat())
+
+_field = st.sampled_from(["str", "num", "date"]).flatmap(
+    lambda t: st.tuples(
+        st.just(t),
+        {"str": _str_val, "num": _num_val, "date": _date_val}[t],
+    )
+)
+
+
+@given(
+    names=st.lists(_ident, min_size=1, max_size=5, unique=True),
+    data=st.data(),
+)
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_fuzz_random_schema_roundtrips(spark, tmp_path_factory, names, data):
+    """Any well-formed flat schema of str/num/date fields must compile,
+    read, and round-trip typed values exactly — the compiler and CSV
+    reader must never disagree about a column's position or type."""
+    import datetime
+
+    from tensei_agent_spark.sources import read_source
+
+    rows = [
+        [data.draw(_field, label=f"row{r}.{n}") for n in names]
+        for r in range(3)
+    ]
+    # one schema: per-column type comes from row 0's draw
+    types = [t for t, _ in rows[0]]
+    # re-draw value-only for other rows to match row 0's type
+    vals = [[v for _, v in rows[0]]]
+    for r in rows[1:]:
+        vals.append(
+            [
+                data.draw(
+                    {"str": _str_val, "num": _num_val, "date": _date_val}[t],
+                    label="v",
+                )
+                for t in types
+            ]
+        )
+    stop = ' stop-sign=";"'
+    # a guaranteed-unique leading row id decouples row matching from
+    # the (possibly colliding) fuzzed values
+    all_types = ["num", *types]
+    all_names = ["zz_rid", *names]
+    fields_xml = "".join(
+        f'<{t} id="{n}"{"" if i == len(all_names) - 1 else stop}/>'
+        for i, (t, n) in enumerate(zip(all_types, all_names))
+    )
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<dfasdl xmlns="http://www.dfasdl.org/DFASDL" semantic="custom">'
+        f'<seq id="rows"><elem id="row">{fields_xml}</elem></seq></dfasdl>'
+    )
+    d = tmp_path_factory.mktemp("fuzz")
+    p = d / "data.csv"
+    p.write_text(
+        "\n".join(
+            ";".join(str(v) for v in [rid, *row])
+            for rid, row in enumerate(vals)
+        )
+        + "\n"
+    )
+    spec = source_spec(xml, "fuzz", str(p), fmt="csv")
+    from tensei_agent_spark.sources import read_source  # noqa: F811
+
+    got = read_source(spark, spec).collect()
+    assert len(got) == len(vals)
+    by_rid = {r["zz_rid"]: r for r in got}
+    for rid, row in enumerate(vals):
+        r = by_rid[rid]
+        for (t, n), v in zip(zip(types, names), row):
+            if t == "num":
+                assert r[n] == v
+            elif t == "date":
+                assert r[n] == datetime.date.fromisoformat(v)
+            else:
+                assert r[n] == v
