@@ -135,3 +135,32 @@ def shuffle_shards(
         .withColumn(pos_col, (F.col("_grank") - F.col("_base")).cast("int"))
         .drop("_okey", "_grank", "_base")
     )
+
+
+def weighted_sample_keys(
+    df,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> Column:
+    """Efraimidis–Spirakis A-ES key for exact-k weighted sampling
+    WITHOUT replacement: rank rows by ``u^(1/w)`` descending and take
+    the top k — each item's inclusion probability is proportional to
+    its weight, with no per-row random state (u is the md5-uniform of
+    the id, so the draw is deterministic, engine-portable, and
+    replayable; a different ``salt`` is a fresh draw).
+
+    Returned as the MONOTONE equivalent ``ln(u)/w`` (avoids pow and
+    keeps the magnitudes sane); order by it DESC with the id as the
+    tie-break. Distributed top-k by this key is ``orderBy(...).limit``
+    — Spark's TakeOrdered, per-partition heaps + one k-row merge,
+    never a global sort.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    # u in (0, 1]: +1 keeps ln defined at h=0
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    return F.log(u) / weight

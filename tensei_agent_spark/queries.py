@@ -8459,3 +8459,44 @@ def view_purchase_overlap_windows(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_overlaps")
     )
+
+
+@register(
+    "weighted_sample_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source,
+             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) + 1) / 1152921504606846976.0)
+               / CAST(n_chars + 1 AS DOUBLE) AS k
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+    GROUP BY source
+    """,
+)
+def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-100 WEIGHTED sample without replacement (Efraimidis–
+    Spirakis A-ES): inclusion probability ∝ document length — the
+    quality/length-weighted corpus draw every data-mix pipeline needs,
+    with ZERO random state (md5-uniform of the id = deterministic,
+    replayable draw; see operators/sampling.weighted_sample_keys).
+    The top-k by key is orderBy+limit — Spark plans TakeOrdered
+    (per-partition heaps, k-row merge), never a global sort. Checksum
+    certifies the identical member set across engines."""
+    from .operators.sampling import weighted_sample_keys
+
+    docs = load(spark, sf, "documents")
+    key = weighted_sample_keys(
+        docs, weight=(F.col("n_chars") + F.lit(1)).cast("double")
+    )
+    picked = (
+        docs.select("doc_id", "source", key.alias("_k"))
+        .orderBy(F.col("_k").desc(), "doc_id")
+        .limit(100)
+    )
+    return picked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )

@@ -215,3 +215,34 @@ def test_write_training_shards_empty_shard_entry(spark, tmp_path):
     )
     assert sorted(shards) == [0, 1, 2, 3]
     assert sum(len(v) for v in shards.values()) == 1  # 3 empty, marked
+
+
+def test_weighted_sample_aes_biases_and_replays(spark):
+    """A-ES weighted sampling: heavy-weight items dominate the draw,
+    the draw replays bit-identically, and a new salt is a fresh draw."""
+    from tensei_agent_spark.operators.sampling import weighted_sample_keys
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, 100.0).otherwise(1.0).alias("w"),
+    )
+
+    def draw(salt=""):
+        key = weighted_sample_keys(df, F.col("w"), salt=salt)
+        return [
+            r["doc_id"]
+            for r in df.select("doc_id", key.alias("k"))
+            .orderBy(F.col("k").desc(), "doc_id")
+            .limit(200)
+            .collect()
+        ]
+
+    first = draw()
+    heavy = sum(1 for i in first if i < 100)
+    # 100 items at weight 100 vs 900 at weight 1: essentially all heavy
+    # items make a k=200 cut (P(miss) is astronomically small); and the
+    # light majority still fills the rest.
+    assert heavy >= 95
+    assert len(first) == 200
+    assert draw() == first  # deterministic replay
+    assert draw(salt="epoch2") != first  # fresh draw per salt
