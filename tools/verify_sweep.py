@@ -40,6 +40,11 @@ ONLY = set(args[1:])
 
 spark = get_spark()
 con = duckdb.connect()
+# Route DuckDB's larger-than-memory spill files OUT of the repo: the
+# default is a ./.tmp under the cwd, and a heavy oracle at a big SF can
+# write tens of GB there (observed 31 GB from an all-pairs oracle at
+# sf0.1) — which then wedges `git add -A`.
+con.execute("SET temp_directory='/tmp/duckdb_sweep_spill'")
 for t in TABLES:
     con.execute(
         f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
