@@ -1,0 +1,81 @@
+"""Round-close runbook: the four checks every round must end green on,
+in order, stopping at the first failure.
+
+    python tools/round_close.py <round-number>
+
+1. full pytest (tests/)
+2. strict full-registry oracle sweep at sf0.01
+   → commits-ready CORRECTNESS_LOCAL_r<N>.json
+3. registry-wide plan audit (cartesian products / global windows)
+   → PLAN_AUDIT_r<N>.json
+4. bench at sf0.1 + per-query comparison against the previous round's
+   BENCH artifact (fails on >1.5x regressions or dropped queries)
+
+Artifacts land in the repo root; commit them LAST, after the round's
+code work (memory: round-workflow)."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(label: str, cmd: list[str], **kw) -> subprocess.CompletedProcess:
+    print(f"\n=== {label}: {' '.join(cmd)}", flush=True)
+    proc = subprocess.run(cmd, cwd=REPO, **kw)
+    if proc.returncode != 0:
+        sys.exit(f"{label} FAILED (rc={proc.returncode}) — fix before closing")
+    return proc
+
+
+def main() -> None:
+    if len(sys.argv) != 2 or not sys.argv[1].isdigit():
+        sys.exit(__doc__)
+    n = int(sys.argv[1])
+
+    run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+    run(
+        "oracle sweep sf0.01",
+        [
+            sys.executable,
+            "tools/verify_sweep.py",
+            "/root/testdata/sf0.01",
+            "--out",
+            f"CORRECTNESS_LOCAL_r{n:02d}.json",
+        ],
+    )
+    run("plan audit", [sys.executable, "tools/plan_audit.py"])
+
+    bench = run(
+        "bench sf0.1",
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+    )
+    line = [ln for ln in bench.stdout.splitlines() if ln.strip()][-1]
+    payload = json.loads(line)
+    tmp = "/tmp/bench_round_close.json"
+    with open(tmp, "w") as f:
+        json.dump({"parsed": payload}, f)
+    print(line)
+
+    prev = sorted(
+        p
+        for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        if int(re.search(r"r(\d+)", p).group(1)) < n
+    )
+    if prev:
+        run("bench compare", [
+            sys.executable, "tools/bench_compare.py", prev[-1], tmp,
+        ])
+    print("\nround-close: ALL GREEN — commit the refreshed artifacts.")
+
+
+if __name__ == "__main__":
+    main()
