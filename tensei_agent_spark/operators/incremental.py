@@ -299,6 +299,15 @@ def scd2_merge(
     else:
         untouched = None
         merged = new_rows
+    # REPLAY IDEMPOTENCE: an at-least-once stream re-delivers whole
+    # batches; a replayed change is already IN the snapshot as a
+    # version, and without this dedup the union would carry it twice
+    # into the window (zero-length phantom intervals). (key, order)
+    # identifies a version, so re-merging any already-applied batch is
+    # a no-op — asserted in tests. Requires the change feed to be
+    # deterministic per (key, order): two DIFFERENT payloads at the
+    # same version key are a feed conflict and resolve arbitrarily.
+    merged = merged.dropDuplicates([*key_cols, *order_cols])
     recomputed = merged.withColumn(
         valid_to, F.lead(valid_from).over(w)
     )

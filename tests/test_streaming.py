@@ -448,6 +448,27 @@ def test_scd2_merge_out_of_order_batches(spark):
     }
 
 
+def test_scd2_merge_replay_is_idempotent(spark):
+    """At-least-once delivery: re-merging an already-applied batch must
+    leave the snapshot bit-identical (no phantom zero-length
+    intervals from duplicated versions)."""
+    from tensei_agent_spark.operators.incremental import scd2_merge
+
+    schema = "k int, v string, valid_from int"
+    b1 = spark.createDataFrame([(1, "a", 10), (1, "b", 20)], schema)
+    snap = scd2_merge(None, b1, ["k"], ["valid_from"])
+    replayed = scd2_merge(snap, b1, ["k"], ["valid_from"])
+    want = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"])
+        for r in snap.collect()
+    }
+    got = {
+        (r["k"], r["v"], r["valid_from"], r["valid_to"])
+        for r in replayed.collect()
+    }
+    assert got == want == {(1, "a", 10, 20), (1, "b", 20, None)}
+
+
 def test_scd2_merge_untouched_keys_pass_through(spark):
     from tensei_agent_spark.operators.incremental import scd2_merge
 
