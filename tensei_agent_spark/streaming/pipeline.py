@@ -651,6 +651,14 @@ def linkage_stream(
     cost: |batch| × matching blocks of the index, never index×index.
     At scale, partition the index parquet by a blocker column so the
     new×old join prunes.
+
+    Delivery semantics: run with a checkpointLocation in production so
+    each batch processes once; for the failure mode checkpointing
+    still allows — the SAME batch re-delivered — emission is
+    idempotent (the batch's ids are deduped out of the corpus side, so
+    a replay emits exactly the original pair set; asserted in tests).
+    A from-scratch re-run over an already-populated index is NOT
+    exactly-once — wipe the index when you wipe the checkpoint.
     """
     from pyspark.errors import AnalysisException
 
@@ -660,9 +668,19 @@ def linkage_stream(
         if not batch_df.head(1):
             return
         cols = [id_col, *dict.fromkeys([*_blk_flat(blockers), *compare_cols])]
-        batch_narrow = batch_df.select(*cols)
+        batch_narrow = batch_df.select(*cols).dropDuplicates([id_col])
         try:
-            corpus = spark.read.parquet(index_path)
+            # Replay hardening (at-least-once delivery): a replayed
+            # batch's records are ALREADY in the index — dedup the
+            # index by id and anti-join the batch's own ids out of the
+            # corpus side, so a replay emits exactly the original
+            # batch's pair set (no self-pairs, no duplicates) and the
+            # re-append below cannot compound.
+            corpus = (
+                spark.read.parquet(index_path)
+                .dropDuplicates([id_col])
+                .join(batch_narrow.select(id_col), id_col, "left_anti")
+            )
         except AnalysisException:  # first batch: no index yet
             corpus = None
         pairs = incremental_pairs(

@@ -547,6 +547,51 @@ def test_linkage_stream_union_equals_full_batch(spark, tmp_path_factory):
     assert got == want
 
 
+def test_linkage_stream_batch_replay_idempotent(spark, tmp_path_factory):
+    """Re-delivering an already-applied batch (the at-least-once
+    failure mode) must emit exactly the original pair set — no
+    self-pairs against the batch's own index rows, no duplicates from
+    the doubled index append."""
+    from tensei_agent_spark.streaming.pipeline import linkage_stream
+
+    cust = (
+        load(spark, SF, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id")
+        .limit(50)
+    )
+    cdir = str(tmp_path_factory.mktemp("replay_records"))
+    cust.coalesce(1).write.mode("overwrite").parquet(cdir)
+    idx = str(tmp_path_factory.mktemp("replay_index")) + "/corpus"
+
+    def run_once():
+        got = []
+        stream = (
+            spark.readStream.schema(cust.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cdir)
+        )
+        q = linkage_stream(
+            spark,
+            stream,
+            idx,
+            blockers=["user_id"],
+            id_col="event_id",
+            compare_cols=[],
+            pair_writer=lambda pairs, bid: got.extend(
+                (r["id_a"], r["id_b"]) for r in pairs.collect()
+            ),
+        )
+        q.awaitTermination()
+        return sorted(got)
+
+    first = run_once()
+    assert first  # the single batch emits its self-linkage pairs
+    replay = run_once()  # fresh checkpoint-less stream = same batch again
+    assert replay == first
+    assert not any(a == b for a, b in replay)  # no self-pairs
+
+
 def test_serve_ann_stream_writer_callback(spark, tmp_path_factory):
     """The production sink hook: results flow through ``writer`` per
     micro-batch (no temp-view accumulation, no O(B²) re-union) and
