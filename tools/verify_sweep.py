@@ -92,6 +92,12 @@ for name, fn in qs.items():
         }
         print(f"  {name}: FAIL {ex!r} ({time.time()-t0:.1f}s)", flush=True)
         traceback.print_exc()
+    if OUT:
+        # Incremental checkpoint after EVERY query: a sweep killed
+        # mid-run (an oracle that turns out intractable at a big SF)
+        # keeps everything already verified instead of losing the run.
+        with open(OUT + ".partial", "w") as fh:
+            json.dump(results, fh, indent=1)
 
 summary = {
     "sf_dir": SF,
