@@ -4453,8 +4453,9 @@ def abandoned_views_hourly(spark: SparkSession, sf: str) -> DataFrame:
     "label_centroids",
     """
     SELECT label, CAST(dim AS BIGINT) AS dim,
-           CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)
-             / COUNT(*) AS mean_val
+           CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000000.0 + 0.5)
+                         AS BIGINT)) AS DOUBLE)
+             / 1000000000.0 / COUNT(*) AS mean_val
     FROM (SELECT label, unnest(embedding) AS v,
                  generate_subscripts(embedding, 1) AS dim
           FROM embeddings)
@@ -4466,16 +4467,24 @@ def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
     (label, dim, mean) — the explicit coarse quantizer behind the IVF
     path, and the statistic an embedding-drift monitor tracks release
     over release. posexplode → one (label, dim)-keyed partial-agg
-    shuffle; float32→decimal sums keep both engines bit-identical."""
+    shuffle. Values quantize to 1e-9 via floor(v*1e9 + 0.5) and sum as
+    BIGINT — NOT a decimal cast: Spark casts double→decimal HALF_UP
+    while DuckDB rounds half-to-EVEN, and a float32 sitting exactly on
+    the half boundary (0.1494140625 at sf0.1) diverges the engines;
+    the explicit floor form is the same IEEE ops on both sides."""
     emb = load(spark, sf, "embeddings")
     return (
         emb.select("label", F.posexplode("embedding"))
         .groupBy("label", (F.col("pos") + 1).cast("bigint").alias("dim"))
         .agg(
             (
-                F.sum(F.col("col").cast("double").cast("decimal(18,9)")).cast(
-                    "double"
-                )
+                F.sum(
+                    F.floor(
+                        F.col("col").cast("double") * F.lit(1000000000.0)
+                        + F.lit(0.5)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1000000000.0)
                 / F.count(F.lit(1))
             ).alias("mean_val")
         )
