@@ -26,18 +26,28 @@ from pyspark.sql import functions as F
 
 from .lits import dlit
 
-DEC = "decimal(18,9)"
+DOT_SCALE = 1.0e18  # _dot_dec returns the true dot product × this
 
 
 def _dot_dec(a, b):
-    """Exact-decimal dot product of two float arrays (JVM-side fold)."""
-    prods = F.zip_with(a, b, lambda x, y: x.cast(DEC) * y.cast(DEC))
-    # Decimal addition exact & associative → no FP-ordering drift vs the
-    # oracle. Accumulator stays at (28,18): the add result is (29,18) —
-    # scale PRESERVED (a (38,18) accumulator would narrow to scale 17,
-    # silently rounding each step) — and the cast back to (28,18) is
-    # lossless for |sum| < 10^10.
-    acc_t = "decimal(28,18)"
+    """Exact dot product with both inputs quantized to the 1e-9 grid
+    via ``floor(v·1e9 + 0.5)`` — the SAME IEEE double ops in Spark and
+    DuckDB. A double→DECIMAL cast here would silently diverge the
+    engines: Spark rounds HALF_UP, DuckDB half-to-EVEN, and float32
+    values DO land exactly on half boundaries (0.1494140625 bit the
+    sf0.1 sweep). Quantized components multiply and sum as exact
+    DECIMAL(38,0) integers, so the result is the true dot product
+    scaled by ``DOT_SCALE`` (1e18). Every cosine consumer divides
+    dot by √(n2·n2) — the scale cancels exactly, so ratio call sites
+    are unchanged; consumers surfacing a RAW dot/norm divide by
+    DOT_SCALE (or 1e9 after sqrt)."""
+    def q(x):
+        return F.floor(
+            x.cast("double") * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("decimal(19,0)")
+
+    prods = F.zip_with(a, b, lambda x, y: q(x) * q(y))
+    acc_t = "decimal(38,0)"
     return F.aggregate(
         prods,
         F.lit(0).cast(acc_t),

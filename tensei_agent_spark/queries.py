@@ -1871,13 +1871,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH norms AS (
       SELECT vec_id,
-             SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
-               * CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS n2
+             SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS n2
       FROM embeddings, UNNEST(range(1, 65)) t(i) GROUP BY vec_id),
     dots AS (
       SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-             SUM(CAST(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
-               * CAST(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS dot
+             SUM(CAST(floor(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS dot
       FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id,
            UNNEST(range(1, 65)) t(i)
       WHERE q.vec_id < 5 GROUP BY 1, 2)
@@ -2019,13 +2019,13 @@ def ann_ivf_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH norms AS (
       SELECT vec_id, label,
-             SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
-               * CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS n2
+             SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS n2
       FROM embeddings, UNNEST(range(1, 65)) t(i) GROUP BY 1, 2),
     dots AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             SUM(CAST(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
-               * CAST(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS dot
+             SUM(CAST(floor(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS dot
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id,
            UNNEST(range(1, 65)) t(i)
@@ -3119,13 +3119,13 @@ def decontaminate_holdout(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH norms AS (
       SELECT vec_id, label,
-             SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
-               * CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS n2
+             SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS n2
       FROM embeddings, UNNEST(range(1, 65)) t(i) GROUP BY 1, 2),
     dots AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             SUM(CAST(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
-               * CAST(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS dot
+             SUM(CAST(floor(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(b.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS dot
       FROM embeddings a JOIN embeddings b
         ON a.label = b.label AND a.vec_id < b.vec_id,
            UNNEST(range(1, 65)) t(i)
@@ -5208,8 +5208,9 @@ def doc_word_entropy(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH n AS (
       SELECT vec_id, label,
-             sqrt(CAST(SUM(CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))
-               * CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)) AS l2
+             sqrt(CAST(SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS DOUBLE))
+               / 1000000000.0 AS l2
       FROM embeddings, UNNEST(range(1, 65)) t(i) GROUP BY vec_id, label)
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
@@ -5226,8 +5227,10 @@ def embedding_norm_profile(spark: SparkSession, sf: str) -> DataFrame:
     (bit-stable across engines); the profile is one grouped aggregate
     with an exact median."""
     emb = SIM.with_norm2(load(spark, sf, "embeddings"), "embedding", "n2")
+    # n2 is DOT_SCALE (1e18)-scaled — sqrt gives 1e9×l2, rescale
     n = emb.select(
-        "label", F.sqrt(F.col("n2").cast("double")).alias("l2")
+        "label",
+        (F.sqrt(F.col("n2").cast("double")) / F.lit(1000000000.0)).alias("l2"),
     )
     return n.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -6997,16 +7000,18 @@ def order_value_log2_histogram(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH x AS (
       SELECT CAST(i AS INT) AS dim,
-             CAST(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
-               AS DECIMAL(18,9)) AS v
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * 1000000000.0 + 0.5) AS DECIMAL(19,0)) AS v
       FROM embeddings, UNNEST(range(1, 65)) t(i)),
     s AS (
       SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
              SUM(v) AS sv, SUM(v * v) AS svv
       FROM x GROUP BY dim)
     SELECT dim, n,
-           round(CAST(sv AS DOUBLE) / n, 9) AS mean_v,
-           round((CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * sv / n)
+           round(CAST(sv AS DOUBLE) / 1000000000.0 / n, 9) AS mean_v,
+           round((CAST(svv AS DOUBLE) / 1000000000000000000.0
+                  - (CAST(sv AS DOUBLE) / 1000000000.0)
+                    * (CAST(sv AS DOUBLE) / 1000000000.0) / n)
              / (n - 1), 9) AS var_v
     FROM s
     """,
@@ -7022,25 +7027,31 @@ def embedding_dim_profile(spark: SparkSession, sf: str) -> DataFrame:
     divisions need round guards. Same plan shape at any corpus size:
     the key space is the dimensionality, not the row count."""
     emb = load(spark, sf, "embeddings")
+    # 1e-9 quantization via identical double ops on both engines (a
+    # decimal CAST would round HALF_UP here, half-even in DuckDB — the
+    # label_centroids boundary bug class); v is the 1e9-scaled integer.
     x = emb.select(
         F.posexplode("embedding").alias("pos", "comp")
     ).select(
         (F.col("pos") + 1).cast("int").alias("dim"),
-        F.col("comp").cast("double").cast("decimal(18,9)").alias("v"),
+        F.floor(
+            F.col("comp").cast("double") * F.lit(1000000000.0) + F.lit(0.5)
+        ).cast("decimal(19,0)").alias("v"),
     )
     s = x.groupBy("dim").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("v").alias("sv"),
         F.sum(F.col("v") * F.col("v")).alias("svv"),
     )
+    sv_d = F.col("sv").cast("double") / F.lit(1000000000.0)
     return s.select(
         "dim",
         "n",
-        F.round(F.col("sv").cast("double") / F.col("n"), 9).alias("mean_v"),
+        F.round(sv_d / F.col("n"), 9).alias("mean_v"),
         F.round(
             (
-                F.col("svv").cast("double")
-                - F.col("sv").cast("double") * F.col("sv") / F.col("n")
+                F.col("svv").cast("double") / F.lit(1000000000000000000.0)
+                - sv_d * sv_d / F.col("n")
             )
             / (F.col("n") - 1),
             9,
