@@ -8275,7 +8275,8 @@ def linkage_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "salted_join_revenue",
-    """
+    bench=True,
+    oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_items,
            CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
@@ -8373,7 +8374,8 @@ def l_diversity_report(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "revenue_holt_forecast",
-    """
+    bench=True,
+    oracle="""
     WITH RECURSIVE daily AS (
       SELECT event_type, date_trunc('day', ts) AS d,
              CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS x
