@@ -36,8 +36,10 @@ from tensei_agent_spark.operators import dedup as D  # noqa: E402
 from tensei_agent_spark.operators import similarity as SIM  # noqa: E402
 from tensei_agent_spark.session import get_spark  # noqa: E402
 
+import os
+
 SF_DIR = "/root/testdata/sf0.1"
-OUT = "SCALE_SMOKE_r03.json"
+OUT = os.environ.get("SCALE_SMOKE_OUT", "SCALE_SMOKE_r04.json")
 
 
 def scaled_docs(spark, s: int):
