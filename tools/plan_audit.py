@@ -25,6 +25,7 @@ uses the sf0.001 tables.
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 import time
@@ -35,7 +36,7 @@ from tensei_agent_spark.queries import REGISTRY  # noqa: E402
 from tensei_agent_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
-OUT = "PLAN_AUDIT_r03.json"
+OUT = os.environ.get("PLAN_AUDIT_OUT", "PLAN_AUDIT_r04.json")
 
 WINDOW_SPEC = re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe")
 ORDER_SUFFIXES = (
