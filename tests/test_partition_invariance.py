@@ -36,6 +36,15 @@ SAMPLE = [
     "part_skyline",
     # OPH bit screen + prefix filter: all hash-derived, layout-free
     "dedup_ngram_jaccard_fast",
+    # round-4 shapes: disjoint blocking passes + EM on float-summed
+    # pattern counts (sorted before the fold — THE layout hazard),
+    # distributed-rank neighbor join, per-key recurrence fold over a
+    # collect_list whose gather order varies with layout, A-ES top-k
+    "record_linkage_em",
+    "linkage_sorted_neighborhood",
+    "revenue_holt_forecast",
+    "weighted_sample_docs",
+    "view_purchase_overlap_windows",
 ]
 
 
