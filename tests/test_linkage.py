@@ -277,3 +277,37 @@ def test_registry_linkage_score_census_covers_all_pairs(spark):
         r["n_pairs"] for r in patterns
     )
     assert len(bands) >= 2  # the weights actually separate score levels
+
+
+def test_empty_inputs_do_not_break(spark):
+    """Empty batch / empty corpus / single-row frames flow through the
+    whole linkage surface without AnalysisExceptions or crashes."""
+    from tensei_agent_spark.operators.linkage import (
+        agreement_vectors,
+        blocked_pairs,
+        em_fellegi_sunter,
+        exact,
+        incremental_pairs,
+        score_pairs,
+        sorted_neighborhood_pairs,
+    )
+
+    schema = "id int, name string, city string, bal double"
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame([(1, "a", "x", 1.0)], schema)
+
+    assert blocked_pairs(empty, None, ["city"], "id", ["name"]).count() == 0
+    assert blocked_pairs(one, None, ["city"], "id", ["name"]).count() == 0
+    assert (
+        incremental_pairs(one, empty, ["city"], "id", ["name"]).count() == 0
+    )
+    assert sorted_neighborhood_pairs(empty, ["bal", "id"], "id").count() == 0
+    assert sorted_neighborhood_pairs(one, ["bal", "id"], "id").count() == 0
+    ag = agreement_vectors(
+        spark.createDataFrame([], "id_a int, name_a string, id_b int, name_b string"),
+        [exact("name")],
+    )
+    assert score_pairs(ag, ["name"], [0.9], [0.1]).count() == 0
+    # EM with no observed pairs: degenerate, returns the init unchanged
+    m, u, p = em_fellegi_sunter([], n_fields=2)
+    assert (m, u) == ([0.9, 0.9], [0.1, 0.1])

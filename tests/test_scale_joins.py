@@ -115,3 +115,15 @@ def test_interval_overlap_join_exact_and_once(spark):
         ).collect()
     )
     assert got == [(10, 20), (10, 21), (12, 20)]
+
+
+def test_interval_overlap_join_empty_sides(spark):
+    from tensei_agent_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [], "k int, id_a int, sa timestamp, ea timestamp"
+    )
+    b = spark.createDataFrame(
+        [], "k int, id_b int, sb timestamp, eb timestamp"
+    )
+    assert interval_overlap_join(a, b, "k", "sa", "ea", "sb", "eb").count() == 0

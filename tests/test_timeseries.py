@@ -51,3 +51,10 @@ def test_holt_tracks_linear_series_exactly_in_the_limit(spark):
     got = holt_forecast(df, ["key"], "s", "x", horizon=5).collect()[0]
     assert got["trend"] == pytest.approx(2.0, abs=0.01)
     assert got["forecast"] == pytest.approx(xs[-1] + 5 * 2.0, rel=0.01)
+
+
+def test_holt_empty_series(spark):
+    from tensei_agent_spark.operators.timeseries import holt_forecast
+
+    empty = spark.createDataFrame([], "key string, s int, x double")
+    assert holt_forecast(empty, ["key"], "s", "x").count() == 0
