@@ -222,6 +222,10 @@ def sorted_neighborhood_pairs(
     the rank, so the sliding pass is shuffle-bounded by window ×
     corpus, with no windowed self-scan.
     """
+    if window < 1:
+        # sequence(i+1, i+0) would DESCEND ([i+1, i] — Spark's default
+        # step is -1 when start > stop) and emit self-pairs.
+        raise ValueError(f"window must be >= 1, got {window}")
     ranked = with_global_rank(df, [*sort_cols], out="_i")
     left = ranked.select(
         F.col(id_col).alias("id_a"),

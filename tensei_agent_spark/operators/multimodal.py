@@ -321,6 +321,12 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float, list[float]]:
         tokens.append(int(payload[start:i]))
     i += 1  # single whitespace after maxval, then raw data
     w, h, maxval = tokens
+    if maxval > 255:
+        # 16-bit-per-sample P6 stores 2 bytes/sample; parsing it as u1
+        # would silently return garbage channel stats.
+        raise NotImplementedError(
+            f"PPM maxval {maxval} > 255 (16-bit samples) unsupported"
+        )
     px = np.frombuffer(payload, dtype="u1", count=w * h * 3, offset=i)
     rgb = px.reshape(h, w, 3).astype(np.float64) / float(maxval)
     means = rgb.mean(axis=(0, 1))

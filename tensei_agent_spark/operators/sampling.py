@@ -138,7 +138,6 @@ def shuffle_shards(
 
 
 def weighted_sample_keys(
-    df,
     weight: Column,
     id_col: str = "doc_id",
     salt: str = "",
@@ -155,6 +154,13 @@ def weighted_sample_keys(
     tie-break. Distributed top-k by this key is ``orderBy(...).limit``
     — Spark's TakeOrdered, per-partition heaps + one k-row merge,
     never a global sort.
+
+    Pure Column expression — apply to any frame carrying ``id_col``.
+    Cross-engine caveat: ``ln`` is transcendental, so unlike the
+    +/*/floor quantizations elsewhere its last ULP is not guaranteed
+    identical between the JVM and libm; oracle-compared consumers rank
+    on ``round(key, 12)`` with the id as tie-break (the established
+    cosine-ranking convention) so a 1-ULP drift cannot flip a cut.
     """
     h = F.conv(
         F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 15),

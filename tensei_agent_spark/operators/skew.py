@@ -86,10 +86,19 @@ def count_distinct_two_phase(
     plan; this explicit form exists for composition (chain further
     per-(k,v) work between the phases) and as the documented pattern
     for the ``collect_set``-then-size shape that does NOT rewrite
-    itself."""
-    return (
+    itself. NULL values are excluded before the distinct — matching
+    ``countDistinct``, which never counts NULL (a bare ``distinct()``
+    would keep one (k, NULL) row and over-count by one) — and groups
+    whose values are ALL NULL still surface with a 0, exactly like the
+    built-in."""
+    keys = df.select(*group_cols).distinct()
+    counts = (
         df.select(*group_cols, value_col)
+        .filter(F.col(value_col).isNotNull())
         .distinct()
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias(out))
+    )
+    return keys.join(counts, list(group_cols), "left").withColumn(
+        out, F.coalesce(F.col(out), F.lit(0))
     )

@@ -8109,6 +8109,19 @@ def _linkage_agreements(spark: SparkSession, sf: str) -> DataFrame:
     return LK.agreement_vectors(pairs, comparators)
 
 
+def _linkage_pattern_counts(ag: DataFrame) -> list:
+    """EM input: the ≤2^f agreement-pattern counts of an agreement
+    frame, through the SAME operators/linkage.pattern_counts every
+    caller uses, sorted for a deterministic float-summation order in
+    the EM accumulators."""
+    from .operators.linkage import pattern_counts
+
+    return sorted(
+        ([r[f"g_{f}"] for f in _LINKAGE_FIELDS], r["n_pairs"])
+        for r in pattern_counts(ag, _LINKAGE_FIELDS).collect()
+    )
+
+
 @register(
     "linkage_agreement_patterns",
     bench=True,
@@ -8172,19 +8185,7 @@ def record_linkage_em(spark: SparkSession, sf: str) -> DataFrame:
     determinism and weight ordering are pinned in pytest."""
     from .operators.linkage import em_fellegi_sunter, match_weights
 
-    # sorted(): collect order is not deterministic across runs, and the
-    # EM accumulators are floats — fix the summation order so repeated
-    # builds are bit-identical.
-    counts = sorted(
-        (
-            [r[f"g_{f}"] for f in _LINKAGE_FIELDS],
-            r["n_pairs"],
-        )
-        for r in _linkage_agreements(spark, sf)
-        .groupBy(*[f"g_{f}" for f in _LINKAGE_FIELDS])
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .collect()
-    )
+    counts = _linkage_pattern_counts(_linkage_agreements(spark, sf))
     m, u, p = em_fellegi_sunter(counts, n_fields=len(_LINKAGE_FIELDS))
     w = match_weights(m, u)
     rows = [
@@ -8216,12 +8217,7 @@ def record_linkage_scores(spark: SparkSession, sf: str) -> DataFrame:
     # stream — track-persist so the blocking join runs once, released
     # by the registry lifecycle like every other double-use relation.
     ag = cache.track(_linkage_agreements(spark, sf))
-    counts = sorted(
-        ([r[f"g_{f}"] for f in _LINKAGE_FIELDS], r["n_pairs"])
-        for r in ag.groupBy(*[f"g_{f}" for f in _LINKAGE_FIELDS])
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .collect()
-    )
+    counts = _linkage_pattern_counts(ag)
     m, u, _ = em_fellegi_sunter(counts, n_fields=len(_LINKAGE_FIELDS))
     return (
         score_pairs(ag, _LINKAGE_FIELDS, m, u)
@@ -8488,9 +8484,9 @@ def view_purchase_overlap_windows(spark: SparkSession, sf: str) -> DataFrame:
     """
     WITH keyed AS (
       SELECT doc_id, source,
-             ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+             round(ln((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
                       AS BIGINT) + 1) / 1152921504606846976.0)
-               / CAST(n_chars + 1 AS DOUBLE) AS k
+               / CAST(n_chars + 1 AS DOUBLE), 12) AS k
       FROM documents)
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
            CAST(SUM(doc_id) AS BIGINT) AS id_checksum
@@ -8511,10 +8507,13 @@ def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     key = weighted_sample_keys(
-        docs, weight=(F.col("n_chars") + F.lit(1)).cast("double")
+        weight=(F.col("n_chars") + F.lit(1)).cast("double")
     )
+    # round(…,12) before ranking: ln() may differ by 1 ULP between the
+    # JVM and libm — the rounded key + id tie-break is engine-stable
+    # (the cosine-ranking convention)
     picked = (
-        docs.select("doc_id", "source", key.alias("_k"))
+        docs.select("doc_id", "source", F.round(key, 12).alias("_k"))
         .orderBy(F.col("_k").desc(), "doc_id")
         .limit(100)
     )

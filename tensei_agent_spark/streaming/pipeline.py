@@ -579,7 +579,8 @@ def scd2_stream(
     from ..operators.incremental import scd2_merge
     from ..operators.maintenance import upsert_partitioned_parquet
 
-    def bucket_of(df: DataFrame):
+    def bucket_of():
+        # pure Column expression over key_cols — frame-independent
         return F.pmod(
             F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)
         ).cast("int")
@@ -590,7 +591,7 @@ def scd2_stream(
         batch_df = batch_df.dropDuplicates([*key_cols, *order_cols])
         touched_buckets = [
             r[0]
-            for r in batch_df.select(bucket_of(batch_df).alias("_b"))
+            for r in batch_df.select(bucket_of().alias("_b"))
             .distinct()
             .collect()
         ]
@@ -612,7 +613,7 @@ def scd2_stream(
             valid_from,
             valid_to,
         )
-        out = merged.withColumn("_bucket", bucket_of(merged))
+        out = merged.withColumn("_bucket", bucket_of())
         upsert_partitioned_parquet(
             spark, out, path, key_cols=key_cols, partition_col="_bucket"
         )

@@ -87,3 +87,13 @@ def test_bench_compare_green_when_stable_or_grown(tmp_path):
     proc = _run_compare(old, new)
     assert proc.returncode == 0, proc.stdout
     assert "added in" in proc.stdout
+
+
+def test_bench_compare_flags_new_and_failed(tmp_path):
+    """A query new THIS round that is already failing must trip the
+    gate — no old timing does not mean no problem."""
+    old = _bench_artifact(tmp_path, "old.json", {"a": 1.0})
+    new = _bench_artifact(tmp_path, "new.json", {"a": 1.0, "q_new": -1.0})
+    proc = _run_compare(old, new)
+    assert proc.returncode == 1, proc.stdout
+    assert "NEW+FAILED" in proc.stdout

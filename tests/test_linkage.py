@@ -311,3 +311,11 @@ def test_empty_inputs_do_not_break(spark):
     # EM with no observed pairs: degenerate, returns the init unchanged
     m, u, p = em_fellegi_sunter([], n_fields=2)
     assert (m, u) == ([0.9, 0.9], [0.1, 0.1])
+
+
+def test_sorted_neighborhood_rejects_nonpositive_window(spark):
+    from tensei_agent_spark.operators.linkage import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, 1.0)], "id int, v double")
+    with pytest.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(df, ["v", "id"], "id", window=0)

@@ -294,3 +294,13 @@ def test_stdlib_decoder_gates_unknown_formats():
 
     with pytest.raises(NotImplementedError, match="no stdlib decoder"):
         stdlib_decoder(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def test_ppm_16bit_maxval_gated():
+    import pytest
+
+    from tensei_agent_spark.operators.multimodal import decode_ppm
+
+    payload = b"P6\n2 2\n65535\n" + b"\x00" * 24
+    with pytest.raises(NotImplementedError, match="maxval"):
+        decode_ppm(payload)

@@ -228,7 +228,7 @@ def test_weighted_sample_aes_biases_and_replays(spark):
     )
 
     def draw(salt=""):
-        key = weighted_sample_keys(df, F.col("w"), salt=salt)
+        key = weighted_sample_keys(F.col("w"), salt=salt)
         return [
             r["doc_id"]
             for r in df.select("doc_id", key.alias("k"))

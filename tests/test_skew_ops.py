@@ -92,3 +92,20 @@ def test_count_distinct_two_phase_equals_builtin(spark):
         for r in count_distinct_two_phase(df, ["k"], "val").collect()
     }
     assert got == want
+
+
+def test_count_distinct_two_phase_null_parity(spark):
+    """NULL handling must match countDistinct exactly: NULLs never
+    count, and all-NULL groups still emit 0."""
+    df = spark.createDataFrame(
+        [(1, None), (1, 7), (2, None)], "k int, val int"
+    )
+    want = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k").agg(F.countDistinct("val").alias("n")).collect()
+    }
+    got = {
+        (r["k"], r["n_distinct"])
+        for r in count_distinct_two_phase(df, ["k"], "val").collect()
+    }
+    assert got == want == {(1, 1), (2, 0)}

@@ -49,6 +49,11 @@ def main() -> None:
         why = "FAILED" if k in b_failed else "missing"
         regressions.append(k)
         print(f"{k:35s} {a[k]:14.3f} {'—':>14s}  {why}  <-- REGRESSION")
+    # ...and a query that is NEW this round and already failing must
+    # not slip through just because it has no old timing to compare.
+    for k in sorted(b_failed - set(a)):
+        regressions.append(k)
+        print(f"{k:35s} {'—':>14s} {'—':>14s}  NEW+FAILED  <-- REGRESSION")
     only_b = sorted(set(b) - set(a))
     if only_b:
         print(f"added in {b_path}: {only_b}")

@@ -50,7 +50,13 @@ def main() -> None:
             f"CORRECTNESS_LOCAL_r{n:02d}.json",
         ],
     )
-    run("plan audit", [sys.executable, "tools/plan_audit.py"])
+    # Per-round audit artifact: without the env override the tool's
+    # default name would clobber a PRIOR round's committed audit.
+    run(
+        "plan audit",
+        [sys.executable, "tools/plan_audit.py"],
+        env={**os.environ, "PLAN_AUDIT_OUT": f"PLAN_AUDIT_r{n:02d}.json"},
+    )
 
     bench = run(
         "bench sf0.1",
@@ -60,19 +66,26 @@ def main() -> None:
     )
     line = [ln for ln in bench.stdout.splitlines() if ln.strip()][-1]
     payload = json.loads(line)
-    tmp = "/tmp/bench_round_close.json"
-    with open(tmp, "w") as f:
-        json.dump({"parsed": payload}, f)
+    # Persist as BENCH_LOCAL (the external driver owns the BENCH_r<N>
+    # name) so the NEXT round's compare has this round's baseline even
+    # if the driver's artifact lands later/differently.
+    local = os.path.join(REPO, f"BENCH_LOCAL_r{n:02d}.json")
+    with open(local, "w") as f:
+        json.dump({"parsed": payload}, f, indent=1)
     print(line)
 
     prev = sorted(
-        p
+        (
+            int(re.search(r"r(\d+)", p).group(1)),
+            p,
+        )
         for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+        + glob.glob(os.path.join(REPO, "BENCH_LOCAL_r*.json"))
         if int(re.search(r"r(\d+)", p).group(1)) < n
     )
     if prev:
         run("bench compare", [
-            sys.executable, "tools/bench_compare.py", prev[-1], tmp,
+            sys.executable, "tools/bench_compare.py", prev[-1][1], local,
         ])
     print("\nround-close: ALL GREEN — commit the refreshed artifacts.")
 
