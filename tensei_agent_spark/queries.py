@@ -8521,3 +8521,70 @@ def weighted_sample_docs(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
         F.sum("doc_id").cast("bigint").alias("id_checksum"),
     )
+
+
+# Fixed literal weights for the oracle-exact scoring variant: computed
+# ONCE here (log2 is transcendental — embedding the repr() round-trips
+# the exact double into BOTH engines, so the scoring arithmetic is
+# identical literals + additions on each side).
+_LINKAGE_FIXED_M = (0.95, 0.9, 0.7, 0.85)
+_LINKAGE_FIXED_U = (0.08, 0.2, 0.1, 0.5)
+
+
+def _fixed_weight_sql() -> str:
+    from .operators.linkage import match_weights
+
+    w = match_weights(_LINKAGE_FIXED_M, _LINKAGE_FIXED_U)
+    terms = " + ".join(
+        f"(CASE WHEN g_{f} = 1 THEN {w[j][0]!r} ELSE {w[j][1]!r} END)"
+        for j, f in enumerate(_LINKAGE_FIELDS)
+    )
+    return f"""
+    WITH c AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment, c_acctbal,
+             right(c_name, 2) AS name_sfx
+      FROM customer
+    ),
+    pairs AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM c a JOIN c b ON a.c_custkey < b.c_custkey
+       AND ((a.c_nationkey = b.c_nationkey
+             AND a.c_mktsegment = b.c_mktsegment)
+            OR a.name_sfx = b.name_sfx)
+    ),
+    bits AS (
+      SELECT CAST(a.c_nationkey = b.c_nationkey AS INT) AS g_nation,
+             CAST(a.c_mktsegment = b.c_mktsegment AS INT) AS g_seg,
+             CAST(abs(a.c_acctbal - b.c_acctbal) < 100.0 AS INT) AS g_bal,
+             CAST(levenshtein(a.c_name, b.c_name) <= 2 AS INT) AS g_name
+      FROM pairs p
+      JOIN c a ON a.c_custkey = p.id_a
+      JOIN c b ON b.c_custkey = p.id_b
+    )
+    SELECT round({terms}, 3) AS score_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM bits GROUP BY 1
+    """
+
+
+@register("linkage_scores_fixed_weights", None)
+def linkage_scores_fixed_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Score-band census with FIXED literal Fellegi–Sunter weights —
+    the oracle-exact twin of ``record_linkage_scores`` that isolates
+    the SCORING machinery (blocking → agreement bits → literal-weight
+    codegen map → band census) from the not-SQL-expressible EM
+    estimation. Identical per-field log2 weights are embedded as
+    repr()-round-tripped double literals in both engines."""
+    from .operators.linkage import score_pairs
+
+    ag = _linkage_agreements(spark, sf)
+    return (
+        score_pairs(ag, _LINKAGE_FIELDS, _LINKAGE_FIXED_M, _LINKAGE_FIXED_U)
+        .groupBy(F.round(F.col("score"), 3).alias("score_band"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
+REGISTRY["linkage_scores_fixed_weights"] = Query(
+    REGISTRY["linkage_scores_fixed_weights"].build, _fixed_weight_sql()
+)
