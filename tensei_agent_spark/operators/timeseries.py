@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["holt_forecast"]
+__all__ = ["holt_forecast", "acf", "ewma_control"]
 
 
 def holt_forecast(
@@ -75,4 +75,142 @@ def holt_forecast(
         fold["l"].alias("level"),
         fold["t"].alias("trend"),
         (fold["l"] + F.lit(float(horizon)) * fold["t"]).alias("forecast"),
+    )
+
+
+def acf(
+    series: DataFrame,
+    key_cols: list[str],
+    step_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function per key, lags 1..max_lag, EXACT.
+
+    ``series`` is one row per (key, integer step) with ``value_col``
+    a DECIMAL column (exact arithmetic end-to-end; the caller rolls the
+    raw stream up first). Gaps in the step sequence are honoured the
+    calendar way: a missing step simply contributes no pair at the lags
+    it would have anchored.
+
+    r_l = [S_ab − x̄(S_a + S_b) + n_l·x̄²] / [S_xx − 2x̄·S_x + n·x̄²]
+    (the standard mean-centred estimator with pairwise-complete lag
+    windows), where every S_* is an exact DECIMAL sum and only the
+    final combination runs in IEEE double — so a SQL oracle writing
+    the identical expression tree reproduces the result bit-exactly,
+    independent of either engine's partial-aggregation order.
+
+    Scale shape: one map-side ×max_lag fan-out of the (already
+    key×horizon-bounded) series, one shuffle join keyed on
+    (key, step), two hash aggregates, and a key-sized broadcast join
+    of the full-series moments. No windows, no collects — a 100 TB
+    event stream reduces to its per-key day spine before any of this
+    runs, so the joined relation is |keys|·|days|·max_lag rows.
+    """
+    keys = [F.col(k) for k in key_cols]
+    full = series.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col(value_col)).alias("_sx"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("_sxx"),
+    )
+    lags = F.explode(
+        F.sequence(F.lit(1), F.lit(int(max_lag)))
+    ).alias("lag")
+    probe = series.select(
+        *keys,
+        F.col(step_col).alias("_s"),
+        F.col(value_col).alias("_xa"),
+        lags,
+    ).withColumn("_probe", F.col("_s") + F.col("lag"))
+    base = series.select(
+        *keys,
+        F.col(step_col).alias("_probe"),
+        F.col(value_col).alias("_xb"),
+    )
+    per_lag = (
+        probe.join(base, [*key_cols, "_probe"])
+        .groupBy(*keys, F.col("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("_xa") * F.col("_xb")).alias("_sab"),
+            F.sum("_xa").alias("_sa"),
+            F.sum("_xb").alias("_sb"),
+        )
+    )
+    xbar = F.col("_sx").cast("double") / F.col("_n")
+    num = (
+        F.col("_sab").cast("double")
+        - xbar * (F.col("_sa").cast("double") + F.col("_sb").cast("double"))
+        + F.col("n_pairs") * xbar * xbar
+    )
+    den = (
+        F.col("_sxx").cast("double")
+        - F.lit(2.0) * xbar * F.col("_sx").cast("double")
+        + F.col("_n") * xbar * xbar
+    )
+    return (
+        per_lag.join(F.broadcast(full), key_cols)
+        .select(
+            *keys,
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            (num / den).alias("r"),
+        )
+    )
+
+
+def ewma_control(
+    series: DataFrame,
+    key_cols: list[str],
+    step_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+    k: float = 3.0,
+) -> DataFrame:
+    """EWMA control chart per key (exponentially weighted moving
+    average + mean-absolute-deviation band), as one codegen fold.
+
+    Recurrence (the classic EWMA/EWMAD anomaly monitor):
+        pred_t = s_{t-1};   err_t = |x_t − pred_t|
+        flag_t = d_{t-1} > 0  AND  err_t > k·d_{t-1}
+        s_t = α·x_t + (1−α)·s_{t-1}          (init s_1 = x_1)
+        d_t = α·err_t + (1−α)·d_{t-1}        (init d_1 = 0)
+
+    Returns one row per key: n_steps, final ewma, final ewdev, and
+    n_anomalies (count of flagged steps). α and k should be exactly
+    representable doubles (0.5, 3.0) when feeding the bit-exact
+    oracle gate; the DuckDB twin replays the recursion in the same
+    IEEE order via a recursive CTE.
+
+    Same scale shape as :func:`holt_forecast`: per-key arrays are
+    horizon-bounded, the fold is sequential per key (as the recursion
+    demands) and parallel across keys.
+    """
+    pairs = series.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(step_col).alias("s"), F.col(value_col).alias("x"))
+            )
+        ).alias("_pts")
+    )
+    a = float(alpha)
+    kk = float(k)
+    fold = F.expr(
+        f"""aggregate(
+          slice(_pts, 2, greatest(size(_pts) - 1, 0)),
+          named_struct('s', _pts[0].x, 'd', cast(0.0 as double), 'n', 0L),
+          (st, p) -> named_struct(
+            's', {a}D * p.x + {1.0 - a}D * st.s,
+            'd', {a}D * abs(p.x - st.s) + {1.0 - a}D * st.d,
+            'n', st.n + CASE WHEN st.d > 0.0D
+                              AND abs(p.x - st.s) > {kk}D * st.d
+                             THEN 1L ELSE 0L END),
+          st -> st)"""
+    )
+    return pairs.select(
+        *[F.col(c) for c in key_cols],
+        F.size("_pts").cast("bigint").alias("n_steps"),
+        fold["s"].alias("ewma"),
+        fold["d"].alias("ewdev"),
+        fold["n"].alias("n_anomalies"),
     )

@@ -8588,3 +8588,125 @@ def linkage_scores_fixed_weights(spark: SparkSession, sf: str) -> DataFrame:
 REGISTRY["linkage_scores_fixed_weights"] = Query(
     REGISTRY["linkage_scores_fixed_weights"].build, _fixed_weight_sql()
 )
+
+
+# ---------------------------------------------------------------------------
+# Time-series diagnostics: autocorrelation + EWMA control chart (round 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '1990-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DECIMAL(14,2)) AS x
+      FROM events GROUP BY 1, 2),
+    moments AS (
+      SELECT event_type, COUNT(*) AS _n, SUM(x) AS _sx, SUM(x*x) AS _sxx
+      FROM daily GROUP BY 1),
+    lags AS (SELECT UNNEST(range(1, 8)) AS lag),
+    per_lag AS (
+      SELECT a.event_type, l.lag,
+             COUNT(*) AS n_pairs,
+             SUM(a.x * b.x) AS _sab, SUM(a.x) AS _sa, SUM(b.x) AS _sb
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.event_type = a.event_type AND b.s = a.s + l.lag
+      GROUP BY 1, 2)
+    SELECT p.event_type,
+           CAST(p.lag AS BIGINT) AS lag,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           (CAST(p._sab AS DOUBLE)
+              - (CAST(f._sx AS DOUBLE) / f._n)
+                * (CAST(p._sa AS DOUBLE) + CAST(p._sb AS DOUBLE))
+              + p.n_pairs * (CAST(f._sx AS DOUBLE) / f._n)
+                          * (CAST(f._sx AS DOUBLE) / f._n))
+           / (CAST(f._sxx AS DOUBLE)
+              - 2.0 * (CAST(f._sx AS DOUBLE) / f._n) * CAST(f._sx AS DOUBLE)
+              + f._n * (CAST(f._sx AS DOUBLE) / f._n)
+                     * (CAST(f._sx AS DOUBLE) / f._n)) AS r
+    FROM per_lag p JOIN moments f ON f.event_type = p.event_type
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Autocorrelation of daily event value per event type, lags 1–7
+    (operators/timeseries.acf): seasonality diagnostic feeding forecast
+    model choice. The lag alignment is an equi-join on the integer day
+    number (NOT a rank window — gaps in the calendar shift pairs out,
+    the pairwise-complete convention); every sum is exact DECIMAL so
+    the mean-centred estimator combines in IEEE double identically in
+    both engines → bit-exact with no rounding guard. Scale: the raw
+    stream reduces to |event_type|×|days| rows before the ×7 lag
+    fan-out; the moments join is a broadcast of |event_type| rows."""
+    from .operators.timeseries import acf
+
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("s"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .alias("x")
+    )
+    return acf(daily, ["event_type"], "s", "x", max_lag=7)
+
+
+@register(
+    "ewma_daily_anomalies",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+    numbered AS (
+      SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily),
+    counts AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+    ew AS (
+      SELECT event_type, rn, x AS s, CAST(0.0 AS DOUBLE) AS dv,
+             CAST(0 AS BIGINT) AS na
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn,
+             CAST(0.5 AS DOUBLE) * n.x + CAST(0.5 AS DOUBLE) * ew.s,
+             CAST(0.5 AS DOUBLE) * abs(n.x - ew.s)
+               + CAST(0.5 AS DOUBLE) * ew.dv,
+             ew.na + CASE WHEN ew.dv > CAST(0.0 AS DOUBLE)
+                           AND abs(n.x - ew.s) > CAST(3.0 AS DOUBLE) * ew.dv
+                          THEN 1 ELSE 0 END
+      FROM ew JOIN numbered n
+        ON n.event_type = ew.event_type AND n.rn = ew.rn + 1)
+    SELECT ew.event_type, CAST(c.n AS BIGINT) AS n_steps, ew.s AS ewma,
+           ew.dv AS ewdev, CAST(ew.na AS BIGINT) AS n_anomalies
+    FROM ew JOIN counts c
+      ON c.event_type = ew.event_type AND ew.rn = c.n
+    """,
+)
+def ewma_daily_anomalies(spark: SparkSession, sf: str) -> DataFrame:
+    """EWMA control chart over daily value per event type
+    (operators/timeseries.ewma_control): sequential EWMA + EWMAD band
+    recurrence as ONE codegen array fold per key — the per-key state
+    chain a window function cannot express — with anomaly steps
+    counted where |x − pred| > 3·EWMAD. α=0.5 and k=3.0 are exactly
+    representable, the DuckDB twin replays the identical IEEE order as
+    a recursive CTE → bit-exact. Same scale shape as the Holt query:
+    arrays bounded by the day horizon, parallel across keys."""
+    from .operators.timeseries import ewma_control
+
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)")).cast("double").alias("x")
+    )
+    return ewma_control(
+        daily, ["event_type"], "d", "x", alpha=0.5, k=3.0
+    )

@@ -58,3 +58,108 @@ def test_holt_empty_series(spark):
 
     empty = spark.createDataFrame([], "key string, s int, x double")
     assert holt_forecast(empty, ["key"], "s", "x").count() == 0
+
+
+# --- acf ------------------------------------------------------------------
+
+
+def _acf_python(xs, max_lag):
+    n = len(xs)
+    xbar = sum(xs) / n
+    den = sum((x - xbar) ** 2 for x in xs)
+    out = {}
+    for l in range(1, max_lag + 1):
+        pairs = [(xs[i], xs[i + l]) for i in range(n - l)]
+        num = sum((a - xbar) * (b - xbar) for a, b in pairs)
+        out[l] = (len(pairs), num / den)
+    return out
+
+
+def test_acf_matches_python_model(spark):
+    from decimal import Decimal
+
+    from tensei_agent_spark.operators.timeseries import acf
+
+    xs = [10.0, 12.0, 11.0, 15.0, 18.0, 17.0, 22.0, 9.0, 14.0, 16.0]
+    rows = [("k", i + 1, Decimal(f"{x:.2f}")) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, s int, x decimal(14,2)")
+    got = {
+        r["lag"]: (r["n_pairs"], r["r"])
+        for r in acf(df, ["key"], "s", "x", max_lag=3).collect()
+    }
+    want = _acf_python(xs, 3)
+    assert set(got) == {1, 2, 3}
+    for l in want:
+        assert got[l][0] == want[l][0]
+        assert got[l][1] == pytest.approx(want[l][1], rel=1e-12)
+
+
+def test_acf_gap_drops_pairs_not_alignment(spark):
+    # a missing step contributes no pair at the lags it anchors: with
+    # steps {1,2,4}, lag 1 pairs only (1,2); lag 2 only (2,4)
+    from decimal import Decimal
+
+    from tensei_agent_spark.operators.timeseries import acf
+
+    rows = [
+        ("k", 1, Decimal("1.00")),
+        ("k", 2, Decimal("2.00")),
+        ("k", 4, Decimal("4.00")),
+    ]
+    df = spark.createDataFrame(rows, "key string, s int, x decimal(14,2)")
+    got = {
+        r["lag"]: r["n_pairs"]
+        for r in acf(df, ["key"], "s", "x", max_lag=2).collect()
+    }
+    assert got == {1: 1, 2: 1}
+
+
+def test_acf_perfect_alternation_is_negative_at_lag1(spark):
+    from decimal import Decimal
+
+    from tensei_agent_spark.operators.timeseries import acf
+
+    xs = [1.0, -1.0] * 10
+    rows = [("k", i + 1, Decimal(f"{x:.2f}")) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, s int, x decimal(14,2)")
+    got = {r["lag"]: r["r"] for r in acf(df, ["key"], "s", "x", 2).collect()}
+    assert got[1] < -0.9 and got[2] > 0.85
+
+
+# --- ewma_control ---------------------------------------------------------
+
+
+def _ewma_python(xs, a=0.5, k=3.0):
+    s, d, n = xs[0], 0.0, 0
+    for x in xs[1:]:
+        err = abs(x - s)
+        if d > 0.0 and err > k * d:
+            n += 1
+        s, d = a * x + (1 - a) * s, a * err + (1 - a) * d
+    return s, d, n
+
+
+def test_ewma_control_matches_python_model(spark):
+    from tensei_agent_spark.operators.timeseries import ewma_control
+
+    xs = [10.0, 11.0, 10.5, 10.8, 11.1, 50.0, 10.9, 11.0]
+    rows = [("k", i + 1, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "key string, s int, x double")
+    got = ewma_control(df, ["key"], "s", "x").collect()[0]
+    s, d, n = _ewma_python(xs)
+    assert got["ewma"] == s  # identical fold order → exact
+    assert got["ewdev"] == d
+    assert got["n_anomalies"] == n >= 1
+    assert got["n_steps"] == len(xs)
+
+
+def test_ewma_control_single_point_and_unsorted(spark):
+    from tensei_agent_spark.operators.timeseries import ewma_control
+
+    rows = [("a", 2, 20.0), ("a", 1, 10.0), ("b", 1, 7.0)]
+    df = spark.createDataFrame(rows, "key string, s int, x double")
+    got = {r["key"]: r for r in ewma_control(df, ["key"], "s", "x").collect()}
+    assert got["a"]["ewma"] == 15.0  # 0.5*20 + 0.5*10, sorted by step
+    assert got["b"]["ewma"] == 7.0
+    assert got["b"]["ewdev"] == 0.0
+    assert got["b"]["n_anomalies"] == 0
