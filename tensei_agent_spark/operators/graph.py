@@ -131,3 +131,72 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     return members.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def min_label_components(
+    edges_sym: DataFrame, rounds: int = 4, nodes: DataFrame | None = None
+) -> DataFrame:
+    """Synchronous min-label propagation over a SYMMETRIC edge list
+    (src, dst): after R rounds every node holds the smallest node id
+    within R hops — the bounded-round core of connected components /
+    label-propagation community seeding (and, run to fixpoint, exactly
+    connected components).
+
+    lbl_{r+1}(v) = min(lbl_r(v), min over in-neighbors u of lbl_r(u)).
+
+    Per round: ONE src-keyed join (label table is node-sized — orders
+    of magnitude below the edge list, broadcastable at scale) and one
+    map-side-combined min aggregate. The edge list is persisted once
+    and never re-shuffled; a fixed round count keeps the program
+    oracle-expressible as unrolled CTEs. For unbounded components use
+    operators/dedup.connected_components (large-star/small-star),
+    which converges in O(log d) rounds; this bounded variant is the
+    cheap R-hop approximation plus the exact per-round semantics.
+    ``nodes`` defaults to the distinct src side (symmetric edges list
+    every node as src); isolated nodes can be unioned in by passing an
+    explicit node frame with a ``node`` column.
+    """
+    e = track(edges_sym.select("src", "dst"))
+    if nodes is None:
+        nodes = e.select(F.col("src").alias("node")).distinct()
+    lbl = nodes.select("node", F.col("node").alias("lbl"))
+    for _ in range(rounds):
+        contrib = e.join(lbl, e["src"] == lbl["node"]).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        lbl = (
+            contrib.unionAll(lbl.select("node", "lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return lbl
+
+
+def bfs_hops(
+    edges_sym: DataFrame, seeds: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """Breadth-first hop distance from a seed set, bounded at
+    ``max_hops``: returns (node, hops) for every node reachable within
+    the bound (min-hop semantics — a node reached at hop 2 and hop 3
+    reports 2). ``seeds`` is a one-column ``node`` frame.
+
+    Same shape discipline as :func:`min_label_components`: per round
+    one equi-join of the (reached-set-sized) frontier table against
+    the persisted edge list plus a min aggregate; no driver loops over
+    data, only over the fixed hop count. At scale the reached set
+    stays a small fraction of the corpus for small bounds, so the join
+    broadcasts; for full single-source shortest paths you'd iterate
+    with delta frontiers and checkpointing instead.
+    """
+    e = track(edges_sym.select("src", "dst"))
+    reached = seeds.select("node", F.lit(0).alias("hops"))
+    for _ in range(max_hops):
+        nxt = e.join(reached, e["src"] == reached["node"]).select(
+            F.col("dst").alias("node"), (F.col("hops") + F.lit(1)).alias("hops")
+        )
+        reached = (
+            nxt.unionAll(reached.select("node", "hops"))
+            .groupBy("node")
+            .agg(F.min("hops").alias("hops"))
+        )
+    return reached

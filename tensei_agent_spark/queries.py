@@ -8710,3 +8710,128 @@ def ewma_daily_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     return ewma_control(
         daily, ["event_type"], "d", "x", alpha=0.5, k=3.0
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-round graph primitives on the strong co-purchase graph (round 5)
+# ---------------------------------------------------------------------------
+
+_STRONG_EDGES_SQL = """
+    e0 AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (
+      SELECT p1 AS src, p2 AS dst FROM e0
+      UNION ALL
+      SELECT p2 AS src, p1 AS dst FROM e0)"""
+
+
+def _strong_copurchase_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric strong co-purchase edge list (parts sharing ≥2
+    orders) — the same graph ``copurchase_kcore`` peels. Bounded by
+    basket size before the pair aggregate; w≥2 prunes the long tail so
+    the bounded-round walks below traverse the dense backbone."""
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e0 = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("p1", "p2")
+    )
+    return e0.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(e0.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+
+
+def _min_label_oracle(rounds: int = 4) -> str:
+    body = [
+        "WITH",
+        _STRONG_EDGES_SQL,
+        """,
+    l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges)""",
+    ]
+    for i in range(1, rounds + 1):
+        body.append(
+            f""",
+    l{i} AS (
+      SELECT node, MIN(lbl) AS lbl FROM (
+        SELECT node, lbl FROM l{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, l.lbl
+        FROM edges e JOIN l{i - 1} l ON e.src = l.node
+      ) u GROUP BY node)"""
+        )
+    body.append(
+        f"""
+    SELECT lbl AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l{rounds} GROUP BY 1"""
+    )
+    return "".join(body)
+
+
+@register("graph_components_census", _min_label_oracle(4))
+def graph_components_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Component census of the strong co-purchase graph after FOUR
+    synchronous min-label rounds (operators/graph.min_label_components):
+    each surviving label is the smallest part key within 4 hops, the
+    census counts nodes per label. Bounded-round twin of the exact
+    large-star/small-star components in ``dedup_components`` — per
+    round one node-sized join + one min aggregate against a persisted
+    edge list, unrolled to stay oracle-expressible. Integer-only →
+    bit-exact."""
+    from .operators.graph import min_label_components
+
+    lbl = min_label_components(_strong_copurchase_edges(spark, sf), rounds=4)
+    return lbl.groupBy(F.col("lbl").alias("component")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+def _bfs_oracle(hops: int = 3) -> str:
+    body = [
+        "WITH",
+        _STRONG_EDGES_SQL,
+        """,
+    seed AS (SELECT MIN(src) AS s FROM edges),
+    h0 AS (SELECT s AS node, 0 AS hops FROM seed)""",
+    ]
+    for i in range(1, hops + 1):
+        body.append(
+            f""",
+    h{i} AS (
+      SELECT node, MIN(hops) AS hops FROM (
+        SELECT node, hops FROM h{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, h.hops + 1 AS hops
+        FROM edges e JOIN h{i - 1} h ON e.src = h.node
+      ) u GROUP BY node)"""
+        )
+    body.append(
+        f"""
+    SELECT node, CAST(hops AS BIGINT) AS hops FROM h{hops}"""
+    )
+    return "".join(body)
+
+
+@register("graph_bfs_hops", _bfs_oracle(3))
+def graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS hop distances (≤3) from the smallest part key in the strong
+    co-purchase graph (operators/graph.bfs_hops): min-hop frontier
+    expansion, one reached-set join + min aggregate per round over the
+    persisted edge list. The deterministic seed (MIN node) makes the
+    walk reproducible in any engine; integer output → bit-exact."""
+    from .operators.graph import bfs_hops
+
+    e = _strong_copurchase_edges(spark, sf)
+    seeds = e.agg(F.min("src").alias("node"))
+    return bfs_hops(e, seeds, max_hops=3).select(
+        "node", F.col("hops").cast("bigint").alias("hops")
+    )

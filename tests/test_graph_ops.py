@@ -91,3 +91,65 @@ def test_pagerank_star_graph_ranks_center_highest(spark):
     assert got[0] == max(got.values())
     leaf_ranks = [got[v] for v in range(1, 9)]
     assert max(leaf_ranks) == pytest.approx(min(leaf_ranks), abs=1e-12)
+
+
+# --- min_label_components / bfs_hops --------------------------------------
+
+
+def _sym(spark, pairs):
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    return e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def test_min_label_two_components_converged(spark):
+    from tensei_agent_spark.operators.graph import min_label_components
+
+    # components {1,2,3} and {10,11}; diameter 2 → 4 rounds converge
+    e = _sym(spark, [(1, 2), (2, 3), (10, 11)])
+    got = {r["node"]: r["lbl"] for r in min_label_components(e, rounds=4).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_min_label_bounded_rounds_on_a_path(spark):
+    from tensei_agent_spark.operators.graph import min_label_components
+
+    # path 1-2-3-4-5-6: after ONE round each node sees only neighbors
+    e = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    got = {r["node"]: r["lbl"] for r in min_label_components(e, rounds=1).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+
+
+def test_min_label_isolated_node_via_explicit_nodes(spark):
+    from tensei_agent_spark.operators.graph import min_label_components
+
+    e = _sym(spark, [(1, 2)])
+    nodes = spark.createDataFrame([(1,), (2,), (99,)], "node bigint")
+    got = {
+        r["node"]: r["lbl"]
+        for r in min_label_components(e, rounds=2, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 99: 99}
+
+
+def test_bfs_hops_min_distance_and_bound(spark):
+    from tensei_agent_spark.operators.graph import bfs_hops
+
+    # 1-2-3-4-5 path plus shortcut 1-4: node 4 is hop 1, node 5 hop 2;
+    # with max_hops=1 node 3 is unreachable
+    e = _sym(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)])
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    got1 = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=1).collect()}
+    assert got1 == {1: 0, 2: 1, 4: 1}
+
+
+def test_bfs_hops_multi_seed(spark):
+    from tensei_agent_spark.operators.graph import bfs_hops
+
+    e = _sym(spark, [(1, 2), (2, 3), (3, 4)])
+    seeds = spark.createDataFrame([(1,), (4,)], "node bigint")
+    got = {r["node"]: r["hops"] for r in bfs_hops(e, seeds, max_hops=1).collect()}
+    assert got == {1: 0, 4: 0, 2: 1, 3: 1}
