@@ -80,3 +80,46 @@ def string_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {parts}) AS (col_name, n, n_null, min_len, max_len, mean_len)"
     )
+
+
+def fd_audit(
+    df: DataFrame, candidates: Sequence[tuple[Sequence[str], str]]
+) -> DataFrame:
+    """Functional-dependency audit (Deequ/metanome-style profiling):
+    for each candidate ``(lhs_cols, rhs_col)`` measure how close
+    LHS → RHS is to holding exactly.
+
+    Returns one row per candidate: ``fd`` (display name), ``n_lhs``
+    (distinct LHS groups), ``n_violating_lhs`` (groups with >1 distinct
+    RHS), ``max_rhs_per_lhs``, and ``holds`` (no violations). The g1-
+    style violation share is n_violating_lhs / n_lhs.
+
+    Shape per candidate: one hash aggregate to the distinct (LHS, RHS)
+    pair set, one to LHS-group RHS counts, one to the 1-row summary —
+    all map-side partialed, no windows, no distinct-on-the-driver. The
+    summaries union into a candidate-count-sized result. NULL RHS
+    counts as a value (SQL ``COUNT(DISTINCT ...)`` drops NULLs; we
+    audit determinism, so two groups differing only in NULL-ness must
+    violate) — implemented by pair-set distinct, which keeps NULL rows.
+    """
+    outs = []
+    for lhs, rhs in candidates:
+        lhs = list(lhs)
+        name = f"{','.join(lhs)} -> {rhs}"
+        pairs = df.select(*lhs, rhs).distinct()
+        per_lhs = pairs.groupBy(*lhs).agg(F.count(F.lit(1)).alias("_nd"))
+        outs.append(
+            per_lhs.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+                F.sum((F.col("_nd") > 1).cast("bigint"))
+                .cast("bigint")
+                .alias("n_violating_lhs"),
+                F.max("_nd").cast("bigint").alias("max_rhs_per_lhs"),
+                (F.max("_nd") == F.lit(1)).alias("holds"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -8835,3 +8835,59 @@ def graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     return bfs_hops(e, seeds, max_hops=3).select(
         "node", F.col("hops").cast("bigint").alias("hops")
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery audit (round 5)
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES: list[tuple[str, list[str], str]] = [
+    ("orders", ["o_orderkey"], "o_custkey"),
+    ("orders", ["o_custkey"], "o_orderpriority"),
+    ("lineitem", ["l_orderkey", "l_linenumber"], "l_partkey"),
+    ("lineitem", ["l_partkey"], "l_suppkey"),
+    ("customer", ["c_custkey"], "c_mktsegment"),
+    ("customer", ["c_nationkey"], "c_mktsegment"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        name = f"{','.join(lhs)} -> {rhs}"
+        lhs_csv = ", ".join(lhs)
+        parts.append(
+            f"""
+    SELECT '{name}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_lhs,
+           CAST(MAX(nd) AS BIGINT) AS max_rhs_per_lhs,
+           MAX(nd) = 1 AS holds
+    FROM (SELECT {lhs_csv}, COUNT(*) AS nd
+          FROM (SELECT DISTINCT {lhs_csv}, {rhs} FROM {table}) p
+          GROUP BY {lhs_csv}) g"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("fd_discovery_audit", _fd_oracle())
+def fd_discovery_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency discovery over a fixed candidate lattice
+    slice (operators/stats.fd_audit) — the schema-profiling primitive
+    behind key detection and constraint suggestion (Deequ-style): for
+    each LHS → RHS candidate, distinct-pair reduction → per-LHS RHS
+    cardinality → 1-row violation summary, unioned across candidates.
+    Mixed holding (PK-shaped) and violated candidates keep both code
+    paths honest. Integer/boolean output → bit-exact. Scale: each
+    candidate is two map-side-partialed hash aggregates over a
+    column-pruned scan; nothing ever collects."""
+    from .operators.stats import fd_audit
+
+    outs = []
+    for table, lhs, rhs in _FD_CANDIDATES:
+        outs.append(fd_audit(load(spark, sf, table), [(lhs, rhs)]))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

@@ -95,3 +95,49 @@ def test_hll_rollup_within_error_bound(spark):
     d = {r["week"]: r["estimate"] for r in direct.collect()}
     for wk in d:
         assert abs(d[wk] - est[wk]) / max(d[wk], 1) < 0.02
+
+
+# --- fd_audit -------------------------------------------------------------
+
+
+def test_fd_audit_holding_and_violating(spark):
+    from tensei_agent_spark.operators.stats import fd_audit
+
+    rows = [
+        (1, "a", "x"),
+        (2, "a", "x"),
+        (3, "b", "y"),
+        (3, "b", "y"),  # duplicate row must not create a violation
+        (4, "b", "z"),
+    ]
+    df = spark.createDataFrame(rows, "id int, g string, v string")
+    got = {r["fd"]: r for r in fd_audit(df, [(["id"], "v"), (["g"], "v")]).collect()}
+    assert got["id -> v"]["holds"] is True
+    assert got["id -> v"]["n_lhs"] == 4
+    assert got["id -> v"]["n_violating_lhs"] == 0
+    g = got["g -> v"]
+    assert g["holds"] is False
+    assert g["n_lhs"] == 2 and g["n_violating_lhs"] == 1
+    assert g["max_rhs_per_lhs"] == 2
+
+
+def test_fd_audit_null_rhs_counts_as_value(spark):
+    from tensei_agent_spark.operators.stats import fd_audit
+
+    rows = [(1, "x"), (1, None), (2, None)]
+    df = spark.createDataFrame(rows, "k int, v string")
+    got = fd_audit(df, [(["k"], "v")]).collect()[0]
+    # k=1 maps to {x, NULL} → a determinism violation; k=2 only NULL
+    assert got["holds"] is False
+    assert got["n_violating_lhs"] == 1
+    assert got["n_lhs"] == 2
+
+
+def test_fd_audit_composite_lhs(spark):
+    from tensei_agent_spark.operators.stats import fd_audit
+
+    rows = [(1, 1, "x"), (1, 2, "y"), (2, 1, "x")]
+    df = spark.createDataFrame(rows, "a int, b int, v string")
+    got = fd_audit(df, [(["a", "b"], "v")]).collect()[0]
+    assert got["fd"] == "a,b -> v"
+    assert got["holds"] is True and got["n_lhs"] == 3
