@@ -8891,3 +8891,55 @@ def fd_discovery_audit(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer induction (round 5) — iterative, not SQL-expressible:
+# rows-only driver check; exactness is pinned against a pure-Python
+# reference implementation in tests/test_bpe.py.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merges(spark: SparkSession, sf: str, n_merges: int = 60):
+    from .operators.bpe import bpe_train, word_frequencies
+
+    freqs = word_frequencies(
+        load(spark, sf, "documents"), "text", max_vocab=20000
+    ).collect()
+    return bpe_train([(r["word"], r["count"]) for r in freqs], n_merges)
+
+
+@register("bpe_vocab_merges", None)  # iterative induction: rows-only
+def bpe_vocab_merges(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE vocabulary induction over the documents corpus
+    (operators/bpe.py): ONE distributed word-count pass reduces the
+    corpus to a (word, count) table, capped at the deterministic
+    top-20k vocabulary; 60 merges learn driver-side over that table
+    (the production tokenizer-trainer decomposition — the corpus is
+    never rescanned per merge). Output: the learned merge table
+    (rank, left, right, freq). Tie-breaks are total orders, so the
+    result is layout-independent; the merge loop is pinned bit-for-bit
+    against a naive reference implementation in pytest."""
+    rows = _bpe_merges(spark, sf)
+    return spark.createDataFrame(
+        [(int(k), l, r, int(f)) for k, l, r, f in rows],
+        "rank bigint, left string, right string, freq bigint",
+    )
+
+
+@register("bpe_token_counts", None)  # segmentation is iterative: rows-only
+def bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus token census under the 60 learned merges
+    (operators/bpe.bpe_token_counts): segmentation runs per DISTINCT
+    word over the vocab-sized table (Arrow-batched pandas UDF, ranks
+    broadcast), corpus counts re-key the word counts through an
+    explode — no per-document Python, one corpus scan. Output: the
+    deterministic top-100 tokens by (count desc, token asc)."""
+    from .operators.bpe import bpe_token_counts as tok_counts
+
+    merges = _bpe_merges(spark, sf)
+    return (
+        tok_counts(load(spark, sf, "documents"), merges)
+        .orderBy(F.col("count").desc(), F.col("token"))
+        .limit(100)
+    )
