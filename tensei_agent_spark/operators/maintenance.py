@@ -333,3 +333,33 @@ class ManifestTable:
             if os.path.exists(m):
                 os.remove(m)
         return deleted
+
+
+def write_bucketed(
+    df,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a DataFrame as a BUCKETED (and optionally sorted)
+    managed parquet table — the layout that makes repeated key-joins
+    and key-aggregations exchange-free.
+
+    Both sides of a join bucketed by the join key into the same bucket
+    count are co-partitioned ON DISK: Spark's scan reports the hash
+    partitioning, Catalyst drops the Exchange on each side, and at
+    100 TB the O(data) shuffle of every subsequent join/groupBy on
+    that key is paid ONCE at write time instead of per query (the
+    bucket-pruned streaming SCD2 sink and the Z-order layout are the
+    same trade in other dimensions). With ``sort_cols`` the sort-merge
+    join's per-task sort disappears too. Proof of the exchange-free
+    plan: tests/test_scale_joins.py::test_bucketed_join_has_no_exchange.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(
+        int(n_buckets), *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)

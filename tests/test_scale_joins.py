@@ -127,3 +127,62 @@ def test_interval_overlap_join_empty_sides(spark):
         [], "k int, id_b int, sb timestamp, eb timestamp"
     )
     assert interval_overlap_join(a, b, "k", "sa", "ea", "sb", "eb").count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-bucketed tables join without ANY shuffle: the O(data)
+    exchange is paid once at layout time, then every key-join is
+    map-side — the core 100 TB co-location strategy."""
+    from tensei_agent_spark.catalog import load
+    from tensei_agent_spark.operators.maintenance import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(
+        load(spark, sf, "orders"), "t_orders_b", ["o_orderkey"], 8,
+        sort_cols=["o_orderkey"],
+    )
+    write_bucketed(
+        load(spark, sf, "lineitem"), "t_lineitem_b", ["l_orderkey"], 8,
+        sort_cols=["l_orderkey"],
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_lineitem_b").join(
+            spark.table("t_orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        n = j.count()  # force execution so AQE finalizes the plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # correctness: every lineitem row finds its order
+        assert n == load(spark, sf, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_bucketed_aggregation_has_no_exchange(spark):
+    """A groupBy on the bucket key of a bucketed table aggregates
+    without a shuffle (the scan's hash partitioning satisfies the
+    aggregate's distribution requirement)."""
+    from tensei_agent_spark.catalog import load
+    from tensei_agent_spark.operators.maintenance import write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(
+        load(spark, sf, "lineitem"), "t_li_agg_b", ["l_orderkey"], 8
+    )
+    try:
+        agg = (
+            spark.table("t_li_agg_b")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        agg.count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_li_agg_b")
