@@ -640,3 +640,119 @@ def test_serve_ann_stream_writer_callback(spark, tmp_path_factory):
         for r in pq_adc_topk(emb, queries, codebooks, k=5).collect()
     }
     assert got == want
+
+
+# --- decayed heavy hitters -------------------------------------------------
+
+
+def _hh_batch_weights(rows, half_life_s):
+    """Closed-form per-key weights Σ 2^(−(T−t)/hl), decayed to the
+    global max ts — the exact result when capacity ≥ #distinct keys."""
+    t1 = max(int(t.timestamp() * 1000) for t, _, _ in rows)
+    hl_ms = half_life_s * 1000.0
+    out = {}
+    for t, etype, uid in rows:
+        tm = int(t.timestamp() * 1000)
+        out.setdefault(etype, {}).setdefault(uid, 0.0)
+        out[etype][uid] += 2.0 ** (-(t1 - tm) / hl_ms)
+    return out
+
+
+def test_decayed_heavy_hitters_exact_under_capacity(spark, tmp_path):
+    import datetime as dt
+
+    from tensei_agent_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        decayed_heavy_hitters,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    raw = []
+    eid = 0
+    for h, uid, n in [(0, 1, 5), (1, 2, 3), (2, 1, 1), (2, 3, 2)]:
+        for i in range(n):
+            eid += 1
+            raw.append(
+                (eid, base + dt.timedelta(hours=h, seconds=i), uid, "view", 1.0, "{}")
+            )
+    df = spark.createDataFrame(raw, EVENT_SCHEMA)
+    src = str(tmp_path / "hh_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    q = (
+        decayed_heavy_hitters(stream, capacity=16, half_life_s=3600.0)
+        .writeStream.format("memory")
+        .queryName("hh_sink")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_rows = spark.table("hh_sink").collect()
+    latest = max(r["epoch_ms"] for r in got_rows)
+    got = {
+        r["user_id"]: r["weight"] for r in got_rows if r["epoch_ms"] == latest
+    }
+    want = _hh_batch_weights(
+        [(r[1], r[3], r[2]) for r in raw], 3600.0
+    )["view"]
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-12)
+    # decay ordering: u1 ≈ 5·2^-2 + 1 = 2.25, u3 ≈ 2·2^0 = 2,
+    # u2 ≈ 3·2^-1 = 1.5 — recency discounts the old burst
+    assert got[1] > got[3] > got[2]
+
+
+def test_decayed_heavy_hitters_state_bounded_and_multibatch(spark, tmp_path):
+    import datetime as dt
+
+    from tensei_agent_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        decayed_heavy_hitters,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    src = str(tmp_path / "hh_src2")
+    # batch 1: users 1..6 once each; batch 2 (1h later): user 7 twice
+    b1 = [
+        (i, base + dt.timedelta(seconds=i), i, "view", 1.0, "{}")
+        for i in range(1, 7)
+    ]
+    b2 = [
+        (10 + i, base + dt.timedelta(hours=1, seconds=i), 7, "view", 1.0, "{}")
+        for i in range(2)
+    ]
+    # exactly one file per logical batch → maxFilesPerTrigger=1 gives
+    # two micro-batches in write order (file source orders by mod time)
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        decayed_heavy_hitters(stream, capacity=4, half_life_s=3600.0)
+        .writeStream.format("memory")
+        .queryName("hh_sink2")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("hh_sink2").collect()
+    latest = max(r["epoch_ms"] for r in rows)
+    final = [r for r in rows if r["epoch_ms"] == latest]
+    # state (and emission) is capacity-bounded despite 7 distinct users
+    assert len(final) == 4
+    got = {r["user_id"]: r["weight"] for r in final}
+    # the fresh user must be present; its weight is its own mass PLUS
+    # the evicted minimum (the Space-Saving overcount guarantee):
+    # own ≈ 2^0 + 2^(-1s/1h) ≈ 2.0, evicted min ≈ one hour-decayed
+    # batch-1 event ≈ 0.5
+    assert 7 in got
+    assert got[7] > 1.99  # strictly above its own mass alone
+    assert got[7] < 2.6  # bounded by own mass + evicted minimum
