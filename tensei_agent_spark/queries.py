@@ -8630,6 +8630,7 @@ REGISTRY["linkage_scores_fixed_weights"] = Query(
                      * (CAST(f._sx AS DOUBLE) / f._n)) AS r
     FROM per_lag p JOIN moments f ON f.event_type = p.event_type
     """,
+    bench=True,
 )
 def acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
     """Autocorrelation of daily event value per event type, lags 1–7
@@ -8644,16 +8645,21 @@ def acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.timeseries import acf
 
     ev = load(spark, sf, "events")
-    daily = ev.groupBy(
-        "event_type",
-        F.datediff(
-            F.to_date(F.date_trunc("day", F.col("ts"))),
-            F.lit("1990-01-01").cast("date"),
-        ).alias("s"),
-    ).agg(
-        F.sum(F.col("value").cast("decimal(14,2)"))
-        .cast("decimal(14,2)")
-        .alias("x")
+    # The day spine feeds THREE consumers inside acf() (probe side,
+    # base side, full-series moments) — persist it so the corpus is
+    # scanned once; the cached relation is |event_type|×|days| rows.
+    daily = cache.track(
+        ev.groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date(F.date_trunc("day", F.col("ts"))),
+                F.lit("1990-01-01").cast("date"),
+            ).alias("s"),
+        ).agg(
+            F.sum(F.col("value").cast("decimal(14,2)"))
+            .cast("decimal(14,2)")
+            .alias("x")
+        )
     )
     return acf(daily, ["event_type"], "s", "x", max_lag=7)
 
@@ -8689,6 +8695,7 @@ def acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
     FROM ew JOIN counts c
       ON c.event_type = ew.event_type AND ew.rn = c.n
     """,
+    bench=True,
 )
 def ewma_daily_anomalies(spark: SparkSession, sf: str) -> DataFrame:
     """EWMA control chart over daily value per event type
@@ -8830,7 +8837,10 @@ def graph_bfs_hops(spark: SparkSession, sf: str) -> DataFrame:
     walk reproducible in any engine; integer output → bit-exact."""
     from .operators.graph import bfs_hops
 
-    e = _strong_copurchase_edges(spark, sf)
+    # Track here (not only inside bfs_hops): the seed aggregate below
+    # is a second consumer of the edge list, and an untracked plan
+    # would replay the lineitem self-join for it.
+    e = cache.track(_strong_copurchase_edges(spark, sf))
     seeds = e.agg(F.min("src").alias("node"))
     return bfs_hops(e, seeds, max_hops=3).select(
         "node", F.col("hops").cast("bigint").alias("hops")
@@ -8871,7 +8881,7 @@ def _fd_oracle() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-@register("fd_discovery_audit", _fd_oracle())
+@register("fd_discovery_audit", _fd_oracle(), bench=True)
 def fd_discovery_audit(spark: SparkSession, sf: str) -> DataFrame:
     """Functional-dependency discovery over a fixed candidate lattice
     slice (operators/stats.fd_audit) — the schema-profiling primitive
