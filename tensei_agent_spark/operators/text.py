@@ -281,3 +281,85 @@ def sentiment_score(text: Column) -> Column:
     the exact integers from ``sentiment_totals`` instead."""
     t = sentiment_totals(text)
     return t["v_total"].cast("double") / t["n_toks"]
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """PMI-style collocation mining: adjacent word pairs ranked by
+    lift = P(w1 w2) / (P(w1)·P(w2)) — the association-strength measure
+    behind phrase induction ("new york" scores high, "of the" low
+    despite its raw count).
+
+    Returns the deterministic top-``top_k`` by (lift desc, w1, w2)
+    among bigrams with ≥ ``min_count`` occurrences. Lift is reported
+    instead of its log (PMI = log2 lift): every input to the ratio is
+    an exact integer count, so the double division is bit-reproducible
+    across engines, while log/log2 are NOT correctly-rounded libm
+    calls and may differ at the ULP between JVMs and C runtimes.
+
+    Shape: tokenize once (persisted — at 100 TB you would write the
+    token arrays to a staging table instead; MEMORY_AND_DISK spills
+    rather than OOMs), unigram counts from an explode, bigram counts
+    from a zip-with-next transform (map-side, no positional self-join),
+    two vocab-sized count joins, scalar totals broadcast. The top-k is
+    a TakeOrdered over the ≥min_count survivors, not a global sort.
+    """
+    from ..cache import track
+
+    ws = track(
+        docs.select(
+            F.expr(
+                f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+            ).alias("_ws")
+        )
+    )
+    uni = ws.select(F.explode("_ws").alias("w")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    big = (
+        ws.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(_ws, 1, greatest(size(_ws) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, element_at(_ws, i + 2) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= F.lit(int(min_count)))
+    )
+    nw = uni.agg(F.sum("n").alias("n"))
+    nb_tot = ws.select(
+        F.sum(F.greatest(F.size("_ws") - 1, F.lit(0))).alias("n")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("_n1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("_n2"))
+    lift = (
+        F.col("n_ab").cast("double")
+        * F.col("_nw").cast("double")
+        * F.col("_nw").cast("double")
+    ) / (
+        F.col("_nb").cast("double")
+        * F.col("_n1").cast("double")
+        * F.col("_n2").cast("double")
+    )
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nw.select(F.col("n").alias("_nw"))))
+        .crossJoin(F.broadcast(nb_tot.select(F.col("n").alias("_nb"))))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            lift.alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(int(top_k))
+    )

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["holt_forecast", "acf", "ewma_control"]
+__all__ = ["holt_forecast", "acf", "ccf", "ewma_control"]
 
 
 def holt_forecast(
@@ -213,4 +213,102 @@ def ewma_control(
         fold["s"].alias("ewma"),
         fold["d"].alias("ewdev"),
         fold["n"].alias("n_anomalies"),
+    )
+
+
+def ccf(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    key_cols: list[str],
+    step_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Cross-correlation function between two keyed series at lags
+    −max_lag..max_lag (lead–lag detection: at which offset does series
+    A best predict series B?). Same exactness contract as :func:`acf`:
+    ``value_col`` must be DECIMAL in both inputs, every sum is exact,
+    and the final combination — including the sqrt, which IEEE 754
+    requires to be correctly rounded — runs in double identically to a
+    SQL oracle writing the same expression tree.
+
+        r_l = [S_ab − b̄·S_a − ā·S_b + n_l·ā·b̄]
+              / sqrt(den_a · den_b)
+
+    with ā, b̄ the FULL-series means and den_* the full-series central
+    sum of squares (the standard CCF normalization; the numerator uses
+    pairwise-complete windows). Positive lag l pairs a_t with b_{t+l}
+    (A leading B).
+
+    Scale shape: identical to acf — the series are already key×horizon
+    bounded, the lag fan-out is map-side, one (key, step) equi-join,
+    and the per-key moments broadcast.
+    """
+    keys = [F.col(k) for k in key_cols]
+
+    def moments(s: DataFrame, tag: str) -> DataFrame:
+        return s.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(f"_n{tag}"),
+            F.sum(F.col(value_col)).alias(f"_s{tag}"),
+            F.sum(F.col(value_col) * F.col(value_col)).alias(f"_ss{tag}"),
+        )
+
+    ma = moments(series_a, "a")
+    mb = moments(series_b, "b")
+    lag_spine = F.explode(
+        F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+    ).alias("lag")
+    probe = series_a.select(
+        *keys,
+        F.col(step_col).alias("_s"),
+        F.col(value_col).alias("_xa"),
+        lag_spine,
+    ).withColumn("_probe", F.col("_s") + F.col("lag"))
+    base = series_b.select(
+        *keys,
+        F.col(step_col).alias("_probe"),
+        F.col(value_col).alias("_xb"),
+    )
+    per_lag = (
+        probe.join(base, [*key_cols, "_probe"])
+        .groupBy(*keys, F.col("lag"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("_xa") * F.col("_xb")).alias("_sab"),
+            F.sum("_xa").alias("_sa"),
+            F.sum("_xb").alias("_sb"),
+        )
+    )
+    abar = F.col("_sa_f").cast("double") / F.col("_na")
+    bbar = F.col("_sb_f").cast("double") / F.col("_nb")
+    num = (
+        F.col("_sab").cast("double")
+        - bbar * F.col("_sa").cast("double")
+        - abar * F.col("_sb").cast("double")
+        + F.col("n_pairs") * abar * bbar
+    )
+    den_a = (
+        F.col("_ssa").cast("double")
+        - F.lit(2.0) * abar * F.col("_sa_f").cast("double")
+        + F.col("_na") * abar * abar
+    )
+    den_b = (
+        F.col("_ssb").cast("double")
+        - F.lit(2.0) * bbar * F.col("_sb_f").cast("double")
+        + F.col("_nb") * bbar * bbar
+    )
+    full = ma.join(mb, key_cols).select(
+        *keys,
+        F.col("_na"),
+        F.col("_sa").alias("_sa_f"),
+        F.col("_ssa"),
+        F.col("_nb"),
+        F.col("_sb").alias("_sb_f"),
+        F.col("_ssb"),
+    )
+    return per_lag.join(F.broadcast(full), key_cols).select(
+        *keys,
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        (num / F.sqrt(den_a * den_b)).alias("r"),
     )

@@ -8953,3 +8953,119 @@ def bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("count").desc(), F.col("token"))
         .limit(100)
     )
+
+
+@register(
+    "ccf_view_purchase",
+    """
+    WITH va AS (
+      SELECT datediff('day', DATE '1990-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS s,
+             CAST(COUNT(*) AS DECIMAL(14,2)) AS x
+      FROM events WHERE event_type = 'view' GROUP BY 1),
+    vb AS (
+      SELECT datediff('day', DATE '1990-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS s,
+             CAST(COUNT(*) AS DECIMAL(14,2)) AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    ma AS (SELECT COUNT(*) AS _na, SUM(x) AS _sa, SUM(x*x) AS _ssa FROM va),
+    mb AS (SELECT COUNT(*) AS _nb, SUM(x) AS _sb, SUM(x*x) AS _ssb FROM vb),
+    lags AS (SELECT UNNEST(range(-7, 8)) AS lag),
+    per_lag AS (
+      SELECT l.lag, COUNT(*) AS n_pairs,
+             SUM(a.x * b.x) AS _sab, SUM(a.x) AS _sa, SUM(b.x) AS _sb
+      FROM va a CROSS JOIN lags l
+      JOIN vb b ON b.s = a.s + l.lag
+      GROUP BY 1)
+    SELECT CAST(p.lag AS BIGINT) AS lag,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           (CAST(p._sab AS DOUBLE)
+              - (CAST(mb._sb AS DOUBLE) / mb._nb) * CAST(p._sa AS DOUBLE)
+              - (CAST(ma._sa AS DOUBLE) / ma._na) * CAST(p._sb AS DOUBLE)
+              + p.n_pairs * (CAST(ma._sa AS DOUBLE) / ma._na)
+                          * (CAST(mb._sb AS DOUBLE) / mb._nb))
+           / sqrt((CAST(ma._ssa AS DOUBLE)
+                     - 2.0 * (CAST(ma._sa AS DOUBLE) / ma._na)
+                           * CAST(ma._sa AS DOUBLE)
+                     + ma._na * (CAST(ma._sa AS DOUBLE) / ma._na)
+                              * (CAST(ma._sa AS DOUBLE) / ma._na))
+                  * (CAST(mb._ssb AS DOUBLE)
+                     - 2.0 * (CAST(mb._sb AS DOUBLE) / mb._nb)
+                           * CAST(mb._sb AS DOUBLE)
+                     + mb._nb * (CAST(mb._sb AS DOUBLE) / mb._nb)
+                              * (CAST(mb._sb AS DOUBLE) / mb._nb))) AS r
+    FROM per_lag p CROSS JOIN ma CROSS JOIN mb
+    """,
+)
+def ccf_view_purchase(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-correlation of the daily view-count series against the
+    daily purchase-count series at lags −7..+7
+    (operators/timeseries.ccf): the lead–lag diagnostic behind
+    attribution windows ("views today correlate with purchases in L
+    days"). Exact DECIMAL sums → double combination → IEEE-correctly-
+    rounded sqrt, identical to the oracle's tree → bit-exact. The
+    1-row moment CTEs are literal cross joins of scalars in BOTH
+    engines — the Spark side broadcasts them, nothing quadratic
+    anywhere. One corpus scan per series arm (persisted day spines)."""
+    from .operators.timeseries import ccf
+
+    ev = load(spark, sf, "events")
+
+    def daily(et: str) -> DataFrame:
+        return cache.track(
+            ev.filter(F.col("event_type") == et)
+            .groupBy(
+                F.datediff(
+                    F.to_date(F.date_trunc("day", F.col("ts"))),
+                    F.lit("1990-01-01").cast("date"),
+                ).alias("s")
+            )
+            .agg(F.count(F.lit(1)).cast("decimal(14,2)").alias("x"))
+            .withColumn("_k", F.lit(1))
+        )
+
+    return ccf(
+        daily("view"), daily("purchase"), ["_k"], "s", "x", max_lag=7
+    ).select("lag", "n_pairs", "r")
+
+
+@register(
+    "pmi_collocations",
+    """
+    WITH arrs AS (
+      SELECT regexp_extract_all(lower(text), '[a-z]+') AS l FROM documents),
+    uni AS (SELECT UNNEST(l) AS w FROM arrs),
+    ucnt AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY w),
+    nw AS (SELECT COUNT(*) AS n FROM uni),
+    big AS (
+      SELECT UNNEST(l[1:len(l)-1]) AS w1, UNNEST(l[2:len(l)]) AS w2
+      FROM arrs),
+    bcnt AS (
+      SELECT w1, w2, COUNT(*) AS n_ab FROM big
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+    nb AS (SELECT SUM(greatest(len(l) - 1, 0)) AS n FROM arrs)
+    SELECT b.w1, b.w2, CAST(b.n_ab AS BIGINT) AS n_ab,
+           ((CAST(b.n_ab AS DOUBLE) * CAST(nw.n AS DOUBLE))
+              * CAST(nw.n AS DOUBLE))
+           / ((CAST(nb.n AS DOUBLE) * CAST(u1.n AS DOUBLE))
+              * CAST(u2.n AS DOUBLE)) AS lift
+    FROM bcnt b
+    JOIN ucnt u1 ON u1.w = b.w1
+    JOIN ucnt u2 ON u2.w = b.w2
+    CROSS JOIN nw CROSS JOIN nb
+    ORDER BY lift DESC, w1, w2 LIMIT 50
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Collocation mining over the documents corpus
+    (operators/text.collocations): adjacent-bigram lift ranking, the
+    phrase-induction primitive. Bigrams come from a map-side
+    zip-with-next transform (never a positional self-join); lift stays
+    a ratio of exact integer counts (log-PMI would hit non-correctly-
+    rounded libm differences between engines) → bit-exact through the
+    deterministic (lift, w1, w2) top-50."""
+    from .operators.text import collocations
+
+    return collocations(
+        load(spark, sf, "documents"), "text", min_count=5, top_k=50
+    )

@@ -126,3 +126,51 @@ def test_clean_text_entity_order_and_controls(spark):
     )
     (got,) = df.select(clean_text(F.col("s")).alias("c")).first()
     assert got == "a &lt; b c d"
+
+
+# --- collocations ---------------------------------------------------------
+
+
+def test_collocations_lift_matches_python(spark):
+    import pytest
+    from collections import Counter
+
+    from tensei_agent_spark.operators.text import collocations
+
+    texts = [
+        "new york is big and new york is busy",
+        "the cat and the dog and the cat",
+        "new york new york",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["n_ab"], r["lift"])
+        for r in collocations(docs, "text", min_count=2, top_k=10).collect()
+    }
+    words = [t.split() for t in texts]
+    uni = Counter(w for ws in words for w in ws)
+    big = Counter((a, b) for ws in words for a, b in zip(ws, ws[1:]))
+    nw = sum(uni.values())
+    nb = sum(len(ws) - 1 for ws in words)
+    for (a, b), n_ab in big.items():
+        if n_ab >= 2:
+            assert got[(a, b)][0] == n_ab
+            want = (n_ab * nw * nw) / (nb * uni[a] * uni[b])
+            assert got[(a, b)][1] == pytest.approx(want, rel=1e-12)
+    assert set(got) == {p for p, c in big.items() if c >= 2}
+    # the fixed phrase must outrank the stopword-glued pair
+    assert got[("new", "york")][1] > got[("and", "the")][1]
+
+
+def test_collocations_min_count_and_topk(spark):
+    from tensei_agent_spark.operators.text import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b c d")], "doc_id int, text string"
+    )
+    rows = collocations(docs, "text", min_count=3, top_k=1).collect()
+    assert len(rows) == 1
+    assert (rows[0]["w1"], rows[0]["w2"]) == ("a", "b")
+    assert rows[0]["n_ab"] == 3

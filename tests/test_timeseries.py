@@ -163,3 +163,58 @@ def test_ewma_control_single_point_and_unsorted(spark):
     assert got["b"]["ewma"] == 7.0
     assert got["b"]["ewdev"] == 0.0
     assert got["b"]["n_anomalies"] == 0
+
+
+# --- ccf ------------------------------------------------------------------
+
+
+def test_ccf_detects_known_lead(spark):
+    # b is exactly a shifted copy of a (b_t = a_{t-2}): r should peak
+    # at lag +2 (a leads b by 2) with r == 1.0
+    from decimal import Decimal
+
+    from tensei_agent_spark.operators.timeseries import ccf
+
+    xs = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0]
+    a = spark.createDataFrame(
+        [("k", i + 1, Decimal(f"{x:.2f}")) for i, x in enumerate(xs)],
+        "key string, s int, x decimal(14,2)",
+    )
+    b = spark.createDataFrame(
+        [("k", i + 3, Decimal(f"{x:.2f}")) for i, x in enumerate(xs)],
+        "key string, s int, x decimal(14,2)",
+    )
+    got = {r["lag"]: r["r"] for r in ccf(a, b, ["key"], "s", "x", 3).collect()}
+    assert got[2] == pytest.approx(1.0, abs=1e-12)
+    assert all(got[l] < 0.999 for l in got if l != 2)
+
+
+def test_ccf_symmetry_against_python(spark):
+    from decimal import Decimal
+
+    from tensei_agent_spark.operators.timeseries import ccf
+
+    av = [1.0, 2.0, 3.0, 2.0, 1.0, 2.0, 3.0]
+    bv = [2.0, 1.0, 2.0, 3.0, 2.0, 1.0, 2.0]
+    mk = lambda vs: spark.createDataFrame(
+        [("k", i + 1, Decimal(f"{v:.2f}")) for i, v in enumerate(vs)],
+        "key string, s int, x decimal(14,2)",
+    )
+    got = {r["lag"]: (r["n_pairs"], r["r"])
+           for r in ccf(mk(av), mk(bv), ["key"], "s", "x", 2).collect()}
+
+    import math
+
+    def ref(l):
+        pairs = [(av[t], bv[t + l]) for t in range(len(av))
+                 if 0 <= t + l < len(bv)]
+        am, bm = sum(av) / len(av), sum(bv) / len(bv)
+        num = sum((x - am) * (y - bm) for x, y in pairs)
+        da = sum((x - am) ** 2 for x in av)
+        db = sum((y - bm) ** 2 for y in bv)
+        return len(pairs), num / math.sqrt(da * db)
+
+    for l in range(-2, 3):
+        n, r = ref(l)
+        assert got[l][0] == n
+        assert got[l][1] == pytest.approx(r, rel=1e-12)
