@@ -45,6 +45,19 @@ SAMPLE = [
     "revenue_holt_forecast",
     "weighted_sample_docs",
     "view_purchase_overlap_windows",
+    # round-5 shapes: lag-join decimal moments (float combination from
+    # exact sums), per-key EWMA fold over layout-varying gather order,
+    # bounded-round label propagation / BFS (min semantics must erase
+    # layout), driver-side BPE over a distributed word count, bigram
+    # lift with scalar broadcasts, cross-series lag join
+    "acf_daily_revenue",
+    "ewma_daily_anomalies",
+    "graph_components_census",
+    "graph_bfs_hops",
+    "bpe_vocab_merges",
+    "pmi_collocations",
+    "ccf_view_purchase",
+    "fd_discovery_audit",
 ]
 
 

@@ -285,3 +285,48 @@ def test_salted_join_widens_shuffle_key(spark):
     assert "CartesianProduct" not in plan
     assert "_salt" in plan
     assert "Generate explode" in plan or "explode" in plan
+
+
+def test_acf_reads_day_spine_from_cache(spark):
+    """The persisted day spine must feed all three of acf's consumers
+    (probe, base, moments) from cache — at 100 TB the corpus scan IS
+    the query cost, so it must happen once. NB the plan text renders
+    the cached child's lineage inside every InMemoryTableScan, so we
+    assert the consumer count, not the rendered scan count."""
+    plan = _plan(spark, "acf_daily_revenue")
+    assert plan.count("InMemoryTableScan") == 3
+
+
+def test_ccf_moment_joins_broadcast(spark):
+    """The 1-row moment tables must attach by broadcast, never a
+    shuffle join against the lag stream."""
+    plan = _plan(spark, "ccf_view_purchase")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_collocations_no_positional_self_join(spark):
+    """Bigrams come from the zip-with-next transform — a positional
+    self-join of the token stream (ord = ord+1) would shuffle the
+    whole corpus twice."""
+    plan = _plan(spark, "pmi_collocations")
+    # the only joins are vocab-sized count attaches + scalar broadcasts
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # top-k is TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_graph_census_edge_list_cached_not_replayed(spark):
+    """Every one of the four label rounds must read the edge list from
+    the SAME cached relation (replaying the lineitem self-join per
+    round is the 100 TB failure mode): one InMemoryTableScan per
+    round-join, none of them empty."""
+    plan = _plan(spark, "graph_components_census")
+    assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_fd_audit_no_expand_or_window(spark):
+    plan = _plan(spark, "fd_discovery_audit")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
