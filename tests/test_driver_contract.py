@@ -61,6 +61,11 @@ def test_rows_only_queries_are_documented_exceptions():
         "record_linkage_em",          # EM recursion not SQL-expressible
                                       # (recovery pinned in test_linkage)
         "record_linkage_scores",      # scores derive from the EM weights
+        "bpe_vocab_merges",           # iterative induction not SQL-
+                                      # expressible (pinned vs naive
+                                      # reference in test_bpe.py)
+        "bpe_token_counts",           # segmentation applies the learned
+                                      # merges (same justification)
     }
     assert rows_only <= allowed, rows_only - allowed
 
