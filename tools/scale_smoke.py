@@ -150,6 +150,11 @@ _KEY_COLS = {
     "customer": ["c_custkey"],
     "part": ["p_partkey"],
     "supplier": ["s_suppkey"],
+    # events: ts left unshifted, so a 4x corpus has 4x the daily volume
+    # over the SAME day spine — the realistic growth mode for a busier
+    # tenant, and exactly the case the day-spine-reducing time-series
+    # ops must stay flat under.
+    "events": ["event_id", "user_id"],
 }
 _REL_QUERIES = [
     "q1_pricing_summary",
@@ -164,6 +169,14 @@ _REL_QUERIES = [
     # — the contrast the two curves are here to show.
     "linkage_agreement_patterns",
     "linkage_sorted_neighborhood",
+    # Round-5 curves: acf reduces the corpus to a constant day spine
+    # (wall should track the scan, lag work flat); the graph census
+    # sees s disjoint key-shifted copies (edges x s, rounds constant
+    # -> linear); fd_audit is two hash aggregates per candidate
+    # (linear, agg-bound).
+    "acf_daily_revenue",
+    "graph_components_census",
+    "fd_discovery_audit",
 ]
 
 
