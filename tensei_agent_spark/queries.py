@@ -6184,23 +6184,9 @@ def copurchase_kcore(spark: SparkSession, sf: str) -> DataFrame:
     oracle-expressible; at scale the loop runs until the survivor
     count stops changing, checkpointing every few rounds. Output:
     nodes of the (approximate) 3-core with their induced degree."""
-    li = load(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    e0 = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("p1", "p2")
-    )
-    e = cache.track(
-        e0.select(F.col("p1").alias("src"), F.col("p2").alias("dst"))
-        .unionAll(e0.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-    )
+    # Shared strong-edge builder (also feeds the round-5 bounded-round
+    # walks graph_components_census / graph_bfs_hops).
+    e = cache.track(_strong_copurchase_edges(spark, sf))
     k = 3
     for _ in range(3):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
