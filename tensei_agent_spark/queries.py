@@ -9055,3 +9055,45 @@ def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
     return collocations(
         load(spark, sf, "documents"), "text", min_count=5, top_k=50
     )
+
+
+@register(
+    "quality_classifier_scores",
+    """
+    WITH arrs AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      FROM documents),
+    feats AS (
+      SELECT doc_id, UNNEST(l) AS f FROM arrs
+      UNION ALL
+      SELECT doc_id, w1 || ' ' || w2 AS f FROM (
+        SELECT doc_id, UNNEST(l[1:len(l)-1]) AS w1, UNNEST(l[2:len(l)]) AS w2
+        FROM arrs)),
+    wts AS (
+      SELECT doc_id,
+        (CAST(concat('0x', substr(md5(concat('wquality-v1:',
+             CAST(CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 1024
+                  AS VARCHAR))), 1, 15)) AS BIGINT)
+         % 2001) - 1000 AS w
+      FROM feats)
+    SELECT doc_id, COUNT(*) AS n_features,
+           CAST(SUM(w) AS BIGINT) AS logit_sum,
+           CAST(SUM(w) AS DOUBLE) / COUNT(*) AS score,
+           CAST(CAST(SUM(w) AS BIGINT) >= 0 * COUNT(*) AS INT) AS keep
+    FROM wts GROUP BY doc_id
+    """,
+)
+def quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality gate over the documents corpus
+    (operators/classifier.score_documents): fastText-style hashed
+    unigram+bigram linear scoring — the classifier-filter stage of LLM
+    data pipelines. Weights are a deterministic pure function of the
+    bucket id (stand-in for trained coefficients; a real model
+    broadcasts a MAP literal of the same shape), so scoring is one map
+    pass + one partial-aggregated groupBy(doc_id) and the logit stays
+    an exact BIGINT sum — bit-exact through the single final division.
+    The keep gate compares integers (logit_sum >= t·n), never floats."""
+    from .operators.classifier import score_documents
+
+    out = score_documents(load(spark, sf, "documents"))
+    return out.withColumn("keep", F.col("keep").cast("int"))
