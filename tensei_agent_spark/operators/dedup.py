@@ -1122,3 +1122,100 @@ def connected_components_star(
         labeled.select("node"), "node", "left_anti"
     ).select("node", F.col("node").alias("component"))
     return labeled.union(singletons)
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-word shingle, slide a
+    w-shingle window, keep each window's MINIMUM hash; the distinct
+    mins are the document's fingerprint set. Guarantee: any shared run
+    of >= w + k - 1 words between two documents shares at least one
+    fingerprint, while storage shrinks ~2/(w+1) per position.
+
+    This is the *set* formulation (distinct selected hash values per
+    doc) — position metadata is dropped, which preserves the detection
+    guarantee and keeps the whole operator expressible as shingle
+    hashing + ONE doc-partitioned window min + a distinct, portable to
+    a SQL oracle bit-for-bit. Ties (equal hashes inside one window,
+    i.e. nearby repeated shingles) need no tie-break rule under the
+    set semantics: the min VALUE is selected either way.
+
+    Scale: shingling is map-side (word_ngram_spans); the window min
+    partitions BY DOCUMENT (never a global window — the per-partition
+    working set is one document's shingle stream); the distinct is one
+    hash shuffle carrying <= |positions|/(w+1)-ish selected rows.
+
+    Returns (id_col, fingerprint BIGINT). Docs shorter than
+    w + k - 1 words have no full window and produce no rows.
+    """
+    spans = word_ngram_spans(docs, text_col, id_col, w=k, step=1)
+    h = F.conv(F.substring("win_hash", 1, 15), 16, 10).cast("long")
+    spans = spans.select(F.col(id_col), "start_pos", h.alias("_h"))
+    frame = (
+        Window.partitionBy(id_col)
+        .orderBy("start_pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    per_doc = Window.partitionBy(id_col)
+    # step=1 makes start_pos contiguous (1..m), so the ROWS frame is
+    # exactly the positional window; start_pos <= m - w + 1 keeps only
+    # windows fully inside the document.
+    full = spans.select(
+        F.col(id_col),
+        "start_pos",
+        F.min("_h").over(frame).alias("_wmin"),
+        F.count(F.lit(1)).over(per_doc).alias("_m"),
+    ).filter(F.col("start_pos") <= F.col("_m") - F.lit(w - 1))
+    return (
+        full.select(F.col(id_col), F.col("_wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnow_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    min_shared: int = 2,
+    max_df: int = 20,
+) -> DataFrame:
+    """MOSS-style near-dup candidates: document pairs ranked by the
+    number of shared winnowing fingerprints.
+
+    Plan shape (the inverted-index join, never an all-pairs scan):
+    fingerprint -> doc postings, drop fingerprints hotter than
+    ``max_df`` docs (boilerplate shingles — exactly MOSS's "too common
+    to be interesting" cutoff, and the bound that keeps the in-bucket
+    pair explosion O(max_df^2) per fingerprint), explode in-posting
+    pairs, count per pair. Returns (id_a, id_b, n_shared) with
+    n_shared >= ``min_shared``, id_a < id_b.
+    """
+    fp = winnow_fingerprints(docs, text_col, id_col, k, w)
+    pairs = (
+        fp.groupBy("fingerprint")
+        .agg(F.collect_list(F.col(id_col)).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= int(max_df)))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), y -> struct("
+                    "least(x, y) AS id_a, greatest(x, y) AS id_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    return (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= int(min_shared))
+    )

@@ -9097,3 +9097,93 @@ def quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
 
     out = score_documents(load(spark, sf, "documents"))
     return out.withColumn("keep", F.col("keep").cast("int"))
+
+
+_WINNOW_ORACLE = r"""
+    WITH words AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    eligible AS (
+      SELECT doc_id, ws, len(ws) AS nw FROM words WHERE len(ws) >= 5),
+    grams AS (
+      SELECT doc_id, CAST(i AS INT) AS i, nw,
+             CAST(concat('0x', substr(md5(array_to_string(
+                 ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ')), 1, 15))
+               AS BIGINT) AS h
+      FROM eligible, UNNEST(range(1, nw - 5 + 2)) AS t(i)),
+    wmins AS (
+      SELECT doc_id, i, nw,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+      FROM grams),
+    fps AS (
+      SELECT DISTINCT doc_id, nw, wmin
+      FROM wmins WHERE i <= (nw - 5 + 1) - 3)
+"""
+
+
+@register(
+    "winnowing_fingerprints",
+    _WINNOW_ORACLE
+    + """
+    SELECT doc_id, COUNT(*) AS n_fingerprints,
+           CAST(MAX(nw) - 7 AS BIGINT) AS n_windows,
+           CAST(COUNT(*) AS DOUBLE) / (MAX(nw) - 7) AS density
+    FROM fps GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint profile per document (MOSS — Schleimer et
+    al. SIGMOD'03; operators/dedup.winnow_fingerprints): k=5-word
+    shingle hashes, window-of-4 minima, distinct selected values.
+    density = |fingerprints| / |windows| shows the ~2/(w+1) storage
+    compression the algorithm guarantees. Shingling is map-side; the
+    only window is PARTITIONED BY DOCUMENT; one distinct shuffle —
+    bit-exact (integer hash values, one final exact-int division)."""
+    docs = load(spark, sf, "documents")
+    fp = D.winnow_fingerprints(docs, "text", "doc_id", k=5, w=4)
+    nw = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    widths = docs.select(
+        "doc_id", (nw - F.lit(7)).cast("long").alias("n_windows")
+    )
+    return (
+        fp.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fingerprints"))
+        .join(widths, "doc_id")
+        .select(
+            "doc_id",
+            "n_fingerprints",
+            "n_windows",
+            (
+                F.col("n_fingerprints").cast("double") / F.col("n_windows")
+            ).alias("density"),
+        )
+    )
+
+
+@register(
+    "winnowing_dup_pairs",
+    _WINNOW_ORACLE
+    + """
+    , cnt AS (SELECT wmin, COUNT(*) AS df FROM fps GROUP BY wmin),
+    ok AS (
+      SELECT f.doc_id, f.wmin FROM fps f
+      JOIN cnt c ON f.wmin = c.wmin WHERE c.df BETWEEN 2 AND 20),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM ok a JOIN ok b ON a.wmin = b.wmin AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, COUNT(*) AS n_shared
+    FROM pairs GROUP BY id_a, id_b HAVING COUNT(*) >= 2
+    """,
+)
+def winnowing_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS similarity candidates: document pairs sharing >= 2
+    winnowing fingerprints (operators/dedup.winnow_dup_pairs). The
+    pair stream comes from exploding fingerprint POSTING LISTS capped
+    at max_df=20 docs (MOSS's too-common cutoff — the bound that keeps
+    the explosion O(max_df^2) per fingerprint and drops boilerplate),
+    never a corpus self-join. Bit-exact."""
+    return D.winnow_dup_pairs(
+        load(spark, sf, "documents"), "text", "doc_id",
+        k=5, w=4, min_shared=2, max_df=20,
+    )

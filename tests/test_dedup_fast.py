@@ -155,3 +155,60 @@ def test_ngram_jaccard_bit_screen_parity(spark):
         ).collect()
     }
     assert on == off and len(on) == 25
+
+
+# ---------------------------------------------------------------------------
+# Winnowing (MOSS) fingerprints
+# ---------------------------------------------------------------------------
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    from tensei_agent_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 5, 4
+    # Shared run of exactly w + k - 1 = 8 words embedded in otherwise
+    # disjoint documents -> the winnowing guarantee promises >= 1
+    # shared fingerprint.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    doc_a = "one two three four " + shared + " five six seven"
+    doc_b = "red green blue cyan " + shared + " magenta yellow black"
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    fp = winnow_fingerprints(docs, k=k, w=w)
+    a = {r["fingerprint"] for r in fp.filter("doc_id = 1").collect()}
+    b = {r["fingerprint"] for r in fp.filter("doc_id = 2").collect()}
+    assert a & b, "winnowing guarantee violated: no shared fingerprint"
+
+
+def test_winnowing_short_doc_and_compression(spark):
+    from tensei_agent_spark.operators.dedup import winnow_fingerprints
+
+    words = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "too short here")], "doc_id long, text string"
+    )
+    fp = winnow_fingerprints(docs, k=5, w=4)
+    rows = fp.collect()
+    assert {r["doc_id"] for r in rows} == {1}  # doc 2: no full window
+    n_windows = 100 - 5 - 4 + 2
+    n_fp = len(rows)
+    # Selected set is a subset of window minima: at most one new
+    # fingerprint per window, and (distinct words) far fewer in practice.
+    assert 1 <= n_fp <= n_windows
+    # Expected density ~ 2/(w+1) = 0.4 for random-ish hashes; allow slack.
+    assert n_fp / n_windows < 0.75
+
+
+def test_winnow_dup_pairs_respects_max_df(spark):
+    from tensei_agent_spark.operators.dedup import winnow_dup_pairs
+
+    body = " ".join(f"common{i}" for i in range(30))
+    # 5 identical docs: every fingerprint has df=5. max_df=4 must
+    # drop all postings -> no pairs; max_df=5 -> all 10 pairs.
+    docs = spark.createDataFrame(
+        [(i, body) for i in range(5)], "doc_id long, text string"
+    )
+    none = winnow_dup_pairs(docs, min_shared=1, max_df=4).count()
+    all_pairs = winnow_dup_pairs(docs, min_shared=1, max_df=5).count()
+    assert none == 0
+    assert all_pairs == 10
