@@ -9187,3 +9187,114 @@ def winnowing_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         load(spark, sf, "documents"), "text", "doc_id",
         k=5, w=4, min_shared=2, max_df=20,
     )
+
+
+_RP_PS = ",\n           ".join(
+    f"CAST(SUM(CASE WHEN j = {j} THEN t END) AS DOUBLE) / 40000.0 AS p{j}"
+    for j in range(16)
+)
+
+_RP_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id, CAST(i - 1 AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * 10000.0 + 0.5) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, 65)) t(i)),
+    s AS (
+      SELECT CAST(ti.i AS INT) AS i, CAST(tj.j AS INT) AS j,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('rp-v1:',
+                      CAST(tj.j AS VARCHAR), ':', CAST(ti.i AS VARCHAR))),
+                      1, 15)) AS BIGINT) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT UNNEST(range(0, 64)) AS i) ti,
+           (SELECT UNNEST(range(0, 16)) AS j) tj),
+    t AS (
+      SELECT q.vec_id, s.j, SUM(s.sgn * q.q) AS t
+      FROM q JOIN s ON q.i = s.i GROUP BY q.vec_id, s.j)
+    SELECT vec_id,
+           {_RP_PS}
+    FROM t GROUP BY vec_id
+"""
+
+
+@register("embedding_random_projection", _RP_ORACLE)
+def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection R^64 -> R^16
+    (operators/projection.random_project; Achlioptas PODS'01). The
+    sign matrix is a pure md5 function of (out_dim, in_dim) — nothing
+    to ship, reproducible in any engine. Components quantize to exact
+    BIGINTs (floor(v·1e4 + 0.5), the float-origin-safe rounding), the
+    projection is an integer sum with ONE final double division →
+    bit-exact. Plan: posexplode → 1:1 broadcast join with the 64-row
+    sign table → 16 partial-aggregated sums per vector; the exchange
+    carries 16 longs per vector, nothing quadratic."""
+    from .operators.projection import random_project
+
+    return random_project(load(spark, sf, "embeddings"), k=16)
+
+
+@register(
+    "embedding_gram_matrix",
+    """
+    WITH cells AS (
+      SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.j - 1 AS INT) AS j,
+             CAST(floor(CAST(embedding[CAST(a.i AS INT)] AS DOUBLE)
+                        * 10000.0 + 0.5) AS BIGINT)
+             * CAST(floor(CAST(embedding[CAST(b.j AS INT)] AS DOUBLE)
+                          * 10000.0 + 0.5) AS BIGINT) AS p
+      FROM embeddings, UNNEST(range(1, 65)) a(i), UNNEST(range(1, 65)) b(j)
+      WHERE b.j >= a.i)
+    SELECT i, j, CAST(SUM(p) AS BIGINT) AS gram
+    FROM cells GROUP BY i, j
+    """,
+)
+def embedding_gram_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact integer Gramian X'X of the quantized embedding corpus
+    (operators/projection.gram_matrix) — the one-pass sufficient
+    statistic behind distributed PCA/covariance/whitening. Partial
+    d×d Gramians accumulate per partition in numpy int64 (Arrow
+    batches), then ONE groupBy over the 2080 upper-triangle cells —
+    the exchange is constant in corpus size; the driver never sees a
+    row. Pure integer arithmetic end-to-end → bit-exact."""
+    from .operators.projection import gram_matrix
+
+    return gram_matrix(load(spark, sf, "embeddings"))
+
+
+@register("embedding_pca_variance", None)  # driver-side eigh → rows-only
+def embedding_pca_variance(spark: SparkSession, sf: str) -> DataFrame:
+    """PCA spectrum of the embedding corpus
+    (operators/projection.pca_loadings): top-8 explained variances
+    from eigendecomposing the exact-integer-Gramian covariance on the
+    driver (d² numbers collected, never rows). Deterministic given the
+    bit-exact Gramian (same numpy eigh on the same matrix); the
+    eigensolve itself is not SQL-expressible → rows-only check, with
+    numerical invariants pinned in test_projection.py."""
+    import numpy as np
+
+    from .operators.projection import pca_loadings
+
+    _, variances, n = pca_loadings(load(spark, sf, "embeddings"), 8)
+    total = float(np.sum(variances)) if variances else 1.0
+    rows = [
+        (c, float(v), float(v) / total if total else 0.0)
+        for c, v in enumerate(variances)
+    ]
+    return spark.createDataFrame(
+        rows, "component int, variance double, top8_share double"
+    )
+
+
+@register("embedding_pca_project", None)  # float dot products → rows-only
+def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus projected onto its top-4 principal axes
+    (operators/projection.pca_project): loadings learned from the
+    exact Gramian re-enter the plan as broadcast LITERALS, so the
+    projection is a pure codegen'd map — zero shuffles, the serving
+    shape. Float dot products (loadings are eigh output) → rows-only;
+    variance/orthogonality invariants live in test_projection.py."""
+    from .operators.projection import pca_loadings, pca_project
+
+    emb = load(spark, sf, "embeddings")
+    loadings, _, _ = pca_loadings(emb, 4)
+    return pca_project(emb, loadings)
