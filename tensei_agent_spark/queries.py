@@ -9298,3 +9298,20 @@ def embedding_pca_project(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     loadings, _, _ = pca_loadings(emb, 4)
     return pca_project(emb, loadings)
+
+
+@register("dsir_select_english_like", None)  # libm log → rows-only
+def dsir_select_english_like(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR data selection (Xie et al. NeurIPS'23;
+    operators/dsir.select_top_k): from the non-English pool, the 50
+    documents whose unigram statistics best match the lang='en' target
+    set — log importance ratio of add-1-smoothed unigram LMs, exact
+    integer counts everywhere except the final libm logs (hence
+    rows-only; the shift property is pinned in test_dsir.py). Two
+    partial-aggregated count passes + one vocab-keyed join + one
+    TakeOrdered — no driver loops, nothing quadratic."""
+    from .operators.dsir import select_top_k
+
+    return select_top_k(
+        load(spark, sf, "documents"), F.col("lang") == "en", k=50
+    )
