@@ -9315,3 +9315,100 @@ def dsir_select_english_like(spark: SparkSession, sf: str) -> DataFrame:
     return select_top_k(
         load(spark, sf, "documents"), F.col("lang") == "en", k=50
     )
+
+
+@register(
+    "hybrid_search_rrf",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, w
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) t(w)
+      WHERE w <> ''),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE w IN ('vector', 'hash', 'stream')
+      GROUP BY doc_id, w),
+    df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    contrib AS (
+      SELECT tf.doc_id, tf.w,
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * (tf.tf * (CAST(1.2 AS DOUBLE) + 1.0))
+               / (tf.tf + CAST(1.2 AS DOUBLE)
+                  * (1.0 - CAST(0.75 AS DOUBLE)
+                     + CAST(0.75 AS DOUBLE) * dl.dl / stats.avgdl)) AS c
+      FROM tf JOIN df ON tf.w = df.w
+              JOIN dl ON tf.doc_id = dl.doc_id
+              CROSS JOIN stats),
+    bm25s AS (
+      SELECT doc_id,
+             round(COALESCE(SUM(CASE WHEN w = 'vector' THEN c END), 0)
+                   + COALESCE(SUM(CASE WHEN w = 'hash' THEN c END), 0)
+                   + COALESCE(SUM(CASE WHEN w = 'stream' THEN c END), 0),
+                   9) AS bm25
+      FROM contrib GROUP BY doc_id),
+    bm25_ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM bm25s QUALIFY rank <= 20),
+    norms AS (
+      SELECT vec_id,
+             SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS n2
+      FROM embeddings, UNNEST(range(1, 65)) t(i) GROUP BY vec_id),
+    dots AS (
+      SELECT c.vec_id AS cand_id,
+             SUM(CAST(floor(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS dot
+      FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id,
+           UNNEST(range(1, 65)) t(i)
+      WHERE q.vec_id = 0 GROUP BY 1),
+    ann_ranked AS (
+      SELECT cand_id AS doc_id,
+             row_number() OVER (
+               ORDER BY round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST((SELECT n2 FROM norms WHERE vec_id = 0) AS DOUBLE))
+                    * sqrt(CAST(nc.n2 AS DOUBLE))), 9) DESC,
+               cand_id) AS rank
+      FROM dots d JOIN norms nc ON d.cand_id = nc.vec_id
+      QUALIFY rank <= 20)
+    SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+           b.rank AS rank_bm25,
+           a.rank AS rank_ann,
+           COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + b.rank), 0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + a.rank), 0)
+             AS rrf
+    FROM bm25_ranked b FULL OUTER JOIN ann_ranked a ON b.doc_id = a.doc_id
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval (operators/hybrid.rrf_fuse; Cormack et al.
+    SIGIR'09): BM25 top-20 for the query {vector, hash, stream} fused
+    with cosine top-20 around query vector 0 via Reciprocal Rank
+    Fusion, RRF = Σ 1/(60 + rank). Rank-based fusion sidesteps the
+    arms' incomparable score scales AND stays bit-exact: integer
+    ranks, one double division per term, fixed-order addition. Each
+    arm is a bounded top-k, so the fusion join is broadcast-sized —
+    constant in corpus size."""
+    from .operators.hybrid import rrf_fuse
+    from .operators import similarity as _sim
+
+    docs_sf = sf  # both arms read the same scale dir
+    b = bm25_topk(spark, docs_sf)
+    # Rank the (already top-20, bounded) BM25 arm with the distributed
+    # global-rank helper — never an unpartitioned window, even on a
+    # bounded relation (plan-audit invariant).
+    b_ranked = with_global_rank(
+        b, [F.desc("bm25"), F.asc("doc_id")], out="rank"
+    ).select("doc_id", F.col("rank").cast("int").alias("rank")).filter(
+        F.col("rank") <= 20
+    )
+    emb = load(spark, sf, "embeddings")
+    a = _sim.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=20
+    ).select(F.col("cand_id").alias("doc_id"), "rank")
+    return rrf_fuse([("bm25", b_ranked), ("ann", a)])
