@@ -17,7 +17,9 @@ reproducible dataset splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKETS = 10_000
@@ -170,3 +172,40 @@ def weighted_sample_keys(
     # u in (0, 1]: +1 keeps ln defined at h=0
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     return F.log(u) / weight
+
+
+def bottomk_sample(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    id_col: str,
+    k: int = 32,
+    salt: str = "",
+) -> DataFrame:
+    """Per-group bottom-k uniform sample: keep the k rows with the
+    smallest md5 priority of the row id (+ optional salt for a fresh
+    draw). The bottom-k-by-hash set is a MERGEABLE uniform sample —
+    bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)) — which
+    makes it the batch twin of the streaming reservoir
+    (streaming/pipeline.bottomk_sample_stream): the stream's state
+    after any micro-batch split is bit-identical to this batch result.
+
+    One group-partitioned window (never global); returns the input
+    columns plus ``prio``. Deterministic and replayable: same ids →
+    same sample, any epoch, any engine (md5 is portable).
+    """
+    prio = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(*key_cols).orderBy("prio", id_col)
+    return (
+        df.withColumn("prio", prio)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= int(k))
+        .drop("_rn")
+    )

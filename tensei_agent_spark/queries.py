@@ -9412,3 +9412,33 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") == 0), k=20
     ).select(F.col("cand_id").alias("doc_id"), "rank")
     return rrf_fuse([("bm25", b_ranked), ("ann", a)])
+
+
+@register(
+    "bottomk_uniform_sample",
+    """
+    SELECT event_type, event_id, prio FROM (
+      SELECT event_type, event_id,
+             CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS prio,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)),
+                            1, 15)) AS BIGINT), event_id) AS rn
+      FROM events) t
+    WHERE rn <= 32
+    """,
+)
+def bottomk_uniform_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-event-type bottom-k-by-hash uniform sample
+    (operators/sampling.bottomk_sample, k=32): the deterministic,
+    MERGEABLE reservoir — bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ B)
+    — whose streaming twin (streaming/pipeline.bottomk_sample_stream)
+    reaches the bit-identical state under any micro-batch split
+    (parity pinned in test_streaming.py). One group-partitioned
+    window; md5 priorities are engine-portable → bit-exact."""
+    from .operators.sampling import bottomk_sample
+
+    return bottomk_sample(
+        load(spark, sf, "events"), ["event_type"], "event_id", k=32
+    ).select("event_type", "event_id", "prio")

@@ -811,3 +811,76 @@ def decayed_heavy_hitters(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_BK_STATE_SCHEMA = "ids array<long>, prios array<long>, seq long"
+_BK_OUT_SCHEMA = (
+    "event_type string, event_id long, prio long, seq long"
+)
+
+
+def _make_bottomk_fn(k: int):
+    def fn(key, pdf_iter, state: GroupState):
+        import hashlib
+
+        import pandas as pd
+
+        (etype,) = key
+        pairs: list[tuple[int, int]] = []  # (prio, id)
+        seq = 0
+        if state.exists:
+            s_ids, s_prios, s_seq = state.get
+            pairs = list(zip(s_prios, s_ids))
+            seq = int(s_seq)
+        new_ids: list[int] = []
+        for pdf in pdf_iter:
+            new_ids.extend(int(x) for x in pdf["event_id"])
+        if not new_ids:
+            return
+        pairs.extend(
+            (
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16),
+                i,
+            )
+            for i in new_ids
+        )
+        # Mergeable bottom-k: keep the k smallest (prio, id). Exact
+        # duplicates (replayed ids) collapse — replay-idempotent.
+        pairs = sorted(set(pairs))[: k]
+        seq += 1
+        state.update(
+            ([p[1] for p in pairs], [p[0] for p in pairs], seq)
+        )
+        yield pd.DataFrame(
+            {
+                "event_type": [etype] * len(pairs),
+                "event_id": [p[1] for p in pairs],
+                "prio": [p[0] for p in pairs],
+                "seq": [seq] * len(pairs),
+            }
+        )
+
+    return fn
+
+
+def bottomk_sample_stream(events: DataFrame, k: int = 32) -> DataFrame:
+    """Streaming uniform reservoir per event type, as a bottom-k-by-
+    hash sketch (``applyInPandasWithState``): keep the k event ids
+    with the smallest md5 priority. Because bottom-k sets are
+    MERGEABLE (bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ B)), the
+    state after ANY micro-batch split is bit-identical to the batch
+    twin ``operators/sampling.bottomk_sample`` over the same rows —
+    the parity pytest shuffles the split to prove it. Unlike a
+    classic random reservoir, the sample is deterministic and
+    replay-idempotent (an id re-delivered at-least-once collapses
+    into the same (prio, id) pair), which is what checkpoint-recovery
+    semantics want. State per group is exactly k (id, prio) pairs +
+    one sequence counter; emits the full sample per micro-batch in
+    update mode (downstream keeps the max-seq snapshot)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _make_bottomk_fn(int(k)),
+        outputStructType=_BK_OUT_SCHEMA,
+        stateStructType=_BK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

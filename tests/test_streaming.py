@@ -756,3 +756,69 @@ def test_decayed_heavy_hitters_state_bounded_and_multibatch(spark, tmp_path):
     assert 7 in got
     assert got[7] > 1.99  # strictly above its own mass alone
     assert got[7] < 2.6  # bounded by own mass + evicted minimum
+
+
+def test_bottomk_stream_equals_batch_under_any_split(spark, tmp_path):
+    import datetime as dt
+
+    from tensei_agent_spark.operators.sampling import bottomk_sample
+    from tensei_agent_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        bottomk_sample_stream,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        (
+            eid,
+            base + dt.timedelta(seconds=eid),
+            eid % 7,
+            "view" if eid % 3 else "purchase",
+            1.0,
+            "{}",
+        )
+        for eid in range(1, 201)
+    ]
+    # Replayed duplicates: at-least-once delivery must not change the sample.
+    rows += rows[:25]
+    df = spark.createDataFrame(rows, EVENT_SCHEMA)
+
+    want = {
+        (r["event_type"], r["event_id"], r["prio"])
+        for r in bottomk_sample(
+            df.dropDuplicates(["event_id"]), ["event_type"], "event_id", k=8
+        )
+        .select("event_type", "event_id", "prio")
+        .collect()
+    }
+
+    for split, nfiles in (("one", 1), ("many", 5)):
+        src = str(tmp_path / f"bk_src_{split}")
+        df.repartition(nfiles).write.parquet(src)
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = f"bk_sink_{split}"
+        q = (
+            bottomk_sample_stream(stream, k=8)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.table(sink).collect()
+        latest: dict[str, int] = {}
+        for r in out:
+            latest[r["event_type"]] = max(
+                latest.get(r["event_type"], 0), r["seq"]
+            )
+        got = {
+            (r["event_type"], r["event_id"], r["prio"])
+            for r in out
+            if r["seq"] == latest[r["event_type"]]
+        }
+        assert got == want, f"split={split}"
