@@ -1219,3 +1219,60 @@ def winnow_dup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= int(min_shared))
     )
+
+
+def boilerplate_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    w: int = 10,
+) -> DataFrame:
+    """Per-document boilerplate coverage, RefinedWeb/CCNet-style
+    template detection: the fraction of a document's w-word windows
+    whose content also appears in ANOTHER document of the same
+    ``group_col`` (site/domain/source). Headers, footers and injected
+    navigation repeat across a site's pages; genuine prose does not —
+    docs with high coverage are template-dominated and get dropped or
+    stripped by curation pipelines.
+
+    Plan: map-side window hashing (word_ngram_spans), ONE partial-
+    aggregated groupBy(group, win_hash) marking hashes seen in >= 2
+    docs of the group, one hash join back onto the span stream, one
+    groupBy(doc). The hot keys are by definition the boilerplate
+    hashes — AQE skew handling splits them; nothing is quadratic and
+    nothing global. All-integer counts + one final division →
+    bit-exact.
+
+    Returns (id, group, n_windows, n_boiler, coverage) for docs with
+    >= w words.
+    """
+    spans = word_ngram_spans(docs, text_col, id_col, w=w, step=1).join(
+        docs.select(id_col, group_col), id_col
+    )
+    spans = track(spans)
+    hot = (
+        spans.groupBy(group_col, "win_hash")
+        .agg(F.countDistinct(id_col).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select(group_col, "win_hash", F.lit(1).alias("_rep"))
+    )
+    flagged = spans.join(hot, [group_col, "win_hash"], "left")
+    return (
+        flagged.groupBy(id_col, group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce(F.col("_rep"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            group_col,
+            "n_windows",
+            "n_boiler",
+            (F.col("n_boiler").cast("double") / F.col("n_windows")).alias(
+                "coverage"
+            ),
+        )
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -123,3 +123,66 @@ def fd_audit(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def welch_t(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    cond_a: Column,
+    cond_b: Column,
+    value_col: str,
+    value_decimal: str = "decimal(18,2)",
+) -> DataFrame:
+    """Per-group Welch two-sample t statistic (unequal variances) with
+    the Welch–Satterthwaite degrees of freedom — the A/B significance
+    screen, grouped.
+
+    ONE hash aggregate folds both arms' exact DECIMAL moments
+    (n, Σx, Σx² per arm as conditional sums — map-side partial, no
+    second scan, no join); t and df then derive from those identical
+    numbers in a fixed double-op order, so given the same moments any
+    engine reproduces them bit-for-bit (sqrt is IEEE-correctly
+    rounded; a round(9) guard caps the residual risk on the deeper
+    df chain). The p-value is deliberately NOT computed: erf/Student
+    CDFs are non-correctly-rounded libm territory — callers threshold
+    on |t| with df in hand.
+
+    Returns group_cols + (n_a, n_b, mean_a, mean_b, t_stat, df_welch)
+    for groups where both arms have >= 2 observations.
+    """
+    v = F.col(value_col).cast(value_decimal)
+
+    def arm(cond: Column, tag: str) -> list[Column]:
+        x = F.when(cond, v)
+        return [
+            F.count(x).cast("bigint").alias(f"n_{tag}"),
+            F.sum(x).alias(f"s_{tag}"),
+            F.sum(x * x).alias(f"ss_{tag}"),
+        ]
+
+    m = df.groupBy(*group_cols).agg(*arm(cond_a, "a"), *arm(cond_b, "b"))
+
+    def mean(tag: str) -> Column:
+        return F.col(f"s_{tag}").cast("double") / F.col(f"n_{tag}")
+
+    def var(tag: str) -> Column:
+        n = F.col(f"n_{tag}")
+        s = F.col(f"s_{tag}").cast("double")
+        return (F.col(f"ss_{tag}").cast("double") - s * s / n) / (n - 1)
+
+    se_a = var("a") / F.col("n_a")
+    se_b = var("b") / F.col("n_b")
+    se2 = se_a + se_b
+    t = (mean("a") - mean("b")) / F.sqrt(se2)
+    dfw = (se2 * se2) / (
+        se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
+    )
+    return m.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2)).select(
+        *group_cols,
+        "n_a",
+        "n_b",
+        F.round(mean("a"), 9).alias("mean_a"),
+        F.round(mean("b"), 9).alias("mean_b"),
+        F.round(t, 9).alias("t_stat"),
+        F.round(dfw, 9).alias("df_welch"),
+    )

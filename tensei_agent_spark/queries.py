@@ -9442,3 +9442,106 @@ def bottomk_uniform_sample(spark: SparkSession, sf: str) -> DataFrame:
     return bottomk_sample(
         load(spark, sf, "events"), ["event_type"], "event_id", k=32
     ).select("event_type", "event_id", "prio")
+
+
+@register(
+    "boilerplate_coverage",
+    r"""
+    WITH words AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    eligible AS (
+      SELECT doc_id, source, ws, len(ws) AS nw
+      FROM words WHERE len(ws) >= 10),
+    spans AS (
+      SELECT doc_id, source,
+             md5(array_to_string(ws[CAST(i AS INT):CAST(i + 9 AS INT)], ' '))
+               AS win_hash
+      FROM eligible, UNNEST(range(1, nw - 10 + 2)) t(i)),
+    hot AS (
+      SELECT source, win_hash FROM spans
+      GROUP BY source, win_hash HAVING COUNT(DISTINCT doc_id) >= 2)
+    SELECT s.doc_id, s.source, COUNT(*) AS n_windows,
+           CAST(SUM(CASE WHEN h.win_hash IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN h.win_hash IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS coverage
+    FROM spans s
+    LEFT JOIN hot h ON s.source = h.source AND s.win_hash = h.win_hash
+    GROUP BY s.doc_id, s.source
+    """,
+)
+def boilerplate_coverage_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Template/boilerplate detection per document
+    (operators/dedup.boilerplate_coverage): fraction of each doc's
+    10-word windows that also appear in ANOTHER document of the same
+    source — the RefinedWeb-style site-template signal (headers/nav
+    repeat across a site's pages, prose doesn't). Map-side window
+    hashing, one partial-aggregated (source, hash) pass, one join
+    back, one per-doc aggregate; integer counts + one division →
+    bit-exact."""
+    return D.boilerplate_coverage(
+        load(spark, sf, "documents"), "text", "doc_id", "source", w=10
+    )
+
+
+@register(
+    "ab_test_welch_priority",
+    """
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             CAST(COUNT(CASE WHEN o_orderpriority = '1-URGENT'
+                             THEN o_totalprice END) AS BIGINT) AS n_a,
+             CAST(COUNT(CASE WHEN o_orderpriority = '5-LOW'
+                             THEN o_totalprice END) AS BIGINT) AS n_b,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s_a,
+             SUM(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS s_b,
+             SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2)) END) AS ss_a,
+             SUM(CASE WHEN o_orderpriority = '5-LOW'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2))
+                           * CAST(o_totalprice AS DECIMAL(18,2)) END) AS ss_b
+      FROM orders GROUP BY 1),
+    se AS (
+      SELECT order_year, n_a, n_b, s_a, s_b,
+             ((CAST(ss_a AS DOUBLE)
+               - CAST(s_a AS DOUBLE) * CAST(s_a AS DOUBLE) / n_a)
+              / (n_a - 1)) / n_a AS se_a,
+             ((CAST(ss_b AS DOUBLE)
+               - CAST(s_b AS DOUBLE) * CAST(s_b AS DOUBLE) / n_b)
+              / (n_b - 1)) / n_b AS se_b
+      FROM m WHERE n_a >= 2 AND n_b >= 2)
+    SELECT order_year, n_a, n_b,
+           round(CAST(s_a AS DOUBLE) / n_a, 9) AS mean_a,
+           round(CAST(s_b AS DOUBLE) / n_b, 9) AS mean_b,
+           round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+                 / sqrt(se_a + se_b), 9) AS t_stat,
+           round(((se_a + se_b) * (se_a + se_b))
+                 / (se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)),
+                 9) AS df_welch
+    FROM se
+    """,
+)
+def ab_test_welch_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped A/B significance screen (operators/stats.welch_t): per
+    order-year Welch two-sample t statistic (+ Welch–Satterthwaite df)
+    comparing URGENT vs LOW order values. One hash aggregate folds
+    both arms' exact DECIMAL moments; t/df derive in a fixed double-op
+    order (sqrt is IEEE-correctly-rounded) → bit-exact under the
+    round(9) guard. No p-value by design: erf/Student CDFs are
+    non-correctly-rounded libm calls — consumers threshold on |t|."""
+    from .operators.stats import welch_t
+
+    orders = load(spark, sf, "orders")
+    return welch_t(
+        orders.withColumn(
+            "order_year", F.year("o_orderdate").cast("int")
+        ),
+        ["order_year"],
+        F.col("o_orderpriority") == "1-URGENT",
+        F.col("o_orderpriority") == "5-LOW",
+        "o_totalprice",
+    )

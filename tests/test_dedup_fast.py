@@ -212,3 +212,24 @@ def test_winnow_dup_pairs_respects_max_df(spark):
     all_pairs = winnow_dup_pairs(docs, min_shared=1, max_df=5).count()
     assert none == 0
     assert all_pairs == 10
+
+
+def test_boilerplate_coverage_flags_shared_template(spark):
+    from tensei_agent_spark.operators.dedup import boilerplate_coverage
+
+    header = " ".join(f"nav{i}" for i in range(10))  # 10-word template
+    rows = [
+        (1, header + " unique prose alpha beta gamma delta epsilon zeta", "siteA"),
+        (2, header + " other words entirely here for doc two body", "siteA"),
+        (3, header + " a third page on the same site again", "siteB"),  # other group
+        (4, " ".join(f"solo{i}" for i in range(20)), "siteA"),  # no repeats
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["doc_id"]: r for r in boilerplate_coverage(docs).collect()}
+    # Docs 1 and 2 share the header within siteA -> coverage > 0; the
+    # header window (positions 1..1) is the only repeated one.
+    assert got[1]["n_boiler"] == 1 and got[2]["n_boiler"] == 1
+    assert got[1]["coverage"] == 1 / got[1]["n_windows"]
+    # Doc 3 has the header too but is alone in siteB -> 0.
+    assert got[3]["n_boiler"] == 0
+    assert got[4]["n_boiler"] == 0

@@ -141,3 +141,49 @@ def test_fd_audit_composite_lhs(spark):
     got = fd_audit(df, [(["a", "b"], "v")]).collect()[0]
     assert got["fd"] == "a,b -> v"
     assert got["holds"] is True and got["n_lhs"] == 3
+
+
+def test_welch_t_matches_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.stats import welch_t
+
+    a = [10.0, 12.0, 11.0, 13.0, 9.0]
+    b = [20.0, 22.0, 19.0, 21.0]
+    rows = [("g", "A", v) for v in a] + [("g", "B", v) for v in b]
+    df = spark.createDataFrame(rows, "grp string, arm string, v double")
+    got = welch_t(
+        df, ["grp"], F.col("arm") == "A", F.col("arm") == "B", "v"
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    import statistics
+
+    ma, mb = statistics.fmean(a), statistics.fmean(b)
+    va, vb = statistics.variance(a), statistics.variance(b)
+    se2 = va / len(a) + vb / len(b)
+    t = (ma - mb) / se2**0.5
+    dfw = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert r["n_a"] == 5 and r["n_b"] == 4
+    assert abs(r["t_stat"] - t) < 1e-8
+    assert abs(r["df_welch"] - dfw) < 1e-7
+    # One-sided sanity: B is clearly larger.
+    assert r["t_stat"] < -5
+
+
+def test_welch_t_drops_underpowered_groups(spark):
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.stats import welch_t
+
+    df = spark.createDataFrame(
+        [("g1", "A", 1.0), ("g1", "B", 2.0), ("g1", "B", 3.0),
+         ("g2", "A", 1.0), ("g2", "A", 2.0), ("g2", "B", 4.0), ("g2", "B", 5.0)],
+        "grp string, arm string, v double",
+    )
+    got = welch_t(
+        df, ["grp"], F.col("arm") == "A", F.col("arm") == "B", "v"
+    ).collect()
+    assert [r["grp"] for r in got] == ["g2"]  # g1: n_a = 1 -> dropped
