@@ -154,3 +154,105 @@ def merge_rollup(
         .agg(F.hll_union_agg(sketch_col).alias("sketch"))
         .withColumn("estimate", F.hll_sketch_estimate("sketch"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Count-Min sketch of an item stream: (d, bucket, cnt) cells.
+
+    Each row increments one bucket per depth — bucket_d(x) =
+    md5("salt:d:" || x) % width, an independent hash family per row of
+    the sketch. The build is explode(d) + ONE partial-aggregated
+    groupBy over the depth×width cell space: the exchange is constant
+    in stream size, the sketch is MERGEABLE (cell-wise sum — store
+    daily sketches, merge ranges), and every count is an exact BIGINT
+    → the whole structure is bit-reproducible in any engine.
+
+    Size the error from the standard bound: estimates overcount by at
+    most εN with ε = e/width at probability 1−e^−depth.
+    """
+    d = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("d")
+    cells = items.select(F.col(key_col).cast("string").alias("_k"), d).select(
+        "d",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(salt), F.col("d"), F.col("_k")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(width))
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    return cells.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    salt: str = "cms-v1",
+) -> DataFrame:
+    """Point-estimate probe keys against a built sketch: (key, est)
+    with est = min over depths of the key's cell — the classic CM
+    upper bound (never undercounts; overcount bounded by εN).
+
+    Probes explode to their depth cells and join the sketch on
+    (d, bucket) — an equi-join against the constant-size cell table
+    (broadcast it); missing cells read as 0.
+    """
+    d = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("d")
+    pcells = probes.select(
+        F.col(key_col), F.col(key_col).cast("string").alias("_k"), d
+    ).select(
+        key_col,
+        "d",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(salt), F.col("d"), F.col("_k")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(width))
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    joined = pcells.join(F.broadcast(sketch), ["d", "bucket"], "left")
+    return joined.groupBy(key_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    )

@@ -9545,3 +9545,79 @@ def ab_test_welch_priority(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority") == "5-LOW",
         "o_totalprice",
     )
+
+
+@register(
+    "cms_word_estimates",
+    r"""
+    WITH toks AS (
+      SELECT w
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) t(w)
+      WHERE w <> ''),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    truec AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS true_cnt
+              FROM toks GROUP BY w),
+    probes AS (
+      SELECT w, true_cnt FROM truec, tot WHERE true_cnt * 500 >= tot.n),
+    cells AS (
+      SELECT ds.d,
+             CAST(CAST(concat('0x', substr(md5(concat('cms-v1:',
+                    CAST(ds.d AS VARCHAR), ':', w)), 1, 15)) AS BIGINT)
+                  % 256 AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks, (SELECT UNNEST(range(0, 4)) AS d) ds
+      GROUP BY 1, 2),
+    pcells AS (
+      SELECT p.w, p.true_cnt, ds.d,
+             CAST(CAST(concat('0x', substr(md5(concat('cms-v1:',
+                    CAST(ds.d AS VARCHAR), ':', p.w)), 1, 15)) AS BIGINT)
+                  % 256 AS INT) AS bucket
+      FROM probes p, (SELECT UNNEST(range(0, 4)) AS d) ds),
+    est AS (
+      SELECT pc.w, pc.true_cnt,
+             MIN(COALESCE(c.cnt, 0)) AS est
+      FROM pcells pc
+      LEFT JOIN cells c ON c.d = pc.d AND c.bucket = pc.bucket
+      GROUP BY 1, 2)
+    SELECT w AS word, true_cnt, CAST(est AS BIGINT) AS cms_est,
+           CAST(est - true_cnt AS BIGINT) AS overcount
+    FROM est
+    """,
+)
+def cms_word_estimates(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-Min sketch round trip (Cormode & Muthukrishnan 2005;
+    operators/sketches.cms_build/cms_estimate): sketch the corpus word
+    stream into 4×256 exact-BIGINT cells (ONE partial-aggregated
+    groupBy over a constant cell space — mergeable across
+    days/shards), then point-estimate the exact heavy words (freq ≥
+    N/500) against it. est ≥ true always; overcount ≤ εN with
+    ε = e/width. md5 bucket hashing keeps every cell and estimate
+    bit-identical in any engine."""
+    from .operators.sketches import cms_build, cms_estimate
+
+    docs = load(spark, sf, "documents")
+    toks = cache.track(
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("w")
+        ).filter(F.col("w") != "")
+    )
+    truec = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    probes = truec.crossJoin(F.broadcast(tot)).filter(
+        F.col("true_cnt") * 500 >= F.col("n")
+    )
+    sketch = cms_build(toks, "w")
+    est = cms_estimate(sketch, probes.select("w"), "w")
+    return (
+        probes.join(est, "w")
+        .select(
+            F.col("w").alias("word"),
+            "true_cnt",
+            F.col("est").cast("bigint").alias("cms_est"),
+            (F.col("est") - F.col("true_cnt")).cast("bigint").alias(
+                "overcount"
+            ),
+        )
+    )

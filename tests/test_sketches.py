@@ -187,3 +187,34 @@ def test_welch_t_drops_underpowered_groups(spark):
         df, ["grp"], F.col("arm") == "A", F.col("arm") == "B", "v"
     ).collect()
     assert [r["grp"] for r in got] == ["g2"]  # g1: n_a = 1 -> dropped
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.sketches import cms_build, cms_estimate
+
+    items = [(f"k{i % 50}",) for i in range(2000)] + [("hot",)] * 500
+    df = spark.createDataFrame(items, "key string")
+    sk = cms_build(df, "key", depth=4, width=64)
+    probes = spark.createDataFrame(
+        [("hot",), ("k0",), ("absent",)], "key string"
+    )
+    got = {r["key"]: r["est"] for r in cms_estimate(sk, probes, "key", width=64).collect()}
+    assert got["hot"] >= 500
+    assert got["k0"] >= 40
+    # Overcount bound: eps = e/width, N = 2500 -> < ~107 w.h.p.
+    assert got["hot"] - 500 <= 300
+    # Mergeability: sketch(A) + sketch(B) cell-wise == sketch(A ∪ B).
+    a, b = df.randomSplit([0.5, 0.5], seed=7)
+    merged = (
+        cms_build(a, "key", width=64)
+        .unionByName(cms_build(b, "key", width=64))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_build(a.unionByName(b), "key", width=64)
+    assert (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
