@@ -9621,3 +9621,72 @@ def cms_word_estimates(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "mutual_nn_pairs",
+    """
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+    norms AS (
+      SELECT vec_id,
+             SUM(CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS n2
+      FROM sub, UNNEST(range(1, 65)) t(i) GROUP BY vec_id),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             SUM(CAST(floor(CAST(q.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))
+               * CAST(floor(CAST(c.embedding[CAST(i AS INT)] AS DOUBLE) * 1000000000.0 + 0.5) AS DECIMAL(19,0))) AS dot
+      FROM sub q JOIN sub c ON c.vec_id <> q.vec_id,
+           UNNEST(range(1, 65)) t(i)
+      GROUP BY 1, 2),
+    nn AS (
+      SELECT query_id, cand_id, cosine FROM (
+        SELECT query_id, cand_id,
+               round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 9) AS cosine,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))), 9) DESC,
+                                  cand_id) AS rank
+        FROM dots d JOIN norms nq ON d.query_id = nq.vec_id
+                    JOIN norms nc ON d.cand_id = nc.vec_id) r
+      WHERE rank = 1)
+    SELECT a.query_id AS id_a, a.cand_id AS id_b, a.cosine
+    FROM nn a JOIN nn b
+      ON a.query_id = b.cand_id AND a.cand_id = b.query_id
+    WHERE a.query_id < a.cand_id
+    """,
+)
+def mutual_nn_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-nearest-neighbor pairs within label 0 — the reciprocal-
+    top-1 criterion (each vector is the other's closest): the
+    conservative merge rule of embedding-dedup / record-merge
+    pipelines, far stricter than a cosine threshold. Reuses
+    operators/similarity.brute_force_topk at k=1 (decimal-exact
+    arithmetic, broadcast queries × partitioned corpus, per-query
+    hash-partitioned window) and closes mutuality with a self-join of
+    the |corpus|-row top-1 relation — never a second all-pairs pass.
+    Bit-exact. At 100 TB the same composition runs on top of the IVF/
+    LSH candidate paths instead of the brute-force arm."""
+    emb = load(spark, sf, "embeddings").filter(F.col("label") == 0)
+    nn = cache.track(
+        SIM.brute_force_topk(emb, emb, k=1).select(
+            "query_id", "cand_id", "cosine"
+        )
+    )
+    other = nn.select(
+        F.col("query_id").alias("_b_q"), F.col("cand_id").alias("_b_c")
+    )
+    return (
+        nn.join(
+            other,
+            (F.col("query_id") == F.col("_b_c"))
+            & (F.col("cand_id") == F.col("_b_q")),
+        )
+        .filter(F.col("query_id") < F.col("cand_id"))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("cand_id").alias("id_b"),
+            "cosine",
+        )
+    )

@@ -183,3 +183,25 @@ def test_ivf_pq_recall_floor_and_refine_monotone(spark):
     )
     assert r5 >= r2
     assert r5 >= 0.7, f"IVF-PQ recall {r5:.2f} below floor"
+
+
+def test_mutual_nn_requires_reciprocity(spark):
+    from tensei_agent_spark.operators.similarity import brute_force_topk
+
+    # 0 and 1 are each other's nearest; 2 points at 0 but 0 does not
+    # point back -> only (0, 1) is mutual.
+    rows = [
+        (0, [1.0, 0.0, 0.0] + [0.0] * 61),
+        (1, [0.99, 0.14, 0.0] + [0.0] * 61),
+        (2, [0.9, -0.43, 0.0] + [0.0] * 61),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    nn = brute_force_topk(emb, emb, k=1).select("query_id", "cand_id")
+    got = {(r["query_id"], r["cand_id"]) for r in nn.collect()}
+    assert got == {(0, 1), (1, 0), (2, 0)}
+    mutual = {
+        (a, b)
+        for a, b in got
+        if (b, a) in got and a < b
+    }
+    assert mutual == {(0, 1)}
