@@ -9690,3 +9690,54 @@ def mutual_nn_pairs(spark: SparkSession, sf: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+@register(
+    "t_closeness_report",
+    """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+             o_orderpriority AS pri
+      FROM orders),
+    g AS (SELECT order_year, pri, COUNT(*) AS cg FROM base GROUP BY 1, 2),
+    dom AS (SELECT DISTINCT pri FROM base),
+    gdist AS (SELECT pri, COUNT(*) AS ca FROM base GROUP BY 1),
+    nall AS (SELECT COUNT(*) AS na FROM base),
+    grps AS (SELECT order_year, COUNT(*) AS ng FROM base GROUP BY 1),
+    grid AS (
+      SELECT gr.order_year, d.pri, gr.ng, gl.ca, nall.na,
+             COALESCE(g.cg, 0) AS cg
+      FROM grps gr CROSS JOIN dom d
+      LEFT JOIN g ON g.order_year = gr.order_year AND g.pri = d.pri
+      JOIN gdist gl ON gl.pri = d.pri
+      CROSS JOIN nall),
+    pref AS (
+      SELECT order_year, ng, na,
+             abs(CAST(SUM(cg) OVER (PARTITION BY order_year ORDER BY pri)
+                      AS BIGINT) * na
+                 - CAST(SUM(ca) OVER (PARTITION BY order_year ORDER BY pri)
+                        AS BIGINT) * ng) AS ar
+      FROM grid)
+    SELECT order_year, CAST(MAX(ng) AS BIGINT) AS n_rows,
+           CAST(SUM(ar) AS DOUBLE)
+             / (CAST(MAX(ng) AS DOUBLE) * MAX(na) * 4.0) AS emd
+    FROM pref GROUP BY order_year
+    """,
+)
+def t_closeness_report(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness privacy audit (Li et al. ICDE'07;
+    operators/stats.t_closeness) — completes the k-anonymity /
+    l-diversity / t-closeness trio: per order-year equivalence class,
+    the ordered-domain EMD between the class's order-priority
+    distribution and the global one. Prefix differences stay in the
+    exact integer cross-product form (cum_g·N − cum_all·n_g); one
+    final division → bit-exact. The only window partitions BY GROUP
+    over the m=5 domain rows; the domain and global tables
+    broadcast."""
+    from .operators.stats import t_closeness
+
+    orders = load(spark, sf, "orders").select(
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    return t_closeness(orders, ["order_year"], "pri")

@@ -218,3 +218,29 @@ def test_cms_never_undercounts_and_merges(spark):
         merged.exceptAll(whole).count() == 0
         and whole.exceptAll(merged).count() == 0
     )
+
+
+def test_t_closeness_identical_and_skewed_groups(spark):
+    from tensei_agent_spark.operators.stats import t_closeness
+
+    # Group A mirrors the global distribution -> EMD 0 only if it IS
+    # the global; here A and B skew opposite ways.
+    rows = (
+        [("A", "low")] * 8 + [("A", "high")] * 2
+        + [("B", "low")] * 2 + [("B", "high")] * 8
+    )
+    df = spark.createDataFrame(rows, "grp string, sens string")
+    got = {r["grp"]: r for r in t_closeness(df, ["grp"], "sens").collect()}
+    # Global: 10 low, 10 high. Ordered domain (high, low), m=2.
+    # r_high(A) = 2*20 - 10*10 = -60 -> |r| = 60; emd = 60/(10*20*1) = 0.3
+    assert got["A"]["emd"] == 0.3
+    assert got["B"]["emd"] == 0.3
+    assert got["A"]["n_rows"] == 10
+
+    # A group matching the global distribution has EMD exactly 0.
+    balanced = spark.createDataFrame(
+        [("A", "low"), ("A", "high"), ("B", "low"), ("B", "high")],
+        "grp string, sens string",
+    )
+    for r in t_closeness(balanced, ["grp"], "sens").collect():
+        assert r["emd"] == 0.0
