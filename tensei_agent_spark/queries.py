@@ -9082,6 +9082,7 @@ def pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
            CAST(CAST(SUM(w) AS BIGINT) >= 0 * COUNT(*) AS INT) AS keep
     FROM wts GROUP BY doc_id
     """,
+    bench=True,
 )
 def quality_classifier_scores(spark: SparkSession, sf: str) -> DataFrame:
     """Model-based quality gate over the documents corpus
@@ -9217,7 +9218,7 @@ _RP_ORACLE = f"""
 """
 
 
-@register("embedding_random_projection", _RP_ORACLE)
+@register("embedding_random_projection", _RP_ORACLE, bench=True)
 def embedding_random_projection(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection R^64 -> R^16
     (operators/projection.random_project; Achlioptas PODS'01). The
@@ -9384,6 +9385,7 @@ def dsir_select_english_like(spark: SparkSession, sf: str) -> DataFrame:
              AS rrf
     FROM bm25_ranked b FULL OUTER JOIN ann_ranked a ON b.doc_id = a.doc_id
     """,
+    bench=True,
 )
 def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid retrieval (operators/hybrid.rrf_fuse; Cormack et al.
@@ -9470,6 +9472,7 @@ def bottomk_uniform_sample(spark: SparkSession, sf: str) -> DataFrame:
     LEFT JOIN hot h ON s.source = h.source AND s.win_hash = h.win_hash
     GROUP BY s.doc_id, s.source
     """,
+    bench=True,
 )
 def boilerplate_coverage_q(spark: SparkSession, sf: str) -> DataFrame:
     """Template/boilerplate detection per document
@@ -9583,6 +9586,7 @@ def ab_test_welch_priority(spark: SparkSession, sf: str) -> DataFrame:
            CAST(est - true_cnt AS BIGINT) AS overcount
     FROM est
     """,
+    bench=True,
 )
 def cms_word_estimates(spark: SparkSession, sf: str) -> DataFrame:
     """Count-Min sketch round trip (Cormode & Muthukrishnan 2005;
@@ -9741,3 +9745,62 @@ def t_closeness_report(spark: SparkSession, sf: str) -> DataFrame:
         F.col("o_orderpriority").alias("pri"),
     )
     return t_closeness(orders, ["order_year"], "pri")
+
+
+@register(
+    "events_sliding_rates",
+    """
+    WITH assigned AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts)
+               - to_minutes(CAST(15 * i AS BIGINT)) AS ws,
+             event_type, user_id
+      FROM events, UNNEST(range(0, 4)) t(i))
+    SELECT ws AS window_start,
+           ws + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+)
+def events_sliding_rates(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping-window event rates (1 h window, 15 min hop): the BATCH
+    twin of streaming/pipeline.sliding_counts, sharing Spark's native
+    window() assignment — each event lands in exactly window/slide = 4
+    windows map-side (an explode, never a range self-join), then one
+    partial-aggregated groupBy(window, type). The oracle reproduces
+    the epoch-aligned bucket arithmetic with time_bucket, proving the
+    two engines agree on window identity — bit-exact."""
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@register("coreset_kcenter", None)  # k collect rounds → rows-only
+def coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
+    """Diverse subset selection (operators/coreset.k_center_greedy;
+    Gonzalez'85 / Sener & Savarese ICLR'18): farthest-point-first
+    traversal picking 8 maximally-spread embedding vectors — the
+    2-approximate k-center cover used for eval panels / annotation
+    seeds. Exact-integer distances (quantized components) make the
+    traversal deterministic; per round the corpus only MAPS (broadcast
+    single-center distance update) and reduces to one argmax row.
+    Iterative driver loop → rows-only; python-model parity and radius
+    monotonicity pinned in test_coreset.py."""
+    from .operators.coreset import k_center_greedy
+
+    return k_center_greedy(load(spark, sf, "embeddings"), k=8)
