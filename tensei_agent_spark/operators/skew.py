@@ -102,3 +102,79 @@ def count_distinct_two_phase(
     return keys.join(counts, list(group_cols), "left").withColumn(
         out, F.coalesce(F.col(out), F.lit(0))
     )
+
+
+def detect_hot_keys(
+    big: DataFrame,
+    on: list[str],
+    hot_share: float = 0.01,
+    sample_fraction: float = 0.05,
+    max_hot: int = 100,
+    seed: int = 7,
+) -> list[tuple]:
+    """Sampled hot-key detection for join planning: keys whose share
+    of a ``sample_fraction`` Bernoulli sample exceeds ``hot_share``,
+    capped at the ``max_hot`` heaviest (a TakeOrdered, never a sort).
+
+    Returns driver-side key tuples (bounded by max_hot — this is plan
+    metadata, not data). The sample only steers the PLAN: callers
+    union a salted hot path with a plain cold path, and the result is
+    bit-identical whichever keys land in the hot set, so sampling
+    nondeterminism (partition-layout-sensitive seeds) cannot affect
+    correctness — only how well the skew is split.
+    """
+    s = big.sample(fraction=float(sample_fraction), seed=seed)
+    n = s.count()
+    if n == 0:
+        return []
+    rows = (
+        s.groupBy(*on)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= F.lit(max(1.0, hot_share * n)))
+        .orderBy(F.col("_c").desc(), *on)
+        .limit(int(max_hot))
+        .collect()
+    )
+    return [tuple(r[c] for c in on) for r in rows]
+
+
+def differential_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    salt_src: str | Column,
+    n_salt: int = 8,
+    how: str = "inner",
+    hot_share: float = 0.01,
+    sample_fraction: float = 0.05,
+) -> DataFrame:
+    """Skew-adaptive equi-join: detect hot keys from a sample, route
+    their rows through :func:`salted_join` (small side replicated
+    n_salt×, hot key scattered), and everything else through the plain
+    join; union the two. This is AQE's skew-join split done at the
+    logical level — usable where AQE can't see the skew (first-run
+    pipelines, non-shuffle-stat sources) and portable to any join
+    type salted_join accepts.
+
+    Bit-identical to the plain join by construction: the hot/cold
+    split partitions the big side on a key predicate, each partition
+    joins completely, and inner/left joins distribute over the union.
+    The only full-scan overhead is the one persisted tag pass over
+    ``big`` (the sample is a cheap extra read of the key column).
+    """
+    from ..cache import track
+
+    hot = detect_hot_keys(big, on, hot_share, sample_fraction)
+    if not hot:
+        return big.join(small, on, how)
+    hot_df = F.broadcast(
+        big.sparkSession.createDataFrame(hot, big.select(*on).schema)
+        .withColumn("_hot", F.lit(1))
+    )
+    tagged = track(big.join(hot_df, on, "left"))
+    big_hot = tagged.filter(F.col("_hot").isNotNull()).drop("_hot")
+    big_cold = tagged.filter(F.col("_hot").isNull()).drop("_hot")
+    small_hot = small.join(hot_df.drop("_hot"), on, "left_semi")
+    out_hot = salted_join(big_hot, small_hot, on, salt_src, n_salt, how)
+    out_cold = big_cold.join(small, on, how)
+    return out_hot.unionByName(out_cold)

@@ -9804,3 +9804,49 @@ def coreset_kcenter(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.coreset import k_center_greedy
 
     return k_center_greedy(load(spark, sf, "embeddings"), k=8)
+
+
+@register(
+    "differential_join_priority_revenue",
+    """
+    SELECT o.o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def differential_join_priority_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-adaptive differential join
+    (operators/skew.differential_join): revenue per order priority
+    through a join whose plan AUTO-SPLITS on sampled hot keys — hot
+    rows take the salted path (small side replicated, key scattered
+    across 8 salts), cold rows the plain join, unioned. The oracle is
+    the PLAIN join: the exotic plan must be bit-identical (join
+    distributes over the key-predicate partition of the big side),
+    whatever keys the sample promotes — the logical-level twin of
+    AQE's skew-join split for engines/paths AQE can't see."""
+    from .operators.skew import differential_join
+
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    j = differential_join(
+        li,
+        orders.select(
+            F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+        ),
+        ["l_orderkey"],
+        "l_linenumber",
+        hot_share=0.001,
+    )
+    rev = F.sum(
+        _m("l_extendedprice") * (F.lit(1) - _m("l_discount"))
+    ).cast("double")
+    return j.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        rev.alias("revenue"),
+    )

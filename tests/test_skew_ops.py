@@ -109,3 +109,50 @@ def test_count_distinct_two_phase_null_parity(spark):
         for r in count_distinct_two_phase(df, ["k"], "val").collect()
     }
     assert got == want == {(1, 1), (2, 0)}
+
+
+def test_differential_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.skew import differential_join
+
+    # 90% of big rows share key 1 (hot); keys 2..20 are cold.
+    big = spark.createDataFrame(
+        [(1 if i % 10 else (i // 10) % 19 + 2, i) for i in range(2000)],
+        "k long, rid long",
+    )
+    small = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(1, 21)], "k long, v string"
+    )
+    plain = big.join(small, ["k"]).select("k", "rid", "v")
+    diff = differential_join(
+        big, small, ["k"], "rid", hot_share=0.05, sample_fraction=0.5
+    ).select("k", "rid", "v")
+    assert diff.exceptAll(plain).count() == 0
+    assert plain.exceptAll(diff).count() == 0
+
+
+def test_differential_join_left_keeps_unmatched(spark):
+    from tensei_agent_spark.operators.skew import differential_join
+
+    big = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(99, 0)], "k long, rid long"
+    )
+    small = spark.createDataFrame([(1, "x")], "k long, v string")
+    out = differential_join(
+        big, small, ["k"], "rid", how="left",
+        hot_share=0.05, sample_fraction=1.0,
+    )
+    assert out.count() == 101
+    assert out.filter("k = 99 AND v IS NULL").count() == 1
+
+
+def test_detect_hot_keys_finds_the_heavy_key(spark):
+    from tensei_agent_spark.operators.skew import detect_hot_keys
+
+    big = spark.createDataFrame(
+        [(7, i) for i in range(1000)] + [(i % 50 + 100, i) for i in range(500)],
+        "k long, rid long",
+    )
+    hot = detect_hot_keys(big, ["k"], hot_share=0.2, sample_fraction=0.5)
+    assert (7,) in hot
