@@ -9850,3 +9850,75 @@ def differential_join_priority_revenue(spark: SparkSession, sf: str) -> DataFram
         F.count(F.lit(1)).alias("n_items"),
         rev.alias("revenue"),
     )
+
+
+@register(
+    "classifier_threshold_sweep",
+    """
+    WITH arrs AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+      FROM documents),
+    feats AS (
+      SELECT doc_id, UNNEST(l) AS f FROM arrs
+      UNION ALL
+      SELECT doc_id, w1 || ' ' || w2 AS f FROM (
+        SELECT doc_id, UNNEST(l[1:len(l)-1]) AS w1, UNNEST(l[2:len(l)]) AS w2
+        FROM arrs)),
+    wts AS (
+      SELECT doc_id,
+        (CAST(concat('0x', substr(md5(concat('wquality-v1:',
+             CAST(CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 1024
+                  AS VARCHAR))), 1, 15)) AS BIGINT)
+         % 2001) - 1000 AS w
+      FROM feats),
+    scored AS (
+      SELECT doc_id, COUNT(*) AS nf, CAST(SUM(w) AS BIGINT) AS ls
+      FROM wts GROUP BY doc_id),
+    tot AS (SELECT COUNT(*) AS n FROM scored),
+    sweep AS (
+      SELECT CAST(-200 + 50 * i AS INT) AS threshold_milli
+      FROM UNNEST(range(0, 9)) t(i))
+    SELECT s.threshold_milli,
+           CAST(SUM(CASE WHEN sc.ls >= s.threshold_milli * sc.nf
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN sc.ls >= s.threshold_milli * sc.nf
+                         THEN 1 ELSE 0 END) AS DOUBLE) / MAX(tot.n) AS keep_share
+    FROM sweep s CROSS JOIN scored sc CROSS JOIN tot
+    GROUP BY s.threshold_milli
+    """,
+)
+def classifier_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Operating curve for the hashed quality classifier: keep count /
+    share at 9 milli-logit thresholds — the report a curation run uses
+    to pick its cut. Scores once (integer milli-logits), explodes the
+    9-row threshold spine map-side, decides each (doc, t) on the
+    INTEGER form logit_sum >= t·n_features, aggregates — integer
+    counts + one division → bit-exact. The doc×9 fan-out is map-side
+    and collapses in the partial aggregate."""
+    from .operators.classifier import score_documents
+
+    scored = score_documents(load(spark, sf, "documents")).select(
+        "doc_id", "n_features", "logit_sum"
+    )
+    thresholds = spark.range(0, 9).select(
+        (F.lit(-200) + F.lit(50) * F.col("id")).cast("int").alias(
+            "threshold_milli"
+        )
+    )
+    tot = scored.agg(F.count(F.lit(1)).alias("n"))
+    keep = F.when(
+        F.col("logit_sum")
+        >= F.col("threshold_milli").cast("bigint") * F.col("n_features"),
+        1,
+    ).otherwise(0)
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold_milli")
+        .agg(
+            F.sum(keep).cast("bigint").alias("n_keep"),
+            (
+                F.sum(keep).cast("double") / F.max("n")
+            ).alias("keep_share"),
+        )
+    )
