@@ -66,6 +66,13 @@ def test_rows_only_queries_are_documented_exceptions():
                                       # reference in test_bpe.py)
         "bpe_token_counts",           # segmentation applies the learned
                                       # merges (same justification)
+        "embedding_pca_variance",     # driver eigh (numpy) — invariants
+                                      # in test_projection.py
+        "embedding_pca_project",      # float dot products of eigh output
+        "dsir_select_english_like",   # libm log importance weights
+                                      # (python-parity in test_dsir.py)
+        "coreset_kcenter",            # iterative argmax traversal
+                                      # (python-parity in test_coreset.py)
     }
     assert rows_only <= allowed, rows_only - allowed
 
