@@ -312,3 +312,65 @@ def ccf(
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         (num / F.sqrt(den_a * den_b)).alias("r"),
     )
+
+
+def cusum_control(
+    series: DataFrame,
+    key_cols: list[str],
+    step_col: str,
+    value_col: str,
+    k: float = 0.0625,
+    h: float = 0.5,
+) -> DataFrame:
+    """Two-sided CUSUM change detection per key (Page 1954): the
+    classic drift monitor that catches small persistent shifts an
+    EWMA band misses.
+
+    Recurrence, with reference μ0 = x_1, allowance ``k``, threshold
+    ``h`` (both must be exactly representable doubles for the oracle
+    gate — defaults are powers of two):
+
+        S⁺_t = max(0, S⁺_{t-1} + (x_t − μ0 − k))
+        S⁻_t = max(0, S⁻_{t-1} + (μ0 − k − x_t))
+        alarm_t = S⁺_t > h  OR  S⁻_t > h
+
+    One codegen array fold per key, exactly the holt/ewma shape:
+    arrays bounded by the step horizon, sequential within a key (the
+    recursion demands it), parallel across keys; only +/−/max double
+    ops, so the DuckDB recursive-CTE twin replays bit-identically.
+    Returns key_cols + (n_steps, cusum_pos, cusum_neg, n_alarms).
+    """
+    pairs = series.groupBy(*key_cols).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(step_col).alias("s"), F.col(value_col).alias("x")
+                )
+            )
+        ).alias("_pts")
+    )
+    kd = f"{float(k)!r}D"
+    hd = f"{float(h)!r}D"
+    sp_next = f"greatest(cast(0.0 as double), st.sp + (p.x - st.mu - {kd}))"
+    sn_next = f"greatest(cast(0.0 as double), st.sn + (st.mu - {kd} - p.x))"
+    fold = F.expr(
+        f"""aggregate(
+          slice(_pts, 2, greatest(size(_pts) - 1, 0)),
+          named_struct('mu', _pts[0].x, 'sp', cast(0.0 as double),
+                       'sn', cast(0.0 as double), 'na', 0L),
+          (st, p) -> named_struct(
+            'mu', st.mu,
+            'sp', {sp_next},
+            'sn', {sn_next},
+            'na', st.na + CASE WHEN {sp_next} > {hd}
+                                OR {sn_next} > {hd}
+                               THEN 1L ELSE 0L END),
+          st -> st)"""
+    )
+    return pairs.select(
+        *[F.col(c) for c in key_cols],
+        F.size("_pts").cast("bigint").alias("n_steps"),
+        fold["sp"].alias("cusum_pos"),
+        fold["sn"].alias("cusum_neg"),
+        fold["na"].alias("n_alarms"),
+    )

@@ -9922,3 +9922,68 @@ def classifier_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("keep_share"),
         )
     )
+
+
+@register(
+    "cusum_daily_drift",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) AS x
+      FROM events GROUP BY 1, 2),
+    numbered AS (
+      SELECT event_type, d, x,
+             row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn
+      FROM daily),
+    counts AS (SELECT event_type, COUNT(*) AS n FROM daily GROUP BY 1),
+    firsts AS (SELECT event_type, x AS mu FROM numbered WHERE rn = 1),
+    cs AS (
+      SELECT n.event_type, n.rn, f.mu,
+             CAST(0.0 AS DOUBLE) AS sp, CAST(0.0 AS DOUBLE) AS sn,
+             CAST(0 AS BIGINT) AS na
+      FROM numbered n JOIN firsts f ON f.event_type = n.event_type
+      WHERE n.rn = 1
+      UNION ALL
+      SELECT n.event_type, n.rn, cs.mu,
+             greatest(CAST(0.0 AS DOUBLE),
+                      cs.sp + (n.x - cs.mu - CAST(0.0625 AS DOUBLE))),
+             greatest(CAST(0.0 AS DOUBLE),
+                      cs.sn + (cs.mu - CAST(0.0625 AS DOUBLE) - n.x)),
+             cs.na + CASE WHEN greatest(CAST(0.0 AS DOUBLE),
+                            cs.sp + (n.x - cs.mu - CAST(0.0625 AS DOUBLE)))
+                            > CAST(0.5 AS DOUBLE)
+                        OR greatest(CAST(0.0 AS DOUBLE),
+                            cs.sn + (cs.mu - CAST(0.0625 AS DOUBLE) - n.x))
+                            > CAST(0.5 AS DOUBLE)
+                       THEN 1 ELSE 0 END
+      FROM cs JOIN numbered n
+        ON n.event_type = cs.event_type AND n.rn = cs.rn + 1)
+    SELECT cs.event_type, CAST(c.n AS BIGINT) AS n_steps,
+           cs.sp AS cusum_pos, cs.sn AS cusum_neg,
+           CAST(cs.na AS BIGINT) AS n_alarms
+    FROM cs JOIN counts c
+      ON c.event_type = cs.event_type AND cs.rn = c.n
+    """,
+)
+def cusum_daily_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSUM drift monitor over the daily MEAN event value per type
+    (operators/timeseries.cusum_control; Page 1954): two-sided
+    cumulative sums against the first day's reference with allowance
+    2⁻⁴ and threshold 0.5 — the small-persistent-shift detector that
+    complements the EWMA band. One codegen fold per key; only
+    +/−/max double ops, replayed identically by the recursive-CTE
+    oracle → bit-exact."""
+    from .operators.timeseries import cusum_control
+
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(14,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("x")
+    )
+    return cusum_control(
+        daily, ["event_type"], "d", "x", k=0.0625, h=0.5
+    )

@@ -218,3 +218,37 @@ def test_ccf_symmetry_against_python(spark):
         n, r = ref(l)
         assert got[l][0] == n
         assert got[l][1] == pytest.approx(r, rel=1e-12)
+
+
+def test_cusum_detects_level_shift(spark):
+    from tensei_agent_spark.operators.timeseries import cusum_control
+
+    # Flat at 1.0 for 10 steps, then a +0.5 level shift: the positive
+    # CUSUM accumulates (0.5 - k) per step and must alarm; the pure
+    # flat key never does.
+    rows = [("shift", t, 1.0 if t <= 10 else 1.5) for t in range(1, 21)]
+    rows += [("flat", t, 1.0) for t in range(1, 21)]
+    df = spark.createDataFrame(rows, "k string, s int, x double")
+    got = {r["k"]: r for r in cusum_control(df, ["k"], "s", "x", k=0.0625, h=0.5).collect()}
+    assert got["flat"]["n_alarms"] == 0
+    assert got["flat"]["cusum_pos"] == 0.0 and got["flat"]["cusum_neg"] == 0.0
+    assert got["shift"]["n_alarms"] > 0
+    # Python replay of the recurrence, exactly.
+    mu, sp, sn, na = 1.0, 0.0, 0.0, 0
+    for t in range(2, 21):
+        x = 1.0 if t <= 10 else 1.5
+        sp = max(0.0, sp + (x - mu - 0.0625))
+        sn = max(0.0, sn + (mu - 0.0625 - x))
+        na += 1 if (sp > 0.5 or sn > 0.5) else 0
+    assert got["shift"]["cusum_pos"] == sp
+    assert got["shift"]["n_alarms"] == na
+
+
+def test_cusum_negative_shift_uses_lower_arm(spark):
+    from tensei_agent_spark.operators.timeseries import cusum_control
+
+    rows = [("down", t, 1.0 if t <= 5 else 0.25) for t in range(1, 16)]
+    df = spark.createDataFrame(rows, "k string, s int, x double")
+    r = cusum_control(df, ["k"], "s", "x", k=0.0625, h=0.5).collect()[0]
+    assert r["cusum_neg"] > r["cusum_pos"]
+    assert r["n_alarms"] > 0
