@@ -884,3 +884,53 @@ def bottomk_sample_stream(events: DataFrame, k: int = 32) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cms_stream(
+    items: DataFrame,
+    index_dir: str,
+    key_col: str = "key",
+    depth: int = 4,
+    width: int = 256,
+) -> "object":
+    """Maintain a Count-Min sketch over a stream: each micro-batch is
+    sketched (operators/sketches.cms_build — one partial-aggregated
+    pass over the batch) and merged CELL-WISE into the persisted cell
+    table at ``index_dir``. Because CMS cells are exact additive
+    counters, merge order and micro-batch boundaries cannot change the
+    result: after any split the index is bit-identical to the batch
+    sketch of all rows (pinned in pytest), and the table stays a
+    constant depth×width rows however long the stream runs — the
+    always-current frequency summary a 100 TB/day firehose can afford.
+
+    The per-batch rewrite cost is the constant cell table, not the
+    stream; a production variant would shard cells by ``d`` and merge
+    via upsert_partitioned_parquet, same contract.
+    """
+    from ..operators.sketches import cms_build
+
+    spark = items.sparkSession
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = cms_build(batch_df, key_col, depth, width)
+        try:
+            prev = spark.read.parquet(index_dir)
+            merged = (
+                prev.unionByName(delta)
+                .groupBy("d", "bucket")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        except Exception:
+            merged = delta
+        # Materialize BEFORE overwriting the input path.
+        rows = merged.collect()
+        spark.createDataFrame(rows, "d int, bucket int, cnt long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(index_dir)
+
+    return (
+        items.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", index_dir + "_ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )

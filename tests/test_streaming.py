@@ -822,3 +822,32 @@ def test_bottomk_stream_equals_batch_under_any_split(spark, tmp_path):
             if r["seq"] == latest[r["event_type"]]
         }
         assert got == want, f"split={split}"
+
+
+def test_cms_stream_equals_batch_sketch(spark, tmp_path):
+    from tensei_agent_spark.operators.sketches import cms_build
+    from tensei_agent_spark.streaming.pipeline import cms_stream
+
+    rows = [(f"k{i % 37}",) for i in range(3000)] + [("hot",)] * 400
+    df = spark.createDataFrame(rows, "key string")
+    src = str(tmp_path / "cms_src")
+    df.repartition(6).write.parquet(src)
+
+    idx = str(tmp_path / "cms_index")
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = cms_stream(stream, idx, "key", depth=4, width=64)
+    q.awaitTermination()
+
+    got = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in spark.read.parquet(idx).collect()
+    }
+    want = {
+        (r["d"], r["bucket"]): r["cnt"]
+        for r in cms_build(df, "key", depth=4, width=64).collect()
+    }
+    assert got == want
