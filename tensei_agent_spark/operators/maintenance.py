@@ -363,3 +363,48 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def schema_diff(old: "DataFrame", new: "DataFrame") -> dict[str, list]:
+    """Schema drift report between two frames (snapshot vs today's
+    load): added / removed / retyped columns, plus nullability
+    relaxations — the ingestion-contract check an ETL run performs
+    before writing (the reference's schema-extraction subsystem solves
+    the inverse problem; drift detection closes the loop on re-runs).
+
+    Pure metadata — no jobs, no data read. Field order is ignored
+    (parquet column order is not a contract); names compare
+    case-sensitively like Spark's resolver in case-sensitive mode.
+
+    Returns {"added": [(name, type)], "removed": [(name, type)],
+    "retyped": [(name, old_type, new_type)],
+    "nullability_relaxed": [name]} with simpleString'd types.
+    """
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    added = sorted(
+        (name, n[name].dataType.simpleString()) for name in n.keys() - o.keys()
+    )
+    removed = sorted(
+        (name, o[name].dataType.simpleString()) for name in o.keys() - n.keys()
+    )
+    retyped = sorted(
+        (
+            name,
+            o[name].dataType.simpleString(),
+            n[name].dataType.simpleString(),
+        )
+        for name in o.keys() & n.keys()
+        if o[name].dataType != n[name].dataType
+    )
+    relaxed = sorted(
+        name
+        for name in o.keys() & n.keys()
+        if not o[name].nullable and n[name].nullable
+    )
+    return {
+        "added": added,
+        "removed": removed,
+        "retyped": retyped,
+        "nullability_relaxed": relaxed,
+    }

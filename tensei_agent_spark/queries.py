@@ -9987,3 +9987,60 @@ def cusum_daily_drift(spark: SparkSession, sf: str) -> DataFrame:
     return cusum_control(
         daily, ["event_type"], "d", "x", k=0.0625, h=0.5
     )
+
+
+@register(
+    "langid_confusion",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht)\b')) AS score_de,
+             len(regexp_extract_all(lower(text), '\b(the|and|of|to|in|is|it)\b')) AS score_en,
+             len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y|en)\b')) AS score_es,
+             len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|dans)\b')) AS score_fr
+      FROM documents),
+    pred AS (
+      SELECT lang,
+             CASE WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr THEN 'de'
+                  WHEN score_en >= score_es AND score_en >= score_fr THEN 'en'
+                  WHEN score_es >= score_fr THEN 'es'
+                  ELSE 'fr' END AS predicted_lang
+      FROM scored),
+    tot AS (SELECT lang, COUNT(*) AS n_lang FROM pred GROUP BY 1)
+    SELECT p.lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE) / MAX(t.n_lang) AS share_of_label
+    FROM pred p JOIN tot t ON t.lang = p.lang
+    GROUP BY p.lang, p.predicted_lang
+    """,
+)
+def langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID quality audit: confusion matrix of the corpus's
+    labeled ``lang`` column vs the marker-word classifier's
+    prediction, with per-label shares — the agreement report a
+    curation run uses to decide whether heuristic lang-ID is safe for
+    routing. Composition of operators/text.predict_language + two
+    partial-aggregated counts; integer counts + one division →
+    bit-exact."""
+    from .operators.text import predict_language
+
+    docs = load(spark, sf, "documents")
+    pred = predict_language(docs, "text", "doc_id").select(
+        "doc_id", "predicted_lang"
+    )
+    lab = docs.select("doc_id", "lang")
+    joined = cache.track(lab.join(pred, "doc_id"))
+    tot = joined.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        joined.groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n",
+            (F.col("n").cast("double") / F.col("n_lang")).alias(
+                "share_of_label"
+            ),
+        )
+    )

@@ -307,3 +307,32 @@ def test_manifest_repair_unwedges_orphan(spark, tmp_path):
         t.vacuum(keep_latest=0)
     t.vacuum(keep_latest=1, min_age_seconds=0)
     assert t.vacuum(keep_latest=5, min_age_seconds=0) == 0
+
+
+def test_schema_diff_reports_drift(spark):
+    from tensei_agent_spark.operators.maintenance import schema_diff
+
+    old = spark.createDataFrame([], "a int, b string, c double")
+    new = spark.createDataFrame([], "a bigint, b string, d date")
+    got = schema_diff(old, new)
+    assert got["added"] == [("d", "date")]
+    assert got["removed"] == [("c", "double")]
+    assert got["retyped"] == [("a", "int", "bigint")]
+
+    # Nullability relaxation: NOT NULL -> nullable is flagged.
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    strict = spark.createDataFrame(
+        [], StructType([StructField("k", LongType(), nullable=False)])
+    )
+    loose = spark.createDataFrame(
+        [], StructType([StructField("k", LongType(), nullable=True)])
+    )
+    assert schema_diff(strict, loose)["nullability_relaxed"] == ["k"]
+    assert schema_diff(loose, strict)["nullability_relaxed"] == []
+    # Identical schemas -> clean report.
+    assert all(not v for v in schema_diff(old, old).values())
