@@ -330,3 +330,49 @@ def test_fd_audit_no_expand_or_window(spark):
     plan = _plan(spark, "fd_discovery_audit")
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_classifier_scores_single_exchange(spark):
+    """Hashed linear classifier: weights are pure codegen functions —
+    the plan must contain NO join and exactly one exchange (the
+    partial-aggregated groupBy(doc_id))."""
+    plan = _plan(spark, "quality_classifier_scores")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan  # map-side partial aggregation
+
+
+def test_winnowing_window_is_doc_partitioned(spark):
+    """The winnowing min-window must partition by document — a global
+    window here would funnel the corpus through one task."""
+    plan = _plan(spark, "winnowing_fingerprints")
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\((.*?)specifiedwindowframe", plan):
+        assert "doc_id" in m.group(1)
+
+
+def test_random_projection_sign_table_broadcasts(spark):
+    """JL projection: the 64-row sign table joins as a broadcast (1:1,
+    no shuffle of the exploded components for the join) and the
+    16 sums partial-aggregate."""
+    plan = _plan(spark, "embedding_random_projection")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_differential_join_avoids_smj_and_cartesian(spark):
+    """Differential join: hot tag + salted paths plan as broadcast /
+    hash joins; never a cartesian, never a global sort."""
+    plan = _plan(spark, "differential_join_priority_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cms_build_exchange_is_cellspace_sized(spark):
+    """CMS: the only exchanges key on the constant (d, bucket) cell
+    space or the probe words — nothing corpus-keyed."""
+    plan = _plan(spark, "cms_word_estimates")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
