@@ -408,3 +408,80 @@ def schema_diff(old: "DataFrame", new: "DataFrame") -> dict[str, list]:
         "retyped": retyped,
         "nullability_relaxed": relaxed,
     }
+
+
+def cascade_delete(
+    frames: dict[str, "DataFrame"],
+    fk_edges: list[tuple[str, str, str, str]],
+    root: str,
+    root_keys: "DataFrame",
+) -> dict[str, "DataFrame"]:
+    """GDPR-style cascade deletion across an FK graph: given frames,
+    edges (child, child_fk_col, parent, parent_key_col), a root table
+    and the root keys to erase, return every frame with the affected
+    rows removed — children first in FK order, exactly the inverse of
+    the writer's FK-topological insert order (plans/plan.py).
+
+    Mechanics: the doomed key set propagates DOWN the graph by
+    semi-joins (parent's doomed keys ⋉ child's FK), and each frame is
+    pruned with a LEFT ANTI join — hash equi-joins only, the doomed
+    sets broadcast when small (a deletion request is typically tiny
+    next to the fact tables). Frames not reachable from the root pass
+    through untouched. Diamond-shaped graphs are fine: a child hit
+    via two parents anti-joins each doomed set once.
+
+    Returns {table: pruned DataFrame}. Pair with
+    :func:`upsert_partitioned_parquet` to rewrite only touched
+    partitions on disk.
+    """
+    children: dict[str, list[tuple[str, str, str]]] = {}
+    for child, fk_col, parent, pk_col in fk_edges:
+        children.setdefault(parent, []).append((child, fk_col, pk_col))
+    # BFS the doomed frontier down the FK graph. Frontier rows carry
+    # the doomed rows of the parent table (so each hop can select the
+    # parent-key column its edge names). ``root_keys`` must expose the
+    # root's key under the column name its outgoing edges use.
+    doomed: dict[str, list] = {}
+    frontier = [(root, root_keys)]
+    visits: dict[str, int] = {}
+    while frontier:
+        parent, rows = frontier.pop()
+        visits[parent] = visits.get(parent, 0) + 1
+        if visits[parent] > len(frames):
+            raise ValueError(
+                f"FK graph cycle reaching {parent!r} — cascade_delete "
+                "requires a DAG (the writer's FK topo-sort enforces the "
+                "same invariant)"
+            )
+        for child, fk_col, pk_col in children.get(parent, []):
+            kdf = rows.select(pk_col).distinct()
+            doomed.setdefault(child, []).append((fk_col, kdf))
+            child_rows = frames[child].join(
+                F.broadcast(kdf.withColumnRenamed(pk_col, "_k")),
+                F.col(fk_col) == F.col("_k"),
+                "left_semi",
+            )
+            frontier.append((child, child_rows))
+    out: dict[str, "DataFrame"] = {}
+    root_pk = root_keys.columns[0]
+    for name, df in frames.items():
+        pruned = df
+        if name == root:
+            pruned = pruned.join(
+                F.broadcast(
+                    root_keys.select(root_pk).distinct().withColumnRenamed(
+                        root_pk, "_doomed"
+                    )
+                ),
+                F.col(root_pk) == F.col("_doomed"),
+                "left_anti",
+            )
+        for fk_col, kdf in doomed.get(name, []):
+            pk_col = kdf.columns[0]
+            pruned = pruned.join(
+                F.broadcast(kdf.withColumnRenamed(pk_col, "_doomed")),
+                F.col(fk_col) == F.col("_doomed"),
+                "left_anti",
+            )
+        out[name] = pruned
+    return out

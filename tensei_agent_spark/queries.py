@@ -10044,3 +10044,76 @@ def langid_confusion(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "gdpr_delete_audit",
+    """
+    WITH doomed AS (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+    o_doomed AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM doomed)),
+    c AS (
+      SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN c_custkey % 100 = 0 THEN 0 ELSE 1 END)
+                  AS BIGINT) AS n_after
+      FROM customer),
+    o AS (
+      SELECT 'orders' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN o_custkey IN (SELECT c_custkey FROM doomed)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_after
+      FROM orders),
+    l AS (
+      SELECT 'lineitem' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM o_doomed)
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_after
+      FROM lineitem)
+    SELECT tbl, n_before, n_after, n_before - n_after AS n_deleted
+    FROM (SELECT * FROM c UNION ALL SELECT * FROM o UNION ALL SELECT * FROM l)
+    """,
+)
+def gdpr_delete_audit(spark: SparkSession, sf: str) -> DataFrame:
+    """Right-to-erasure impact audit
+    (operators/maintenance.cascade_delete): for a deletion request
+    (every 100th customer), the per-table before/after/deleted counts
+    after propagating the doomed key set DOWN the FK graph
+    (customer → orders → lineitem) — children pruned in inverse
+    writer-FK order via broadcast semi/anti equi-joins, the
+    set-oriented twin of the reference writer's FK-ordered cascade.
+    Integer counts → bit-exact; pair with upsert_partitioned_parquet
+    to rewrite only touched partitions."""
+    from .operators.maintenance import cascade_delete
+
+    frames = {
+        "customer": load(spark, sf, "customer"),
+        "orders": load(spark, sf, "orders"),
+        "lineitem": load(spark, sf, "lineitem"),
+    }
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ]
+    doomed = frames["customer"].filter(
+        F.col("c_custkey") % 100 == 0
+    ).select("c_custkey")
+    pruned = cascade_delete(frames, edges, "customer", doomed)
+    parts = []
+    for tbl in ("customer", "orders", "lineitem"):
+        before = frames[tbl].agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_before")
+        )
+        after = pruned[tbl].agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_after")
+        )
+        parts.append(
+            before.crossJoin(after).select(
+                F.lit(tbl).alias("tbl"),
+                "n_before",
+                "n_after",
+                (F.col("n_before") - F.col("n_after")).alias("n_deleted"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -336,3 +336,50 @@ def test_schema_diff_reports_drift(spark):
     assert schema_diff(loose, strict)["nullability_relaxed"] == []
     # Identical schemas -> clean report.
     assert all(not v for v in schema_diff(old, old).values())
+
+
+def test_cascade_delete_prunes_fk_chain(spark):
+    from tensei_agent_spark.operators.maintenance import cascade_delete
+
+    cust = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "c_custkey long, name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)],
+        "o_orderkey long, o_custkey long",
+    )
+    items = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (12, 1), (13, 1)],
+        "l_orderkey long, l_linenumber long",
+    )
+    edges = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ]
+    doomed = spark.createDataFrame([(1,)], "c_custkey long")
+    out = cascade_delete(
+        {"customer": cust, "orders": orders, "lineitem": items},
+        edges,
+        "customer",
+        doomed,
+    )
+    assert {r["c_custkey"] for r in out["customer"].collect()} == {2, 3}
+    assert {r["o_orderkey"] for r in out["orders"].collect()} == {12, 13}
+    assert {
+        (r["l_orderkey"], r["l_linenumber"])
+        for r in out["lineitem"].collect()
+    } == {(12, 1), (13, 1)}
+
+
+def test_cascade_delete_rejects_cycles(spark):
+    import pytest
+
+    from tensei_agent_spark.operators.maintenance import cascade_delete
+
+    a = spark.createDataFrame([(1, 1)], "ak long, bfk long")
+    b = spark.createDataFrame([(1, 1)], "bk long, afk long")
+    edges = [("b", "afk", "a", "ak"), ("a", "bfk", "b", "bk")]
+    doomed = spark.createDataFrame([(1,)], "ak long")
+    with pytest.raises(ValueError, match="cycle"):
+        # Force evaluation of the BFS (it happens at plan-build time).
+        cascade_delete({"a": a, "b": b}, edges, "a", doomed)
