@@ -19,9 +19,10 @@ and as the coarse quantizer an IVF index would train.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..cache import track
 from .lits import dlit
 
 
@@ -134,4 +135,97 @@ def cluster_profile(assigned: DataFrame) -> DataFrame:
             F.avg("_d2").alias("mean_d2"),
         )
         .orderBy("cluster")
+    )
+
+
+def nearest_centroid_confusion(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 10_000,
+) -> DataFrame:
+    """Nearest-centroid classification audit with EXACT integer
+    arithmetic: assign every vector to the label whose centroid is
+    closest, and report the (true label, assigned label, n) confusion
+    counts — the embedding-quality screen ("do labels cluster?").
+
+    The trick that keeps an argmin over FLOAT centroids bit-exact:
+    a centroid is s_l / n_l (integer sum vector / count); comparing
+    squared distances d²(x, s_l/n_l) across labels multiplies through
+    by n_l², giving the all-BIGINT score
+
+        D_l = n_l²·‖x‖² − 2·n_l·(x·s_l) + ‖s_l‖²      (= n_l²·d²)
+
+    …wait — D_l/n_l² is the comparable quantity, so the cross-label
+    argmin compares D_l·n_m² vs D_m·n_l². Equivalently: rank on the
+    exact rational via the pairwise cross-product. We avoid the
+    pairwise form by ranking on the DOUBLE quotient D_l/n_l² with the
+    label as tie-break — the quotient of exact integers is correctly
+    rounded, identical in any IEEE engine, so the rank is engine-
+    stable without a round() guard.
+
+    Scale: one component explode, label sums are a 64·|labels| table
+    (broadcast), per-(vec,label) dot via a 1:|labels| fan-out join,
+    argmin is a vec-partitioned window over |labels| rows. Nothing
+    quadratic in the corpus.
+    """
+    comps = emb.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lt"),
+        F.posexplode(vec_col).alias("i", "_v"),
+    ).select(
+        id_col,
+        "_lt",
+        F.col("i").cast("int").alias("i"),
+        F.floor(
+            F.col("_v").cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    comps = track(comps)
+    lsums = track(
+        comps.groupBy(F.col("_lt").alias("_lc"), "i").agg(
+            F.sum("q").alias("s")
+        )
+    )
+    lmeta = lsums.groupBy("_lc").agg(
+        F.sum(F.col("s") * F.col("s")).alias("ss")
+    ).join(
+        comps.groupBy("_lt")
+        .agg((F.count(F.lit(1)) / 64).cast("long").alias("n"))
+        .withColumnRenamed("_lt", "_lc"),
+        "_lc",
+    )
+    xx = comps.groupBy(id_col, "_lt").agg(
+        F.sum(F.col("q") * F.col("q")).alias("xx")
+    )
+    xs = (
+        comps.join(F.broadcast(lsums), "i")
+        .groupBy(id_col, "_lc")
+        .agg(F.sum(F.col("q") * F.col("s")).alias("xs"))
+    )
+    scored = (
+        xs.join(F.broadcast(lmeta), "_lc")
+        .join(xx, id_col)
+        .withColumn(
+            "_d2",
+            (
+                F.col("n") * F.col("n") * F.col("xx")
+                - F.lit(2) * F.col("n") * F.col("xs")
+                + F.col("ss")
+            ).cast("double")
+            / (F.col("n") * F.col("n")).cast("double"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy("_d2", "_lc")
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, F.col("_lt").alias("label_true"), F.col("_lc").alias("label_pred"))
+    )
+    return (
+        assigned.groupBy("label_true", "label_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -10117,3 +10117,57 @@ def gdpr_delete_audit(spark: SparkSession, sf: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "nearest_centroid_confusion",
+    """
+    WITH comps AS (
+      SELECT vec_id, label AS lt, CAST(i - 1 AS INT) AS i,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * 10000.0 + 0.5) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, 65)) t(i)),
+    lsums AS (
+      SELECT lt AS lc, i, CAST(SUM(q) AS BIGINT) AS s
+      FROM comps GROUP BY 1, 2),
+    cnt AS (
+      SELECT lt AS lc, CAST(COUNT(*) / 64 AS BIGINT) AS n
+      FROM comps GROUP BY 1),
+    lmeta AS (
+      SELECT ls.lc, CAST(SUM(ls.s * ls.s) AS BIGINT) AS ss, MAX(cnt.n) AS n
+      FROM lsums ls JOIN cnt ON cnt.lc = ls.lc
+      GROUP BY ls.lc),
+    xx AS (
+      SELECT vec_id, lt, CAST(SUM(q * q) AS BIGINT) AS xx
+      FROM comps GROUP BY 1, 2),
+    xs AS (
+      SELECT c.vec_id, ls.lc, CAST(SUM(c.q * ls.s) AS BIGINT) AS xs
+      FROM comps c JOIN lsums ls ON c.i = ls.i GROUP BY 1, 2),
+    scored AS (
+      SELECT xs.vec_id, xx.lt, xs.lc,
+             CAST(m.n * m.n * xx.xx - 2 * m.n * xs.xs + m.ss AS DOUBLE)
+               / CAST(m.n * m.n AS DOUBLE) AS d2
+      FROM xs JOIN lmeta m ON m.lc = xs.lc
+              JOIN xx ON xx.vec_id = xs.vec_id),
+    assigned AS (
+      SELECT vec_id, lt, lc,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, lc) AS rn
+      FROM scored)
+    SELECT lt AS label_true, lc AS label_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+def nearest_centroid_confusion_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-quality screen
+    (operators/clustering.nearest_centroid_confusion): assign every
+    vector to its nearest label centroid and count the (true,
+    assigned) confusion cells. The argmin over FLOAT centroids stays
+    engine-exact by clearing denominators: rank on
+    (n²·‖x‖² − 2n·(x·s) + ‖s‖²)/n² — exact BIGINTs up to one
+    correctly-rounded division. Label sums broadcast; the per-vector
+    argmin is a |labels|-row partitioned window — nothing quadratic
+    in the corpus. Bit-exact."""
+    from .operators.clustering import nearest_centroid_confusion
+
+    return nearest_centroid_confusion(load(spark, sf, "embeddings"))

@@ -106,3 +106,25 @@ def test_dlit_roundtrips_floats_exactly(spark):
 
     with pytest.raises(ValueError):
         dlit([float("nan")])
+
+
+def test_nearest_centroid_confusion_on_separable_labels(spark):
+    from tensei_agent_spark.operators.clustering import (
+        nearest_centroid_confusion,
+    )
+
+    # Two tight, well-separated label clouds: every vector must be
+    # assigned its own label's centroid.
+    rows = []
+    for i in range(10):
+        rows.append((i, [1.0 + 0.001 * i] + [0.0] * 63, 0))
+    for i in range(10, 20):
+        rows.append((i, [0.0, 1.0 + 0.001 * i] + [0.0] * 62, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["label_true"], r["label_pred"]): r["n"]
+        for r in nearest_centroid_confusion(emb).collect()
+    }
+    assert got == {(0, 0): 10, (1, 1): 10}
