@@ -10171,3 +10171,117 @@ def nearest_centroid_confusion_q(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.clustering import nearest_centroid_confusion
 
     return nearest_centroid_confusion(load(spark, sf, "embeddings"))
+
+
+@register(
+    "pointintime_features",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, ts, event_id,
+             CAST(value AS DECIMAL(14,2)) AS v
+      FROM events),
+    feats AS (
+      SELECT user_id, event_id, ts,
+             COUNT(*) OVER w - 1 AS n_prior_events,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    OVER w
+                  - CASE WHEN event_type = 'view' THEN 1 ELSE 0 END
+                  AS BIGINT) AS n_prior_views,
+             CAST(SUM(v) OVER w - v AS DOUBLE) AS prior_value_sum
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT f.user_id, f.event_id, f.n_prior_events, f.n_prior_views,
+           f.prior_value_sum
+    FROM feats f JOIN ev e ON e.event_id = f.event_id
+    WHERE e.event_type = 'purchase'
+    """,
+)
+def pointintime_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free training-set assembly: for every purchase event,
+    activity features computed ONLY from the user's STRICTLY EARLIER
+    events (prior event count, prior view count, prior value sum) —
+    the point-in-time-correct feature join that keeps offline training
+    honest. One user-partitioned cumulative window with the current
+    row subtracted out (an inclusive frame + self-exclusion is one
+    window pass; an explicit 1-PRECEDING frame would be a second sort
+    consumer); exact DECIMAL value sums → bit-exact. Total order
+    inside a user is (ts, event_id) so replays rank identically."""
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(14,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    feats = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.count(F.lit(1)).over(w) - 1).alias("n_prior_events"),
+        (F.sum(is_view).over(w) - is_view).cast("bigint").alias(
+            "n_prior_views"
+        ),
+        (F.sum("v").over(w) - F.col("v")).cast("double").alias(
+            "prior_value_sum"
+        ),
+    )
+    return feats.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "n_prior_events",
+        "n_prior_views",
+        "prior_value_sum",
+    )
+
+
+@register(
+    "negative_sampling_weights",
+    r"""
+    WITH toks AS (
+      SELECT w
+      FROM documents, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) t(w)
+      WHERE w <> ''),
+    cnts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w)
+    SELECT w AS word, cnt,
+           sqrt(CAST(cnt AS DOUBLE)) * sqrt(sqrt(CAST(cnt AS DOUBLE)))
+             AS weight
+    FROM cnts
+    ORDER BY weight DESC, word
+    LIMIT 50
+    """,
+)
+def negative_sampling_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """word2vec-style negative-sampling table: unigram counts raised
+    to the 3/4 power (Mikolov et al. 2013 — flattens the head so rare
+    words get sampled). c^0.75 is computed as sqrt(c)·sqrt(sqrt(c)):
+    pow() is NOT a correctly-rounded libm call and may differ across
+    engines, but IEEE sqrt IS — the composed form is bit-identical
+    everywhere. One partial-aggregated word count + TakeOrdered
+    top-50; the normalizing constant is deliberately left to the
+    consumer (a float SUM over an unordered vocab is not
+    order-stable — rank and relative weight are)."""
+    docs = load(spark, sf, "documents")
+    cnts = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    c = F.col("cnt").cast("double")
+    weight = F.sqrt(c) * F.sqrt(F.sqrt(c))
+    return (
+        cnts.select("word", "cnt", weight.alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("word"))
+        .limit(50)
+    )

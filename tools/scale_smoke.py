@@ -33,6 +33,8 @@ sys.path.insert(0, ".")
 from tensei_agent_spark.cache import release_all  # noqa: E402
 from tensei_agent_spark.catalog import load  # noqa: E402
 from tensei_agent_spark.operators import dedup as D  # noqa: E402
+from tensei_agent_spark.operators import classifier as CLS  # noqa: E402
+from tensei_agent_spark.operators import projection as PRJ  # noqa: E402
 from tensei_agent_spark.operators import similarity as SIM  # noqa: E402
 from tensei_agent_spark.session import get_spark  # noqa: E402
 
@@ -99,6 +101,21 @@ def main() -> None:
                 emb,
                 emb.filter(F.col("vec_id") < 5),
                 k=10, n_planes=6, n_tables=4,
+            ).count(),
+            # Session-2 families: classifier is map + one partial-agg
+            # exchange (linear, scan-bound); winnowing pairs add a
+            # doc-partitioned window + capped posting explode (the 4x
+            # corpus is near-dup-heavy, so pair output grows with the
+            # true dup volume — expected); random projection is a 1:1
+            # broadcast join + k partial sums (linear).
+            "quality_classifier": lambda: CLS.score_documents(
+                docs
+            ).count(),
+            "winnowing_dup_pairs": lambda: D.winnow_dup_pairs(
+                docs, "text", "doc_id", k=5, w=4, min_shared=2, max_df=40
+            ).count(),
+            "random_projection": lambda: PRJ.random_project(
+                emb, k=16
             ).count(),
         }
         for name, run in ops.items():
