@@ -1276,3 +1276,51 @@ def boilerplate_coverage(
             ),
         )
     )
+
+
+def tune_lsh(
+    threshold: float,
+    num_hashes: int,
+    fn_weight: float = 1.0,
+) -> tuple[int, int, float]:
+    """Pick the (bands, rows) split of a MinHash signature that best
+    separates pairs around a Jaccard ``threshold`` — the standard
+    S-curve tuning (Mining of Massive Datasets §3.4): collision
+    probability of a pair with similarity s is p(s) = 1 − (1 − s^r)^b.
+
+    Minimizes  ∫₀^t p(s) ds  +  fn_weight · ∫ₜ¹ (1 − p(s)) ds
+    (false-positive area below the threshold plus weighted false-
+    negative area above it, by closed-form-free Simpson integration)
+    over all integer factorizations b·r = num_hashes. ``fn_weight > 1``
+    biases toward recall (missing a true dup usually costs more than
+    verifying a candidate).
+
+    Returns (bands, rows, p_at_threshold). Driver-side arithmetic on
+    plan parameters — nothing touches data.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best: tuple[float, int, int, float] | None = None
+    for rows in range(1, num_hashes + 1):
+        if num_hashes % rows:
+            continue
+        bands = num_hashes // rows
+
+        def p(s: float) -> float:
+            return 1.0 - (1.0 - s**rows) ** bands
+
+        def integral(lo: float, hi: float, f, n: int = 200) -> float:
+            h = (hi - lo) / n
+            acc = f(lo) + f(hi)
+            for i in range(1, n):
+                acc += f(lo + i * h) * (4 if i % 2 else 2)
+            return acc * h / 3.0
+
+        fp = integral(0.0, threshold, p)
+        fn = integral(threshold, 1.0, lambda s: 1.0 - p(s))
+        cost = fp + fn_weight * fn
+        cand = (cost, bands, rows, p(threshold))
+        if best is None or cand[0] < best[0]:
+            best = cand
+    assert best is not None
+    return best[1], best[2], best[3]

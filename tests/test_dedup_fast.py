@@ -233,3 +233,28 @@ def test_boilerplate_coverage_flags_shared_template(spark):
     # Doc 3 has the header too but is alone in siteB -> 0.
     assert got[3]["n_boiler"] == 0
     assert got[4]["n_boiler"] == 0
+
+
+def test_tune_lsh_tracks_threshold():
+    from tensei_agent_spark.operators.dedup import tune_lsh
+
+    # Low threshold wants many bands (high recall at low s); high
+    # threshold wants long rows (suppress low-s collisions).
+    b_lo, r_lo, _ = tune_lsh(0.3, 16)
+    b_hi, r_hi, _ = tune_lsh(0.9, 16)
+    assert b_lo * r_lo == 16 and b_hi * r_hi == 16
+    assert r_lo < r_hi
+    # Recall-weighted tuning at J=0.8 recovers the repo's default
+    # 16 hashes / 4 bands with high collision probability at the
+    # threshold (balanced weighting trades that recall for fewer
+    # low-s candidates).
+    b80, r80, p80 = tune_lsh(0.8, 16, fn_weight=5.0)
+    assert (b80, r80) == (4, 4) and p80 > 0.85
+    # Recall weighting pushes toward more bands (or equal).
+    b_bal, _, _ = tune_lsh(0.6, 16, fn_weight=1.0)
+    b_rec, _, _ = tune_lsh(0.6, 16, fn_weight=5.0)
+    assert b_rec >= b_bal
+    import pytest
+
+    with pytest.raises(ValueError):
+        tune_lsh(1.5, 16)
