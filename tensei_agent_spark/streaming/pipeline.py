@@ -934,3 +934,68 @@ def cms_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+_PIT_STATE_SCHEMA = "n long, nv long, cents long"
+_PIT_OUT_SCHEMA = (
+    "user_id long, event_id long, n_prior_events long, "
+    "n_prior_views long, prior_value_cents long"
+)
+
+
+def _make_pit_fn():
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (uid,) = key
+        n, nv, cents = (state.get if state.exists else (0, 0, 0))
+        rows = []
+        events = []
+        for pdf in pdf_iter:
+            for t, eid, et, vc in zip(
+                pdf["ts"], pdf["event_id"], pdf["event_type"],
+                pdf["value_cents"],
+            ):
+                events.append((int(t.value), int(eid), str(et), int(vc)))
+        if not events:
+            return
+        # Deterministic intra-batch order: (ts, event_id) — the same
+        # total order the batch twin's window uses.
+        for _, eid, et, vc in sorted(events):
+            rows.append((uid, eid, n, nv, cents))  # features BEFORE update
+            n += 1
+            nv += 1 if et == "view" else 0
+            cents += vc
+        state.update((n, nv, cents))
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "event_id", "n_prior_events",
+                "n_prior_views", "prior_value_cents",
+            ],
+        )
+
+    return fn
+
+
+def pointintime_features_stream(events: DataFrame) -> DataFrame:
+    """Online feature store: the streaming twin of the
+    ``pointintime_features`` batch query — per user, running
+    (prior event count, prior view count, prior value) emitted for
+    EVERY event using only strictly-earlier state, so a model served
+    from this stream sees exactly what offline training saw
+    (``applyInPandasWithState``; state = three counters per user).
+
+    Correctness contract: events must arrive time-ordered per user
+    ACROSS micro-batches (log ingestion's natural order — within a
+    batch any order is fine, the handler sorts on (ts, event_id));
+    ``value_cents`` carries money as exact integer cents so the
+    running sum never touches float state. Parity with the batch
+    window is pinned in pytest."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_pit_fn(),
+        outputStructType=_PIT_OUT_SCHEMA,
+        stateStructType=_PIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

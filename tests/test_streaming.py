@@ -851,3 +851,91 @@ def test_cms_stream_equals_batch_sketch(spark, tmp_path):
         for r in cms_build(df, "key", depth=4, width=64).collect()
     }
     assert got == want
+
+
+def test_pointintime_stream_matches_batch_window(spark, tmp_path):
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.streaming.pipeline import (
+        pointintime_features_stream,
+    )
+
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows = []
+    for eid in range(1, 121):
+        rows.append(
+            (
+                eid % 5,  # user
+                base + dt.timedelta(minutes=eid),
+                eid,
+                "view" if eid % 3 else "purchase",
+                (eid % 7) * 25,  # exact cents
+            )
+        )
+    schema = (
+        "user_id long, ts timestamp, event_id long, event_type string, "
+        "value_cents long"
+    )
+    df = spark.createDataFrame(rows, schema)
+
+    # Batch reference: cumulative window minus current row.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_view = F.when(F.col("event_type") == "view", 1).otherwise(0)
+    want = {
+        (r["user_id"], r["event_id"]): (
+            r["n"], r["nv"], r["cents"]
+        )
+        for r in df.select(
+            "user_id",
+            "event_id",
+            (F.count(F.lit(1)).over(w) - 1).alias("n"),
+            (F.sum(is_view).over(w) - is_view).alias("nv"),
+            (F.sum("value_cents").over(w) - F.col("value_cents")).alias(
+                "cents"
+            ),
+        ).collect()
+    }
+
+    # Cross-batch state: run availableNow TWICE over a shared
+    # checkpoint — first the early half, then the late half (the
+    # log-ingestion contract: time-ordered per user ACROSS batches;
+    # within a run the handler sorts). File-listing order inside one
+    # directory is NOT guaranteed, so ordered delivery is modeled as
+    # ordered arrival, not file naming.
+    src = str(tmp_path / "pit_src")
+    ckpt = str(tmp_path / "pit_ckpt")
+    sink = str(tmp_path / "pit_out")
+    early = df.filter("event_id <= 60")
+    late = df.filter("event_id > 60")
+
+    def run_once(batch_df):
+        batch_df.coalesce(1).write.mode("append").parquet(src)
+        q = (
+            pointintime_features_stream(
+                spark.readStream.schema(df.schema).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once(early)
+    run_once(late)
+    got = {
+        (r["user_id"], r["event_id"]): (
+            r["n_prior_events"], r["n_prior_views"], r["prior_value_cents"]
+        )
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == want
