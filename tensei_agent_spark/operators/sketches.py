@@ -256,3 +256,88 @@ def cms_estimate(
     return joined.groupBy(key_col).agg(
         F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
     )
+
+
+def quantile_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 200,
+) -> DataFrame:
+    """Per-group KLL quantile sketches (Karnin-Lang-Liberty FOCS'16,
+    via Spark's Datasketches bindings): the STOREABLE/MERGEABLE twin
+    of percentile_approx — store one sketch per (day, key) partition,
+    answer any later quantile question over any key/time range by
+    merging sketches instead of rescanning 100 TB.
+
+    Returns group_cols + (kll binary). Pair with
+    :func:`merge_quantile_rollup`."""
+    return df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"), F.lit(int(k))).alias(
+            "kll"
+        )
+    )
+
+
+def merge_quantile_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Merge per-partition KLL sketches up to ``group_cols`` and read
+    out quantile estimates: (group_cols..., n, q_50, q_95, ...).
+    Merging is the whole point — error bounds survive the union, so
+    daily sketches answer monthly questions exactly as well."""
+    merged = sketches.groupBy(*group_cols).agg(
+        F.kll_merge_agg_double("kll").alias("kll")
+    )
+    cols = [
+        F.kll_sketch_get_quantile_double("kll", F.lit(float(q))).alias(
+            f"q_{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return merged.select(
+        *group_cols,
+        F.kll_sketch_get_n_double("kll").alias("n"),
+        *cols,
+    )
+
+
+def audience_overlap(
+    df: DataFrame,
+    segment_col: str,
+    id_col: str,
+    segments: tuple[str, str],
+) -> DataFrame:
+    """Set algebra on Theta sketches (Datasketches): estimated distinct
+    ids in segment A, segment B, A∩B and A∖B — the audience-overlap /
+    funnel-reach question HLL cannot answer (HLL unions only; Theta
+    intersects and differences with bounded error).
+
+    One pass builds both sketches (conditional aggregation), the set
+    ops combine the two 4-KB summaries driver-free. Returns one row:
+    (n_a, n_b, n_intersection, n_only_a)."""
+    a, b = segments
+    sk = df.agg(
+        F.theta_sketch_agg(
+            F.when(F.col(segment_col) == a, F.col(id_col))
+        ).alias("sa"),
+        F.theta_sketch_agg(
+            F.when(F.col(segment_col) == b, F.col(id_col))
+        ).alias("sb"),
+    )
+    return sk.select(
+        F.round(F.theta_sketch_estimate("sa")).cast("long").alias("n_a"),
+        F.round(F.theta_sketch_estimate("sb")).cast("long").alias("n_b"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
+        )
+        .cast("long")
+        .alias("n_intersection"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_difference("sa", "sb"))
+        )
+        .cast("long")
+        .alias("n_only_a"),
+    )

@@ -10285,3 +10285,37 @@ def negative_sampling_weights(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("weight"), F.asc("word"))
         .limit(50)
     )
+
+
+@register("kll_value_quantiles", None)  # sketch approximation → rows-only
+def kll_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Store-and-merge quantiles (operators/sketches.quantile_rollup):
+    daily KLL sketches of event value per type, merged up to the type
+    level and read at p50/p95/p99 — the mergeable twin of
+    percentile_approx that lets 100 TB answer any later quantile
+    question from stored 4-KB summaries. Sketch estimates → rows-only;
+    the error bound vs exact percentiles and the merge law are pinned
+    in test_sketches.py."""
+    from .operators.sketches import merge_quantile_rollup, quantile_rollup
+
+    ev = load(spark, sf, "events")
+    daily = quantile_rollup(
+        ev.withColumn("d", F.date_trunc("day", F.col("ts"))),
+        ["event_type", "d"],
+        "value",
+    )
+    return merge_quantile_rollup(daily, ["event_type"])
+
+
+@register("audience_overlap_theta", None)  # sketch estimate → rows-only
+def audience_overlap_theta(spark: SparkSession, sf: str) -> DataFrame:
+    """Theta-sketch set algebra (operators/sketches.audience_overlap):
+    estimated distinct users who view, who purchase, who do BOTH, and
+    view-only — the intersection/difference questions HLL cannot
+    answer from its union-only sketches. One conditional-aggregation
+    pass builds both 4-KB summaries. Estimates → rows-only; accuracy
+    vs exact distinct counts pinned in test_sketches.py."""
+    from .operators.sketches import audience_overlap
+
+    ev = load(spark, sf, "events")
+    return audience_overlap(ev, "event_type", "user_id", ("view", "purchase"))

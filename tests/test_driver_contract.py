@@ -73,6 +73,10 @@ def test_rows_only_queries_are_documented_exceptions():
                                       # (python-parity in test_dsir.py)
         "coreset_kcenter",            # iterative argmax traversal
                                       # (python-parity in test_coreset.py)
+        "kll_value_quantiles",        # KLL sketch (error bound + merge
+                                      # law in test_sketches.py)
+        "audience_overlap_theta",     # Theta sketch set estimates
+                                      # (accuracy in test_sketches.py)
     }
     assert rows_only <= allowed, rows_only - allowed
 

@@ -244,3 +244,43 @@ def test_t_closeness_identical_and_skewed_groups(spark):
     )
     for r in t_closeness(balanced, ["grp"], "sens").collect():
         assert r["emd"] == 0.0
+
+
+def test_kll_rollup_merge_law_and_accuracy(spark):
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.sketches import (
+        merge_quantile_rollup,
+        quantile_rollup,
+    )
+
+    rows = [("a", i % 10, float(i % 1000)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "k string, part int, v double")
+    per_part = quantile_rollup(df, ["k", "part"], "v")
+    got = merge_quantile_rollup(per_part, ["k"]).collect()[0]
+    assert got["n"] == 20000.0
+    # Exact p50/p95 of 0..999 uniform: ~500 / ~950. KLL(k=200) error
+    # is ~1% of rank.
+    assert abs(got["q_50"] - 500) < 30
+    assert abs(got["q_95"] - 950) < 30
+    # Merge law: sketching whole == merging partition sketches (same
+    # estimates within the sketch's own error).
+    whole = merge_quantile_rollup(
+        quantile_rollup(df, ["k"], "v"), ["k"]
+    ).collect()[0]
+    assert abs(got["q_50"] - whole["q_50"]) < 30
+
+
+def test_theta_overlap_tracks_exact_sets(spark):
+    from tensei_agent_spark.operators.sketches import audience_overlap
+
+    rows = [("view", u) for u in range(1000)]
+    rows += [("purchase", u) for u in range(600, 1400)]
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    got = audience_overlap(df, "seg", "uid", ("view", "purchase")).collect()[0]
+    # Exact: |A|=1000, |B|=800, |A∩B|=400, |A\B|=600. Theta default
+    # accuracy at these sizes is exact or near-exact.
+    assert abs(got["n_a"] - 1000) <= 20
+    assert abs(got["n_b"] - 800) <= 16
+    assert abs(got["n_intersection"] - 400) <= 20
+    assert abs(got["n_only_a"] - 600) <= 25
