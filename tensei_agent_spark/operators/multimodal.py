@@ -379,3 +379,56 @@ def stdlib_decoder(payload: bytes, modality: str):
         f"no stdlib decoder for this payload (modality={modality!r}, "
         f"magic={payload[:4]!r}); install/wrap a real codec via decoder="
     )
+
+
+def _parse_ppm(payload: bytes) -> tuple[int, int, int, int]:
+    """Header parse shared by decode/resize: returns (w, h, maxval,
+    data_offset). Same whitespace/comment rules as :func:`decode_ppm`."""
+    if not payload.startswith(b"P6"):
+        raise NotImplementedError("not a binary PPM (P6) payload")
+    tokens, i = [], 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] not in (10, 13):
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(int(payload[start:i]))
+    i += 1
+    w, h, maxval = tokens
+    return w, h, maxval, i
+
+
+def resize_ppm_kernel(target_w: int, target_h: int):
+    """REAL image-resize kernel for binary PPM (P6): nearest-neighbor
+    resample in numpy, re-encoded as P6 — a genuinely executable
+    decode → transform → encode path with zero external codecs, the
+    proof shape for :func:`transform_assets` (swap in a PIL/ffmpeg
+    wrapper for jpeg/mp4; the Spark-side plumbing is identical).
+
+    Nearest-neighbor site selection is the standard floor((i+0.5)·
+    src/dst) center mapping — deterministic, no resampling filter
+    floats. 8-bit samples only (same guard as decode_ppm)."""
+    import numpy as np
+
+    tw, th = int(target_w), int(target_h)
+    if tw < 1 or th < 1:
+        raise ValueError("target dims must be >= 1")
+
+    def kernel(payload: bytes) -> bytes:
+        w, h, maxval, off = _parse_ppm(payload)
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM unsupported")
+        px = np.frombuffer(payload, dtype="u1", count=w * h * 3, offset=off)
+        img = px.reshape(h, w, 3)
+        rows = np.minimum((np.arange(th) + 0.5) * h / th, h - 1).astype(int)
+        cols = np.minimum((np.arange(tw) + 0.5) * w / tw, w - 1).astype(int)
+        out = img[rows][:, cols]
+        header = f"P6\n{tw} {th}\n{maxval}\n".encode()
+        return header + out.tobytes()
+
+    return kernel

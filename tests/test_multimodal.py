@@ -304,3 +304,39 @@ def test_ppm_16bit_maxval_gated():
     payload = b"P6\n2 2\n65535\n" + b"\x00" * 24
     with pytest.raises(NotImplementedError, match="maxval"):
         decode_ppm(payload)
+
+
+def test_resize_ppm_kernel_through_transform_assets(spark):
+    import numpy as np
+
+    from tensei_agent_spark.operators.multimodal import (
+        decode_ppm,
+        resize_ppm_kernel,
+        transform_assets,
+    )
+
+    # 4x4 image: left half red, right half blue.
+    px = np.zeros((4, 4, 3), dtype="u1")
+    px[:, :2, 0] = 255
+    px[:, 2:, 2] = 255
+    payload = b"P6\n4 4\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "asset_id long, payload binary"
+    )
+    out = transform_assets(
+        df, "payload", "asset_id", kernel=resize_ppm_kernel(2, 2)
+    ).collect()[0]
+    w, h, _, feats = decode_ppm(bytes(out["payload"]))
+    assert (w, h) == (2, 2)
+    # Means preserved by the symmetric downsample: half red, half blue.
+    r_mean, g_mean, b_mean = feats[0], feats[1], feats[2]
+    assert r_mean == 0.5 and g_mean == 0.0 and b_mean == 0.5
+    assert out["n_bytes_out"] < out["n_bytes_in"]
+
+    # Upscale round-trip keeps the palette exactly (nearest neighbor).
+    up = transform_assets(
+        df, "payload", "asset_id", kernel=resize_ppm_kernel(8, 8)
+    ).collect()[0]
+    w8, h8, _, feats8 = decode_ppm(bytes(up["payload"]))
+    assert (w8, h8) == (8, 8)
+    assert feats8[0] == 0.5 and feats8[2] == 0.5
