@@ -1324,3 +1324,74 @@ def tune_lsh(
             best = cand
     assert best is not None
     return best[1], best[2], best[3]
+
+
+def incremental_components(
+    prev_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Incremental connected components for the daily-crawl pattern:
+    yesterday's (node, lbl) table + today's NEW edges → updated
+    labels, WITHOUT re-running CC over the historical edge set.
+
+    Soundness: components are closed under contraction — collapse
+    every existing component to its label (a supernode), and CC of
+    (old ∪ new) equals CC of the new edges over supernodes, mapped
+    back. So the expensive step runs on a graph bounded by TODAY'S
+    edges (typically orders of magnitude below the accumulated
+    corpus), via the same large-star/small-star kernel
+    (:func:`connected_components_star`).
+
+    Edge endpoints unseen before act as their own supernode. Labels
+    stay canonical (the min node id of the merged component) because
+    both the star kernel and the final coalesce take minima over
+    already-minimal labels.
+
+    Returns the updated (node, lbl) table — feed it back in tomorrow.
+    ``prev_labels`` takes (node, lbl) or the star kernel's own
+    (node, component) output directly.
+    """
+    if "component" in prev_labels.columns and "lbl" not in prev_labels.columns:
+        prev_labels = prev_labels.withColumnRenamed("component", "lbl")
+    lbl_a = prev_labels.select(
+        F.col("node").alias(id_a), F.col("lbl").alias("_la")
+    )
+    lbl_b = prev_labels.select(
+        F.col("node").alias(id_b), F.col("lbl").alias("_lb")
+    )
+    mapped = (
+        new_pairs.select(id_a, id_b)
+        .join(lbl_a, id_a, "left")
+        .join(lbl_b, id_b, "left")
+        .select(
+            F.coalesce(F.col("_la"), F.col(id_a)).alias("_sa"),
+            F.coalesce(F.col("_lb"), F.col(id_b)).alias("_sb"),
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    reduced = connected_components_star(
+        mapped.select(
+            F.least("_sa", "_sb").alias(id_a),
+            F.greatest("_sa", "_sb").alias(id_b),
+        ),
+        id_a,
+        id_b,
+        max_iter=max_iter,
+    )  # (node, component) over supernodes touched by new edges
+    new_nodes = (
+        new_pairs.select(F.col(id_a).alias("node"))
+        .unionAll(new_pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+        .join(prev_labels.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("lbl"))
+    )
+    base = prev_labels.select("node", "lbl").unionAll(new_nodes)
+    remap = reduced.select(
+        F.col("node").alias("lbl"), F.col("component").alias("_new")
+    )
+    return base.join(remap, "lbl", "left").select(
+        "node", F.coalesce(F.col("_new"), F.col("lbl")).alias("lbl")
+    )

@@ -94,3 +94,57 @@ def test_connected_components_large_path_is_star(spark):
         for r in connected_components(pairs, driver_threshold=0).collect()
     }
     assert fast == dist == _union_find(edges)
+
+
+def test_incremental_components_match_full_recompute(spark):
+    import random
+
+    from tensei_agent_spark.operators.dedup import (
+        connected_components_star,
+        incremental_components,
+    )
+
+    rng = random.Random(11)
+    nodes = list(range(1, 120))
+    edges = []
+    for _ in range(150):
+        a, b = rng.sample(nodes, 2)
+        edges.append((min(a, b), max(a, b)))
+    edges = sorted(set(edges))
+    old, new = edges[:100], edges[100:]
+
+    old_df = spark.createDataFrame(old, "id_a long, id_b long")
+    new_df = spark.createDataFrame(new, "id_a long, id_b long")
+    all_df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    prev = connected_components_star(old_df)
+    # Isolated-so-far nodes appear once new edges touch them; seed the
+    # prev table with edge endpoints only (the realistic ledger).
+    got = {
+        (r["node"], r["lbl"])
+        for r in incremental_components(prev, new_df).collect()
+    }
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components_star(all_df).collect()
+    }
+    # Full recompute covers exactly the nodes with any edge; the
+    # incremental table covers the same set.
+    assert got == want
+
+
+def test_incremental_components_new_nodes_and_merges(spark):
+    from tensei_agent_spark.operators.dedup import incremental_components
+
+    prev = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10)], "node long, lbl long"
+    )
+    # New edge bridges the two old components AND introduces node 50.
+    new = spark.createDataFrame(
+        [(2, 10), (50, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["lbl"]
+        for r in incremental_components(prev, new).collect()
+    }
+    assert got == {1: 1, 2: 1, 10: 1, 11: 1, 50: 1}
