@@ -10319,3 +10319,40 @@ def audience_overlap_theta(spark: SparkSession, sf: str) -> DataFrame:
 
     ev = load(spark, sf, "events")
     return audience_overlap(ev, "event_type", "user_id", ("view", "purchase"))
+
+
+@register(
+    "pseudonymized_top_customers",
+    """
+    WITH p AS (
+      SELECT md5(concat('pii-v1:', CAST(o_custkey AS VARCHAR))) AS cust_token,
+             o_orderkey
+      FROM orders)
+    SELECT cust_token, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM p GROUP BY cust_token
+    ORDER BY n_orders DESC, cust_token
+    LIMIT 10
+    """,
+)
+def pseudonymized_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Pseudonymized analytics (operators/maintenance.pseudonymize):
+    top customers by order count with the customer key replaced by a
+    salted md5 token — the GDPR-grade export that keeps joins and
+    aggregations intact without exposing identifiers. Tokenization is
+    a pure map (no mapping table to leak); md5 is engine-portable →
+    bit-exact. FK consistency (same token across tables) is pinned in
+    test_incremental.py."""
+    from .operators.maintenance import pseudonymize
+
+    frames = pseudonymize(
+        {"orders": load(spark, sf, "orders")},
+        {"orders": ["o_custkey"]},
+        salt="pii-v1",
+    )
+    return (
+        frames["orders"]
+        .groupBy(F.col("o_custkey").alias("cust_token"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("cust_token"))
+        .limit(10)
+    )

@@ -383,3 +383,33 @@ def test_cascade_delete_rejects_cycles(spark):
     with pytest.raises(ValueError, match="cycle"):
         # Force evaluation of the BFS (it happens at plan-build time).
         cascade_delete({"a": a, "b": b}, edges, "a", doomed)
+
+
+def test_pseudonymize_preserves_joins_and_drops_pii(spark):
+    from tensei_agent_spark.operators.maintenance import pseudonymize
+
+    cust = spark.createDataFrame(
+        [(1, "Alice"), (2, "Bob")], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long"
+    )
+    out = pseudonymize(
+        {"customer": cust, "orders": orders},
+        {"customer": ["c_custkey"], "orders": ["o_custkey"]},
+        salt="s1",
+        drop_cols={"customer": ["c_name"]},
+    )
+    assert "c_name" not in out["customer"].columns
+    joined = out["orders"].join(
+        out["customer"],
+        out["orders"]["o_custkey"] == out["customer"]["c_custkey"],
+    )
+    assert joined.count() == 3  # referential integrity survives
+    # Same value -> same token; different salt -> different token.
+    toks = {r["o_custkey"] for r in out["orders"].collect()}
+    assert len(toks) == 2 and all(len(t) == 32 for t in toks)
+    other = pseudonymize(
+        {"orders": orders}, {"orders": ["o_custkey"]}, salt="s2"
+    )
+    assert toks != {r["o_custkey"] for r in other["orders"].collect()}

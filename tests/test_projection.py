@@ -93,3 +93,17 @@ def test_pca_project_variance_matches_spectrum(emb, x):
     # Projection uses RAW components; loadings come from the quantized
     # covariance — agreement to quantization error, not bit-exact.
     assert np.allclose(got_var, variances, rtol=1e-2)
+
+
+def test_pca_whiten_unit_variance(emb):
+    from tensei_agent_spark.operators.projection import pca_whiten
+
+    w = pca_whiten(emb, 4).drop("vec_id").toPandas().to_numpy()
+    var = np.var(w, axis=0, ddof=1)
+    # Unit variance up to quantization error (loadings come from the
+    # quantized covariance, data is raw).
+    assert np.allclose(var, 1.0, rtol=2e-2)
+    # Decorrelated: off-diagonal covariance near zero relative to 1.
+    cov = np.cov(w, rowvar=False, ddof=1)
+    off = cov - np.diag(np.diag(cov))
+    assert np.max(np.abs(off)) < 5e-2
