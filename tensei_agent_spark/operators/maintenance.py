@@ -523,3 +523,76 @@ def pseudonymize(
             cur = cur.drop(col)
         out[name] = cur
     return out
+
+
+def table_digest(df: "DataFrame", cols: list[str] | None = None) -> tuple[int, int]:
+    """Order-insensitive content digest of a frame: (row_count,
+    xor of xxhash64 over the selected columns) — the anti-entropy
+    check for replica/snapshot equality without sorting or shipping
+    rows (the same count+xor fixpoint signature the star-CC loop
+    uses). XOR is commutative/associative → partition- and
+    order-independent; a multiset difference that preserves both count
+    and xor needs a 2^-64 coincidence. NULL-safe: xxhash64 hashes
+    nulls deterministically. One aggregate, no shuffle beyond the
+    final 1-row reduce."""
+    use = cols or df.columns
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(" + ", ".join(f"`{c}`" for c in use) + "))"
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"] or 0)
+
+
+def compact_small_files(
+    spark: "SparkSession",
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction for a parquet directory: rewrite the
+    table into ceil(bytes/target) files — the maintenance pass that
+    keeps scan task counts sane after many incremental appends (a
+    100 TB table appended in 10 MB dribbles is a scheduler DoS).
+
+    Safety: the new layout is written to a sibling temp dir, content-
+    verified with :func:`table_digest`, and only then swapped in —
+    a crash mid-compaction leaves the original intact. Returns
+    {files_before, files_after, bytes}."""
+    import glob as _glob
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / int(target_bytes)))
+    df = spark.read.parquet(path)
+    before = table_digest(df)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    after = table_digest(spark.read.parquet(tmp))
+    if after != before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction digest mismatch {before} != {after}; original kept"
+        )
+    bak = path.rstrip("/") + "._compact_old"
+    shutil.rmtree(bak, ignore_errors=True)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    out_files = [
+        f
+        for f in _glob.glob(os.path.join(path, "*"))
+        if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(out_files),
+        "bytes": total,
+    }

@@ -413,3 +413,29 @@ def test_pseudonymize_preserves_joins_and_drops_pii(spark):
         {"orders": orders}, {"orders": ["o_custkey"]}, salt="s2"
     )
     assert toks != {r["o_custkey"] for r in other["orders"].collect()}
+
+
+def test_table_digest_order_insensitive(spark):
+    from tensei_agent_spark.operators.maintenance import table_digest
+
+    a = spark.createDataFrame([(1, "x"), (2, "y"), (3, None)], "k long, v string")
+    b = spark.createDataFrame([(3, None), (1, "x"), (2, "y")], "k long, v string")
+    assert table_digest(a) == table_digest(b.repartition(5))
+    c = spark.createDataFrame([(1, "x"), (2, "z"), (3, None)], "k long, v string")
+    assert table_digest(a) != table_digest(c)
+
+
+def test_compact_small_files_preserves_content(spark, tmp_path):
+    from tensei_agent_spark.operators.maintenance import (
+        compact_small_files,
+        table_digest,
+    )
+
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", (F.col("id") % 97))
+    df.repartition(40).write.parquet(path)
+    before = table_digest(spark.read.parquet(path))
+    stats = compact_small_files(spark, path, target_bytes=10**9)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] == 1
+    assert table_digest(spark.read.parquet(path)) == before
