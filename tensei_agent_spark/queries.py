@@ -10356,3 +10356,95 @@ def pseudonymized_top_customers(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("cust_token"))
         .limit(10)
     )
+
+
+@register(
+    "basket_part_triples",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq_pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+    cands AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             c.l_partkey AS part_c
+      FROM items a
+      JOIN items b ON a.l_orderkey = b.l_orderkey
+                  AND a.l_partkey < b.l_partkey
+      JOIN freq_pairs fp ON fp.part_a = a.l_partkey
+                        AND fp.part_b = b.l_partkey
+      JOIN items c ON a.l_orderkey = c.l_orderkey
+                  AND b.l_partkey < c.l_partkey)
+    SELECT part_a, part_b, part_c, CAST(COUNT(*) AS BIGINT) AS support
+    FROM cands GROUP BY 1, 2, 3
+    """,
+)
+def basket_part_triples(spark: SparkSession, sf: str) -> DataFrame:
+    """Frequent itemset mining, Apriori candidate generation at
+    level 3: every part triple whose PREFIX PAIR is frequent
+    (support >= 3), with its exact support — the C3 table whose
+    HAVING-s cut yields L3. The monotonicity prune (a triple's
+    sub-pair support bounds its own) keeps the in-basket fan-out at
+    |frequent pairs|·basket instead of basket³. All joins are
+    basket-keyed equi-joins; counts exact integers → bit-exact."""
+    items = cache.track(
+        load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    c = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_c"))
+    freq_pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 3)
+        .drop("_n")
+    )
+    cands = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .join(freq_pairs, ["part_a", "part_b"], "left_semi")
+        .join(c, "ok")
+        .filter(F.col("part_b") < F.col("part_c"))
+    )
+    return (
+        cands.groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+@register(
+    "cascaded_time_rollup",
+    """
+    SELECT event_type, date_trunc('day', ts) AS d,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(14,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def cascaded_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-resolution rollup reuse: the daily aggregate computed
+    FROM THE HOURLY ROLLUP (sum of hourly decimal partials), not from
+    raw events — the materialized-rollup cascade that lets a 100 TB
+    store answer月month/day questions from hour tables at 1/3600 of
+    the scan. The oracle aggregates raw events directly: exact
+    DECIMAL sums are associative, so the cascade must match
+    bit-for-bit — which is precisely the property that makes stored
+    partials trustworthy."""
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).alias("tv"),
+    )
+    return hourly.groupBy(
+        "event_type", F.date_trunc("day", F.col("h")).alias("d")
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("tv").cast("double").alias("total_value"),
+    )
