@@ -912,6 +912,8 @@ def cms_stream(
     spark = items.sparkSession
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         delta = cms_build(batch_df, key_col, depth, width)
         try:
             prev = spark.read.parquet(index_dir)
@@ -920,7 +922,7 @@ def cms_stream(
                 .groupBy("d", "bucket")
                 .agg(F.sum("cnt").alias("cnt"))
             )
-        except Exception:
+        except AnalysisException:  # first batch: no index yet
             merged = delta
         # Materialize BEFORE overwriting the input path.
         rows = merged.collect()
