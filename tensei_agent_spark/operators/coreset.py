@@ -78,9 +78,6 @@ def k_center_greedy(
 
     state = base.withColumn("_mind2", d2_to(center_vec))
     for r in range(1, int(k)):
-        state = state.withColumn(
-            "_mind2", F.least(F.col("_mind2"), d2_to(center_vec))
-        ) if r > 1 else state
         if r % int(checkpoint_every) == 0:
             state = state.localCheckpoint(eager=True)
         far = (
@@ -95,6 +92,11 @@ def k_center_greedy(
             break
         selected.append((r, far[0]["_id"], far[0]["_mind2"]))
         center_vec = far[0]["_q"]
+        # Fold the new center into the running min-distance column for
+        # the next round's argmax.
+        state = state.withColumn(
+            "_mind2", F.least(F.col("_mind2"), d2_to(center_vec))
+        )
     return spark.createDataFrame(
         [(r, i, d) for r, i, d in selected],
         f"center_rank int, {id_col} long, radius2 long",
