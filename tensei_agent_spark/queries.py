@@ -10448,3 +10448,68 @@ def cascaded_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n").cast("bigint").alias("n_events"),
         F.sum("tv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "data_contract_orders",
+    """
+    WITH agg AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 1000000)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                            AND o_orderpriority NOT IN
+                                ('1-URGENT','2-HIGH','3-MEDIUM',
+                                 '4-NOT SPECIFIED','5-LOW')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND NOT regexp_matches(o_orderstatus, '^[FOP]$')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+             CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1992-01-01 00:00:00')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v5
+      FROM orders)
+    SELECT r.rule_id, r.col AS "column", r.chk AS "check",
+           CASE r.rule_id WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+                          WHEN 3 THEN v3 WHEN 4 THEN v4 ELSE v5 END
+             AS n_violations,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(CASE r.rule_id WHEN 0 THEN v0 WHEN 1 THEN v1 WHEN 2 THEN v2
+                               WHEN 3 THEN v3 WHEN 4 THEN v4 ELSE v5 END = 0
+                AS INT) AS passed
+    FROM agg, (VALUES (0, 'o_orderkey', 'not_null'),
+                      (1, 'o_orderkey', 'unique'),
+                      (2, 'o_totalprice', 'range'),
+                      (3, 'o_orderpriority', 'in_set'),
+                      (4, 'o_orderstatus', 'regex'),
+                      (5, '', 'expression')) AS r(rule_id, col, chk)
+    """,
+)
+def data_contract_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data contract over orders
+    (operators/expectations.check_contract): six rules — key
+    nullability + uniqueness, price range, priority reference set,
+    status format regex, and an arbitrary SQL predicate — compiled to
+    ONE aggregate scan (conditional sums + a distinct count on the
+    same pass). Exact integer violation counts → bit-exact. The
+    publish gate an ingestion run checks before a snapshot goes
+    live."""
+    from .operators.expectations import check_contract
+
+    rules = [
+        {"column": "o_orderkey", "check": "not_null"},
+        {"column": "o_orderkey", "check": "unique"},
+        {"column": "o_totalprice", "check": "range", "min": 0, "max": 1_000_000},
+        {
+            "column": "o_orderpriority",
+            "check": "in_set",
+            "values": [
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+            ],
+        },
+        {"column": "o_orderstatus", "check": "regex", "pattern": "^[FOP]$"},
+        {"check": "expression", "sql": "o_orderdate >= timestamp'1992-01-01'"},
+    ]
+    return check_contract(load(spark, sf, "orders"), rules)
