@@ -10513,3 +10513,74 @@ def data_contract_orders(spark: SparkSession, sf: str) -> DataFrame:
         {"check": "expression", "sql": "o_orderdate >= timestamp'1992-01-01'"},
     ]
     return check_contract(load(spark, sf, "orders"), rules)
+
+
+@register(
+    "recency_weighted_ltv",
+    """
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(round(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT)
+               AS cents,
+             LEAST(CAST(floor(date_diff('day', o_orderdate,
+                                        TIMESTAMP '2001-08-01 00:00:00')
+                              / 64.0) AS BIGINT), 20) AS b
+      FROM orders),
+    w AS (
+      SELECT o_custkey,
+             SUM(cents * (CAST(1 AS BIGINT) << CAST(20 - b AS INT)))
+               AS scaled,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM base GROUP BY o_custkey)
+    SELECT o_custkey AS custkey, n_orders,
+           CAST(CAST(scaled AS BIGINT) AS DOUBLE)
+             / (CAST(100.0 AS DOUBLE) * 1048576.0) AS decayed_ltv
+    FROM w
+    ORDER BY decayed_ltv DESC, custkey
+    LIMIT 20
+    """,
+)
+def recency_weighted_ltv(spark: SparkSession, sf: str) -> DataFrame:
+    """Recency-weighted customer lifetime value: order totals decayed
+    by 2^-(age/64 days), top-20 customers. Exponential decay with a
+    POWER-OF-TWO base stays bit-exact where e^-λt cannot: the decayed
+    sum is computed as Σ cents·2^(20−bucket) in BIGINT (scaling by a
+    power of two is exact; the bucket caps at 20, below which the
+    weight is economically zero) with ONE final double division. One
+    partial-aggregated groupBy(custkey) + TakeOrdered — the decayed
+    aggregate the retention/valuation pipelines run at any scale."""
+    orders = load(spark, sf, "orders")
+    ref = F.lit("2001-08-01 00:00:00").cast("timestamp")
+    cents = F.round(F.col("o_totalprice").cast("double") * 100).cast(
+        "bigint"
+    )
+    b = F.least(
+        F.floor(
+            F.datediff(F.to_date(ref), F.to_date("o_orderdate")) / 64.0
+        ).cast("bigint"),
+        F.lit(20).cast("bigint"),
+    )
+    base = orders.select(
+        "o_custkey",
+        cents.alias("cents"),
+        b.alias("b"),
+    )
+    w = base.groupBy("o_custkey").agg(
+        F.sum(
+            F.col("cents")
+            * F.expr("shiftleft(CAST(1 AS BIGINT), CAST(20 - b AS INT))")
+        ).alias("scaled"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        w.select(
+            F.col("o_custkey").alias("custkey"),
+            "n_orders",
+            (
+                F.col("scaled").cast("double")
+                / (F.lit(100.0) * F.lit(1048576.0))
+            ).alias("decayed_ltv"),
+        )
+        .orderBy(F.desc("decayed_ltv"), F.asc("custkey"))
+        .limit(20)
+    )
