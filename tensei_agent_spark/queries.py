@@ -10584,3 +10584,50 @@ def recency_weighted_ltv(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("decayed_ltv"), F.asc("custkey"))
         .limit(20)
     )
+
+
+@register(
+    "user_event_diversity",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    u AS (
+      SELECT user_id,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(n * n) AS BIGINT) AS ss,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY user_id)
+    SELECT user_id, n_events, n_types,
+           1 - CAST(ss AS DOUBLE) / (CAST(n_events AS DOUBLE) * n_events)
+             AS simpson_diversity
+    FROM u
+    """,
+)
+def user_event_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Behavioral diversity per user via the Gini–Simpson index
+    1 − Σp²: the diversity metric that, unlike Shannon entropy, needs
+    NO logarithm — every input is an exact integer count, so the
+    single division is bit-reproducible (log-based entropy hits
+    non-correctly-rounded libm differences between engines). Two
+    partial-aggregated passes (type counts → user moments); flags
+    single-behavior accounts (diversity 0) for bot/quality screens."""
+    ev = load(spark, sf, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    u = c.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("ss"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return u.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        (
+            F.lit(1)
+            - F.col("ss").cast("double")
+            / (F.col("n_events").cast("double") * F.col("n_events"))
+        ).alias("simpson_diversity"),
+    )
