@@ -193,8 +193,15 @@ def nearest_centroid_confusion(
     lmeta = lsums.groupBy("_lc").agg(
         F.sum(F.col("s") * F.col("s")).alias("ss")
     ).join(
+        # Vector count per label = rows at component 0 — dimension-
+        # agnostic (a count/dim quotient would silently break on any
+        # other embedding width).
         comps.groupBy("_lt")
-        .agg((F.count(F.lit(1)) / 64).cast("long").alias("n"))
+        .agg(
+            F.sum(F.when(F.col("i") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n")
+        )
         .withColumnRenamed("_lt", "_lc"),
         "_lc",
     )

@@ -61,10 +61,17 @@ def k_center_greedy(
         emb.select(F.col(id_col).alias("_id"), _quantize(vec_col, scale).alias("_q"))
     )
     seed = base.orderBy("_id").limit(1).collect()
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("center_rank", IntegerType()),
+            StructField(id_col, emb.schema[id_col].dataType),
+            StructField("radius2", LongType()),
+        ]
+    )
     if not seed:
-        return spark.createDataFrame(
-            [], f"center_rank int, {id_col} long, radius2 long"
-        )
+        return spark.createDataFrame([], out_schema)
     selected: list[tuple[int, int, int]] = [(0, seed[0]["_id"], 0)]
     center_vec = seed[0]["_q"]
 
@@ -98,6 +105,5 @@ def k_center_greedy(
             "_mind2", F.least(F.col("_mind2"), d2_to(center_vec))
         )
     return spark.createDataFrame(
-        [(r, i, d) for r, i, d in selected],
-        f"center_rank int, {id_col} long, radius2 long",
+        [(r, i, d) for r, i, d in selected], out_schema
     )

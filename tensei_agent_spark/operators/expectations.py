@@ -42,8 +42,11 @@ def _violation(rule: dict) -> Column:
     if kind == "in_set":
         return col.isNotNull() & ~col.isin(*rule["values"])
     if kind == "expression":
-        # rule passes when the SQL predicate holds
-        return ~F.expr(rule["sql"])
+        # Rule passes only when the SQL predicate HOLDS: a NULL
+        # predicate (e.g. a comparison on a NULL column) is a
+        # violation, not a silent pass — otherwise ~NULL = NULL would
+        # drop the row from the sum and weaken the publish gate.
+        return ~F.coalesce(F.expr(rule["sql"]), F.lit(False))
     raise ValueError(f"unknown check {kind!r}")
 
 

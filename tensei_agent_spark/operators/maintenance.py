@@ -442,26 +442,37 @@ def cascade_delete(
     # parent-key column its edge names). ``root_keys`` must expose the
     # root's key under the column name its outgoing edges use.
     doomed: dict[str, list] = {}
-    frontier = [(root, root_keys)]
-    visits: dict[str, int] = {}
-    while frontier:
-        parent, rows = frontier.pop()
-        visits[parent] = visits.get(parent, 0) + 1
-        if visits[parent] > len(frames):
+    # Level-synchronous BFS with PER-TABLE frontier merging: a table
+    # reachable by many FK paths (stacked diamonds) is expanded once
+    # per LEVEL on its unioned doomed rows, not once per path — path
+    # enumeration would be exponential in diamond depth and would trip
+    # the cycle guard on valid DAGs. Rounds are bounded by the longest
+    # path, which in a DAG is < |tables|.
+    pending: dict[str, "DataFrame"] = {root: root_keys}
+    rounds = 0
+    while pending:
+        rounds += 1
+        if rounds > len(frames):
             raise ValueError(
-                f"FK graph cycle reaching {parent!r} — cascade_delete "
-                "requires a DAG (the writer's FK topo-sort enforces the "
-                "same invariant)"
+                "FK graph cycle — cascade_delete requires a DAG (the "
+                "writer's FK topo-sort enforces the same invariant)"
             )
-        for child, fk_col, pk_col in children.get(parent, []):
-            kdf = rows.select(pk_col).distinct()
-            doomed.setdefault(child, []).append((fk_col, kdf))
-            child_rows = frames[child].join(
-                F.broadcast(kdf.withColumnRenamed(pk_col, "_k")),
-                F.col(fk_col) == F.col("_k"),
-                "left_semi",
-            )
-            frontier.append((child, child_rows))
+        nxt: dict[str, "DataFrame"] = {}
+        for parent, rows in pending.items():
+            for child, fk_col, pk_col in children.get(parent, []):
+                kdf = rows.select(pk_col).distinct()
+                doomed.setdefault(child, []).append((fk_col, kdf))
+                child_rows = frames[child].join(
+                    F.broadcast(kdf.withColumnRenamed(pk_col, "_k")),
+                    F.col(fk_col) == F.col("_k"),
+                    "left_semi",
+                )
+                nxt[child] = (
+                    child_rows
+                    if child not in nxt
+                    else nxt[child].unionByName(child_rows)
+                )
+        pending = nxt
     out: dict[str, "DataFrame"] = {}
     root_pk = root_keys.columns[0]
     for name, df in frames.items():
@@ -555,10 +566,15 @@ def compact_small_files(
     keeps scan task counts sane after many incremental appends (a
     100 TB table appended in 10 MB dribbles is a scheduler DoS).
 
-    Safety: the new layout is written to a sibling temp dir, content-
-    verified with :func:`table_digest`, and only then swapped in —
-    a crash mid-compaction leaves the original intact. Returns
-    {files_before, files_after, bytes}."""
+    Safety: the new layout is written to a sibling temp dir and
+    content-verified with :func:`table_digest` BEFORE any rename; a
+    crash up to that point leaves the original untouched. The swap
+    itself is two renames (portable filesystems have no atomic
+    directory swap): a failure between them is auto-rolled-back in
+    this process, and a hard kill inside that window leaves the data
+    intact under ``<path>._compact_old`` for manual recovery — the
+    backup is only deleted after the new path is re-verified readable.
+    Returns {files_before, files_after, bytes}."""
     import glob as _glob
     import math
     import os
@@ -584,7 +600,16 @@ def compact_small_files(
     bak = path.rstrip("/") + "._compact_old"
     shutil.rmtree(bak, ignore_errors=True)
     os.rename(path, bak)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        os.rename(bak, path)  # roll back: original restored
+        raise
+    # Re-verify the swapped-in table before dropping the backup.
+    if table_digest(spark.read.parquet(path)) != before:
+        shutil.rmtree(path, ignore_errors=True)
+        os.rename(bak, path)
+        raise RuntimeError("post-swap verification failed; original restored")
     shutil.rmtree(bak)
     out_files = [
         f

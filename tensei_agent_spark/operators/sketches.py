@@ -292,8 +292,10 @@ def merge_quantile_rollup(
         F.kll_merge_agg_double("kll").alias("kll")
     )
     cols = [
+        # permille labels: q_500/q_950/q_990 — int(q*100) would
+        # collide 0.125 with 0.12 and truncate 0.29 to q_28.
         F.kll_sketch_get_quantile_double("kll", F.lit(float(q))).alias(
-            f"q_{int(q * 100)}"
+            f"q_{round(q * 1000)}"
         )
         for q in quantiles
     ]

@@ -10291,7 +10291,7 @@ def negative_sampling_weights(spark: SparkSession, sf: str) -> DataFrame:
 def kll_value_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Store-and-merge quantiles (operators/sketches.quantile_rollup):
     daily KLL sketches of event value per type, merged up to the type
-    level and read at p50/p95/p99 — the mergeable twin of
+    level and read at permille labels q_500/q_950/q_990 — the mergeable twin of
     percentile_approx that lets 100 TB answer any later quantile
     question from stored 4-KB summaries. Sketch estimates → rows-only;
     the error bound vs exact percentiles and the merge law are pinned
@@ -10430,7 +10430,7 @@ def cascaded_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-resolution rollup reuse: the daily aggregate computed
     FROM THE HOURLY ROLLUP (sum of hourly decimal partials), not from
     raw events — the materialized-rollup cascade that lets a 100 TB
-    store answer月month/day questions from hour tables at 1/3600 of
+    store answer month/day questions from hour tables at 1/3600 of
     the scan. The oracle aggregates raw events directly: exact
     DECIMAL sums are associative, so the cascade must match
     bit-for-bit — which is precisely the property that makes stored
@@ -10468,7 +10468,9 @@ def cascaded_time_rollup(spark: SparkSession, sf: str) -> DataFrame:
              CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
                             AND NOT regexp_matches(o_orderstatus, '^[FOP]$')
                            THEN 1 ELSE 0 END) AS BIGINT) AS v4,
-             CAST(SUM(CASE WHEN NOT (o_orderdate >= TIMESTAMP '1992-01-01 00:00:00')
+             CAST(SUM(CASE WHEN NOT COALESCE(
+                             o_orderdate >= TIMESTAMP '1992-01-01 00:00:00',
+                             FALSE)
                            THEN 1 ELSE 0 END) AS BIGINT) AS v5
       FROM orders)
     SELECT r.rule_id, r.col AS "column", r.chk AS "check",

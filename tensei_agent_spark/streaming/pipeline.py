@@ -895,40 +895,25 @@ def cms_stream(
 ) -> "object":
     """Maintain a Count-Min sketch over a stream: each micro-batch is
     sketched (operators/sketches.cms_build — one partial-aggregated
-    pass over the batch) and merged CELL-WISE into the persisted cell
-    table at ``index_dir``. Because CMS cells are exact additive
-    counters, merge order and micro-batch boundaries cannot change the
-    result: after any split the index is bit-identical to the batch
-    sketch of all rows (pinned in pytest), and the table stays a
-    constant depth×width rows however long the stream runs — the
-    always-current frequency summary a 100 TB/day firehose can afford.
-
-    The per-batch rewrite cost is the constant cell table, not the
-    stream; a production variant would shard cells by ``d`` and merge
-    via upsert_partitioned_parquet, same contract.
+    pass over the batch) and written as its OWN delta partition
+    ``index_dir/batch=<id>/``; readers merge cell-wise via
+    :func:`cms_read`. Writing one overwrite-mode partition per
+    batch_id makes the sink IDEMPOTENT under at-least-once foreachBatch
+    replay: a re-delivered batch overwrites its own partition with the
+    identical delta instead of double-counting into a running total
+    (the scd2 sink's dedup plays the same role at line ~600). Because
+    CMS cells are additive, the merged read is bit-identical to the
+    batch sketch of all rows under ANY split (pinned in pytest), and
+    the stored state is depth×width cells per batch — compact a long
+    stream's deltas with one cms_read + rewrite when batch count grows.
     """
     from ..operators.sketches import cms_build
 
-    spark = items.sparkSession
-
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.errors import AnalysisException
-
         delta = cms_build(batch_df, key_col, depth, width)
-        try:
-            prev = spark.read.parquet(index_dir)
-            merged = (
-                prev.unionByName(delta)
-                .groupBy("d", "bucket")
-                .agg(F.sum("cnt").alias("cnt"))
-            )
-        except AnalysisException:  # first batch: no index yet
-            merged = delta
-        # Materialize BEFORE overwriting the input path.
-        rows = merged.collect()
-        spark.createDataFrame(rows, "d int, bucket int, cnt long").coalesce(
-            1
-        ).write.mode("overwrite").parquet(index_dir)
+        delta.coalesce(1).write.mode("overwrite").parquet(
+            f"{index_dir}/batch={batch_id}"
+        )
 
     return (
         items.writeStream.foreachBatch(merge_batch)
@@ -938,11 +923,15 @@ def cms_stream(
     )
 
 
-_PIT_STATE_SCHEMA = "n long, nv long, cents long"
-_PIT_OUT_SCHEMA = (
-    "user_id long, event_id long, n_prior_events long, "
-    "n_prior_views long, prior_value_cents long"
-)
+def cms_read(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Merge a :func:`cms_stream` delta directory into the current
+    (d, bucket, cnt) cell table — cell-wise sums over the constant
+    cell space, cheap at any batch count."""
+    return (
+        spark.read.parquet(index_dir)
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
 
 def _make_pit_fn():

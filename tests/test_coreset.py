@@ -61,3 +61,12 @@ def test_kcenter_tiny_corpus_stops_early(spark):
     )
     got = k_center_greedy(emb, k=5).collect()
     assert len(got) == 2
+
+
+def test_kcenter_accepts_string_ids(spark):
+    emb = spark.createDataFrame(
+        [("a", [0.0] * 64), ("b", [1.0] + [0.0] * 63), ("c", [0.0, 1.0] + [0.0] * 62)],
+        "vec_id string, embedding array<float>",
+    )
+    got = k_center_greedy(emb, k=3).orderBy("center_rank").collect()
+    assert [r["vec_id"] for r in got] == ["a", "b", "c"]

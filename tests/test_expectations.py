@@ -66,3 +66,14 @@ def test_gated_commit_blocks_bad_batches(spark, tmp_path):
         table, spark.createDataFrame([(3, 1.0)], "k long, v double"), rules
     )
     assert v2 == v1 + 1 and table.read().count() == 3
+
+
+def test_expression_rule_counts_null_predicates(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (-2.0,)], "amount double"
+    )
+    got = check_contract(
+        df, [{"check": "expression", "sql": "amount > 0"}]
+    ).collect()[0]
+    # NULL predicate = violation, not a silent pass.
+    assert got["n_violations"] == 2 and got["passed"] == 0

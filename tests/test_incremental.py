@@ -439,3 +439,39 @@ def test_compact_small_files_preserves_content(spark, tmp_path):
     assert stats["files_before"] >= 40
     assert stats["files_after"] == 1
     assert table_digest(spark.read.parquet(path)) == before
+
+
+def test_cascade_delete_handles_stacked_diamonds(spark):
+    from tensei_agent_spark.operators.maintenance import cascade_delete
+
+    # root -> a/b -> m -> c/d -> z : two stacked diamonds (4 paths to
+    # z). Path-enumerating traversals blow up exponentially here and
+    # can false-positive the cycle guard; the level-merged BFS must
+    # prune every table exactly once per level.
+    def t(*rows, schema):
+        return spark.createDataFrame(list(rows), schema)
+
+    frames = {
+        "root": t((1,), (2,), schema="rk long"),
+        "a": t((10, 1), (11, 2), schema="ak long, rfk long"),
+        "b": t((20, 1), (21, 2), schema="bk long, rfk long"),
+        "m": t((30, 10, 20), (31, 11, 21), schema="mk long, afk long, bfk long"),
+        "c": t((40, 30), (41, 31), schema="ck long, mfk long"),
+        "d": t((50, 30), (51, 31), schema="dk long, mfk long"),
+        "z": t((60, 40, 50), (61, 41, 51), schema="zk long, cfk long, dfk long"),
+    }
+    edges = [
+        ("a", "rfk", "root", "rk"),
+        ("b", "rfk", "root", "rk"),
+        ("m", "afk", "a", "ak"),
+        ("m", "bfk", "b", "bk"),
+        ("c", "mfk", "m", "mk"),
+        ("d", "mfk", "m", "mk"),
+        ("z", "cfk", "c", "ck"),
+        ("z", "dfk", "d", "dk"),
+    ]
+    doomed = spark.createDataFrame([(1,)], "rk long")
+    out = cascade_delete(frames, edges, "root", doomed)
+    assert {r["rk"] for r in out["root"].collect()} == {2}
+    assert {r["mk"] for r in out["m"].collect()} == {31}
+    assert {r["zk"] for r in out["z"].collect()} == {61}

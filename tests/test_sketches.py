@@ -261,14 +261,14 @@ def test_kll_rollup_merge_law_and_accuracy(spark):
     assert got["n"] == 20000.0
     # Exact p50/p95 of 0..999 uniform: ~500 / ~950. KLL(k=200) error
     # is ~1% of rank.
-    assert abs(got["q_50"] - 500) < 30
-    assert abs(got["q_95"] - 950) < 30
+    assert abs(got["q_500"] - 500) < 30
+    assert abs(got["q_950"] - 950) < 30
     # Merge law: sketching whole == merging partition sketches (same
     # estimates within the sketch's own error).
     whole = merge_quantile_rollup(
         quantile_rollup(df, ["k"], "v"), ["k"]
     ).collect()[0]
-    assert abs(got["q_50"] - whole["q_50"]) < 30
+    assert abs(got["q_500"] - whole["q_500"]) < 30
 
 
 def test_theta_overlap_tracks_exact_sets(spark):

@@ -826,7 +826,7 @@ def test_bottomk_stream_equals_batch_under_any_split(spark, tmp_path):
 
 def test_cms_stream_equals_batch_sketch(spark, tmp_path):
     from tensei_agent_spark.operators.sketches import cms_build
-    from tensei_agent_spark.streaming.pipeline import cms_stream
+    from tensei_agent_spark.streaming.pipeline import cms_read, cms_stream
 
     rows = [(f"k{i % 37}",) for i in range(3000)] + [("hot",)] * 400
     df = spark.createDataFrame(rows, "key string")
@@ -844,7 +844,7 @@ def test_cms_stream_equals_batch_sketch(spark, tmp_path):
 
     got = {
         (r["d"], r["bucket"]): r["cnt"]
-        for r in spark.read.parquet(idx).collect()
+        for r in cms_read(spark, idx).collect()
     }
     want = {
         (r["d"], r["bucket"]): r["cnt"]
