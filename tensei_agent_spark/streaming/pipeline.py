@@ -934,6 +934,13 @@ def cms_read(spark: SparkSession, index_dir: str) -> DataFrame:
     )
 
 
+_PIT_STATE_SCHEMA = "n long, nv long, cents long"
+_PIT_OUT_SCHEMA = (
+    "user_id long, event_id long, n_prior_events long, "
+    "n_prior_views long, prior_value_cents long"
+)
+
+
 def _make_pit_fn():
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
