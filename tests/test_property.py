@@ -267,3 +267,88 @@ def test_em_planted_mixture_is_fixed_point(m, u, p):
             pu *= em_u[j] if g else 1.0 - em_u[j]
         got = (pm + pu) * n
         assert math.isclose(got, want_n, rel_tol=0.05, abs_tol=n * 1e-4)
+
+
+# --- round-5 session-2 operators -------------------------------------------
+
+_vocab = st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+)
+_docs = st.lists(
+    st.lists(_vocab, min_size=8, max_size=30).map(" ".join),
+    min_size=2,
+    max_size=5,
+)
+
+
+@SLOW
+@given(_docs)
+def test_winnowing_guarantee_property(spark, texts):
+    """For ANY corpus: two docs sharing a (w + k − 1)-word run share a
+    fingerprint — the winnowing guarantee, checked by construction:
+    append one common 8-word run to every doc."""
+    from tensei_agent_spark.operators.dedup import winnow_fingerprints
+
+    run = "one two three four five six seven eight"
+    rows = [(i, t + " " + run) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = winnow_fingerprints(df, k=5, w=4)
+    sets = {}
+    for r in fp.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    common = set.intersection(*[sets[i] for i in range(len(rows))])
+    assert common, "shared run produced no shared fingerprint"
+
+
+@SLOW
+@given(
+    st.lists(st.floats(0, 100, allow_nan=False), min_size=2, max_size=8),
+    st.lists(st.floats(0, 100, allow_nan=False), min_size=2, max_size=8),
+)
+def test_welch_t_property_vs_statistics(spark, a, b):
+    """welch_t matches the closed form for arbitrary arms (skipping
+    degenerate zero-variance pairs where t is undefined)."""
+    import statistics
+
+    from tensei_agent_spark.operators.stats import welch_t
+
+    va = statistics.variance(a) if len(a) > 1 else 0.0
+    vb = statistics.variance(b) if len(b) > 1 else 0.0
+    se2 = va / len(a) + vb / len(b)
+    if se2 == 0:
+        return  # undefined t; the operator emits NULL/inf there
+    rows = [("g", "A", round(v, 2)) for v in a]
+    rows += [("g", "B", round(v, 2)) for v in b]
+    df = spark.createDataFrame(rows, "grp string, arm string, v double")
+    got = welch_t(
+        df, ["grp"], F.col("arm") == "A", F.col("arm") == "B", "v"
+    ).collect()[0]
+    a2 = [round(v, 2) for v in a]
+    b2 = [round(v, 2) for v in b]
+    va = statistics.variance(a2)
+    vb = statistics.variance(b2)
+    se2 = va / len(a2) + vb / len(b2)
+    if se2 == 0:
+        return
+    t = (statistics.fmean(a2) - statistics.fmean(b2)) / se2**0.5
+    assert abs(got["t_stat"] - t) < 1e-6 + abs(t) * 1e-6
+
+
+@SLOW
+@given(st.lists(st.integers(0, 5), min_size=1, max_size=40))
+def test_cms_point_estimates_never_undercount_property(spark, keys):
+    from collections import Counter
+
+    from tensei_agent_spark.operators.sketches import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(f"k{k}",) for k in keys], "key string")
+    truth = Counter(f"k{k}" for k in keys)
+    sk = cms_build(df, "key", depth=4, width=16)
+    probes = spark.createDataFrame([(k,) for k in truth], "key string")
+    got = {
+        r["key"]: r["est"]
+        for r in cms_estimate(sk, probes, "key", width=16).collect()
+    }
+    for k, n in truth.items():
+        assert got[k] >= n  # CM never undercounts
+        assert got[k] <= len(keys)  # and never exceeds the stream
