@@ -10633,3 +10633,144 @@ def user_event_diversity(spark: SparkSession, sf: str) -> DataFrame:
             / (F.col("n_events").cast("double") * F.col("n_events"))
         ).alias("simpson_diversity"),
     )
+
+
+@register(
+    "crosslingual_dup_groups",
+    r"""
+    WITH w AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    fp AS (
+      SELECT doc_id, lang,
+             md5(array_to_string(ws[1:10], ' ')) AS content_key
+      FROM w WHERE len(ws) >= 10)
+    SELECT content_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           MIN(doc_id) AS canonical_id
+    FROM fp
+    GROUP BY content_key
+    HAVING COUNT(*) > 1
+    """,
+)
+def crosslingual_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-consistency screen: NEAR-dup groups (shared 10-word
+    prefix — the cheap content key; swap in minhash bands for fuzzier
+    matching) with member counts and how many DISTINCT language
+    labels each carries — n_langs > 1 flags mislabeled metadata or
+    untranslated boilerplate, which poison per-language curation
+    stats. One map-side key pass + one hash aggregate; integer counts
+    → bit-exact."""
+    docs = load(spark, sf, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    fp = (
+        docs.select("doc_id", "lang", ws.alias("_ws"))
+        .filter(F.size("_ws") >= 10)
+        .select(
+            "doc_id",
+            "lang",
+            F.md5(F.concat_ws(" ", F.slice("_ws", 1, 10))).alias(
+                "content_key"
+            ),
+        )
+    )
+    return (
+        fp.groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "naive_split_leakage",
+    r"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    fp AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[1:10], ' ')) AS content_key,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('naive:',
+                      CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+                       % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS naive_split,
+             CASE WHEN CAST(concat('0x', substr(md5(concat('safe:',
+                      md5(array_to_string(ws[1:10], ' ')))), 1, 15))
+                       AS BIGINT) % 10 < 8
+                  THEN 'train' ELSE 'eval' END AS safe_split
+      FROM w WHERE len(ws) >= 10),
+    groups AS (
+      SELECT content_key,
+             COUNT(DISTINCT naive_split) AS n_naive,
+             COUNT(DISTINCT safe_split) AS n_safe,
+             COUNT(*) AS n
+      FROM fp GROUP BY content_key
+      HAVING COUNT(*) > 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS naive_leaked_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_safe > 1 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS safe_leaked_groups
+    FROM groups
+    """,
+)
+def naive_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage audit — the measurement that justifies
+    content-keyed splits: near-dup groups (shared 10-word prefix)
+    crossing a naive BY-ID train/eval split vs a leakage-safe
+    BY-CONTENT-KEY split (hash the content key, so near-identical
+    docs land on the same side — the operators/sampling leakage-safe
+    rule). safe_leaked_groups is 0 by construction;
+    naive_leaked_groups counts the eval contamination a raw random
+    split would ship. Integer counts → bit-exact."""
+    docs = load(spark, sf, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    key = F.md5(F.concat_ws(" ", F.slice("_ws", 1, 10)))
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    fp = (
+        docs.select("doc_id", ws.alias("_ws"))
+        .filter(F.size("_ws") >= 10)
+        .select(
+            key.alias("content_key"),
+            F.when(
+                h60(
+                    F.concat(F.lit("naive:"), F.col("doc_id").cast("string"))
+                )
+                % 10
+                < 8,
+                "train",
+            )
+            .otherwise("eval")
+            .alias("naive_split"),
+            F.when(h60(F.concat(F.lit("safe:"), key)) % 10 < 8, "train")
+            .otherwise("eval")
+            .alias("safe_split"),
+        )
+    )
+    groups = (
+        fp.groupBy("content_key")
+        .agg(
+            F.countDistinct("naive_split").alias("n_naive"),
+            F.countDistinct("safe_split").alias("n_safe"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_dup_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_naive") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("naive_leaked_groups"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_safe") > 1, 1).otherwise(0)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("safe_leaked_groups"),
+    )
