@@ -363,3 +363,51 @@ def collocations(
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(int(top_k))
     )
+
+
+def compression_ratio(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Compression-ratio quality signal: len(zlib(text)) / len(text) —
+    the cheap redundancy detector curation pipelines run beside the
+    Gopher heuristics (templated/repetitive text compresses far
+    better than prose; near-1.0 ratios flag high-entropy noise).
+
+    This is the canonical JUSTIFIED Python-kernel case: no JVM
+    expression computes DEFLATE, so the kernel runs as Arrow-batched
+    ``mapInPandas`` (stdlib zlib, level 6) — batch-vectorized, pure
+    map, no shuffle, memory bounded by the Arrow batch. Deterministic
+    for a fixed zlib build; cross-engine oracles can't replay DEFLATE,
+    so consumers treat it as a feature column (rows-only check), with
+    the discrimination property pinned in pytest.
+
+    Returns (id, n_bytes, n_compressed, ratio).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            n = raw.map(len)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n.astype("int64"),
+                    "n_compressed": comp.astype("int64"),
+                    "ratio": comp / n.clip(lower=1),
+                }
+            )
+
+    id_field = docs.schema[id_col]
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        schema=(
+            f"{id_col} {id_field.dataType.simpleString()}, n_bytes long, "
+            "n_compressed long, ratio double"
+        ),
+    )

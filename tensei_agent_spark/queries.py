@@ -10774,3 +10774,17 @@ def naive_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("safe_leaked_groups"),
     )
+
+
+@register("doc_compression_ratio", None)  # DEFLATE not SQL-replayable
+def doc_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    """Compression-ratio quality signal per document
+    (operators/text.compression_ratio): zlib-deflated size over raw
+    size — repetitive/templated text compresses hard, high-entropy
+    noise doesn't; both tails get flagged by curation. Arrow-batched
+    mapInPandas (the justified Python-kernel case — DEFLATE has no
+    JVM expression), pure map, no shuffle. Rows-only; the
+    discrimination property is pinned in pytest."""
+    from .operators.text import compression_ratio
+
+    return compression_ratio(load(spark, sf, "documents"))

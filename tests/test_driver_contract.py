@@ -77,6 +77,9 @@ def test_rows_only_queries_are_documented_exceptions():
                                       # law in test_sketches.py)
         "audience_overlap_theta",     # Theta sketch set estimates
                                       # (accuracy in test_sketches.py)
+        "doc_compression_ratio",      # DEFLATE not SQL-replayable
+                                      # (discrimination in
+                                      # test_text_quality_ops.py)
     }
     assert rows_only <= allowed, rows_only - allowed
 

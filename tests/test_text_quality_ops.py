@@ -174,3 +174,20 @@ def test_collocations_min_count_and_topk(spark):
     assert len(rows) == 1
     assert (rows[0]["w1"], rows[0]["w2"]) == ("a", "b")
     assert rows[0]["n_ab"] == 3
+
+
+def test_compression_ratio_discriminates(spark):
+    from tensei_agent_spark.operators.text import compression_ratio
+
+    rows = [
+        (1, "spam " * 400),                      # highly repetitive
+        (2, " ".join(f"w{i * 7919 % 5000}" for i in range(400))),  # varied
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert got[1]["ratio"] < 0.1               # template compresses hard
+    assert got[2]["ratio"] > got[1]["ratio"] * 3
+    assert got[1]["n_bytes"] == len("spam " * 400)
+    # Deterministic across runs (fixed zlib level).
+    again = {r["doc_id"]: r["ratio"] for r in compression_ratio(docs).collect()}
+    assert again == {k: v["ratio"] for k, v in got.items()}
