@@ -10788,3 +10788,52 @@ def doc_compression_ratio(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.text import compression_ratio
 
     return compression_ratio(load(spark, sf, "documents"))
+
+
+@register(
+    "dow_seasonal_residuals",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(dayofweek(date_trunc('day', ts)) + 1 AS INT) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    med AS (
+      SELECT dow, CAST(median(n) AS DOUBLE) AS dow_median
+      FROM daily GROUP BY dow)
+    SELECT daily.d, daily.dow, daily.n, med.dow_median,
+           CAST(daily.n AS DOUBLE) - med.dow_median AS residual,
+           CAST(abs(CAST(daily.n AS DOUBLE) - med.dow_median)
+                > CAST(0.5 AS DOUBLE) * med.dow_median AS INT) AS flagged
+    FROM daily JOIN med ON med.dow = daily.dow
+    """,
+)
+def dow_seasonal_residuals(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust weekly-seasonality decomposition: daily event counts
+    minus their DAY-OF-WEEK MEDIAN — the median (an exact order
+    statistic; for even counts the midpoint of two integers, exactly
+    representable) deseasonalizes without fitting anything, and
+    residuals beyond 50% of the dow median get flagged. This is the
+    robust twin of the z-score detector (daily_event_anomaly): a
+    single outlier Monday cannot drag its own baseline. Two partial-
+    aggregated passes + a 7-row broadcast join → bit-exact."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+    ).agg(F.count(F.lit(1)).alias("n")).select(
+        "d", F.dayofweek(F.col("d")).cast("int").alias("dow"), "n"
+    )
+    med = daily.groupBy("dow").agg(
+        F.median("n").cast("double").alias("dow_median")
+    )
+    resid = F.col("n").cast("double") - F.col("dow_median")
+    return daily.join(F.broadcast(med), "dow").select(
+        "d",
+        "dow",
+        "n",
+        "dow_median",
+        resid.alias("residual"),
+        (
+            F.abs(resid) > F.lit(0.5) * F.col("dow_median")
+        ).cast("int").alias("flagged"),
+    )
