@@ -10837,3 +10837,121 @@ def dow_seasonal_residuals(spark: SparkSession, sf: str) -> DataFrame:
             F.abs(resid) > F.lit(0.5) * F.col("dow_median")
         ).cast("int").alias("flagged"),
     )
+
+
+@register(
+    "association_rules",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS f
+             FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS ant, b.l_partkey AS cons,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+    SELECT p.ant, p.cons, p.n_both, fa.f AS n_ant,
+           CAST(p.n_both AS DOUBLE) / fa.f AS confidence
+    FROM pairs p JOIN freq fa ON fa.l_partkey = p.ant
+    """,
+)
+def association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Directed association rules (Agrawal et al. 1993): for every
+    ordered part pair bought together in >= 3 orders, the confidence
+    P(cons | ant) = support(both)/support(ant) — the directional
+    complement of basket_part_pairs' symmetric lift (confidence is
+    what a recommender thresholds; lift corrects for popularity).
+    Basket-keyed self-join bounded by basket size, broadcast
+    frequency join, one exact division → bit-exact."""
+    items = cache.track(
+        load(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ant"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("cons"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                freq.select(F.col("l_partkey").alias("ant"), F.col("f").alias("n_ant"))
+            ),
+            "ant",
+        )
+        .select(
+            "ant",
+            "cons",
+            "n_both",
+            "n_ant",
+            (F.col("n_both").cast("double") / F.col("n_ant")).alias(
+                "confidence"
+            ),
+        )
+    )
+
+
+@register(
+    "time_to_convert_profile",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id),
+    deltas AS (
+      SELECT CAST(date_diff('second', first_view, first_purchase)
+                  AS BIGINT) AS secs
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase >= first_view)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+           CAST(MIN(secs) AS BIGINT) AS min_s,
+           CAST(median(secs) AS DOUBLE) AS median_s,
+           CAST(quantile_cont(secs, 0.9) AS DOUBLE) AS p90_s,
+           CAST(MAX(secs) AS BIGINT) AS max_s
+    FROM deltas
+    """,
+)
+def time_to_convert_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion-latency profile: seconds from a user's FIRST view to
+    their FIRST purchase (converters only), summarized by exact order
+    statistics — min/median/p90/max over integer second deltas (the
+    interpolated quantiles are midpoint/linear combinations of two
+    BIGINTs, exactly representable → bit-exact, the same exact-
+    percentile discipline as stats_quantiles). One conditional-min
+    aggregate per user + one global profile row; the funnel metric
+    product teams watch weekly."""
+    ev = load(spark, sf, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    deltas = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_view"))
+    ).select(
+        (
+            F.unix_timestamp("first_purchase")
+            - F.unix_timestamp("first_view")
+        ).alias("secs")
+    )
+    return deltas.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.min("secs").alias("min_s"),
+        F.median("secs").cast("double").alias("median_s"),
+        F.percentile(F.col("secs"), F.lit(0.9)).cast("double").alias("p90_s"),
+        F.max("secs").alias("max_s"),
+    )
