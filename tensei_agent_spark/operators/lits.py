@@ -33,3 +33,13 @@ def dlit(value) -> Column:
         return repr(v) + "D"
 
     return F.expr(render(value))
+
+
+def md5_60bit(c):
+    """First 15 md5 hex chars of a Column as a 60-bit non-negative
+    BIGINT — the engine-portable hash (DuckDB twin:
+    CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)). Shared so
+    the expression and its oracle twin are documented once."""
+    from pyspark.sql import functions as F
+
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")

@@ -394,12 +394,19 @@ def compression_ratio(
             raw = pdf[text_col].fillna("").str.encode("utf-8")
             comp = raw.map(lambda b: len(zlib.compress(b, 6)))
             n = raw.map(len)
+            # Empty docs have no content to score: NULL, not the
+            # header-bytes/1 artifact (which would read as the most
+            # extreme "high-entropy" ratio in the corpus).
+            ratio = pd.array(
+                (comp / n.clip(lower=1)).where(n > 0, None),
+                dtype="Float64",
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
                     "n_bytes": n.astype("int64"),
                     "n_compressed": comp.astype("int64"),
-                    "ratio": comp / n.clip(lower=1),
+                    "ratio": ratio,
                 }
             )
 

@@ -10729,9 +10729,10 @@ def naive_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
     naive_leaked_groups counts the eval contamination a raw random
     split would ship. Integer counts → bit-exact."""
     docs = load(spark, sf, "documents")
+    from .operators.lits import md5_60bit as h60
+
     ws = F.split(F.trim(F.col("text")), r"\s+")
     key = F.md5(F.concat_ws(" ", F.slice("_ws", 1, 10)))
-    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
     fp = (
         docs.select("doc_id", ws.alias("_ws"))
         .filter(F.size("_ws") >= 10)
@@ -10871,18 +10872,30 @@ def association_rules(spark: SparkSession, sf: str) -> DataFrame:
     freq = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("ant"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("cons"))
-    pairs = (
+    # Aggregate each unordered pair ONCE (ant < cons) and mirror the
+    # symmetric count into both rule directions afterward — halves the
+    # pair shuffle vs running (x,y) and (y,x) through the aggregate
+    # (the basket_part_pairs / strong-edge convention).
+    half = (
         a.join(b, "ok")
-        .filter(F.col("ant") != F.col("cons"))
+        .filter(F.col("ant") < F.col("cons"))
         .groupBy("ant", "cons")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 3)
     )
+    pairs = half.unionByName(
+        half.select(
+            F.col("cons").alias("ant"),
+            F.col("ant").alias("cons"),
+            "n_both",
+        )
+    )
+    # No broadcast hint: freq is |distinct parts|-sized and scales
+    # with the catalog — let the planner decide (it auto-broadcasts
+    # when genuinely small).
     return (
         pairs.join(
-            F.broadcast(
-                freq.select(F.col("l_partkey").alias("ant"), F.col("f").alias("n_ant"))
-            ),
+            freq.select(F.col("l_partkey").alias("ant"), F.col("f").alias("n_ant")),
             "ant",
         )
         .select(

@@ -191,3 +191,15 @@ def test_compression_ratio_discriminates(spark):
     # Deterministic across runs (fixed zlib level).
     again = {r["doc_id"]: r["ratio"] for r in compression_ratio(docs).collect()}
     assert again == {k: v["ratio"] for k, v in got.items()}
+
+
+def test_compression_ratio_empty_doc_is_null(spark):
+    from tensei_agent_spark.operators.text import compression_ratio
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "real words here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert got[1]["ratio"] is None and got[2]["ratio"] is None
+    assert got[3]["ratio"] is not None and got[3]["n_bytes"] > 0
