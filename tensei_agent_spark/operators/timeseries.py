@@ -374,3 +374,60 @@ def cusum_control(
         fold["sn"].alias("cusum_neg"),
         fold["na"].alias("n_alarms"),
     )
+
+
+def haar_decompose(
+    series: DataFrame,
+    key_cols: list[str],
+    idx_col: str,
+    value_col: str,
+    levels: int,
+) -> DataFrame:
+    """Unnormalized Haar wavelet decomposition of a dense dyadic
+    series (idx 0..2^levels−1, integer values): per level ℓ the signal
+    halves into pairwise SUMS (approximations) and DIFFERENCES
+    (details) — the multi-resolution transform behind time-series
+    compression, change localization and wavelet similarity search
+    (Chan & Fu, ICDE'99). Unnormalized coefficients stay pure BIGINT
+    arithmetic (the usual 1/√2 scaling would leave exactness), so the
+    whole pyramid is engine-portable bit-for-bit; consumers rescale by
+    2^(−ℓ/2) when they need the orthonormal basis.
+
+    Shape: one partial-aggregated groupBy per level over a series
+    whose length HALVES each round — total work ~2× the input rows,
+    rounds = ``levels`` (bounded, like the graph walks). Returns
+    (key_cols..., level, idx, approx, detail) for levels 1..levels;
+    approx at level ℓ, index i summarizes input window
+    [i·2^ℓ, (i+1)·2^ℓ) and detail is its left-half minus right-half
+    mass.
+    """
+    cur = series.select(
+        *key_cols,
+        F.col(idx_col).cast("long").alias("_i"),
+        F.col(value_col).cast("long").alias("_a"),
+    )
+    out: DataFrame | None = None
+    for lvl in range(1, int(levels) + 1):
+        stage = cur.groupBy(
+            *key_cols, F.floor(F.col("_i") / 2).alias("_i2")
+        ).agg(
+            F.sum(
+                F.when(F.col("_i") % 2 == 0, F.col("_a")).otherwise(0)
+            ).alias("_l"),
+            F.sum(
+                F.when(F.col("_i") % 2 == 1, F.col("_a")).otherwise(0)
+            ).alias("_r"),
+        )
+        lv = stage.select(
+            *key_cols,
+            F.lit(lvl).alias("level"),
+            F.col("_i2").cast("long").alias("idx"),
+            (F.col("_l") + F.col("_r")).alias("approx"),
+            (F.col("_l") - F.col("_r")).alias("detail"),
+        )
+        out = lv if out is None else out.unionByName(lv)
+        cur = lv.select(
+            *key_cols, F.col("idx").alias("_i"), F.col("approx").alias("_a")
+        )
+    assert out is not None
+    return out

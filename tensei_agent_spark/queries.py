@@ -10968,3 +10968,105 @@ def time_to_convert_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.percentile(F.col("secs"), F.lit(0.9)).cast("double").alias("p90_s"),
         F.max("secs").alias("max_s"),
     )
+
+
+@register(
+    "haar_event_volume",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    anchor AS (SELECT MIN(d) AS d0 FROM daily),
+    spine AS (
+      SELECT t.event_type, CAST(i AS BIGINT) AS idx
+      FROM (SELECT DISTINCT event_type FROM daily) t,
+           UNNEST(range(0, 32)) s(i)),
+    padded AS (
+      SELECT s.event_type, s.idx,
+             COALESCE(dd.n, 0) AS v
+      FROM spine s
+      LEFT JOIN (
+        SELECT event_type,
+               CAST(date_diff('day', anchor.d0, d) AS BIGINT) AS idx, n
+        FROM daily CROSS JOIN anchor
+        WHERE date_diff('day', anchor.d0, d) < 32) dd
+      ON dd.event_type = s.event_type AND dd.idx = s.idx),
+    l1 AS (
+      SELECT event_type, idx // 2 AS idx,
+             SUM(CASE WHEN idx % 2 = 0 THEN v ELSE 0 END) AS l,
+             SUM(CASE WHEN idx % 2 = 1 THEN v ELSE 0 END) AS r
+      FROM padded GROUP BY 1, 2),
+    l2 AS (
+      SELECT event_type, idx // 2 AS idx,
+             SUM(CASE WHEN idx % 2 = 0 THEN l + r ELSE 0 END) AS l,
+             SUM(CASE WHEN idx % 2 = 1 THEN l + r ELSE 0 END) AS r
+      FROM l1 GROUP BY 1, 2),
+    l3 AS (
+      SELECT event_type, idx // 2 AS idx,
+             SUM(CASE WHEN idx % 2 = 0 THEN l + r ELSE 0 END) AS l,
+             SUM(CASE WHEN idx % 2 = 1 THEN l + r ELSE 0 END) AS r
+      FROM l2 GROUP BY 1, 2),
+    l4 AS (
+      SELECT event_type, idx // 2 AS idx,
+             SUM(CASE WHEN idx % 2 = 0 THEN l + r ELSE 0 END) AS l,
+             SUM(CASE WHEN idx % 2 = 1 THEN l + r ELSE 0 END) AS r
+      FROM l3 GROUP BY 1, 2),
+    l5 AS (
+      SELECT event_type, idx // 2 AS idx,
+             SUM(CASE WHEN idx % 2 = 0 THEN l + r ELSE 0 END) AS l,
+             SUM(CASE WHEN idx % 2 = 1 THEN l + r ELSE 0 END) AS r
+      FROM l4 GROUP BY 1, 2)
+    SELECT event_type, 1 AS level, idx,
+           CAST(l + r AS BIGINT) AS approx, CAST(l - r AS BIGINT) AS detail
+    FROM l1
+    UNION ALL SELECT event_type, 2, idx, CAST(l + r AS BIGINT),
+                     CAST(l - r AS BIGINT) FROM l2
+    UNION ALL SELECT event_type, 3, idx, CAST(l + r AS BIGINT),
+                     CAST(l - r AS BIGINT) FROM l3
+    UNION ALL SELECT event_type, 4, idx, CAST(l + r AS BIGINT),
+                     CAST(l - r AS BIGINT) FROM l4
+    UNION ALL SELECT event_type, 5, idx, CAST(l + r AS BIGINT),
+                     CAST(l - r AS BIGINT) FROM l5
+    """,
+)
+def haar_event_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Haar wavelet pyramid of the daily event volume per type
+    (operators/timeseries.haar_decompose; Chan & Fu ICDE'99): 30 days
+    zero-padded to a 32-slot dyadic spine, five levels of pairwise
+    sums/differences — level-ℓ details localize volume CHANGES at the
+    2^ℓ-day scale (the multi-resolution feature behind wavelet
+    compression and similarity search). Unnormalized coefficients stay
+    pure BIGINT → bit-exact; per level one partial-agg groupBy over a
+    halving series."""
+    from .operators.timeseries import haar_decompose
+
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    anchor = daily.agg(F.min("d").alias("d0"))
+    indexed = (
+        daily.crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            F.datediff(F.to_date("d"), F.to_date("d0"))
+            .cast("long")
+            .alias("idx"),
+            "n",
+        )
+        .filter(F.col("idx") < 32)
+    )
+    spine = (
+        daily.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(0, 32).select(F.col("id").alias("idx"))
+            )
+        )
+    )
+    padded = spine.join(indexed, ["event_type", "idx"], "left").select(
+        "event_type", "idx", F.coalesce(F.col("n"), F.lit(0)).alias("v")
+    )
+    return haar_decompose(padded, ["event_type"], "idx", "v", levels=5)

@@ -252,3 +252,48 @@ def test_cusum_negative_shift_uses_lower_arm(spark):
     r = cusum_control(df, ["k"], "s", "x", k=0.0625, h=0.5).collect()[0]
     assert r["cusum_neg"] > r["cusum_pos"]
     assert r["n_alarms"] > 0
+
+
+def test_haar_decompose_matches_pywt_free_reference(spark):
+    from tensei_agent_spark.operators.timeseries import haar_decompose
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6]  # 2^3 dyadic
+    rows = [("k", i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, idx int, v long")
+    got = {
+        (r["level"], r["idx"]): (r["approx"], r["detail"])
+        for r in haar_decompose(df, ["k"], "idx", "v", 3).collect()
+    }
+
+    # Pure-python unnormalized Haar pyramid.
+    cur = vals
+    for lvl in range(1, 4):
+        nxt = []
+        for i in range(0, len(cur), 2):
+            a, d = cur[i] + cur[i + 1], cur[i] - cur[i + 1]
+            assert got[(lvl, i // 2)] == (a, d), (lvl, i)
+            nxt.append(a)
+        cur = nxt
+    # Top approximation is the total mass; reconstruction invariant.
+    assert got[(3, 0)][0] == sum(vals)
+
+
+def test_haar_detail_localizes_a_step_change(spark):
+    from tensei_agent_spark.operators.timeseries import haar_decompose
+
+    # Flat 10s, then a step to 20 at the exact midpoint: the ONLY
+    # nonzero detail at the top level is the full-series left-right
+    # imbalance; finer levels are zero everywhere except nowhere
+    # (each pair is internally flat).
+    vals = [10] * 16 + [20] * 16
+    df = spark.createDataFrame(
+        [("k", i, v) for i, v in enumerate(vals)], "k string, idx int, v long"
+    )
+    got = {
+        (r["level"], r["idx"]): r["detail"]
+        for r in haar_decompose(df, ["k"], "idx", "v", 5).collect()
+    }
+    assert got[(5, 0)] == 16 * 10 - 16 * 20
+    for (lvl, idx), d in got.items():
+        if lvl < 5:
+            assert d == 0, (lvl, idx)
