@@ -11070,3 +11070,75 @@ def haar_event_volume(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", "idx", F.coalesce(F.col("n"), F.lit(0)).alias("v")
     )
     return haar_decompose(padded, ["event_type"], "idx", "v", levels=5)
+
+
+@register(
+    "forecast_backtest_mase",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             SUM(CAST(value AS DECIMAL(14,2))) AS v
+      FROM events GROUP BY 1),
+    idx AS (
+      SELECT d, v,
+             CAST(date_diff('day', (SELECT MIN(d) FROM daily), d)
+                  AS BIGINT) AS i
+      FROM daily),
+    joined AS (
+      SELECT t.i, t.v AS actual, s.v AS snaive, n.v AS naive
+      FROM idx t
+      JOIN idx s ON s.i = t.i - 7
+      JOIN idx n ON n.i = t.i - 1
+      WHERE t.i >= (SELECT MAX(i) FROM idx) - 4)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(abs(actual - snaive)) AS DOUBLE) AS mae_seasonal,
+           CAST(SUM(abs(actual - naive)) AS DOUBLE) AS mae_naive,
+           CAST(SUM(abs(actual - snaive)) AS DOUBLE)
+             / CAST(SUM(abs(actual - naive)) AS DOUBLE) AS mase
+    FROM joined
+    """,
+)
+def forecast_backtest_mase(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecast backtest with MASE (Hyndman & Koehler 2006): over the
+    last 5 days of daily revenue, the seasonal-naive forecast (value 7
+    days earlier) scored against the one-step naive (yesterday) —
+    MASE < 1 means weekly seasonality carries real signal. Absolute
+    errors accumulate as exact DECIMALs (order-insensitive), ONE
+    final division → bit-exact. Lag features come from integer-step
+    self-joins on the persisted day spine, never a global window —
+    the evaluation harness any forecasting pipeline needs before
+    trusting a model."""
+    ev = load(spark, sf, "events")
+    daily = cache.track(
+        ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+            F.sum(F.col("value").cast("decimal(14,2)")).alias("v")
+        )
+    )
+    anchor = daily.agg(
+        F.min("d").alias("d0"), F.max("d").alias("dmax")
+    )
+    idx = cache.track(
+        daily.crossJoin(F.broadcast(anchor)).select(
+            F.datediff(F.to_date("d"), F.to_date("d0"))
+            .cast("long")
+            .alias("i"),
+            "v",
+            F.datediff(F.to_date("dmax"), F.to_date("d0"))
+            .cast("long")
+            .alias("imax"),
+        )
+    )
+    t = idx.select("i", F.col("v").alias("actual"), "imax").filter(
+        F.col("i") >= F.col("imax") - 4
+    )
+    s = idx.select((F.col("i") + 7).alias("i"), F.col("v").alias("snaive"))
+    n = idx.select((F.col("i") + 1).alias("i"), F.col("v").alias("naive"))
+    joined = t.join(s, "i").join(n, "i")
+    mae_s = F.sum(F.abs(F.col("actual") - F.col("snaive")))
+    mae_n = F.sum(F.abs(F.col("actual") - F.col("naive")))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        mae_s.cast("double").alias("mae_seasonal"),
+        mae_n.cast("double").alias("mae_naive"),
+        (mae_s.cast("double") / mae_n.cast("double")).alias("mase"),
+    )
