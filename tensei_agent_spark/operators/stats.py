@@ -261,3 +261,63 @@ def t_closeness(
             ).alias("emd"),
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate (Kaplan & Meier 1958) with
+    right-censoring: S(t) = Π_{u ≤ t} (1 − d_u/n_u) over the distinct
+    event times, where d_u counts events (``event_col`` = 1) at
+    duration u and censored subjects (= 0) leave the risk set without
+    an event — the churn/survival curve behind retention and
+    reliability analysis.
+
+    Exactness and shape: subjects reduce to ONE partial-aggregated
+    pass per duration (d, c counts); the curve itself is a sequential
+    product, which no window can express order-safely, so it runs as
+    the repo's codegen ARRAY FOLD over the (bounded-domain) sorted
+    duration table — the holt/ewma pattern: one row per key, fold in
+    whole-stage codegen, explode back. The oracle replays the same
+    IEEE multiplication order as a recursive CTE → bit-exact. Domain
+    = distinct durations (days), not subjects — constant at any
+    corpus size.
+
+    Returns (t, n_risk, d_events, n_censored, survival).
+    """
+    per_t = df.groupBy(
+        F.col(duration_col).cast("long").alias("t")
+    ).agg(
+        F.sum(F.col(event_col).cast("long")).alias("d"),
+        F.sum(F.lit(1) - F.col(event_col).cast("long")).alias("c"),
+    )
+    one = per_t.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "c"))
+        ).alias("_pts"),
+        F.sum(F.col("d") + F.col("c")).cast("long").alias("_n0"),
+    )
+    fold = F.expr(
+        """aggregate(
+          _pts,
+          named_struct(
+            'n', _n0, 's', cast(1.0 as double),
+            'acc', cast(array() as array<struct<
+              t: bigint, n_risk: bigint, d_events: bigint,
+              n_censored: bigint, survival: double>>)),
+          (st, p) -> named_struct(
+            'n', st.n - p.d - p.c,
+            's', st.s * (cast(1.0 as double)
+                         - cast(p.d as double) / st.n),
+            'acc', concat(st.acc, array(named_struct(
+              't', p.t, 'n_risk', st.n, 'd_events', p.d,
+              'n_censored', p.c,
+              'survival', st.s * (cast(1.0 as double)
+                                  - cast(p.d as double) / st.n))))),
+          st -> st.acc)"""
+    )
+    return one.select(F.explode(fold).alias("r")).select(
+        "r.t", "r.n_risk", "r.d_events", "r.n_censored", "r.survival"
+    )

@@ -11142,3 +11142,129 @@ def forecast_backtest_mase(spark: SparkSession, sf: str) -> DataFrame:
         mae_n.cast("double").alias("mae_naive"),
         (mae_s.cast("double") / mae_n.cast("double")).alias("mase"),
     )
+
+
+@register(
+    "trimmed_mean_order_value",
+    """
+    WITH ranked AS (
+      SELECT o_orderpriority AS priority,
+             CAST(o_totalprice AS DECIMAL(14,2)) AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders),
+    kept AS (
+      SELECT priority, v, n FROM ranked
+      WHERE rn > CAST(floor(n * 0.05) AS BIGINT)
+        AND rn <= n - CAST(floor(n * 0.05) AS BIGINT))
+    SELECT priority,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS trimmed_mean
+    FROM kept GROUP BY priority
+    """,
+)
+def trimmed_mean_order_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust grouped mean: per order priority, the 5%-trimmed mean of
+    order values — each tail's floor(0.05·n) EXACT order statistics
+    dropped via a group-partitioned rank (total order (value, key), so
+    ties cut identically in any engine), then one exact DECIMAL mean.
+    The outlier-resistant aggregate that reports central tendency a
+    single whale order can't drag. Group-partitioned windows only;
+    integer trim boundaries → bit-exact."""
+    orders = load(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    cnt = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+    lo = F.floor(F.col("n") * 0.05).cast("bigint")
+    kept = ranked.filter(
+        (F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo)
+    )
+    return kept.groupBy("priority").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias(
+            "trimmed_mean"
+        ),
+    )
+
+
+@register(
+    "customer_survival_km",
+    """
+    WITH RECURSIVE span AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                  AS BIGINT) AS t,
+             MAX(o_orderdate) AS last_o
+      FROM orders GROUP BY o_custkey),
+    hz AS (SELECT MAX(last_o) AS h FROM span),
+    subj AS (
+      SELECT t,
+             CASE WHEN date_diff('day', last_o, hz.h) > 90
+                  THEN 1 ELSE 0 END AS ev
+      FROM span CROSS JOIN hz),
+    per_t AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(SUM(1 - ev) AS BIGINT) AS c
+      FROM subj GROUP BY t),
+    ordered AS (
+      SELECT t, d, c, row_number() OVER (ORDER BY t) AS rn FROM per_t),
+    n0 AS (SELECT SUM(d + c) AS n FROM per_t),
+    maxrn AS (SELECT MAX(rn) AS m FROM ordered),
+    km AS (
+      SELECT o.rn, o.t, CAST(n0.n AS BIGINT) AS n_risk, o.d, o.c,
+             CAST(1.0 AS DOUBLE)
+               * (CAST(1.0 AS DOUBLE) - CAST(o.d AS DOUBLE) / n0.n)
+               AS s
+      FROM ordered o CROSS JOIN n0 WHERE o.rn = 1
+      UNION ALL
+      SELECT o.rn, o.t, km.n_risk - km.d - km.c, o.d, o.c,
+             km.s * (CAST(1.0 AS DOUBLE)
+                     - CAST(o.d AS DOUBLE)
+                       / (km.n_risk - km.d - km.c))
+      FROM km JOIN ordered o ON o.rn = km.rn + 1)
+    SELECT t, n_risk, d AS d_events, c AS n_censored, s AS survival
+    FROM km
+    """,
+)
+def customer_survival_km(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer churn survival curve (Kaplan–Meier;
+    operators/stats.kaplan_meier): subject = customer, duration =
+    days between first and last order, right-censored when the last
+    order falls within 90 days of the dataset horizon (still active —
+    leaves the risk set without a churn event). The sequential
+    survival product runs as ONE codegen array fold over the bounded
+    duration domain; the recursive-CTE oracle replays the identical
+    IEEE multiplication order → bit-exact. The retention curve
+    product analytics reads tenure risk off."""
+    from .operators.stats import kaplan_meier
+
+    orders = load(spark, sf, "orders")
+    span = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.to_date(F.max("o_orderdate")),
+            F.to_date(F.min("o_orderdate")),
+        )
+        .cast("long")
+        .alias("t"),
+        F.max("o_orderdate").alias("last_o"),
+    )
+    hz = span.agg(F.max("last_o").alias("h"))
+    subj = span.crossJoin(F.broadcast(hz)).select(
+        "t",
+        F.when(
+            F.datediff(F.to_date("h"), F.to_date("last_o")) > 90, 1
+        )
+        .otherwise(0)
+        .alias("ev"),
+    )
+    return kaplan_meier(subj, "t", "ev")

@@ -284,3 +284,28 @@ def test_theta_overlap_tracks_exact_sets(spark):
     assert abs(got["n_b"] - 800) <= 16
     assert abs(got["n_intersection"] - 400) <= 20
     assert abs(got["n_only_a"] - 600) <= 25
+
+
+def test_kaplan_meier_matches_closed_form(spark):
+    from tensei_agent_spark.operators.stats import kaplan_meier
+
+    # Classic toy: events at t=1 (2 of 10), t=3 (1 of 7, after 1
+    # censored at t=2), censored at t=2 and t=4.
+    rows = (
+        [(1, 1)] * 2 + [(2, 0)] * 1 + [(3, 1)] * 1 + [(4, 0)] * 1
+        + [(5, 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "t long, ev int")
+    got = {r["t"]: r for r in kaplan_meier(df, "t", "ev").collect()}
+    assert got[1]["n_risk"] == 10 and got[1]["d_events"] == 2
+    s1 = 1.0 * (1 - 2 / 10)
+    assert got[1]["survival"] == s1
+    # t=2: censoring only — survival unchanged, risk set shrinks.
+    s2 = s1 * (1 - 0 / 8)
+    assert got[2]["survival"] == s2 and got[2]["n_risk"] == 8
+    s3 = s2 * (1 - 1 / 7)
+    assert got[3]["survival"] == s3
+    # Monotone non-increasing.
+    ts = sorted(got)
+    surv = [got[t]["survival"] for t in ts]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
