@@ -1,0 +1,129 @@
+"""Golden-fixture conformance for DFASDL schema extraction.
+
+Runs :mod:`tensei_agent_spark.dfasdl_extract` against every CSV↔DFASDL
+and JSON↔DFASDL golden pair the reference ships
+(``src/test/resources/com/wegtam/tensei/agent/helpers/
+{csv,json}SchemaExtractor/``) and asserts the generated document is
+structurally identical — same element tags, ids, stop-signs, formats,
+decimal separators, precisions — to the reference's expected output.
+
+The reference harness (``CSVSchemaExtractorTest.scala``) supplies the
+separator and header flag as options, so this suite derives them from
+the golden itself (stop-sign attribute / csv_header presence) and
+conformance-tests the *type-vote + document shape*, which is what the
+goldens pin.
+
+Pure driver-side — no SparkSession needed.
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from tensei_agent_spark.dfasdl_extract import (
+    extract_dfasdl_csv,
+    extract_dfasdl_json,
+)
+
+CSV_DIR = (
+    "/root/reference/src/test/resources/com/wegtam/tensei/agent/helpers/"
+    "csvSchemaExtractor"
+)
+JSON_DIR = (
+    "/root/reference/src/test/resources/com/wegtam/tensei/agent/helpers/"
+    "jsonSchemaExtractor"
+)
+
+requires_fixtures = pytest.mark.skipif(
+    not os.path.isdir(CSV_DIR), reason="reference fixture corpus not present"
+)
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _canon(node: ET.Element):
+    """(tag, sorted attrs, children) — whitespace/attr-order agnostic."""
+    attrs = {k.rsplit("}", 1)[-1]: v for k, v in node.attrib.items()}
+    return (_local(node.tag), tuple(sorted(attrs.items())), tuple(_canon(c) for c in node))
+
+
+def _parse(xml_str: str):
+    return _canon(ET.fromstring(xml_str))
+
+
+def _golden_csv_options(golden_root: ET.Element) -> tuple[str, bool]:
+    has_header = any(
+        _local(e.tag) == "elem" and e.get("id") == "csv_header"
+        for e in golden_root
+    )
+    sep = ","
+    for e in golden_root.iter():
+        if e.get("stop-sign"):
+            sep = e.get("stop-sign")
+            break
+    return sep, has_header
+
+
+def _csv_pairs() -> list[str]:
+    if not os.path.isdir(CSV_DIR):
+        return []
+    return sorted(
+        f[:-4] for f in os.listdir(CSV_DIR) if f.endswith(".csv")
+    )
+
+
+def _json_pairs() -> list[str]:
+    if not os.path.isdir(JSON_DIR):
+        return []
+    return sorted(
+        f[:-5] for f in os.listdir(JSON_DIR) if f.endswith(".json")
+    )
+
+
+@requires_fixtures
+@pytest.mark.parametrize("name", _csv_pairs())
+def test_csv_golden_conformance(name):
+    golden_xml = open(os.path.join(CSV_DIR, f"{name}.xml"), encoding="utf-8").read()
+    golden_root = ET.fromstring(golden_xml)
+    sep, has_header = _golden_csv_options(golden_root)
+    produced = extract_dfasdl_csv(
+        os.path.join(CSV_DIR, f"{name}.csv"), separator=sep, has_header=has_header
+    )
+    assert _parse(produced) == _canon(golden_root), (
+        f"{name}: produced DFASDL diverges from reference golden\n{produced}"
+    )
+
+
+@requires_fixtures
+@pytest.mark.parametrize("name", _json_pairs())
+def test_json_golden_conformance(name):
+    golden_xml = open(
+        os.path.join(JSON_DIR, f"{name}-dfasdl.xml"), encoding="utf-8"
+    ).read()
+    produced = extract_dfasdl_json(os.path.join(JSON_DIR, f"{name}.json"))
+    assert _parse(produced) == _parse(golden_xml), (
+        f"{name}: produced DFASDL diverges from reference golden\n{produced}"
+    )
+
+
+def test_extracted_dfasdl_feeds_the_compiler(tmp_path):
+    """The emitted DFASDL round-trips through plans.dfasdl.parse_dfasdl —
+    extraction output is directly consumable by the pipeline compiler."""
+    from tensei_agent_spark.plans.dfasdl import parse_dfasdl
+
+    p = tmp_path / "people.csv"
+    p.write_text(
+        "name,joined,score\n"
+        "ada,01.02.2020,1.50\n"
+        "bob,02.03.2021,2.25\n"
+    )
+    xml_str = extract_dfasdl_csv(str(p), separator=",", has_header=True)
+    seqs = parse_dfasdl(xml_str)
+    (lines,) = [s for s in seqs if s.seq_id == "lines"]
+    names = [f.name for f in lines.fields]
+    assert names == ["name", "joined", "score"]
