@@ -163,6 +163,13 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
             opts["encoding"] = encoding
         if "max" in seq.attrib:
             opts["limit"] = int(seq.attrib["max"])
+        # DatabaseParser row selection (DatabaseParser.scala:379-416):
+        # ``filter`` → pushed-down predicate, ``db-select`` → raw SQL
+        # override (sources/jdbc.py consumes both).
+        if "filter" in seq.attrib:
+            opts["filter"] = seq.attrib["filter"]
+        if "db-select" in seq.attrib:
+            opts["query"] = seq.attrib["db-select"]
         if tag == "fixseq":
             opts["limit"] = int(seq.attrib["count"])
         if "db-primary-key" in seq.attrib:
