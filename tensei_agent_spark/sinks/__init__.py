@@ -43,6 +43,16 @@ def prepare(df: DataFrame, spec: TargetSpec) -> DataFrame:
     regex re-validation of ``format`` fields — non-matching values
     null out, exactly like the reference's formatstr re-check)."""
     out = df
+    # Coerce each column to its declared target element type first —
+    # ≙ processTargetData, which converts every incoming value to the
+    # target element's type before the writer sees it (a num source
+    # mapped onto a str target lands as its string rendering, e.g.
+    # Drupal2WP status→comment_approved VARCHAR). No-op casts are
+    # eliminated by Catalyst's SimplifyCasts.
+    dtypes = dict(out.dtypes)
+    for f in spec.fields:
+        if f.type and f.name in dtypes and dtypes[f.name] != f.type:
+            out = out.withColumn(f.name, F.col(f.name).cast(f.type))
     for f in spec.fields:
         if f.default is not None and f.name in out.columns:
             out = out.withColumn(

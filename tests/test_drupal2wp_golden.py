@@ -15,7 +15,8 @@ integration suite end-to-end on this engine:
   reference runs H2; both are its integration dialects);
 - the assertions are the reference's own golden values
   (``Drupal2WP.scala:252-278`` for wp_users, ``:563-615`` for
-  wp_posts), including the exact migrated timestamps.
+  wp_posts, ``:819-860`` for wp_comments), including the exact
+  migrated timestamps.
 """
 
 from __future__ import annotations
@@ -351,3 +352,157 @@ def test_node_to_wp_posts_golden(spark, derby_url):
     assert fourth["comment_status"] == "open"
     assert fourth["post_name"] == "Dieser-Artikel-soll-dann-mal-Kommentare-enthalten"
     assert fourth["comment_count"] == 5
+
+
+# --- comment (+body) → wp_comments --------------------------------------------
+
+# Source rows from Drupal2WP.scala:626-670 (H2 ``int(11)``/bare
+# ``varchar`` become Derby-legal types, as above).
+COMMENT_DDL = [
+    "CREATE TABLE comment (cid INTEGER, pid INTEGER, nid INTEGER,"
+    " uid INTEGER, subject VARCHAR(64), hostname VARCHAR(128),"
+    " created INTEGER, changed INTEGER, status INTEGER,"
+    " thread VARCHAR(255), name VARCHAR(60), mail VARCHAR(64),"
+    " homepage VARCHAR(255), language VARCHAR(12))",
+    "INSERT INTO comment VALUES(1, 0, 4, 3,"
+    " 'das ist das erste Kommentar in der ersten Ebene', '::1',"
+    " 1441197973, 1441197973, 1, '01/', 'jens', '', '', 'und')",
+    "INSERT INTO comment VALUES(2, 0, 4, 3,"
+    " 'und dann der zweite Kommentar in der ersten Ebene', '::1',"
+    " 1441197989, 1441197989, 1, '02/', 'jens', '', '', 'und')",
+    "INSERT INTO comment VALUES(3, 0, 4, 2,"
+    " 'Ein Kommentar in der ersten', '::1', 1441198023, 1441198023, 1,"
+    " '03/', 'andre', '', '', 'und')",
+    "INSERT INTO comment VALUES(4, 1, 4, 2,"
+    " 'Antwort auf den ersten Kommentar ohne Comment-Text', '::1',"
+    " 1441198074, 1441198074, 1, '01.00/', 'andre', '', '', 'und')",
+    "INSERT INTO comment VALUES(5, 4, 4, 4, 'zweite Antwort', '::1',"
+    " 1441198100, 1441198100, 1, '01.00.00/', 'frank', '', '', 'und')",
+    "CREATE TABLE field_data_comment_body (entity_type VARCHAR(128),"
+    " bundle VARCHAR(128), deleted INTEGER, entity_id INTEGER,"
+    " revision_id INTEGER, language VARCHAR(32), delta INTEGER,"
+    " comment_body_value VARCHAR(2000), comment_body_format VARCHAR(255))",
+    "INSERT INTO field_data_comment_body VALUES('comment',"
+    " 'comment_node_article', 0, 1, 1, 'und', 0,"
+    " 'Und hier steht der Inhalt des Kommentares.', 'filtered_html')",
+    "INSERT INTO field_data_comment_body VALUES('comment',"
+    " 'comment_node_article', 0, 2, 2, 'und', 0, 'MIT INHALT', 'filtered_html')",
+    "INSERT INTO field_data_comment_body VALUES('comment',"
+    " 'comment_node_article', 0, 3, 3, 'und', 0,"
+    " 'Ein Kommentar in der ersten Ebene ohne Subject', 'filtered_html')",
+    "INSERT INTO field_data_comment_body VALUES('comment',"
+    " 'comment_node_article', 0, 4, 4, 'und', 0, 'oder doch', 'filtered_html')",
+    "INSERT INTO field_data_comment_body VALUES('comment',"
+    " 'comment_node_article', 0, 5, 5, 'und', 0,"
+    " 'in der dritten Ebene vom ersten Kommentar', 'filtered_html')",
+]
+
+
+def _comments_pipeline(derby_url):
+    src = source_spec(
+        _dfasdl("source-drupal_comment"), "comment", derby_url, fmt="jdbc",
+        seq_id="comment",
+    )
+    src.options.update({"driver": DRIVER})
+    tgt = target_spec(
+        _dfasdl("target-wp_comments"), "wp_comments", derby_url, fmt="jdbc",
+        seq_id="wp_comments", mode="overwrite",
+    )
+    tgt.options.update({"driver": DRIVER, "table": "WP_COMMENTS"})
+
+    def ref(col):
+        return ColumnRef("comment", col)
+
+    # ≙ Cookbook "Drupal-Comment" (Drupal2WP.scala:683-785), mapping for
+    # mapping in the same order.
+    recipe = Recipe(
+        "drupal-comments", "wp_comments",
+        mappings=(
+            Mapping((ref("cid"),), ("comment_id",)),
+            Mapping((ref("nid"),), ("comment_post_id",)),
+            Mapping((ref("name"),), ("comment_author",)),
+            Mapping((ref("mail"),), ("comment_author_email",)),
+            Mapping((ref("homepage"),), ("comment_author_url",)),
+            Mapping((ref("hostname"),), ("comment_author_ip",)),
+            Mapping((ref("status"),), ("comment_approved",)),
+            Mapping((ref("pid"),), ("comment_parent",)),
+            Mapping((ref("uid"),), ("user_id",)),
+            Mapping(
+                (ref("created"),) * 2,
+                ("comment_date", "comment_date_gmt"),
+                transformers=(("date_converter", {}),),
+                atomic=(("timestamp_adjuster", {}),),
+            ),
+            Mapping(
+                (ref("cid"),), ("comment_karma",),
+                transformers=(("overwrite", {"value": "0", "type": "long"}),),
+            ),
+            # Concat separator is the literal two-character "\n" string —
+            # the reference passes Scala "\\n" and its golden values
+            # contain backslash-n verbatim (Drupal2WP.scala:833-835).
+            Mapping(
+                (ref("subject"), ref("comment_body_value")),
+                ("comment_content",),
+                mode="all_to_all",
+                transformers=(("concat", {"separator": "\\n"}),),
+            ),
+            Mapping(
+                (ref("cid"),) * 2,
+                ("comment_agent", "comment_type"),
+                transformers=(("empty_string", {}),),
+            ),
+        ),
+    )
+    return Pipeline("drupal2wp-comments", (src,), (tgt,), (recipe,))
+
+
+@requires_fixtures
+def test_comment_to_wp_comments_golden(spark, derby_url):
+    jvm_execute(spark, derby_url, COMMENT_DDL, DRIVER)
+
+    pipeline = _comments_pipeline(derby_url)
+    # db-select LEFT JOIN comment↔field_data_comment_body feeds the
+    # parser: 5 rows (Drupal2WP.scala:808-810).
+    assert read_source(spark, pipeline.source("comment")).count() == 5
+
+    run_pipeline(spark, pipeline)
+
+    back = read_source(
+        spark,
+        SourceSpec(
+            "WP_COMMENTS", "jdbc", derby_url,
+            options={"driver": DRIVER, "table": "WP_COMMENTS"},
+        ),
+    ).orderBy("comment_id")
+    rows = back.collect()
+
+    # Golden values: Drupal2WP.scala:819-860.
+    assert [r["comment_id"] for r in rows] == [1, 2, 3, 4, 5]
+    first, fifth = rows[0], rows[4]
+    assert first["comment_post_id"] == 4
+    assert first["comment_author"] == "jens"
+    assert first["comment_author_email"] == ""
+    assert first["comment_author_url"] == ""
+    assert first["comment_author_ip"] == "::1"
+    assert first["comment_date"] == datetime(2015, 9, 2, 12, 46, 13)
+    assert first["comment_date_gmt"] == datetime(2015, 9, 2, 12, 46, 13)
+    assert first["comment_content"] == (
+        "das ist das erste Kommentar in der ersten Ebene\\n"
+        "Und hier steht der Inhalt des Kommentares."
+    )
+    assert first["comment_karma"] == 0
+    assert first["comment_approved"] == "1"
+    assert first["comment_agent"] == ""
+    assert first["comment_type"] == ""
+    assert first["comment_parent"] == 0
+    assert first["user_id"] == 3
+    assert fifth["comment_post_id"] == 4
+    assert fifth["comment_author"] == "frank"
+    assert fifth["comment_content"] == (
+        "zweite Antwort\\nin der dritten Ebene vom ersten Kommentar"
+    )
+    assert fifth["comment_karma"] == 0
+    assert fifth["comment_approved"] == "1"
+    assert fifth["comment_agent"] == ""
+    assert fifth["comment_type"] == ""
+    assert fifth["comment_parent"] == 4
