@@ -19,12 +19,15 @@ Scale design notes
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..cache import track
+
+logger = logging.getLogger(__name__)
 
 
 def dedup_exact(
@@ -241,12 +244,37 @@ def ngram_jaccard_pairs(
     k: int = 8,
     threshold: float = 0.8,
     bit_screen: bool = False,
+    max_shingle_df: int | None = None,
+    size_hint_bytes: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs by EXACT n-gram Jaccard, via prefix filtering
     (the SSJoin/PPJoin candidate-pruning lemma).
 
     Emits (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold;
     J = |A∩B| / (|A| + |B| - |A∩B|).
+
+    ``max_shingle_df``: candidate-stage safety valve for boilerplate-
+    heavy shards. Prefix shingles whose document frequency exceeds the
+    cap are EXCLUDED from candidate generation — a shingle shared by d
+    docs expands to O(d²) candidate pairs, so one templated n-gram that
+    survives into prefixes can blow the join output quadratically at
+    scale. The cap is deterministic (a df order, not a sample) and
+    LOSSY above the cap: a pair whose only shared prefix shingles are
+    hot is missed. Below the cap the output is bit-identical to the
+    uncapped run (pinned by test). Never silent: engaging it logs, and
+    ``stats`` (pass a dict) receives ``stats["truncation"]`` — a LAZY
+    one-row frame (hot_shingles, dropped_postings) over the already-
+    persisted prefix table, so observability costs no extra lineage.
+    Default None = exact, uncapped (the oracle-compared queries).
+
+    ``size_hint_bytes``: estimated input size steering the broadcast
+    hints below. Default None reads Catalyst's plan-level estimate
+    (file sizes × selectivity) — pure driver-side metadata, NO job —
+    so explain-only builds never pay a corpus scan. Derived inputs
+    whose stats degrade to "unknown" (JDBC, RDD-backed) fall back to
+    the shuffle path, which AQE upgrades back to broadcast at runtime
+    from actual shuffle sizes.
 
     ``bit_screen=True`` inserts a probabilistic OPH bit-signature
     pre-screen between candidate generation and the exact verify chain
@@ -347,18 +375,24 @@ def ngram_jaccard_pairs(
     # functions: a count-over-shingle / row_number-over-id pair moves
     # the same stream through two full SORTS (WindowExec sorts within
     # every partition), measured 2× slower than this hash-only shape.
-    # Size estimate steering the broadcast hints below — BOUNDED eager
-    # work (a metadata count + a 512-row length sample), never a full
-    # corpus scan: builds that never execute (explain/plan audits) must
-    # not pay a corpus materialization. The sample mean upper-bounds
-    # distinct tokens per doc, so est_tokens bounds BOTH the distinct-
-    # shingle table (freq) and the per-doc token payload (screen).
-    n_docs = docs.count()
-    sample = docs.limit(512).agg(
-        F.avg(F.length(text_col)).alias("len")
-    ).first()
-    est_tokens = max((sample["len"] or 0) - k + 1, 1) * n_docs
-    small = est_tokens * 8 < 64 * 1024 * 1024
+    # Size estimate steering the broadcast hints below — ZERO jobs:
+    # Catalyst's optimized-plan sizeInBytes is driver-side metadata
+    # (file sizes × filter selectivity), so a build that never executes
+    # (explain, plan audits) costs nothing. The row estimate bounds the
+    # corpus text bytes, hence ~8 bytes of 64-bit token per text char
+    # bounds BOTH the distinct-shingle table (freq) and the per-doc
+    # token payload (screen). Parquet compression makes the estimate
+    # read LOW relative to raw chars (~2-3×), so the 64 MB gate flips
+    # to the shuffle path a little early at scale — the conservative
+    # direction, and AQE re-promotes a provably-small side at runtime.
+    if size_hint_bytes is None:
+        try:
+            size_hint_bytes = int(
+                docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # unknown stats → conservative shuffle path
+            size_hint_bytes = 1 << 60
+    small = size_hint_bytes * 8 < 64 * 1024 * 1024
     hint = F.broadcast if small else (lambda d: d)
 
     freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -390,11 +424,33 @@ def ngram_jaccard_pairs(
         F.col("n_sh"),
         (F.col("pos") + 1).alias("pos"),  # 1-based position in rarity order
         F.col("col.shingle").alias("shingle"),
+        # The document frequency rides along only when the cap needs it.
+        *([F.col("col._df").alias("_df")] if max_shingle_df is not None else []),
     )
     # pfx feeds BOTH sides of the candidate self-join below — without a
     # persist the whole postings→freq-join→collect→posexplode pipeline
     # executes twice (Spark does not share subplans across join sides).
     pfx = track(pfx)
+    if max_shingle_df is not None:
+        # No-silent-caps: engaging the valve always logs, and the exact
+        # drop volume is exposed as a lazy aggregate over the persisted
+        # prefix table (one extra cache read when actioned, no new
+        # lineage). Hot shingles sort LAST in rarity order, so in
+        # healthy corpora the prefix slice already excludes them and
+        # both counters read 0.
+        logger.info(
+            "ngram_jaccard_pairs: candidate stage capped at shingle df "
+            "<= %d; pairs linked only through hotter shingles are "
+            "dropped (stats['truncation'] quantifies)", max_shingle_df,
+        )
+        if stats is not None:
+            stats["truncation"] = pfx.filter(
+                F.col("_df") > max_shingle_df
+            ).agg(
+                F.count_distinct("shingle").alias("hot_shingles"),
+                F.count(F.lit(1)).alias("dropped_postings"),
+            )
+        pfx = pfx.filter(F.col("_df") <= max_shingle_df).drop("_df")
     # Candidate generation = SELF-EQUI-JOIN of the prefix postings on
     # the shingle, with PPJoin positional + length pruning inline: at
     # the pair's first shared prefix shingle, overlap ≤ 1 + min of the
@@ -527,11 +583,13 @@ def ngram_jaccard_pairs(
                 F.expr(f"~(_ga{w} ^ _gb{w}) & _ma{w} & _mb{w}")
             )
         # The signature tables are a fixed ~72 B/doc (id + 8 longs)
-        # regardless of text length — gate their broadcast on n_docs,
-        # not on the token-payload estimate that sizes ta/tb below.
+        # regardless of text length — gate their broadcast on a per-doc
+        # bound, not the token-payload estimate that sizes ta/tb below:
+        # a Catalyst row estimate is ≥ ~20 B/doc (id + text + overhead),
+        # so sig bytes ≤ 4× the plan estimate.
         sig_hint = (
             F.broadcast
-            if n_docs * 72 < 64 * 1024 * 1024
+            if size_hint_bytes * 4 < 64 * 1024 * 1024
             else (lambda d: d)
         )
         cand = (

@@ -1336,10 +1336,14 @@ def dedup_jaccard_fast(spark: SparkSession, sf: str) -> DataFrame:
     (~6e-4 drop risk at the exact threshold, quantified inline), so
     this twin is rows-only; the exact variant above carries the oracle
     and an on/off parity test pins their agreement on the driver
-    corpus."""
+    corpus. The production path also engages the df-2000 candidate cap
+    (a shingle shared by d docs expands to O(d²) pairs; max prefix df
+    measured at sf0.1 is 304, so the cap is inert here and bites only
+    on boilerplate-heavy shards at scale — with logged truncation,
+    never silently)."""
     return D.ngram_jaccard_pairs(
         load(spark, sf, "documents"), "text", "doc_id",
-        k=8, threshold=0.6, bit_screen=True,
+        k=8, threshold=0.6, bit_screen=True, max_shingle_df=2000,
     )
 
 

@@ -157,6 +157,74 @@ def test_ngram_jaccard_bit_screen_parity(spark):
     assert on == off and len(on) == 25
 
 
+def test_ngram_jaccard_cap_parity_below_and_truncation_above(spark):
+    """max_shingle_df is a pure no-op while every prefix shingle's df
+    stays under the cap (bit-identical pairs), and above it the drop is
+    accounted, never silent: the lazy stats frame reports the hot
+    shingles and dropped postings."""
+    from tensei_agent_spark.catalog import load
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    stats: dict = {}
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=8, threshold=0.6, max_shingle_df=2000, stats=stats
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=8, threshold=0.6).collect()
+    }
+    assert capped == uncapped and len(capped) == 25
+    t = stats["truncation"].first()
+    assert (t["hot_shingles"], t["dropped_postings"]) == (0, 0)
+
+    # A templated corpus where every doc shares one boilerplate page:
+    # cap=3 excludes the template shingles from candidate generation,
+    # so the template-only near-dup pairs disappear — and the stats
+    # frame quantifies exactly what was dropped.
+    template = "all rights reserved by the example corporation anno 2025"
+    # 5-char unique prefix + 56-char template → J ≈ 49/59 ≈ 0.83 ≥ 0.6
+    rows = [(i, f"u-{i:02d} " + template) for i in range(12)]
+    boiler = spark.createDataFrame(rows, "doc_id long, text string")
+    stats2: dict = {}
+    capped2 = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            boiler, k=8, threshold=0.6, max_shingle_df=3, stats=stats2
+        ).collect()
+    }
+    uncapped2 = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(boiler, k=8, threshold=0.6).collect()
+    }
+    # Uncapped: every pair links through the template (all 66). Capped:
+    # only the pairs that ALSO share a rare shingle survive — i and
+    # i+10 share "0 all ri"/"1 all ri" (df=2 ≤ 3) across the digit
+    # boundary; every template-only pair is dropped.
+    assert len(uncapped2) == 66
+    assert capped2 == {(0, 10), (1, 11)}
+    t2 = stats2["truncation"].first()
+    assert t2["hot_shingles"] > 0 and t2["dropped_postings"] > 0
+
+
+def test_ngram_jaccard_build_runs_no_job(spark):
+    """Building (and explaining) the operator must stay driver-side:
+    broadcast steering reads Catalyst's plan stats, never count()."""
+    from tensei_agent_spark.catalog import load
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    df = ngram_jaccard_pairs(docs, k=8, threshold=0.6, bit_screen=True)
+    df.explain(extended=False)
+    after = set(tracker.getJobIdsForGroup())
+    assert before == after, "operator build launched Spark jobs"
+
+
 # ---------------------------------------------------------------------------
 # Winnowing (MOSS) fingerprints
 # ---------------------------------------------------------------------------

@@ -79,10 +79,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict] = {}
 
-    for s in (1, 2, 4):
+    for s in (1, 2, 4, 8):
         docs = scaled_docs(spark, s)
         emb = scaled_emb(spark, s)
         n_docs = docs.count()
+        ngram_stats: dict = {}
         ops = {
             "dedup_exact": lambda: D.exact_text_dups(
                 docs, "text", "doc_id"
@@ -91,8 +92,13 @@ def main() -> None:
                 docs, "text", "doc_id",
                 k=8, num_hashes=16, bands=4, hash_fn="xxhash64",
             ).count(),
+            # Production configuration of the fast twin: OPH screen +
+            # df-2000 candidate cap. The x8 leg exists to evidence the
+            # cap: candidate volume stays bounded and any truncation is
+            # recorded alongside the timing, never silent.
             "ngram_jaccard_fast": lambda: D.ngram_jaccard_pairs(
-                docs, "text", "doc_id", k=8, threshold=0.6, bit_screen=True
+                docs, "text", "doc_id", k=8, threshold=0.6,
+                bit_screen=True, max_shingle_df=2000, stats=ngram_stats,
             ).count(),
             "simhash_fingerprints": lambda: D.simhash_fingerprints(
                 docs, "text", "doc_id"
@@ -118,6 +124,12 @@ def main() -> None:
                 emb, k=16
             ).count(),
         }
+        if s == 8:
+            # The x8 leg is the candidate-cap evidence run only — the
+            # linear ops' curves are established by x1/x2/x4 and an x8
+            # pass of the whole family would double the smoke's wall
+            # time for no new information.
+            ops = {"ngram_jaccard_fast": ops["ngram_jaccard_fast"]}
         for name, run in ops.items():
             release_all()
             spark.catalog.clearCache()
@@ -128,12 +140,24 @@ def main() -> None:
             except Exception as exc:  # record, keep going
                 rows_out, sec = None, None
                 print(f"{name} x{s} FAILED: {exc!r}", flush=True)
-            results.setdefault(name, {})[f"x{s}"] = {
+            rec = {
                 "rows_in": n_docs,
                 "rows_out": rows_out,
                 "sec": sec,
             }
-            print(f"{name} x{s}: {rows_out} rows in {sec}s", flush=True)
+            if name == "ngram_jaccard_fast" and "truncation" in ngram_stats:
+                # Read BEFORE the next op's release_all drops the
+                # persisted prefix table this aggregate reuses.
+                try:
+                    t = ngram_stats["truncation"].first()
+                    rec["truncation"] = {
+                        "hot_shingles": t["hot_shingles"],
+                        "dropped_postings": t["dropped_postings"],
+                    }
+                except Exception as exc:
+                    rec["truncation_error"] = repr(exc)[:200]
+            results.setdefault(name, {})[f"x{s}"] = rec
+            print(f"{name} x{s}: {rec}", flush=True)
 
     # Persist the ops results BEFORE the relational phase: a failure
     # while deriving the scaled dirs must not discard minutes of
