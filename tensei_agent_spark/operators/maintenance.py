@@ -611,9 +611,11 @@ def compact_small_files(
         os.rename(bak, path)
         raise RuntimeError("post-swap verification failed; original restored")
     shutil.rmtree(bak)
+    # Same recursive walk as files_before — a top-level glob would
+    # undercount partitioned outputs and skew the stats.
     out_files = [
         f
-        for f in _glob.glob(os.path.join(path, "*"))
+        for f in _glob.glob(os.path.join(path, "**", "*"), recursive=True)
         if os.path.isfile(f) and not os.path.basename(f).startswith(("_", "."))
     ]
     return {

@@ -154,7 +154,11 @@ def acf(
             *keys,
             F.col("lag").cast("bigint").alias("lag"),
             F.col("n_pairs").cast("bigint").alias("n_pairs"),
-            (num / den).alias("r"),
+            # Constant series → zero central moment: r is undefined, and
+            # an unguarded divide is engine-dependent (Spark NULL, IEEE
+            # NaN/Inf elsewhere). Pin NULL explicitly; the oracle
+            # mirrors with NULLIF.
+            F.when(den != F.lit(0.0), num / den).alias("r"),
         )
     )
 
@@ -306,11 +310,14 @@ def ccf(
         F.col("_sb").alias("_sb_f"),
         F.col("_ssb"),
     )
+    # Either series constant → zero variance: r undefined, NULL by
+    # contract (see acf); sqrt(0) = 0 triggers the same guard.
+    rden = F.sqrt(den_a * den_b)
     return per_lag.join(F.broadcast(full), key_cols).select(
         *keys,
         F.col("lag").cast("bigint").alias("lag"),
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
-        (num / F.sqrt(den_a * den_b)).alias("r"),
+        F.when(rden != F.lit(0.0), num / rden).alias("r"),
     )
 
 

@@ -8614,10 +8614,10 @@ REGISTRY["linkage_scores_fixed_weights"] = Query(
                 * (CAST(p._sa AS DOUBLE) + CAST(p._sb AS DOUBLE))
               + p.n_pairs * (CAST(f._sx AS DOUBLE) / f._n)
                           * (CAST(f._sx AS DOUBLE) / f._n))
-           / (CAST(f._sxx AS DOUBLE)
+           / NULLIF(CAST(f._sxx AS DOUBLE)
               - 2.0 * (CAST(f._sx AS DOUBLE) / f._n) * CAST(f._sx AS DOUBLE)
               + f._n * (CAST(f._sx AS DOUBLE) / f._n)
-                     * (CAST(f._sx AS DOUBLE) / f._n)) AS r
+                     * (CAST(f._sx AS DOUBLE) / f._n), 0) AS r
     FROM per_lag p JOIN moments f ON f.event_type = p.event_type
     """,
     bench=True,
@@ -8974,7 +8974,7 @@ def bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
               - (CAST(ma._sa AS DOUBLE) / ma._na) * CAST(p._sb AS DOUBLE)
               + p.n_pairs * (CAST(ma._sa AS DOUBLE) / ma._na)
                           * (CAST(mb._sb AS DOUBLE) / mb._nb))
-           / sqrt((CAST(ma._ssa AS DOUBLE)
+           / NULLIF(sqrt((CAST(ma._ssa AS DOUBLE)
                      - 2.0 * (CAST(ma._sa AS DOUBLE) / ma._na)
                            * CAST(ma._sa AS DOUBLE)
                      + ma._na * (CAST(ma._sa AS DOUBLE) / ma._na)
@@ -8983,7 +8983,7 @@ def bpe_token_counts(spark: SparkSession, sf: str) -> DataFrame:
                      - 2.0 * (CAST(mb._sb AS DOUBLE) / mb._nb)
                            * CAST(mb._sb AS DOUBLE)
                      + mb._nb * (CAST(mb._sb AS DOUBLE) / mb._nb)
-                              * (CAST(mb._sb AS DOUBLE) / mb._nb))) AS r
+                              * (CAST(mb._sb AS DOUBLE) / mb._nb))), 0) AS r
     FROM per_lag p CROSS JOIN ma CROSS JOIN mb
     """,
 )

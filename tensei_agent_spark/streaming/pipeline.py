@@ -713,9 +713,10 @@ def _blk_flat(blockers) -> list[str]:
 # Decayed heavy hitters (round 5)
 # ---------------------------------------------------------------------------
 
-_HH_STATE_SCHEMA = "ids array<long>, ws array<double>, epoch long"
+_HH_STATE_SCHEMA = "ids array<long>, ws array<double>, epoch long, seq long"
 _HH_OUT_SCHEMA = (
-    "event_type string, user_id long, weight double, epoch_ms long"
+    "event_type string, user_id long, weight double, epoch_ms long,"
+    " seq long"
 )
 
 
@@ -727,9 +728,12 @@ def _make_hh_fn(capacity: int, half_life_s: float):
         ids: list[int] = []
         ws: list[float] = []
         epoch = 0
+        seq = 0
         if state.exists:
-            s_ids, s_ws, s_epoch = state.get
-            ids, ws, epoch = list(s_ids), list(s_ws), int(s_epoch)
+            s_ids, s_ws, s_epoch, s_seq = state.get
+            ids, ws, epoch, seq = (
+                list(s_ids), list(s_ws), int(s_epoch), int(s_seq),
+            )
 
         ts_list: list[int] = []
         uid_list: list[int] = []
@@ -766,13 +770,19 @@ def _make_hh_fn(capacity: int, half_life_s: float):
                 idx[u] = j
                 ids[j] = u
                 ws[j] = ws[j] + c
-        state.update((ids, ws, t1))
+        # Monotonic per-group emission counter: a batch whose events all
+        # sit at or before the stored epoch leaves t1 unchanged, so two
+        # snapshots CAN share epoch_ms — seq is the unambiguous
+        # latest-snapshot key (epoch_ms stays the decay timestamp).
+        seq += 1
+        state.update((ids, ws, t1, seq))
         yield pd.DataFrame(
             {
                 "event_type": [etype] * len(ids),
                 "user_id": ids,
                 "weight": ws,
                 "epoch_ms": [t1] * len(ids),
+                "seq": [seq] * len(ids),
             }
         )
 
@@ -799,7 +809,10 @@ def decayed_heavy_hitters(
     bounded by recency too.
 
     Emits the full counter table per micro-batch stamped with the
-    decay epoch (update semantics: downstream takes the latest epoch).
+    decay epoch AND a per-group monotonic ``seq`` (update semantics:
+    downstream takes the max-seq snapshot — epoch_ms alone is NOT a
+    snapshot key, since a batch of late events at or before the stored
+    epoch re-emits the same epoch_ms).
     """
     return (
         events.groupBy("event_type")

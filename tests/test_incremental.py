@@ -441,6 +441,43 @@ def test_compact_small_files_preserves_content(spark, tmp_path):
     assert table_digest(spark.read.parquet(path)) == before
 
 
+def test_compact_small_files_counts_partitioned_input_recursively(
+    spark, tmp_path
+):
+    """files_before/files_after use the SAME recursive walk — a
+    hive-partitioned input's data files live one level down and must
+    be counted, and the flat compacted output must agree with an
+    independent recursive count."""
+    import glob
+    import os
+
+    from tensei_agent_spark.operators.maintenance import compact_small_files
+
+    path = str(tmp_path / "frag_part")
+    df = spark.range(0, 1000).withColumn("p", F.col("id") % 4)
+    df.repartition(8).write.partitionBy("p").parquet(path)
+    n_in = len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(f)
+            and not os.path.basename(f).startswith(("_", "."))
+        ]
+    )
+    assert n_in >= 8  # nested under p=*/ — a flat glob would see 0
+    stats = compact_small_files(spark, path, target_bytes=10**9)
+    assert stats["files_before"] == n_in
+    n_out = len(
+        [
+            f
+            for f in glob.glob(os.path.join(path, "**", "*"), recursive=True)
+            if os.path.isfile(f)
+            and not os.path.basename(f).startswith(("_", "."))
+        ]
+    )
+    assert stats["files_after"] == n_out == 1
+
+
 def test_cascade_delete_handles_stacked_diamonds(spark):
     from tensei_agent_spark.operators.maintenance import cascade_delete
 

@@ -689,9 +689,9 @@ def test_decayed_heavy_hitters_exact_under_capacity(spark, tmp_path):
     )
     q.awaitTermination()
     got_rows = spark.table("hh_sink").collect()
-    latest = max(r["epoch_ms"] for r in got_rows)
+    latest = max(r["seq"] for r in got_rows)
     got = {
-        r["user_id"]: r["weight"] for r in got_rows if r["epoch_ms"] == latest
+        r["user_id"]: r["weight"] for r in got_rows if r["seq"] == latest
     }
     want = _hh_batch_weights(
         [(r[1], r[3], r[2]) for r in raw], 3600.0
@@ -744,8 +744,8 @@ def test_decayed_heavy_hitters_state_bounded_and_multibatch(spark, tmp_path):
     )
     q.awaitTermination()
     rows = spark.table("hh_sink2").collect()
-    latest = max(r["epoch_ms"] for r in rows)
-    final = [r for r in rows if r["epoch_ms"] == latest]
+    latest = max(r["seq"] for r in rows)
+    final = [r for r in rows if r["seq"] == latest]
     # state (and emission) is capacity-bounded despite 7 distinct users
     assert len(final) == 4
     got = {r["user_id"]: r["weight"] for r in final}
@@ -756,6 +756,50 @@ def test_decayed_heavy_hitters_state_bounded_and_multibatch(spark, tmp_path):
     assert 7 in got
     assert got[7] > 1.99  # strictly above its own mass alone
     assert got[7] < 2.6  # bounded by own mass + evicted minimum
+
+
+def test_decayed_heavy_hitters_late_batch_distinct_seq(spark, tmp_path):
+    """A batch whose events all sit at or before the stored epoch
+    re-emits the SAME epoch_ms — seq must still distinguish the two
+    snapshots (the latest-snapshot key is max seq, not max epoch)."""
+    import datetime as dt
+
+    from tensei_agent_spark.streaming.pipeline import (
+        EVENT_SCHEMA,
+        decayed_heavy_hitters,
+    )
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    src = str(tmp_path / "hh_src3")
+    b1 = [(1, base + dt.timedelta(hours=1), 1, "view", 1.0, "{}")]
+    # batch 2: only LATE events, strictly before batch 1's timestamp
+    b2 = [(2, base, 2, "view", 1.0, "{}")]
+    spark.createDataFrame(b1, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b2, EVENT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        decayed_heavy_hitters(stream, capacity=4, half_life_s=3600.0)
+        .writeStream.format("memory")
+        .queryName("hh_sink3")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("hh_sink3").collect()
+    # Both snapshots carry the batch-1 epoch; seq disambiguates.
+    assert len({r["epoch_ms"] for r in rows}) == 1
+    assert sorted({r["seq"] for r in rows}) == [1, 2]
+    final = {r["user_id"]: r["weight"] for r in rows if r["seq"] == 2}
+    # the late event decays from its own ts to the (unchanged) epoch
+    assert final[2] == pytest.approx(0.5, rel=1e-12)
+    assert final[1] == pytest.approx(1.0, rel=1e-12)
 
 
 def test_bottomk_stream_equals_batch_under_any_split(spark, tmp_path):

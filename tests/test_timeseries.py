@@ -126,6 +126,27 @@ def test_acf_perfect_alternation_is_negative_at_lag1(spark):
     assert got[1] < -0.9 and got[2] > 0.85
 
 
+def test_acf_and_ccf_constant_series_yield_null_r(spark):
+    """Zero variance → r undefined → NULL by contract (never NaN/Inf);
+    both engines' divide semantics are pinned via the NULLIF'd oracle,
+    this test pins the Spark side on the degenerate input directly."""
+    from decimal import Decimal
+
+    from tensei_agent_spark.operators.timeseries import acf, ccf
+
+    rows = [("k", i + 1, Decimal("5.00")) for i in range(10)]
+    df = spark.createDataFrame(rows, "key string, s int, x decimal(14,2)")
+    out = acf(df, ["key"], "s", "x", max_lag=2).collect()
+    assert len(out) == 2 and all(r["r"] is None for r in out)
+    # ccf: constant A vs varying B — den_a = 0 alone must null r
+    varied = spark.createDataFrame(
+        [("k", i + 1, Decimal(f"{i}.00")) for i in range(10)],
+        "key string, s int, x decimal(14,2)",
+    )
+    out2 = ccf(df, varied, ["key"], "s", "x", max_lag=1).collect()
+    assert len(out2) == 3 and all(r["r"] is None for r in out2)
+
+
 # --- ewma_control ---------------------------------------------------------
 
 
