@@ -54,16 +54,27 @@ GENERAL_FORMATNUM_REGEX = f"(-?[\\d\\.,{DECIMAL_UNICODE}]+)"
 _AMPM = r"(?:AM|PM)"
 _ZONE = r"[A-Za-z]{1,5}(?:[+-]\d{1,2}(?::\d{2})?)?"
 
+# Clock fields in the regex-only patterns carry NAMED GROUPS so the
+# validator range-checks exactly the captured digits — reading "the
+# last N numbers of the string" instead would pull zone-offset digits
+# (``GMT+5:30``) into the clock slice.  ``h12`` = Java ``h``
+# (clock-hour-of-am-pm), ``h24`` = Java ``HH``.
 TIMESTAMP_FORMATS: list[tuple[str, str, str | None]] = [
-    ("yyyy-MM-dd h:mm:ss a", r"\d{4}-\d{2}-\d{2} \d{1,2}:\d{2}:\d{2} " + _AMPM, None),
+    (
+        "yyyy-MM-dd h:mm:ss a",
+        r"\d{4}-\d{2}-\d{2} (?P<h12>\d{1,2}):(?P<mi>\d{2}):(?P<se>\d{2}) " + _AMPM,
+        None,
+    ),
     (
         "yyyy-MM-dd h:mm:ss a z",
-        r"\d{4}-\d{2}-\d{2} \d{1,2}:\d{2}:\d{2} " + _AMPM + " " + _ZONE,
+        r"\d{4}-\d{2}-\d{2} (?P<h12>\d{1,2}):(?P<mi>\d{2}):(?P<se>\d{2}) "
+        + _AMPM + " " + _ZONE,
         None,
     ),
     (
         "EEE, dd LLL yyyy HH:mm:ss z",
-        r"[A-Z][a-z]{2}, \d{2} [A-Z][a-z]{2} \d{4} \d{2}:\d{2}:\d{2} " + _ZONE,
+        r"[A-Z][a-z]{2}, \d{2} [A-Z][a-z]{2} \d{4} "
+        r"(?P<h24>\d{2}):(?P<mi>\d{2}):(?P<se>\d{2}) " + _ZONE,
         None,
     ),
 ]
@@ -81,14 +92,15 @@ DATE_FORMATS: list[tuple[str, str, str | None]] = [
 ]
 
 TIME_FORMATS: list[tuple[str, str, str | None]] = [
-    ("h:mm a", r"\d{1,2}:\d{2} " + _AMPM, None),
+    ("h:mm a", r"(?P<h12>\d{1,2}):(?P<mi>\d{2}) " + _AMPM, None),
     ("HH:mm", r"\d{2}:\d{2}", "%H:%M"),
 ]
 
 
 def _java_format_matches(value: str, entry: tuple[str, str, str | None]) -> bool:
     _, rx, strp = entry
-    if re.fullmatch(rx, value) is None:
+    m = re.fullmatch(rx, value)
+    if m is None:
         return False
     if strp is not None:
         try:
@@ -96,15 +108,21 @@ def _java_format_matches(value: str, entry: tuple[str, str, str | None]) -> bool
         except ValueError:
             return False
         return True
-    # Regex-only patterns: range-check the clock fields.  Java's
-    # clock-hour-of-am-pm ``h`` nominally spans 1-12 but the SMART
+    # Regex-only patterns: range-check the clock fields via the NAMED
+    # CAPTURES, never positional number slices of the whole string.
+    # Java's clock-hour-of-am-pm ``h`` spans 1-12 but the SMART
     # resolver the reference relies on also admits 0 (the goldens
-    # contain ``0:00:00 AM``), so 0-12 here.
-    nums = [int(g) for g in re.findall(r"\d+", value)]
-    clock = nums[-3:] if ":" in value and len(nums) >= 3 else nums[-2:]
-    if len(clock) >= 2:
-        if clock[0] > 23 or any(c > 59 for c in clock[1:]):
-            return False
+    # contain ``0:00:00 AM``), so 0-12 here; 13-23 is a parse error
+    # for ``h`` exactly as in Java.
+    gd = m.groupdict()
+    if gd.get("h12") is not None and int(gd["h12"]) > 12:
+        return False
+    if gd.get("h24") is not None and int(gd["h24"]) > 23:
+        return False
+    if any(
+        gd.get(g) is not None and int(gd[g]) > 59 for g in ("mi", "se")
+    ):
+        return False
     return True
 
 
@@ -121,7 +139,13 @@ def determine_specific_format(values: list[str], formats) -> str | None:
 
 
 def clean_element_id(ident: str) -> str:
-    """≙ ``ExtractorHelpers.cleanElementId``."""
+    """≙ ``ExtractorHelpers.cleanElementId`` (scala:44-56).
+
+    The reference's start-char test is the quirky class ``[a-zA-z]``
+    (capital A through lowercase z), which also admits ``[\\]^_`` and
+    the backtick — of those only ``_`` survives the preceding ``\\W``
+    strip, so a leading underscore is a VALID start (``_foo`` stays
+    ``_foo``, not ``e-_foo``)."""
     cleaned = (
         ident.replace("ß", "ss")
         .replace("ä", "ae")
@@ -129,15 +153,20 @@ def clean_element_id(ident: str) -> str:
         .replace("ö", "oe")
     )
     cleaned = re.sub(r"[\W]", "", cleaned)
-    if cleaned and re.match(r"[a-zA-Z]", cleaned[0]):
+    if cleaned and re.match(r"[a-zA-Z_]", cleaned[0]):
         return cleaned
     return f"e-{cleaned}"
 
 
 def parse_long(value: str) -> bool:
+    """Java ``Long.parseLong``: Python's int() is unbounded, Java's
+    overflows past the signed 64-bit range — an overflow must fall
+    through to the parseDouble/formatnum vote."""
     try:
-        int(value)
+        n = int(value)
     except ValueError:
+        return False
+    if not (-(1 << 63) <= n < (1 << 63)):
         return False
     return value.strip() == value and "_" not in value
 
@@ -159,33 +188,37 @@ def parse_double(value: str) -> bool:
 
 
 def parse_sql_date(value: str) -> bool:
+    """≙ ``parseDate`` via ``java.sql.Date.valueOf`` (scala:212-219).
+
+    The JDK checks only the field widths (4-digit year, 1-2 digit
+    month/day), month 1-12 and day 1-31, then hands off to a LENIENT
+    calendar — ``2020-02-30`` normalizes to 2020-03-01 and is
+    ACCEPTED. No calendar-validity check here, to match."""
     m = re.fullmatch(r"(\d{4})-(\d{1,2})-(\d{1,2})", value)
-    if m is None:
-        return False
-    try:
-        datetime(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-    except ValueError:
-        return False
-    return True
+    return (
+        m is not None
+        and 1 <= int(m.group(2)) <= 12
+        and 1 <= int(m.group(3)) <= 31
+    )
 
 
 def parse_sql_time(value: str) -> bool:
-    m = re.fullmatch(r"(\d{1,2}):(\d{2}):(\d{2})", value)
-    return m is not None and int(m.group(1)) <= 23 and int(m.group(2)) <= 59 and int(
-        m.group(3)
-    ) <= 59
+    """≙ ``parseTime`` via ``java.sql.Time.valueOf`` (scala:227-234):
+    colon layout only — the deprecated Time constructor is lenient, so
+    ``25:00:00`` rolls over and is ACCEPTED (no range checks)."""
+    return re.fullmatch(r"(\d+):(\d+):(\d+)", value) is not None
 
 
 def parse_sql_timestamp(value: str) -> bool:
+    """≙ ``parseTimestamp`` via ``java.sql.Timestamp.valueOf`` on the
+    T→space form (scala:242-249): dash/colon layout + ≤9 fraction
+    digits — the deprecated Timestamp constructor is lenient, so hour
+    25 or month 13 normalize and are ACCEPTED (no range checks)."""
     v = value.replace("T", " ")
-    m = re.fullmatch(r"(\d{4})-(\d{1,2})-(\d{1,2}) (\d{1,2}):(\d{2}):(\d{2})(\.\d+)?", v)
-    if m is None:
-        return False
-    try:
-        datetime(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-    except ValueError:
-        return False
-    return int(m.group(4)) <= 23 and int(m.group(5)) <= 59 and int(m.group(6)) <= 59
+    return (
+        re.fullmatch(r"(\d+)-(\d+)-(\d+) (\d+):(\d+):(\d+)(\.\d{1,9})?", v)
+        is not None
+    )
 
 
 # --- decimal separator voting -------------------------------------------------
@@ -374,6 +407,15 @@ def extract_dfasdl_csv(
 # --- JSON ---------------------------------------------------------------------
 
 
+class JsonNumberLexeme(str):
+    """Raw JSON number token, preserved by the ``parse_float`` /
+    ``parse_int`` load hooks.  Argonaut keeps the source lexeme of a
+    number (scale-preserving ``JsonDecimal``), and the reference votes
+    on ``valueObject.toString()`` — so ``1.10`` must see precision 2,
+    and an integer beyond Long range must fail ``parseLong`` and vote
+    formatnum.  A round-trip through Python float/int loses both."""
+
+
 def _vote_json_value(value) -> tuple[str, dict[str, str]]:
     """Scalar JSON value → DFASDL element
     (≙ ``JSONSchemaExtractor.determineElementParameter``)."""
@@ -381,8 +423,23 @@ def _vote_json_value(value) -> tuple[str, dict[str, str]]:
         # Argonaut's isNumber/isString are both false for bool/null, so
         # the reference falls through to a bare ELEMENT.
         return "elem", {}
-    if isinstance(value, (int, float)) or isinstance(value, str):
-        if isinstance(value, (int, float)):
+    if isinstance(value, (int, float, str)):
+        if isinstance(value, JsonNumberLexeme):
+            # isNumber branch (JSONSchemaExtractor.scala:233-241) on
+            # the source lexeme: leading-zero → str, else parseLong →
+            # num, parseDouble → formatnum, else str.
+            clean = str(value)
+            if len(clean) > 1 and clean.startswith("0"):
+                name = "str"
+            elif parse_long(clean):
+                name = "num"
+            elif parse_double(clean):
+                name = "formatnum"
+            else:
+                name = "str"
+        elif isinstance(value, (int, float)):
+            # Already-parsed Python numbers (direct callers without the
+            # load hooks): best-effort rendering of the lost lexeme.
             clean = repr(value) if isinstance(value, float) else str(value)
             if len(clean) > 1 and clean.startswith("0"):
                 name = "str"
@@ -463,7 +520,10 @@ def extract_dfasdl_json(path: str, encoding: str = "utf-8") -> str:
     import json as _json
 
     with open(path, encoding=encoding) as fh:
-        doc = _json.load(fh)
+        # Keep number lexemes verbatim — see JsonNumberLexeme.
+        doc = _json.load(
+            fh, parse_float=JsonNumberLexeme, parse_int=JsonNumberLexeme
+        )
 
     root = ET.Element("dfasdl")
     root.set("xmlns", "http://www.dfasdl.org/DFASDL")

@@ -127,3 +127,80 @@ def test_extracted_dfasdl_feeds_the_compiler(tmp_path):
     (lines,) = [s for s in seqs if s.seq_id == "lines"]
     names = [f.name for f in lines.fields]
     assert names == ["name", "joined", "score"]
+
+
+# --- reference-quirk unit pins (ADVICE round-6 items) -------------------------
+
+
+def test_clean_element_id_leading_underscore_is_valid_start():
+    # cleanElementId's [a-zA-z] class admits '_' (the only \W survivor
+    # in the Z..a gap): '_foo' stays '_foo', digits still prefix.
+    from tensei_agent_spark.dfasdl_extract import clean_element_id
+
+    assert clean_element_id("_foo") == "_foo"
+    assert clean_element_id("7foo") == "e-7foo"
+    assert clean_element_id("foo bar") == "foobar"
+
+
+def test_sql_parsers_are_jdk_lenient():
+    # java.sql.*.valueOf checks layout, not the calendar: impossible
+    # dates normalize, clocks roll over.
+    from tensei_agent_spark.dfasdl_extract import (
+        parse_sql_date,
+        parse_sql_time,
+        parse_sql_timestamp,
+    )
+
+    assert parse_sql_date("2020-02-30")       # normalizes to Mar 1
+    assert not parse_sql_date("2020-13-01")   # month 1-12 IS checked
+    assert not parse_sql_date("2020-01-32")   # day 1-31 IS checked
+    assert not parse_sql_date("20-01-01")     # year must be 4 digits
+    assert parse_sql_time("25:00:00")         # lenient Time rolls over
+    assert parse_sql_timestamp("2020-02-30 25:61:00")
+    assert parse_sql_timestamp("2020-01-01T10:00:00.123456789")
+    assert not parse_sql_timestamp("2020-01-01 10:00:00.1234567890")
+
+
+def test_format_clock_check_uses_captures_not_trailing_numbers():
+    from tensei_agent_spark.dfasdl_extract import (
+        TIMESTAMP_FORMATS,
+        determine_specific_format,
+    )
+
+    zoned = [e for e in TIMESTAMP_FORMATS if e[0] == "EEE, dd LLL yyyy HH:mm:ss z"]
+    # Zone-offset digits must NOT be mistaken for clock fields: with
+    # the trailing-numbers slice, '+5:30' displaced the real clock and
+    # rejected a value Java accepts.
+    assert (
+        determine_specific_format(
+            ["Tue, 03 Jun 2008 11:05:30 GMT+5:30"], zoned
+        )
+        == "EEE, dd LLL yyyy HH:mm:ss z"
+    )
+    h12 = [e for e in TIMESTAMP_FORMATS if e[0] == "yyyy-MM-dd h:mm:ss a"]
+    # 'h' (clock-hour-of-am-pm) caps at 12 — 13-23 is a Java parse
+    # error; 0 is admitted (SMART resolver, goldens contain 0:00:00 AM)
+    assert determine_specific_format(["2015-01-01 0:30:00 AM"], h12) is not None
+    assert determine_specific_format(["2015-01-01 14:30:00 PM"], h12) is None
+
+
+def test_json_number_vote_preserves_source_lexeme(tmp_path):
+    import xml.etree.ElementTree as ET
+
+    from tensei_agent_spark.dfasdl_extract import extract_dfasdl_json
+
+    p = tmp_path / "nums.json"
+    p.write_text(
+        '{"scaled": 1.10, "huge": 123456789012345678901234567890, "plain": 7}'
+    )
+    root = ET.fromstring(extract_dfasdl_json(str(p)))
+    ns = "{http://www.dfasdl.org/DFASDL}"
+    by_id = {e.get("id"): e for e in root.iter() if e.get("id")}
+    scaled = by_id["scaled"]
+    # Argonaut renders '1.10' scale-preservingly → max-precision 2
+    # (a float round-trip would repr to '1.1' → precision 1).
+    assert scaled.tag == f"{ns}formatnum"
+    assert scaled.get("max-precision") == "2"
+    # Long-overflow integer fails parseLong → formatnum, not num.
+    assert by_id["huge"].tag == f"{ns}formatnum"
+    assert by_id["plain"].tag == f"{ns}num"
