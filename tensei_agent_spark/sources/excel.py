@@ -10,8 +10,9 @@ the primary backend here is a stdlib ``zipfile`` + ``xml.etree`` reader
 (workbook sheet map → sharedStrings → sheetData cells). It emits the
 *stored* cell values (POI applies locale/number-format rendering,
 ``ExcelToCSVConverter.scala:89-92``; downstream DFASDL typing re-parses
-either way). Legacy binary ``.xls`` still requires pandas+xlrd and
-stays import-gated.
+either way). Legacy binary ``.xls`` goes through the stdlib BIFF8
+reader in :mod:`.biff` (OLE2 container → Workbook stream → cell
+records) under the same output contract.
 
 Spec options: ``sheet`` (name or 0-based index, default first).
 """
@@ -147,20 +148,10 @@ def excel_to_csv(path: str, sheet: str | int = 0, out_dir: str | None = None) ->
     """Convert one workbook sheet to a SEPARATOR-delimited CSV file."""
     if path.lower().endswith((".xlsx", ".xlsm")):
         rows = read_xlsx_rows(path, sheet=sheet)
-    else:  # legacy binary .xls — needs pandas + xlrd
-        try:
-            import pandas as pd
+    else:  # legacy binary .xls: stdlib BIFF8 reader (sources/biff.py)
+        from .biff import read_xls_rows
 
-            pdf = pd.read_excel(path, sheet_name=sheet, header=None, dtype=str)
-        except ImportError as e:
-            raise NotImplementedError(
-                "legacy .xls conversion requires pandas + xlrd; "
-                "neither is bundled — convert to .xlsx"
-            ) from e
-        rows = [
-            ["" if v is None or v != v else str(v) for v in rec]
-            for rec in pdf.itertuples(index=False)
-        ]
+        rows = read_xls_rows(path, sheet=sheet)
     d = out_dir or tempfile.mkdtemp(prefix="tensei_excel_")
     os.makedirs(d, exist_ok=True)
     dest = os.path.join(d, os.path.basename(path) + ".csv")
