@@ -515,6 +515,207 @@ def _json_walk(node, parent: ET.Element) -> None:
         # empty array: bare row element, exactly like the reference
 
 
+# --- database (SQLite dialect) ------------------------------------------------
+#
+# ≙ ``DatabaseSchemaExtractor.describeSqliteTable``
+# (``DatabaseSchemaExtractor.scala:1040-1160``) + ``createColumnElement``
+# (``:1260-1390``) + ``createTableSkeleton`` (``:1234-1243``) +
+# ``createFormatnumRegex`` (``ExtractorHelpers.scala:65-85``), driven by
+# the same PRAGMA queries through the stdlib ``sqlite3`` module instead
+# of JDBC. Conformance is pinned live against the reference's own
+# ``databaseSchemaExtractor/extract-sqlite.xml`` /
+# ``create-tables-sqlite.xml`` goldens.
+
+# ``createColumnElement`` type dispatch. NUMBER/BINARY_FLOAT/
+# BINARY_DOUBLE appear in BOTH the num and formatnum case lists of the
+# reference's match — the FIRST case wins in Scala, so they belong to
+# num here (with the NUMBER+precision sub-branch).
+_DB_BINARY_TYPES = {
+    "BINARY", "BYTEA", "BLOB", "CLOB", "TINYBLOB", "MEDIUMBLOB",
+    "LONGBLOB", "NCLOB", "BFILE", "RAW", "LONG RAW",
+}
+_DB_DATETIME_TYPES = {
+    "TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP WITHOUT TIME ZONE",
+    "DATETIME", "TIMESTAMP WITHOUT LOCAL TIME ZONE", "DATETIME2",
+    "DATETIMEOFFSET", "SMALLDATETIME",
+}
+_DB_TIME_TYPES = {
+    "TIME", "TIME WITH TIME ZONE", "TIME WITHOUT TIME ZONE",
+    "INTERVAL DAY TO SECOND", "INTERVAL YEAR TO MONTH",
+}
+_DB_NUM_TYPES = {
+    "BIGINT", "IDENTITY", "INT", "SMALLINT", "TINYINT", "BIGSERIAL",
+    "INTEGER", "SERIAL", "SMALLSERIAL", "BIT", "BOOL", "BOOLEAN", "DEC",
+    "MEDIUMINT", "NUMBER", "BINARY_FLOAT", "BINARY_DOUBLE",
+}
+_DB_FORMATNUM_TYPES = {
+    "DECIMAL", "DOUBLE", "REAL", "DOUBLE PRECISION", "NUMERIC", "FLOAT",
+}
+
+_INT_MAX = 2147483647
+
+
+def create_formatnum_regex(length: int, precision: int, separator: str = ".") -> str:
+    """≙ ``ExtractorHelpers.createFormatnumRegex``."""
+    sep = r"\." if separator == "." else ","
+    if length > 0:
+        if precision > 0:
+            return f"(-?\\d{{0,{length - precision}}}{sep}\\d{{0,{precision}}})"
+        return f"(-?\\d{{1,{length}}})"
+    if precision > 0:
+        return f"(-?\\d*?{sep}\\d{{0,{precision}}})"
+    return GENERAL_FORMATNUM_REGEX
+
+
+def _is_value_numeric(x: str) -> bool:
+    """≙ ``isValueNumeric`` — all digits (so '-1' or '1.5' are NOT)."""
+    return bool(x) and all(c.isdigit() for c in x)
+
+
+def create_column_element(
+    parent: ET.Element,
+    table_name: str,
+    column_name: str,
+    column_type: str,
+    column_length: int = 0,
+    column_precision: int = 0,
+    column_default: str | None = None,
+    column_is_autoincrement: bool = False,
+    column_foreignkey: str | None = None,
+) -> ET.Element:
+    """≙ ``createColumnElement`` — one DFASDL data element per column."""
+    t = column_type.upper()
+    attrs: dict[str, str] = {}
+    if t in _DB_BINARY_TYPES:
+        # Reference FIXME: binary columns still emit as str elements.
+        tag = "str"
+        if 0 < column_length <= _INT_MAX:
+            attrs["max-length"] = str(column_length)
+        if column_default:
+            attrs["defaultstr"] = column_default
+    elif t == "DATE":
+        tag = "date"
+    elif t in _DB_DATETIME_TYPES:
+        tag = "datetime"
+    elif t in _DB_TIME_TYPES:
+        tag = "time"
+    elif t in _DB_NUM_TYPES:
+        if t == "NUMBER" and column_precision > 0:
+            tag = "formatnum"
+            if column_default:
+                attrs["defaultnum"] = column_default
+            attrs["max-precision"] = str(column_precision)
+            attrs["decimal-separator"] = "."
+            attrs["format"] = create_formatnum_regex(column_length, column_precision)
+        else:
+            tag = "num"
+            if column_default and _is_value_numeric(column_default.strip()):
+                attrs["defaultnum"] = column_default.strip()
+            if column_precision > 0:
+                attrs["precision"] = str(column_precision)
+        if column_length > 0:
+            attrs["max-digits"] = str(column_length)
+    elif t in _DB_FORMATNUM_TYPES:
+        tag = "formatnum"
+        if column_precision > 0:
+            attrs["max-precision"] = str(column_precision)
+            attrs["format"] = create_formatnum_regex(column_length, column_precision)
+            attrs["decimal-separator"] = "."
+        else:
+            attrs["format"] = create_formatnum_regex(column_length, column_precision)
+        if column_default and _is_value_numeric(column_default):
+            attrs["defaultnum"] = column_default
+        if column_length > 0:
+            attrs["max-digits"] = str(column_length)
+    else:
+        tag = "str"
+        if 0 < column_length <= _INT_MAX:
+            attrs["max-length"] = str(column_length)
+        if column_default:
+            attrs["defaultstr"] = column_default
+    attrs["id"] = f"{table_name}_row_{column_name}"
+    attrs["db-column-name"] = column_name
+    if column_is_autoincrement:
+        attrs["db-auto-inc"] = "true"
+    if column_foreignkey is not None:
+        attrs["db-foreign-key"] = column_foreignkey.lower()
+    return ET.SubElement(parent, tag, attrs)
+
+
+_TYPE_PARAMS = re.compile(r"\((\d+),?(\d+)?\)")
+
+
+def _split_sql_type(type_string: str) -> tuple[str, int, int]:
+    """'DECIMAL(4,2)' → ('DECIMAL', 4, 2); bare types → (t, 0, 0)."""
+    if "(" not in type_string:
+        return type_string, 0, 0
+    base = type_string[: type_string.index("(")]
+    m = _TYPE_PARAMS.search(type_string)
+    if m is None:
+        return base, 0, 0
+    return base, int(m.group(1)), int(m.group(2)) if m.group(2) else 0
+
+
+def describe_sqlite_table(conn, table: str, parent: ET.Element) -> ET.Element | None:
+    """One table → ``<seq id=t><elem id=t_row>…`` (≙ describeSqliteTable)."""
+    if table.lower() == "sqlite_sequence":
+        return None
+    cur = conn.cursor()
+    seq = ET.SubElement(parent, "seq", {"id": table.strip()})
+    # SQLite's getTables statement returns names only, so the skeleton
+    # never carries db-primary-key (the H2/MySQL paths do) — faithful.
+    row = ET.SubElement(seq, "elem", {"id": f"{table.strip()}_row"})
+    fk_cols: dict[str, str] = {}
+    try:
+        for r in cur.execute(f"PRAGMA foreign_key_list({table})"):
+            # columns: id, seq, table, from, to, ...
+            fk_cols[r[3]] = f"{r[2]}_row_{r[4]}"
+    except Exception:  # noqa: BLE001 - ≙ reference's swallowed SQLException
+        pass
+    pk_cols = [
+        r[1] for r in cur.execute(f"PRAGMA table_info({table})") if r[5] > 0
+    ]
+    for r in cur.execute(f"PRAGMA table_info({table})"):
+        # columns: cid, name, type, notnull, dflt_value, pk
+        name, type_string, dflt = r[1], r[2] or "", r[4]
+        base, length, precision = _split_sql_type(type_string)
+        is_auto = (
+            base.upper() in ("INTEGER", "INT")
+            and len(pk_cols) == 1
+            and name in pk_cols
+        )
+        create_column_element(
+            row,
+            table.strip(),
+            name.lower(),
+            base,
+            length,
+            precision,
+            dflt if dflt not in (None, "") else None,
+            is_auto,
+            fk_cols.get(name),
+        )
+    return seq
+
+
+def extract_dfasdl_sqlite(conn) -> str:
+    """SQLite database → DFASDL XML string (≙ ``extractFromDatabase``
+    through the SQLite dialect branch), over a stdlib ``sqlite3``
+    connection. Driver-side metadata only — no Spark job."""
+    root = ET.Element("dfasdl")
+    root.set("xmlns", "http://www.dfasdl.org/DFASDL")
+    root.set("semantic", "custom")
+    tables = [
+        r[0]
+        for r in conn.execute(
+            "SELECT name FROM sqlite_master WHERE UPPER(type) = 'TABLE' ORDER BY name"
+        )
+    ]
+    for t in tables:
+        describe_sqlite_table(conn, t, root)
+    return ET.tostring(root, encoding="unicode")
+
+
 def extract_dfasdl_json(path: str, encoding: str = "utf-8") -> str:
     """JSON document → DFASDL XML string (≙ ``traverseJSON``)."""
     import json as _json

@@ -204,3 +204,98 @@ def test_json_number_vote_preserves_source_lexeme(tmp_path):
     # Long-overflow integer fails parseLong → formatnum, not num.
     assert by_id["huge"].tag == f"{ns}formatnum"
     assert by_id["plain"].tag == f"{ns}num"
+
+
+# --- database schema extraction (SQLite dialect, live) ------------------------
+
+DB_DIR = (
+    "/root/reference/src/test/resources/com/wegtam/tensei/agent/helpers/"
+    "databaseSchemaExtractor"
+)
+
+requires_db_fixtures = pytest.mark.skipif(
+    not os.path.isdir(DB_DIR), reason="reference fixture corpus not present"
+)
+
+
+@requires_db_fixtures
+def test_sqlite_extract_golden_conformance():
+    """Replays the reference's 'using Sqlite' extraction test
+    (``DatabaseSchemaExtractorTest.scala:246-275``) against a LIVE
+    sqlite3 database built with the test's exact DDL, and compares the
+    emitted document against its own ``extract-sqlite.xml`` golden."""
+    import sqlite3
+
+    from tensei_agent_spark.dfasdl_extract import extract_dfasdl_sqlite
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        "CREATE TABLE accounts (id DOUBLE(17), name VARCHAR(254),"
+        " description CLOB(2147483647), birthday DATE(8),"
+        " salary DOUBLE(17), points DECIMAL(4,2))"
+    )
+    conn.execute(
+        "CREATE TABLE person (id DOUBLE(17), name VARCHAR(254),"
+        " vorname VARCHAR(100), birthday DATE(8))"
+    )
+    produced = extract_dfasdl_sqlite(conn)
+    golden = open(f"{DB_DIR}/extract-sqlite.xml", encoding="utf-8").read()
+    assert _parse(produced) == _parse(golden), (
+        f"sqlite extraction diverges from reference golden\n{produced}"
+    )
+
+
+@requires_db_fixtures
+def test_sqlite_create_tables_golden_conformance():
+    """Single-table variant (``DatabaseSchemaExtractorTest.scala:164-
+    200``): BIGINT → num, a textual DEFAULT lands as defaultstr —
+    pinned by ``create-tables-sqlite.xml`` (a bare ``<seq>`` golden)."""
+    import sqlite3
+
+    from tensei_agent_spark.dfasdl_extract import extract_dfasdl_sqlite
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        "CREATE TABLE accounts (id BIGINT(17), name VARCHAR(254) default foo,"
+        " description CLOB(2147483647), birthday DATE(8),"
+        " salary DOUBLE(17), points DECIMAL(4,2))"
+    )
+    produced = ET.fromstring(extract_dfasdl_sqlite(conn))
+    (seq,) = list(produced)
+    golden = open(f"{DB_DIR}/create-tables-sqlite.xml", encoding="utf-8").read()
+    assert _canon(seq) == _parse(golden), (
+        "sqlite single-table extraction diverges from reference golden"
+    )
+
+
+def test_sqlite_extract_pk_fk_autoincrement_attributes():
+    """SQLite-native pk/fk/auto-inc semantics of describeSqliteTable:
+    an INTEGER single-column PK is db-auto-inc, a FOREIGN KEY column
+    carries db-foreign-key=<table>_row_<col>, and sqlite_sequence is
+    skipped (the H2 twin of this shape is pinned by
+    ``extract-tables-h2-pk-fk-ai.xml``; type names differ by dialect)."""
+    import sqlite3
+
+    from tensei_agent_spark.dfasdl_extract import extract_dfasdl_sqlite
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute(
+        "CREATE TABLE t1 (id INTEGER PRIMARY KEY AUTOINCREMENT,"
+        " name VARCHAR(254))"
+    )
+    conn.execute(
+        "CREATE TABLE t2 (id2 INTEGER PRIMARY KEY,"
+        " fkid BIGINT(19), FOREIGN KEY(fkid) REFERENCES t1(id))"
+    )
+    conn.execute("INSERT INTO t1 (name) VALUES ('x')")  # materializes sqlite_sequence
+    root = ET.fromstring(extract_dfasdl_sqlite(conn))
+    seqs = {e.get("id"): e for e in root}
+    assert set(seqs) == {"t1", "t2"}  # sqlite_sequence skipped
+    cols = {e.get("id"): e for s in seqs.values() for e in s[0]}
+    t1_id = cols["t1_row_id"]
+    assert _local(t1_id.tag) == "num"
+    assert t1_id.get("db-auto-inc") == "true"
+    fkid = cols["t2_row_fkid"]
+    assert fkid.get("db-foreign-key") == "t1_row_id"
+    assert fkid.get("max-digits") == "19"
+    assert cols["t2_row_id2"].get("db-auto-inc") == "true"
