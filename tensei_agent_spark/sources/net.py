@@ -64,6 +64,26 @@ def _dest_path(uri: str, cache_dir: str | None) -> str:
     return os.path.join(d, base)
 
 
+def _maybe_gunzip(uri: str, dest: str) -> None:
+    """Decompress a just-staged ``.gz`` payload in place.
+
+    ``_dest_path`` strips the ``.gz`` suffix from the staged NAME for
+    every scheme, so any fetcher that lands raw bytes (FTPS, SFTP —
+    their protocols hand over files whole, unlike the HTTP path's
+    streaming GzipFile) must decompress afterwards or the reader gets
+    compressed bytes under an uncompressed name.
+    """
+    if not urllib.parse.urlparse(uri).path.endswith(".gz"):
+        return
+    tmp = dest + ".gz.tmp"
+    os.replace(dest, tmp)
+    try:
+        with gzip.open(tmp, "rb") as src, open(dest, "wb") as out:
+            shutil.copyfileobj(src, out)
+    finally:
+        os.remove(tmp)
+
+
 def _stage_url(uri: str, cache_dir: str | None) -> str:
     dest = _dest_path(uri, cache_dir)
     gz = urllib.parse.urlparse(uri).path.endswith(".gz")
@@ -147,6 +167,7 @@ def _stage_ftps(uri: str, cache_dir: str | None) -> str:
             ftp.retrbinary(f"RETR {parsed.path}", out.write)
     finally:
         ftp.quit()
+    _maybe_gunzip(uri, dest)
     return dest
 
 
@@ -165,6 +186,7 @@ def _stage_sftp(uri: str, cache_dir: str | None) -> str:
         sftp = paramiko.SFTPClient.from_transport(transport)
         dest = _dest_path(uri, cache_dir)
         sftp.get(parsed.path, dest)
-        return dest
     finally:
         transport.close()
+    _maybe_gunzip(uri, dest)
+    return dest
