@@ -270,15 +270,26 @@ def timestamp_offset(cols, offset: str = "+00:00", mode: str = "convert"):
 
 _COND_RE = re.compile(r"^\s*x\s*(<=|>=|==|!=|<|>|=)\s*(-?\d+(?:\.\d+)?)\s*$")
 _ARITH_RE = re.compile(r"^\s*x\s*=\s*x\s*([+\-*/])\s*(-?\d+(?:\.\d+)?)\s*$")
-_CONST_RE = re.compile(r"^\s*x\s*=\s*(-?\d+(?:\.\d+)?)\s*$")
+# Reversed operand order ('x=42-x'): for '-' and '/' the constant is
+# the LEFT operand (IfThenElseNumeric.scala:186,216-219).
+_ARITH_REV_RE = re.compile(r"^\s*x\s*=\s*(-?\d+(?:\.\d+)?)\s*([+\-*/])\s*x\s*$")
+# 'x=42' or the bare constant '42' (regex_const / regex_func3,
+# IfThenElseNumeric.scala:184,187 — the Joomla2WP cookbook passes the
+# else branch as plain "0").
+_CONST_RE = re.compile(r"^\s*(?:x\s*=\s*)?(-?\d+(?:\.\d+)?)\s*$")
 
 
 def _parse_branch(rule: str, x: Column) -> Column:
-    """Parse the reference's tiny rule language ('x=x+3', 'x=42')."""
+    """Parse the reference's tiny rule language ('x=x+3', 'x=42', '42',
+    'x=42+x')."""
     m = _ARITH_RE.match(rule)
     if m:
         op, k = m.group(1), F.lit(float(m.group(2)))
         return {"+": x + k, "-": x - k, "*": x * k, "/": x / k}[op]
+    m = _ARITH_REV_RE.match(rule)
+    if m:
+        k, op = F.lit(float(m.group(1))), m.group(2)
+        return {"+": x + k, "-": k - x, "*": x * k, "/": k / x}[op]
     m = _CONST_RE.match(rule)
     if m:
         return F.lit(float(m.group(1)))

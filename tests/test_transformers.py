@@ -69,6 +69,15 @@ def run1(spark, cols, name, values: dict, **params):
          {"condition": "x>42", "then": "x=x+3", "otherwise": "x=0", "format": "dec"}, 0.0),
         ("if_then_else_numeric", [0], {"a": 10.4},
          {"condition": "x>0", "then": "x=x", "format": "num"}, 10),
+        # bare-constant and reversed-operand branches
+        # (IfThenElseNumeric.scala regex_const / regex_func2)
+        ("if_then_else_numeric", [0], {"a": 0},
+         {"condition": "x>0", "then": "x=x-819", "otherwise": "0",
+          "format": "num"}, 0),
+        ("if_then_else_numeric", [0], {"a": 10},
+         {"condition": "x>0", "then": "x=100-x", "format": "dec"}, 90.0),
+        ("if_then_else_numeric", [0], {"a": 4},
+         {"condition": "x>0", "then": "x=100/x", "format": "dec"}, 25.0),
         # ExtractBiggestValue
         ("extract_biggest_value", [0, 1, 2], {"a": 3, "b": 9, "c": 5}, {}, 9),
         ("extract_longest_string", [0, 1], {"a": "ab", "b": "abcd"}, {}, "abcd"),
