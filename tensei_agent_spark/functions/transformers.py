@@ -64,9 +64,17 @@ def concat(cols, separator: str = "", prefix: str = "", suffix: str = ""):
 @register("split")
 def split(cols, pattern: str = ",", limit: int = -1, selected: Sequence[int] = (0,)):
     """transformers/Split.scala — regex-split the (concatenated) input,
-    trim parts, select the given 0-based indices (one output per index)."""
+    trim parts, select the given 0-based indices (one output per index).
+
+    ``limit`` is the reference's semantics — keep only the FIRST N
+    parts of the full split (``parts.slice(0, limit)``,
+    ``Split.scala:69-71``) — NOT Java ``String.split``'s limit, which
+    stops splitting and leaves the remainder glued to the last part.
+    """
     src = cols[0] if len(cols) == 1 else F.concat_ws("", *cols)
-    parts = F.split(src, pattern, limit)
+    parts = F.split(src, pattern, -1)
+    if int(limit) > 0:
+        parts = F.slice(parts, 1, int(limit))
     # try_element_at: under ANSI (Spark 4 default) element_at THROWS on
     # a ragged row with fewer parts than the selected index — one bad
     # row must yield NULL (the reference's behavior), not kill the job.

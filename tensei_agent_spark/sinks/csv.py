@@ -52,6 +52,21 @@ def write_csv(df: DataFrame, spec: TargetSpec) -> None:
         part = glob.glob(os.path.join(tmp, "part-*"))[0]
         shutil.move(part, spec.uri)
         shutil.rmtree(tmp)
+        # The reference writes the record separator BETWEEN rows only —
+        # its golden files end WITHOUT a trailing newline
+        # (FileWriterActor appends per-row; no terminator after the
+        # last). Spark terminates every record, so trim the final
+        # separator to stay byte-identical. Single-file only: part
+        # files of a distributed layout must keep their terminators or
+        # concatenation would glue rows together.
+        sep_b = opts.get("lineSep", "\n").encode(opts.get("encoding", "UTF-8"))
+        with open(spec.uri, "rb+") as fh:
+            fh.seek(0, 2)
+            size = fh.tell()
+            if size >= len(sep_b):
+                fh.seek(size - len(sep_b))
+                if fh.read(len(sep_b)) == sep_b:
+                    fh.truncate(size - len(sep_b))
     else:
         # Multi-file targets use a global orderBy: range partitioning makes
         # the part files concatenate into a globally sorted stream, which is

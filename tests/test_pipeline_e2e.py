@@ -93,7 +93,7 @@ def test_copy_csv_golden(spark, persons_path, tmp_path):
     assert got == (
         "1,Albert Einstein,1879-03-14\n"
         "2,Marie Curie,1867-11-07\n"
-        "3,Isaac Newton,1643-01-04\n"
+        "3,Isaac Newton,1643-01-04"
     )
 
 
@@ -132,7 +132,7 @@ def test_merge_two_csv_mapping_key(spark, persons_path, salary_path, tmp_path):
     )
     run_pipeline(spark, p)
     assert open(out_path).read() == (
-        "1,EINSTEIN,2200.50\n2,CURIE,2800.00\n3,NEWTON,1800.25\n"
+        "1,EINSTEIN,2200.50\n2,CURIE,2800.00\n3,NEWTON,1800.25"
     )
 
 
@@ -164,7 +164,7 @@ def test_row_aligned_merge_min_rows(spark, persons_path, tmp_path):
         ),
     )
     run_pipeline(spark, p)
-    assert open(out_path).read() == "1,alpha\n2,beta\n"
+    assert open(out_path).read() == "1,alpha\n2,beta"
 
 
 def test_unique_filter_and_defaults(spark, tmp_path):
@@ -190,7 +190,7 @@ def test_unique_filter_and_defaults(spark, tmp_path):
     )
     run_pipeline(spark, p)
     # first row per unique k wins (ordered by v); empty v → default 0
-    assert open(out_path).read() == "a,1\nb,0\nc,4\n"
+    assert open(out_path).read() == "a,1\nb,0\nc,4"
 
 
 def test_fk_remap_generated_keys(spark, persons_path, salary_path, tmp_path):
@@ -298,7 +298,7 @@ def test_atomic_then_chain_composition(spark, tmp_path):
         ),
     )
     run_pipeline(spark, p)
-    assert open(out_path).read() == "Hello\nWorld\n"
+    assert open(out_path).read() == "Hello\nWorld"
 
 
 def test_prepare_applies_target_formatting(spark):
@@ -406,10 +406,10 @@ def test_splitting_one_source_two_targets(spark, persons_path, tmp_path):
     )
     run_pipeline(spark, p)
     assert open(names_path).read() == (
-        "1,\"Einstein, Albert\"\n2,\"Curie, Marie\"\n3,\"Newton, Isaac\"\n"
+        "1,\"Einstein, Albert\"\n2,\"Curie, Marie\"\n3,\"Newton, Isaac\""
     )
     assert open(days_path).read() == (
-        "1,1879-03-14\n2,1867-11-07\n3,1643-01-04\n"
+        "1,1879-03-14\n2,1867-11-07\n3,1643-01-04"
     )
 
 
@@ -446,7 +446,7 @@ def test_mapping_mode_association_pairwise(spark, persons_path, tmp_path):
     )
     run_pipeline(spark, p)
     assert open(out_path).read() == (
-        "ALBERT,EINSTEIN\nISAAC,NEWTON\nMARIE,CURIE\n"
+        "ALBERT,EINSTEIN\nISAAC,NEWTON\nMARIE,CURIE"
     )
 
 

@@ -250,3 +250,57 @@ def test_mapping_mode_association_golden(spark, derby_url):
     assert r6[3] == "2016-05-12 15:29:20.0"
     assert r6[4] == "2013-05-24"
     assert r6[8] is None
+
+
+# --- Splitting.scala (file → file, Concat + Split golden bytes) -----------------
+
+
+@requires_fixtures
+def test_splitting_file_to_file_golden(spark, tmp_path):
+    """Splitting.scala:233-357 — 200-row CSV through Concat (vorname +
+    name) and the Split transformer's two modes: ``limit=1`` keeps the
+    FIRST part only (the reference slices, it does not use Java's
+    split-limit) and ``selected=1`` picks the second part. Output must
+    be byte-identical to the reference's expected CSV."""
+    db = "/root/reference/src/it/resources/usecases/databases"
+    src = source_spec(
+        _read("databases/splitting-01-source.xml"), "contacts",
+        f"{db}/splitting-01-contact.csv", fmt="csv", seq_id="mitarbeiter",
+    )
+    out_path = str(tmp_path / "split_out.csv")
+    tgt = target_spec(
+        _read("databases/splitting-01-target.xml"), "out", out_path,
+        fmt="csv", seq_id="mitarbeiter", mode="overwrite",
+    )
+    tgt.options.update({"single_file": True})
+
+    def ref(col):
+        return ColumnRef("contacts", col)
+
+    # ≙ Cookbook "MAP-CONTACTS" (Splitting.scala:254-300).
+    recipe = Recipe(
+        "map-contacts", "out",
+        mappings=(
+            Mapping((ref("title"),), ("title",)),
+            Mapping(
+                (ref("vorname"), ref("name")), ("name",),
+                mode="all_to_all",
+                transformers=(("concat", {"separator": " "}),),
+            ),
+            Mapping(
+                (ref("telefonnummer"),), ("vorwahl",),
+                transformers=(("split", {"pattern": " ", "limit": 1}),),
+            ),
+            Mapping(
+                (ref("telefonnummer"),), ("hauptnummer",),
+                transformers=(("split", {"pattern": " ", "selected": [1]}),),
+            ),
+        ),
+    )
+    run_pipeline(spark, Pipeline("splitting-01", (src,), (tgt,), (recipe,)))
+
+    got = open(out_path, encoding="utf-8").read()
+    expected = open(
+        f"{db}/splitting-01-expected-data.csv", encoding="utf-8"
+    ).read()
+    assert got == expected
