@@ -192,6 +192,26 @@ def run_pipeline(
         target = p.target(recipe.target)
         out = build_recipe_frame(recipe, frames)
 
+        # Column order follows the TARGET's declared element order, not
+        # the cookbook's mapping order: the reference writer walks the
+        # target DFASDL tree (FileWriterActor emits elements in
+        # document order), so a recipe may list its mappings in any
+        # order without changing the written layout. Columns the target
+        # does not declare (derived/surrogate) keep their build order
+        # at the end.
+        declared = [f.name for f in target.fields if f.name in out.columns]
+        if declared:
+            # Backtick-quote: target names may contain dots (nested
+            # JSON paths) and a bare string would parse as a struct
+            # field reference.
+            def _q(c: str) -> Column:
+                return F.col("`" + c.replace("`", "``") + "`")
+
+            out = out.select(
+                *[_q(c) for c in declared],
+                *[_q(c) for c in out.columns if c not in declared],
+            )
+
         # Parent-side: generate deterministic surrogate keys for
         # auto-increment columns and publish the (natural → generated)
         # map for child recipes (≙ AutoIncrementValueBuffer).

@@ -304,3 +304,150 @@ def test_splitting_file_to_file_golden(spark, tmp_path):
         f"{db}/splitting-01-expected-data.csv", encoding="utf-8"
     ).read()
     assert got == expected
+
+
+# --- SugarCRM-database-backed use cases (Concatenation, db-Splitting) ----------
+
+_SUGAR_SQL = "/root/reference/src/it/resources/usecases/databases/sugarcrm-6.sql"
+
+
+def _sugar_statements():
+    """The reference's SugarCRM seed SQL, translated H2→Derby: datetime
+    → TIMESTAMP, number(n) → SMALLINT (with unquoted numeric default),
+    text → VARCHAR(4000), int(11) → INTEGER. Values are untouched."""
+    raw = open(_SUGAR_SQL, encoding="utf-8").read()
+    raw = raw.replace(" number(1) DEFAULT '0'", " SMALLINT DEFAULT 0")
+    raw = raw.replace(" number(1)", " SMALLINT")
+    raw = raw.replace(" datetime ", " TIMESTAMP ")
+    raw = raw.replace(" int(11) ", " INTEGER ")
+    raw = raw.replace(" text,", " VARCHAR(4000),")
+    raw = raw.replace(" text\n", " VARCHAR(4000)\n")
+    stmts, buf = [], []
+    for line in raw.split("\n"):
+        if line.startswith("--") or not line.strip():
+            continue
+        buf.append(line)
+        if line.rstrip().endswith(";"):
+            stmts.append("\n".join(buf).rstrip().rstrip(";"))
+            buf = []
+    return stmts
+
+
+@pytest.fixture(scope="module")
+def sugar_derby(spark, tmp_path_factory):
+    # Own database: the seed's `accounts` table would collide with the
+    # CopyBetweenDatabases table in the shared module DB.
+    home = tmp_path_factory.mktemp("derby_sugar")
+    url = f"jdbc:derby:{home}/sugar;create=true"
+    stmts = _sugar_statements()
+    assert len(stmts) > 500  # 5 tables + 550 inserts
+    jvm_execute(spark, url, stmts, DRIVER)
+    return url
+
+
+@requires_fixtures
+def test_concatenation_db_to_file_golden(spark, sugar_derby, tmp_path):
+    """Concatenation.scala:80-280 — contacts table through a Concat of
+    first/last name into a CSV file, byte-identical to the reference's
+    199-row expected output (file order = table order, pinned by an
+    ORDER BY on the scan's row id surrogate: the reference relies on
+    H2's insertion order; Derby preserves it for a single-threaded
+    heap load, and the golden run confirms)."""
+    db = "/root/reference/src/it/resources/usecases/databases"
+    src = source_spec(
+        _read("databases/sugarcrm-6.xml"), "contacts", sugar_derby,
+        fmt="jdbc", seq_id="contacts",
+    )
+    src.options.update({"driver": DRIVER, "table": "CONTACTS"})
+    out_path = str(tmp_path / "concat_out.csv")
+    tgt = target_spec(
+        _read("databases/sugarcrm-target-01.xml"), "out", out_path,
+        fmt="csv", seq_id="accounts", mode="overwrite",
+    )
+    # The reference renders the datetime element as a UTC instant
+    # (2014-11-21T09:53:39Z) — zero-fraction in this corpus, so the
+    # fixed pattern reproduces Java's dynamic-precision rendering.
+    tgt.options.update({
+        "single_file": True,
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    })
+
+    def ref(col):
+        return ColumnRef("contacts", col)
+
+    # ≙ Cookbook "MAP-CONTACTS" (Concatenation.scala:104-135).
+    recipe = Recipe(
+        "map-contacts", "out",
+        mappings=(
+            Mapping((ref("id"),), ("id",)),
+            Mapping((ref("date_entered"),), ("date_entered",)),
+            Mapping((ref("description"),), ("description",)),
+            Mapping(
+                (ref("first_name"), ref("last_name")), ("name",),
+                mode="all_to_all",
+                transformers=(("concat", {"separator": " "}),),
+            ),
+        ),
+    )
+    run_pipeline(spark, Pipeline("concat-01", (src,), (tgt,), (recipe,)))
+
+    got = open(out_path, encoding="utf-8").read()
+    expected = open(
+        f"{db}/sugarcrm-target-01-concat-expected-data.csv", encoding="utf-8"
+    ).read()
+    assert got == expected
+
+
+@requires_fixtures
+def test_splitting_db_join_to_file_golden(spark, sugar_derby, tmp_path):
+    """Splitting.scala:78-230 — the three-table db-select join feeds a
+    fixseq count=3 source; Concat + both Split modes produce the
+    reference's 3-row expected CSV byte-for-byte. The fixture's
+    ``LIMIT 3`` becomes Derby's FETCH FIRST (dialect scaffolding, the
+    fixseq cap itself is also honored by the compiler)."""
+    db = "/root/reference/src/it/resources/usecases/databases"
+    src = source_spec(
+        _read("databases/sugarcrm-6-join2.xml"), "awc", sugar_derby,
+        fmt="jdbc", seq_id="accounts_with_contacts",
+    )
+    src.options["query"] = src.options["query"].replace(
+        "LIMIT 3", "FETCH FIRST 3 ROWS ONLY"
+    )
+    src.options.update({"driver": DRIVER})
+    out_path = str(tmp_path / "split_db_out.csv")
+    tgt = target_spec(
+        _read("databases/sugarcrm-target-03.xml"), "out", out_path,
+        fmt="csv", seq_id="accounts", mode="overwrite",
+    )
+    tgt.options.update({"single_file": True})
+
+    def ref(col):
+        return ColumnRef("awc", col)
+
+    # ≙ Cookbook "MAP-CONTACTS" (Splitting.scala:96-172).
+    recipe = Recipe(
+        "map-contacts", "out",
+        mappings=(
+            Mapping((ref("name"),), ("name",)),
+            Mapping(
+                (ref("first_name"), ref("last_name")), ("human_name",),
+                mode="all_to_all",
+                transformers=(("concat", {"separator": " "}),),
+            ),
+            Mapping(
+                (ref("phone_home"),), ("vorwahl",),
+                transformers=(("split", {"pattern": " ", "limit": 1}),),
+            ),
+            Mapping(
+                (ref("phone_home"),), ("hauptnummer",),
+                transformers=(("split", {"pattern": " ", "selected": [1]}),),
+            ),
+        ),
+    )
+    run_pipeline(spark, Pipeline("split-db", (src,), (tgt,), (recipe,)))
+
+    got = open(out_path, encoding="utf-8").read()
+    expected = open(
+        f"{db}/sugarcrm-target-03-expected-data.csv", encoding="utf-8"
+    ).read()
+    assert got == expected
