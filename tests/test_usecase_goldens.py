@@ -12,7 +12,12 @@ Derby where the reference runs H2:
   where one DFASDL document serves as both source and target;
 - ``MappingModeAssociation.scala`` (first case) — ONE pipeline, TWO
   recipes (MapOneToOne and MapAllToAll) writing two target tables that
-  must both mirror the source.
+  must both mirror the source;
+- ``Splitting.scala`` — Concat + both Split modes, file→file (200-row
+  golden bytes) AND db-select join→file over the SugarCRM seed;
+- ``Concatenation.scala`` / ``SugarCRM.scala`` — the 550-row SugarCRM
+  seed (H2→Derby type translation) through Concat / plain-copy recipes
+  into byte-exact CSV goldens.
 """
 
 from __future__ import annotations
@@ -449,5 +454,52 @@ def test_splitting_db_join_to_file_golden(spark, sugar_derby, tmp_path):
     got = open(out_path, encoding="utf-8").read()
     expected = open(
         f"{db}/sugarcrm-target-03-expected-data.csv", encoding="utf-8"
+    ).read()
+    assert got == expected
+
+
+@requires_fixtures
+def test_sugarcrm_accounts_copy_golden(spark, sugar_derby, tmp_path):
+    """SugarCRM.scala:84-168 — copy four columns of the accounts table
+    into a CSV, byte-identical to the reference's 49-row expected
+    output. (The suite's other two legs — the LIMIT-3 join without an
+    ORDER BY — encode H2's physical join order in their goldens; any
+    three rows are SQL-valid, so those goldens are engine-specific by
+    construction and are not replayed.)"""
+    db = "/root/reference/src/it/resources/usecases/databases"
+    src = source_spec(
+        _read("databases/sugarcrm-6.xml"), "accounts", sugar_derby,
+        fmt="jdbc", seq_id="accounts",
+    )
+    src.options.update({"driver": DRIVER, "table": "ACCOUNTS"})
+    out_path = str(tmp_path / "sugar_accounts.csv")
+    tgt = target_spec(
+        _read("databases/sugarcrm-target-01.xml"), "out", out_path,
+        fmt="csv", seq_id="accounts", mode="overwrite",
+    )
+    tgt.options.update({
+        "single_file": True,
+        "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss'Z'",
+    })
+
+    def ref(col):
+        return ColumnRef("accounts", col)
+
+    # ≙ Cookbook "MAP-ACCOUNTS" (SugarCRM.scala:100-124): one
+    # aggregated MapOneToOne, no transformers.
+    recipe = Recipe(
+        "map-accounts", "out",
+        mappings=(
+            Mapping(
+                (ref("id"), ref("name"), ref("date_entered"), ref("description")),
+                ("id", "name", "date_entered", "description"),
+            ),
+        ),
+    )
+    run_pipeline(spark, Pipeline("sugarcrm-01", (src,), (tgt,), (recipe,)))
+
+    got = open(out_path, encoding="utf-8").read()
+    expected = open(
+        f"{db}/sugarcrm-target-01-expected-data.csv", encoding="utf-8"
     ).read()
     assert got == expected
