@@ -244,13 +244,31 @@ def date_value_to_string(cols, format: str = "yyyy-MM-dd HH:mm:ss"):
     return [F.date_format(c, format) for c in cols]
 
 
+def _as_epoch_long(c: Column) -> Column:
+    """The reference's transformers dispatch on the runtime VALUE
+    (``TimestampCalibrate.scala:50-56`` stringifies and ``toLong``s
+    anything numeric; temporal values arrive as their epoch millis from
+    ``DateConverter.convertDate``). Spark columns are statically typed,
+    so replicate the dispatch through the string form: digit strings
+    are already epoch numbers, anything else parses as a timestamp and
+    takes its MILLIS — a timestamp must never go through a bare
+    ``cast(long)``, which yields epoch SECONDS and silently divides the
+    calibration by 1000."""
+    s = F.trim(c.cast("string"))
+    return F.when(s.rlike(r"^-?\d+$"), s.cast("long")).otherwise(
+        F.unix_millis(F.try_to_timestamp(s))
+    )
+
+
 @register("timestamp_calibrate")
 def timestamp_calibrate(cols, perform: str = "add"):
     """transformers/TimestampCalibrate.scala — epoch seconds⇄millis:
-    add → ×1000, reduce → ÷1000 (integer)."""
+    add → ×1000, reduce → ÷1000 (integer). Temporal inputs contribute
+    their epoch millis (see ``_as_epoch_long``) — the DateConverter →
+    TimestampCalibrate(reduce) cookbook chain lands epoch seconds."""
     if perform == "add":
-        return [(c.cast("long") * 1000).alias("ts") for c in cols]
-    return [(c.cast("long") / 1000).cast("long") for c in cols]
+        return [(_as_epoch_long(c) * 1000).alias("ts") for c in cols]
+    return [(_as_epoch_long(c) / 1000).cast("long") for c in cols]
 
 
 @register("timestamp_adjuster")

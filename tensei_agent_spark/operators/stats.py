@@ -173,9 +173,15 @@ def welch_t(
     se_a = var("a") / F.col("n_a")
     se_b = var("b") / F.col("n_b")
     se2 = se_a + se_b
-    t = (mean("a") - mean("b")) / F.sqrt(se2)
-    dfw = (se2 * se2) / (
-        se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)
+    # Both arms constant → zero standard error: t undefined, NULL by
+    # contract (under ANSI an unguarded divide ABORTS the job on the
+    # one degenerate group). Same rule as acf/ccf's zero-variance
+    # guard; oracle twins mirror with NULLIF.
+    t = F.when(se2 != 0.0, (mean("a") - mean("b")) / F.sqrt(se2))
+    dfw = F.when(
+        se2 != 0.0,
+        (se2 * se2)
+        / (se_a * se_a / (F.col("n_a") - 1) + se_b * se_b / (F.col("n_b") - 1)),
     )
     return m.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2)).select(
         *group_cols,

@@ -134,15 +134,68 @@ def mapping_columns(m: Mapping, resolver: dict[str, str]) -> list[Column]:
     return out
 
 
+def _vancode_frame(
+    df: DataFrame, srcs: list[str], target: str, params: dict
+) -> DataFrame:
+    """FRAME-LEVEL DrupalVanCodeTransformer: the thread code of a
+    comment depends on ALL rows of its article (sibling numbering +
+    the parent's code), so it cannot be a per-row column chain. The
+    codes are computed per article partition and joined back on the
+    unique comment id."""
+    from ..functions.transformers import drupal_vancode
+
+    id_c, art_c, par_c = srcs
+    codes = drupal_vancode(
+        df.select(id_c, art_c, par_c), id_c, art_c, par_c, out_col=target,
+        **params,
+    )
+    return df.join(F.broadcast(codes.select(id_c, target)), id_c, "left")
+
+
+#: Transformers whose semantics are a function of the WHOLE row set,
+#: not one row — the reference runs them as stateful actors over the
+#: buffered sequence (DrupalVanCodeTransformer keeps per-article
+#: counters). Each entry: fn(frame, qualified_source_cols, target_col,
+#: params) -> frame with the target column added.
+FRAME_TRANSFORMERS = {
+    "drupal_vancode": _vancode_frame,
+}
+
+
 def build_recipe_frame(
     recipe: Recipe, frames: dict[str, DataFrame]
 ) -> DataFrame:
     """One recipe → one DataFrame in target column order."""
     combined, resolver = combine_sources(recipe, frames)
     cols: list[Column] = []
+    deferred: list[Mapping] = []
     for m in recipe.mappings:
-        cols.extend(mapping_columns(m, resolver))
-    out = combined.select(*cols)
+        if m.transformers and m.transformers[0][0] in FRAME_TRANSFORMERS:
+            if len(m.transformers) != 1 or m.atomic or len(m.targets) != 1:
+                raise ValueError(
+                    f"frame-level transformer {m.transformers[0][0]!r} must "
+                    "be the mapping's only transformer with one target"
+                )
+            deferred.append(m)
+        else:
+            cols.extend(mapping_columns(m, resolver))
+    if deferred:
+        # The deferred transforms need their (qualified) source columns
+        # alive after the projection; they are dropped once applied.
+        helper: list[str] = []
+        for m in deferred:
+            for ref in m.sources:
+                qc = _qual(resolver[ref.source], ref.column)
+                if qc not in helper:
+                    helper.append(qc)
+        out = combined.select(*cols, *[F.col(c) for c in helper])
+        for m in deferred:
+            name, params = m.transformers[0]
+            srcs = [_qual(resolver[r.source], r.column) for r in m.sources]
+            out = FRAME_TRANSFORMERS[name](out, srcs, m.targets[0], dict(params))
+        out = out.drop(*helper)
+    else:
+        out = combined.select(*cols)
     if recipe.limit is not None:
         out = out.limit(recipe.limit)
     return out

@@ -19,6 +19,14 @@ from ..functions.transformers import TRANSFORMERS
 from .spec import Pipeline, Recipe
 
 
+def _frame_transformers() -> dict:
+    """Frame-level transformer registry (imported lazily: executor
+    imports this module)."""
+    from .executor import FRAME_TRANSFORMERS
+
+    return FRAME_TRANSFORMERS
+
+
 class PlanError(ValueError):
     """Spec failed validation (collects every error, like SyntaxValidator)."""
 
@@ -91,7 +99,7 @@ def validate(p: Pipeline) -> list[str]:
                 seen_targets.add(tgt)
             for chain in (m.atomic, m.transformers):
                 for name, _params in chain:
-                    if name not in TRANSFORMERS:
+                    if name not in TRANSFORMERS and name not in _frame_transformers():
                         errors.append(
                             f"recipe {r.name!r}: unknown transformer {name!r}"
                         )

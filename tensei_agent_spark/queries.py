@@ -9525,10 +9525,11 @@ def boilerplate_coverage_q(spark: SparkSession, sf: str) -> DataFrame:
            round(CAST(s_a AS DOUBLE) / n_a, 9) AS mean_a,
            round(CAST(s_b AS DOUBLE) / n_b, 9) AS mean_b,
            round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-                 / sqrt(se_a + se_b), 9) AS t_stat,
-           round(((se_a + se_b) * (se_a + se_b))
-                 / (se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1)),
-                 9) AS df_welch
+                 / NULLIF(sqrt(se_a + se_b), 0), 9) AS t_stat,
+           round(CASE WHEN se_a + se_b = 0 THEN NULL
+                 ELSE ((se_a + se_b) * (se_a + se_b))
+                      / (se_a * se_a / (n_a - 1) + se_b * se_b / (n_b - 1))
+                 END, 9) AS df_welch
     FROM se
     """,
 )

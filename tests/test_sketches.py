@@ -189,6 +189,31 @@ def test_welch_t_drops_underpowered_groups(spark):
     assert [r["grp"] for r in got] == ["g2"]  # g1: n_a = 1 -> dropped
 
 
+def test_welch_t_constant_arms_yield_null_not_abort(spark):
+    """Both arms constant → zero standard error → t/df undefined: the
+    group must emit NULL, not abort the whole job with ANSI
+    DIVIDE_BY_ZERO (Hypothesis-found in round 7; same contract as the
+    acf/ccf zero-variance guard)."""
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.operators.stats import welch_t
+
+    df = spark.createDataFrame(
+        [("g", "A", 5.0), ("g", "A", 5.0), ("g", "B", 7.0), ("g", "B", 7.0),
+         ("h", "A", 1.0), ("h", "A", 2.0), ("h", "B", 4.0), ("h", "B", 6.0)],
+        "grp string, arm string, v double",
+    )
+    got = {
+        r["grp"]: r
+        for r in welch_t(
+            df, ["grp"], F.col("arm") == "A", F.col("arm") == "B", "v"
+        ).collect()
+    }
+    assert got["g"]["t_stat"] is None and got["g"]["df_welch"] is None
+    assert got["g"]["mean_a"] == 5.0 and got["g"]["mean_b"] == 7.0
+    assert got["h"]["t_stat"] is not None  # healthy group unaffected
+
+
 def test_cms_never_undercounts_and_merges(spark):
     from pyspark.sql import functions as F
 
