@@ -164,10 +164,28 @@ def merge_and_extract_by_regex(
 @register("overwrite")
 def overwrite(cols, type: str = "string", value: str | None = None):
     """transformers/Overwrite.scala — typed constant; value='now' yields
-    current date/time/timestamp for temporal types."""
+    current date/time/timestamp for temporal types.
+
+    A missing/empty value takes the reference's PER-TYPE default
+    (``Overwrite.scala:44-52``): string "" / long 0 / bigdecimal 0 /
+    date 1970-01-01 / time 00:00:00 / datetime 1970-01-01 00:00:00 /
+    byte empty — used by the WP2Joomla cookbook to blank-out datetime
+    columns (``WP2Joomla.scala:193-197`` expects the epoch, not NULL).
+    Only type='none' yields NULL.
+    """
     t = type.lower()
-    if value is None or t == "none":
+    if t == "none":
         return [F.lit(None)]
+    if value is None or value == "":
+        value = {
+            "bigdecimal": "0",
+            "byte": "",
+            "date": "1970-01-01",
+            "datetime": "1970-01-01 00:00:00",
+            "long": "0",
+            "string": "",
+            "time": "00:00:00",
+        }[t]
     # 'now' is special ONLY for temporal types — a string/long constant
     # that happens to be the word 'now' must stay a literal.
     if value == "now" and t in ("date", "datetime", "time"):
@@ -177,9 +195,13 @@ def overwrite(cols, type: str = "string", value: str | None = None):
             "time": F.date_format(F.current_timestamp(), "HH:mm:ss"),
         }
         return [now[t]]
+    if t == "byte":
+        # Reference parses space-separated hex pairs into bytes
+        # (Overwrite.scala:82-86); the value is a plan-time literal so
+        # decode driver-side, no runtime cost.
+        return [F.lit(bytes(int(h, 16) for h in value.split()))]
     cast = {
         "bigdecimal": "decimal(38,10)",
-        "byte": "binary",
         "date": "date",
         "datetime": "timestamp",
         "long": "long",
