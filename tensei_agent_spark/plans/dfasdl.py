@@ -154,11 +154,22 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
         raise ValueError(f"not a DFASDL document (root <{_local(root.tag)}>)")
     encoding = root.attrib.get("default-encoding")
     seqs: list[SeqSchema] = []
+    leading = 0
     for seq in root:
         tag = _local(seq.tag)
+        if tag in _DATA_TAGS:
+            # A top-level data element before a seq consumes one line of
+            # the flat file (the reference's header idiom:
+            # ``<str id="header"/>`` ahead of the row set, e.g.
+            # usecases/emptyTargetColumns/source-dfasdl.xml).
+            leading += 1
+            continue
         if tag not in ("seq", "fixseq"):
             continue
         opts: dict = {}
+        if leading:
+            opts["leading_lines"] = leading
+            leading = 0
         if encoding:
             opts["encoding"] = encoding
         if "max" in seq.attrib:

@@ -31,8 +31,18 @@ def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     # logging the offset, ``BaseParser.scala:602-611``). Good rows carry
     # NULL there; split with ``df.filter("_corrupt_record IS NULL")``.
     capture_corrupt = bool(options.pop("captureCorrupt", False))
+    # ``leading_lines``: top-level DFASDL data elements ahead of the seq
+    # consume that many lines per file (header idiom). Spark's header
+    # option skips exactly one line per file — the only multiplicity the
+    # reference corpus uses; anything deeper needs a custom pre-scan.
+    leading = int(options.pop("leading_lines", 0) or 0)
+    if leading > 1:
+        raise NotImplementedError(
+            f"{leading} leading non-seq elements before the row set; "
+            "only a single header line is supported"
+        )
     opts = {
-        "header": "false",
+        "header": "true" if leading == 1 else "false",
         "sep": ",",
         "encoding": "UTF-8",
         "nullValue": "",

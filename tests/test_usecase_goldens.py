@@ -503,3 +503,181 @@ def test_sugarcrm_accounts_copy_golden(spark, sugar_derby, tmp_path):
         f"{db}/sugarcrm-target-01-expected-data.csv", encoding="utf-8"
     ).read()
     assert got == expected
+
+
+# --- CSVToDatabase.scala (CSV → DB, four cases) ---------------------------------
+
+_C2D = "csvtodatabase"
+
+
+def _c2d_pipeline(src_xml, src_csv, tgt_xml, tgt_seq, derby_url, mappings):
+    src = source_spec(
+        _read(f"{_C2D}/{src_xml}"), "csv_in", f"{RES}/{_C2D}/{src_csv}",
+        fmt="csv", seq_id=None,
+    )
+    tgt = target_spec(
+        _read(f"{_C2D}/{tgt_xml}"), "db_out", derby_url, fmt="jdbc",
+        seq_id=tgt_seq, mode="overwrite",
+    )
+    tgt.options.update({"driver": DRIVER, "table": tgt_seq.upper()})
+    recipe = Recipe("map-columns", "db_out", mappings=mappings)
+    return Pipeline("csv2db", (src,), (tgt,), (recipe,))
+
+
+def _ref(col):
+    return ColumnRef("csv_in", col)
+
+
+@requires_fixtures
+def test_csv_to_database_empty_source_golden(spark, derby_url):
+    """CSVToDatabase.scala:43-127 — an empty CSV yields an EMPTY target
+    table (created, zero rows), not a failure."""
+    pipeline = _c2d_pipeline(
+        "source-01.xml", "source-empty.csv", "source-01.xml", "rows",
+        derby_url,
+        (Mapping((_ref("firstname"), _ref("lastname"), _ref("email")),
+                 ("firstname", "lastname", "email")),),
+    )
+    assert read_source(spark, pipeline.source("csv_in")).count() == 0
+    run_pipeline(spark, pipeline)
+    assert _table(spark, derby_url, '"ROWS"').count() == 0
+
+
+@requires_fixtures
+def test_csv_to_database_same_structure_golden(spark, derby_url):
+    """CSVToDatabase.scala:130-228 — one DFASDL as both source and
+    target; golden content in file order (CSVToDatabase.scala:221)."""
+    pipeline = _c2d_pipeline(
+        "source-01.xml", "source-01.csv", "source-01.xml", "rows",
+        derby_url,
+        (Mapping((_ref("firstname"), _ref("lastname"), _ref("email")),
+                 ("firstname", "lastname", "email")),),
+    )
+    assert read_source(spark, pipeline.source("csv_in")).count() == 3
+    run_pipeline(spark, pipeline)
+
+    rows = _table(spark, derby_url, '"ROWS"').collect()
+    got = ";".join(f"{r['firstname']},{r['lastname']},{r['email']}" for r in rows)
+    assert got == (
+        "John,Doe,john.doe@example.com;Jane,Doe,jane.doe@example.com;"
+        "Max,Mustermann,max.mustermann@example.com"
+    )
+
+
+@requires_fixtures
+def test_csv_to_database_reordered_target_golden(spark, derby_url):
+    """CSVToDatabase.scala:230-332 — a target DFASDL with a DIFFERENT
+    column order (email first); content is unchanged."""
+    pipeline = _c2d_pipeline(
+        "source-01.xml", "source-01.csv", "target-01.xml", "rows",
+        derby_url,
+        (Mapping((_ref("email"), _ref("firstname"), _ref("lastname")),
+                 ("email", "firstname", "lastname")),),
+    )
+    run_pipeline(spark, pipeline)
+
+    back = _table(spark, derby_url, '"ROWS"')
+    # DDL column order follows the target DFASDL: email first.
+    assert back.columns == ["email", "firstname", "lastname"]
+    rows = back.collect()
+    got = ";".join(f"{r['firstname']},{r['lastname']},{r['email']}" for r in rows)
+    assert got == (
+        "John,Doe,john.doe@example.com;Jane,Doe,jane.doe@example.com;"
+        "Max,Mustermann,max.mustermann@example.com"
+    )
+
+
+@requires_fixtures
+def test_csv_to_database_trailing_blank_lines_golden(spark, derby_url):
+    """CSVToDatabase.scala:335-455 — source-02.csv ends with two blank
+    lines the parser must DROP (row count 3, not 5); the target's
+    auto-increment id takes generated keys for the Nullify-mapped
+    column; formattime ``dd.MM.yyyy`` birthdays parse via the format."""
+    pipeline = _c2d_pipeline(
+        "source-02.xml", "source-02.csv", "target-02.xml", "employee",
+        derby_url,
+        (
+            Mapping(
+                (_ref("lastname"), _ref("firstname"), _ref("email"),
+                 _ref("birthday"), _ref("phone"), _ref("division")),
+                ("lastname", "firstname", "email", "birthday", "phone",
+                 "department"),
+            ),
+            Mapping((_ref("lastname"),), ("id",),
+                    transformers=(("nullify", {}),)),
+        ),
+    )
+    assert read_source(spark, pipeline.source("csv_in")).count() == 3
+    run_pipeline(spark, pipeline)
+
+    rows = _table(spark, derby_url, "EMPLOYEE").orderBy("id").collect()
+    got = ";".join(f"{r['firstname']},{r['lastname']},{r['email']}" for r in rows)
+    assert got == (
+        "John,Doe,john.doe@example.com;Jane,Doe,jane.doe@example.com;"
+        "Jake,Doe,jake.doe@example.com"
+    )
+
+
+# --- EmptyTargetColumns.scala (unmapped/nullified columns take defaults) --------
+
+_ETC = "emptyTargetColumns"
+
+
+def _etc_pipeline(tgt_xml, out_path):
+    src = source_spec(
+        _read(f"{_ETC}/source-dfasdl.xml"), "people",
+        f"{RES}/{_ETC}/source.csv", fmt="csv", seq_id="rows",
+    )
+    tgt = target_spec(
+        _read(f"{_ETC}/{tgt_xml}"), "out", out_path, fmt="csv",
+        seq_id="rows", mode="overwrite",
+    )
+    tgt.options.update({"single_file": True})
+
+    def ref(col):
+        return ColumnRef("people", col)
+
+    # ≙ Recipe "MapColumns" (EmptyTargetColumns.scala:63-80): birthday
+    # copied, firstname Nullify-mapped onto BOTH name columns.
+    recipe = Recipe(
+        "map-columns", "out",
+        mappings=(
+            Mapping((ref("birthday"),), ("birthday",)),
+            Mapping((ref("firstname"), ref("firstname")),
+                    ("firstname", "lastname"),
+                    transformers=(("nullify", {}),)),
+        ),
+    )
+    return Pipeline("empty-target-columns", (src,), (tgt,), (recipe,))
+
+
+@requires_fixtures
+def test_empty_target_columns_with_defaults_golden(spark, tmp_path):
+    """EmptyTargetColumns.scala:40-131 — nullified target columns take
+    the target DFASDL's defaultstr values; the source's leading
+    ``<str id="header"/>`` element consumes the CSV header line.
+    Byte-golden against expected-target-with-defaults.csv."""
+    out_path = str(tmp_path / "etc_defaults.csv")
+    pipeline = _etc_pipeline("target-with-defaults-dfasdl.xml", out_path)
+    assert read_source(spark, pipeline.source("people")).count() == 5
+    run_pipeline(spark, pipeline)
+
+    got = open(out_path, encoding="utf-8").read()
+    expected = open(
+        f"{RES}/{_ETC}/expected-target-with-defaults.csv", encoding="utf-8"
+    ).read()
+    assert got == expected
+
+
+@requires_fixtures
+def test_empty_target_columns_without_defaults_golden(spark, tmp_path):
+    """EmptyTargetColumns.scala:133-223 — without defaults the nullified
+    columns write as EMPTY strings (",,1879-03-14"), not literal nulls.
+    Byte-golden against expected-target.csv."""
+    out_path = str(tmp_path / "etc_plain.csv")
+    pipeline = _etc_pipeline("target-dfasdl.xml", out_path)
+    run_pipeline(spark, pipeline)
+
+    got = open(out_path, encoding="utf-8").read()
+    expected = open(f"{RES}/{_ETC}/expected-target.csv", encoding="utf-8").read()
+    assert got == expected
