@@ -221,7 +221,12 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
                 if "stop-sign" in n.attrib
             ]
             if signs and "sep" not in opts:
-                opts["sep"] = Counter(signs).most_common(1)[0][0]
+                # ``\t`` is the only escape the reference's stop-sign
+                # writer decodes (FileWriterActor.scala:231-251); other
+                # backslash pairs stay literal.
+                opts["sep"] = (
+                    Counter(signs).most_common(1)[0][0].replace("\\t", "\t")
+                )
             # element-level parse attributes that Spark's reader takes
             # globally: formatnum locale separators and the formattime
             # pattern (Java DateTimeFormatter syntax on both sides)
@@ -245,6 +250,38 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
                 foreign_keys=fks,
             )
         )
+    if not seqs:
+        # A document whose row container is a bare top-level <elem>
+        # (no seq) describes a SINGLE record — the reference's
+        # EmailToCSV target (email-target-01.xml). The writer DOES
+        # terminate that record (the golden
+        # email-target-01-expected-data.csv ends with a newline, unlike
+        # seq outputs), hence trailing_newline.
+        for wrapper in root:
+            if _local(wrapper.tag) not in _WRAPPER_TAGS:
+                continue
+            leaves = _collect_leaves(wrapper)
+            if not leaves:
+                continue
+            fields = tuple(_field_of(n, pfx) for n, pfx in leaves)
+            opts = {"limit": 1, "trailing_newline": True}
+            if encoding:
+                opts["encoding"] = encoding
+            signs = [
+                n.attrib["stop-sign"]
+                for n, _ in leaves[:-1]
+                if "stop-sign" in n.attrib
+            ]
+            if signs:
+                opts["sep"] = (
+                    Counter(signs).most_common(1)[0][0].replace("\\t", "\t")
+                )
+            opts["_element_ids"] = tuple(n.attrib["id"] for n, _ in leaves)
+            seqs.append(
+                SeqSchema(
+                    seq_id=wrapper.attrib["id"], fields=fields, options=opts
+                )
+            )
     if not seqs:
         raise ValueError("DFASDL document contains no seq/fixseq")
     return seqs

@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 
 from ..functions.transformers import apply_chain, sequential_id
 from ..operators.joins import mapping_key_join, remap_foreign_keys, row_aligned_merge
-from ..sources import read_source
 from .plan import CompiledPlan, compile_plan
 from .spec import Mapping, Pipeline, Recipe
 
@@ -231,6 +230,12 @@ def run_pipeline(
         else compile_plan(pipeline_or_plan)
     )
     p = plan.pipeline
+
+    # Imported here, not at module top: sources/__init__ imports
+    # plans.spec, so importing tensei_agent_spark.sources FIRST would
+    # re-enter this module through plans/__init__ before sources
+    # finished initializing (circular import).
+    from ..sources import read_source
 
     frames = dict(source_frames or {})
     needed = {ref.source for r in p.recipes for m in r.mappings for ref in m.sources}

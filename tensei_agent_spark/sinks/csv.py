@@ -33,9 +33,15 @@ def write_csv(df: DataFrame, spec: TargetSpec) -> None:
         "sep": ",",
         "encoding": "UTF-8",
         "emptyValue": "",
-        **{k: str(v) for k, v in spec.options.items() if k not in ("single_file", "order_by", "limit")},
+        **{k: str(v) for k, v in spec.options.items()
+           if k not in ("single_file", "order_by", "limit", "trailing_newline")},
     }
     order_by = spec.options.get("order_by")
+    # Non-seq (single-record <elem>) targets DO keep the final record
+    # terminator (plans/dfasdl synthesizes trailing_newline for them).
+    keep_trailing = str(spec.options.get("trailing_newline", "")).lower() in (
+        "1", "true", "yes",
+    )
     single = str(spec.options.get("single_file", "")).lower() in ("1", "true", "yes")
     if single:
         # coalesce(1) + local sort, NOT a global orderBy: orderBy inserts
@@ -59,14 +65,15 @@ def write_csv(df: DataFrame, spec: TargetSpec) -> None:
         # separator to stay byte-identical. Single-file only: part
         # files of a distributed layout must keep their terminators or
         # concatenation would glue rows together.
-        sep_b = opts.get("lineSep", "\n").encode(opts.get("encoding", "UTF-8"))
-        with open(spec.uri, "rb+") as fh:
-            fh.seek(0, 2)
-            size = fh.tell()
-            if size >= len(sep_b):
-                fh.seek(size - len(sep_b))
-                if fh.read(len(sep_b)) == sep_b:
-                    fh.truncate(size - len(sep_b))
+        if not keep_trailing:
+            sep_b = opts.get("lineSep", "\n").encode(opts.get("encoding", "UTF-8"))
+            with open(spec.uri, "rb+") as fh:
+                fh.seek(0, 2)
+                size = fh.tell()
+                if size >= len(sep_b):
+                    fh.seek(size - len(sep_b))
+                    if fh.read(len(sep_b)) == sep_b:
+                        fh.truncate(size - len(sep_b))
     else:
         # Multi-file targets use a global orderBy: range partitioning makes
         # the part files concatenate into a globally sorted stream, which is

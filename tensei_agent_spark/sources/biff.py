@@ -42,6 +42,8 @@ _RSTRING = 0x00D6
 _BOOLERR = 0x0205
 _FORMULA = 0x0006
 _STRING = 0x0207
+_FORMAT = 0x041E
+_XF = 0x00E0
 
 _ERROR_TEXT = {
     0x00: "#NULL!", 0x07: "#DIV/0!", 0x0F: "#VALUE!", 0x17: "#REF!",
@@ -248,11 +250,20 @@ def read_xls_rows(path: str, sheet: str | int = 0) -> list[list[str]]:
         data = fh.read()
     stream = _ole_stream(data, ("Workbook", "Book"))
 
-    # Workbook-globals pass: sheet directory + shared strings.
+    # Workbook-globals pass: sheet directory + shared strings + number
+    # formats (FORMAT: ifmt → pattern; XF: cell-style index → ifmt) for
+    # the reference converter's date/time/percent renderings (xlfmt).
     sheets: list[tuple[str, int]] = []  # (name, substream offset)
     sst: list[str] = []
     sst_chunks: list[bytes] | None = None
+    formats: dict[int, str] = {}
+    xf_ifmt: list[int] = []
     for _, op, payload in _records(stream):
+        if op == _FORMAT:
+            (ifmt,) = struct.unpack_from("<H", payload, 0)
+            formats[ifmt] = _unicode_inline(payload, 2)
+        elif op == _XF:
+            xf_ifmt.append(struct.unpack_from("<H", payload, 2)[0])
         if op == _BOUNDSHEET:
             (offset,) = struct.unpack_from("<I", payload, 0)
             # sheet name is a SHORT unicode string: 1-byte length
@@ -286,6 +297,17 @@ def read_xls_rows(path: str, sheet: str | int = 0) -> list[list[str]]:
             raise ValueError(f"{path}: no sheet named {sheet!r}")
         start = match[0][1]
 
+    from .xlfmt import classify, render
+
+    def fmt_num(d: float, ixfe: int) -> str:
+        """Render a numeric cell per its XF number format (dates → ISO,
+        times → clock, percents → scaled; else plain)."""
+        ifmt = xf_ifmt[ixfe] if ixfe < len(xf_ifmt) else 0
+        kind = classify(ifmt, formats.get(ifmt))
+        if kind:
+            return render(d, kind, ifmt, formats.get(ifmt))
+        return _num_str(d)
+
     cells: dict[tuple[int, int], str] = {}
     pending_formula: tuple[int, int] | None = None
     depth = 0
@@ -300,17 +322,17 @@ def read_xls_rows(path: str, sheet: str | int = 0) -> list[list[str]]:
             r, c, _, isst = struct.unpack_from("<HHHI", payload)
             cells[(r, c)] = sst[isst] if isst < len(sst) else ""
         elif op == _NUMBER:
-            r, c, _, d = struct.unpack_from("<HHHd", payload)
-            cells[(r, c)] = _num_str(d)
+            r, c, ixfe, d = struct.unpack_from("<HHHd", payload)
+            cells[(r, c)] = fmt_num(d, ixfe)
         elif op == _RK:
-            r, c, _, rk = struct.unpack_from("<HHHI", payload)
-            cells[(r, c)] = _num_str(_rk_value(rk))
+            r, c, ixfe, rk = struct.unpack_from("<HHHI", payload)
+            cells[(r, c)] = fmt_num(_rk_value(rk), ixfe)
         elif op == _MULRK:
             r, c0 = struct.unpack_from("<HH", payload)
             n = (len(payload) - 6) // 6
             for i in range(n):
-                (rk,) = struct.unpack_from("<I", payload, 4 + 6 * i + 2)
-                cells[(r, c0 + i)] = _num_str(_rk_value(rk))
+                ixfe, rk = struct.unpack_from("<HI", payload, 4 + 6 * i)
+                cells[(r, c0 + i)] = fmt_num(_rk_value(rk), ixfe)
         elif op in (_LABEL, _RSTRING):
             r, c = struct.unpack_from("<HH", payload)
             cells[(r, c)] = _unicode_inline(payload, 6)
@@ -336,7 +358,8 @@ def read_xls_rows(path: str, sheet: str | int = 0) -> list[list[str]]:
                     cells[(r, c)] = ""
             else:
                 (d,) = struct.unpack("<d", result)
-                cells[(r, c)] = _num_str(d)
+                ixfe = struct.unpack_from("<H", payload, 4)[0]
+                cells[(r, c)] = fmt_num(d, ixfe)
         elif op == _STRING and pending_formula is not None:
             cells[pending_formula] = _unicode_inline(payload, 0)
             pending_formula = None

@@ -95,12 +95,20 @@ def read_text(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     ``lineSep`` so each record arrives as one blob and field regexes
     match across its inner newlines. Records stay splittable: Spark's
     text source splits on the custom separator, not on \\n.
+
+    ``wholeFile`` option: one record per FILE (the reference's
+    email-header grammar parses a whole message,
+    ``usecases/copy/EmailToCSV.scala``); field regexes run against the
+    full text — use ``(?m)``/``(?s)`` flags. Scales across a corpus:
+    each file is one row, files distribute over the cluster.
     """
     reader = spark.read
     record_sep = spec.options.get("recordSep")
     if record_sep:
         reader = reader.option("lineSep", record_sep)
-    lines = reader.text(spec.uri)
+    # wholetext must go through the .text() kwarg — the reader treats a
+    # pre-set option of that name as unknown and still splits on lines.
+    lines = reader.text(spec.uri, wholetext=bool(spec.options.get("wholeFile")))
     if record_sep:  # drop empty trailing fragments between separators
         lines = lines.filter(F.length(F.trim("value")) > 0)
     if not spec.fields:

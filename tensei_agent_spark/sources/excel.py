@@ -107,6 +107,36 @@ def read_xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str]]:
         if "xl/sharedStrings.xml" in zf.namelist():
             sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
             shared = [_text_of(si) for si in sst if _local(si.tag) == "si"]
+        # styles: cell style index (c@s) → numFmtId, for date/time/
+        # percent rendering (same contract as the BIFF reader; xlfmt).
+        xf_ifmt: list[int] = []
+        num_fmts: dict[int, str] = {}
+        if "xl/styles.xml" in zf.namelist():
+            styles = ET.fromstring(zf.read("xl/styles.xml"))
+            for nf in styles.iter():
+                if _local(nf.tag) == "numFmt":
+                    num_fmts[int(nf.get("numFmtId"))] = nf.get("formatCode", "")
+            cell_xfs = next(
+                (e for e in styles.iter() if _local(e.tag) == "cellXfs"), None
+            )
+            if cell_xfs is not None:
+                xf_ifmt = [
+                    int(xf.get("numFmtId", "0"))
+                    for xf in cell_xfs
+                    if _local(xf.tag) == "xf"
+                ]
+
+        from .xlfmt import classify, render
+
+        def fmt_cell(raw: str, s_idx: int) -> str:
+            ifmt = xf_ifmt[s_idx] if s_idx < len(xf_ifmt) else 0
+            kind = classify(ifmt, num_fmts.get(ifmt))
+            if kind:
+                try:
+                    return render(float(raw), kind, ifmt, num_fmts.get(ifmt))
+                except ValueError:
+                    return _fmt_number(raw)
+            return _fmt_number(raw)
         rows: list[list[str]] = []
         sheet_xml = ET.fromstring(zf.read(part))
         for row in sheet_xml.iter():
@@ -137,7 +167,11 @@ def read_xlsx_rows(path: str, sheet: str | int = 0) -> list[list[str]]:
                 elif t in ("str", "e"):
                     val = v.text or "" if v is not None else ""
                 else:  # numeric
-                    val = _fmt_number(v.text) if v is not None and v.text else ""
+                    val = (
+                        fmt_cell(v.text, int(c.get("s", "0")))
+                        if v is not None and v.text
+                        else ""
+                    )
                 cells.append(val)
             rows.append(cells)
     width = max((len(r) for r in rows), default=0)

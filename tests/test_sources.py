@@ -143,11 +143,11 @@ def test_xls_biff8_matches_xlsx_twin():
 def test_xls_reference_golden_cells():
     """Reference golden values for divers.xls
     (``ExcelToCSVConverterTest.scala:163-330``): 22 product rows; spot
-    cells per column, with date cells checked through the Excel serial
-    epoch (POI renders them locale-formatted; the stored value IS the
-    serial)."""
-    import datetime as dt
-
+    cells per column. Date cells render ISO (the converter's
+    ``java.sql.Date.toString`` branch) and percent cells render scaled —
+    the values the reference's DFASDL parse then types as LocalDate /
+    BigDecimal (0.005-stored → 0.50 expected,
+    ``ExcelToCSVConverterTest.scala:316-330``)."""
     from tensei_agent_spark.sources.biff import read_xls_rows
 
     rows = read_xls_rows(f"{_REF_EXCEL}/divers.xls")
@@ -171,18 +171,18 @@ def test_xls_reference_golden_cells():
     assert col(3, 2) == "Rostock; Körpeliner Str. 34 c"
     assert (col(0, 3), col(1, 3), col(3, 3)) == ("18055", "D-18055", "(F) 18055")
 
-    def serial_date(v):
-        return dt.date(1899, 12, 30) + dt.timedelta(days=int(v))
-
-    assert serial_date(col(0, 4)) == dt.date(2017, 1, 1)
-    assert serial_date(col(1, 4)) == dt.date(2017, 2, 1)
-    assert serial_date(col(2, 4)) == dt.date(1999, 3, 31)
+    # datum: date-formatted cells render ISO, exactly what the
+    # reference test's LocalDate assertions require.
+    assert col(0, 4) == "2017-01-01"
+    assert col(1, 4) == "2017-02-01"
+    assert col(2, 4) == "1999-03-31"
     assert [float(col(i, 5)) for i in (0, 1, 2, 21)] == [8.0, 12.0, -24.0, 50000.0]
-    # prozent: stored as fractions, golden asserts the percent renderings
-    assert float(col(0, 6)) == pytest.approx(0.005)   # 0,50 %
-    assert float(col(1, 6)) == pytest.approx(0.10)    # 10,00 %
-    assert float(col(2, 6)) == pytest.approx(0.50)    # 50,00 %
-    assert float(col(21, 6)) == pytest.approx(10.0)   # 1000,00 %
+    # prozent: stored fractions render ×100 with the format's decimals;
+    # the DFASDL formatnum regex strips the trailing '%' downstream.
+    assert col(0, 6) == "0.50%"      # → BigDecimal(0.50)
+    assert col(1, 6) == "10.00%"     # → BigDecimal(10.00)
+    assert col(2, 6) == "50.00%"     # → BigDecimal(50.00)
+    assert col(21, 6) == "1000.00%"  # → BigDecimal(1000.00)
 
 
 @pytest.mark.skipif(

@@ -681,3 +681,201 @@ def test_empty_target_columns_without_defaults_golden(spark, tmp_path):
     got = open(out_path, encoding="utf-8").read()
     expected = open(f"{RES}/{_ETC}/expected-target.csv", encoding="utf-8").read()
     assert got == expected
+
+
+# --- MergeTwoCSV.scala (two TSVs merged on a mapping key, fixture DFASDLs) -------
+
+
+@requires_fixtures
+def test_merge_two_csv_fixture_golden(spark, tmp_path):
+    """merge/MergeTwoCSV.scala — two tab-separated files (7 + 8 columns,
+    disjoint except the shared ``id``) merged into one 14-column TSV via
+    ``MappingKeyFieldDefinition("id")``. Uses the reference's actual
+    DFASDL fixtures: the ``\\t`` stop-signs must decode to real tabs on
+    read AND write, the formatnum money columns parse as doubles, and
+    the target's leading ``<str id="firstLine"/>`` emits nothing.
+
+    The reference drives this property-based with insertion-order
+    output; a distributed merge needs an explicit order, so the rows
+    use pre-sorted ids and ``order_by`` — same bytes, deterministic.
+    """
+    products = [
+        # (id, link, title, beschreibung, bildlink, marke, preis,
+        #  ean, gewicht, google_cat, verfuegbarkeit, produkttyp,
+        #  zustand, versand)
+        ("id-01", "http://www.example.com/a", "Alpha", "descA",
+         "http://img.example.com/a.jpg", "BrandA", "12.99",
+         "4006381333931", "0.75", "catA", "in stock", "typeA", "new",
+         "3.95"),
+        ("id-02", "http://www.example.com/b", "Beta", "descB",
+         "http://img.example.com/b.jpg", "BrandB", "0.5",
+         "4006381333932", "12.25", "catB", "out of stock", "typeB",
+         "used", "0.0"),
+        ("id-03", "http://www.example.com/c", "Gamma", "descC",
+         "http://img.example.com/c.jpg", "BrandC", "199.99",
+         "4006381333933", "5.5", "catC", "in stock", "typeC", "broken",
+         "12.5"),
+    ]
+    src_a = tmp_path / "source-a.tsv"
+    src_b = tmp_path / "source-b.tsv"
+    src_a.write_text(
+        "\n".join("\t".join(p[:7]) for p in products), encoding="utf-8"
+    )
+    src_b.write_text(
+        "\n".join(
+            "\t".join((p[7], p[0], p[8], p[9], p[10], p[11], p[12], p[13]))
+            for p in products
+        ),
+        encoding="utf-8",
+    )
+    out_path = str(tmp_path / "merged.tsv")
+
+    a = source_spec(_read("merge/source-01-a.xml"), "a", str(src_a),
+                    fmt="csv", seq_id="product_list")
+    b = source_spec(_read("merge/source-01-b.xml"), "b", str(src_b),
+                    fmt="csv", seq_id="product_list")
+    tgt = target_spec(_read("merge/target-01.xml"), "out", out_path,
+                      fmt="csv", seq_id="product_list", mode="overwrite")
+    tgt.options.update({"single_file": True, "order_by": ["id"]})
+    assert tgt.options["sep"] == "\t"
+
+    recipe = Recipe(
+        "merge-products", "out", mapping_key="id",
+        mappings=(
+            Mapping(
+                (ColumnRef("a", "link"), ColumnRef("a", "title"),
+                 ColumnRef("a", "beschreibung"), ColumnRef("a", "bildlink"),
+                 ColumnRef("a", "marke"), ColumnRef("a", "preis"),
+                 ColumnRef("a", "id"), ColumnRef("b", "ean"),
+                 ColumnRef("b", "gewicht"), ColumnRef("b", "google_cat"),
+                 ColumnRef("b", "verfuegbarkeit"), ColumnRef("b", "produkttyp"),
+                 ColumnRef("b", "zustand"), ColumnRef("b", "versand")),
+                ("link", "title", "beschreibung", "bildlink", "marke",
+                 "preis", "id", "ean", "gewicht", "google_cat",
+                 "verfuegbarkeit", "produkttyp", "zustand", "versand"),
+            ),
+        ),
+    )
+    run_pipeline(spark, Pipeline("merge-two-csv", (a, b), (tgt,), (recipe,)))
+
+    expected = "\n".join(
+        "\t".join((p[1], p[2], p[3], p[4], p[5], p[6], p[0], p[7], p[8],
+                   p[9], p[10], p[11], p[12], p[13]))
+        for p in products
+    )
+    assert open(out_path, encoding="utf-8").read() == expected
+
+
+# --- ExcelToCSV.scala (legacy .xls → typed CSV with header) ----------------------
+
+
+@requires_fixtures
+def test_excel_to_csv_usecase_golden(spark, tmp_path):
+    """copy/ExcelToCSV.scala:40-153 — minimal.xls through the converter
+    and a two-recipe cookbook into a ``~~~``-separated CSV, byte-golden
+    against minimal-expected.csv. Pins the format-aware cell rendering:
+    date cells → ISO ("1987-03-22"), time cells → clock with zero
+    seconds dropped ("23:01", the LocalTime rendering the reference's
+    parse produces), and Concat(firstname, name). The reference's
+    MAP-HEADER recipe nullifies the source header so the target's
+    defaultstr emits — the default equals the target column names
+    joined by the separator, which is exactly the CSV header option.
+    """
+    src = source_spec(
+        _read("copy/excel/minimal.xml"), "people",
+        f"{RES}/copy/excel/minimal.xls", fmt="excel", seq_id="people",
+    )
+    out_path = str(tmp_path / "excel_out.csv")
+    tgt = target_spec(
+        _read("copy/excel/minimal-target.xml"), "out", out_path,
+        fmt="csv", seq_id="people", mode="overwrite",
+    )
+    tgt.options.update({"single_file": True, "header": "true"})
+    assert tgt.options["sep"] == "~~~"
+
+    def ref(col):
+        return ColumnRef("people", col)
+
+    recipe = Recipe(
+        "map-data", "out",
+        mappings=(
+            Mapping((ref("age"),), ("age",)),
+            Mapping((ref("price"),), ("price",)),
+            Mapping((ref("birthdate"),), ("birthdate",)),
+            Mapping((ref("birthtime"),), ("birthtime",)),
+            Mapping(
+                (ref("firstname"), ref("name")), ("name",),
+                mode="all_to_all",
+                transformers=(("concat", {"separator": " "}),),
+            ),
+        ),
+    )
+    pipeline = Pipeline("excel-to-csv", (src,), (tgt,), (recipe,))
+    # Parser row count: 3 (ExcelToCSV.scala:136-138).
+    assert read_source(spark, pipeline.source("people")).count() == 3
+    run_pipeline(spark, pipeline)
+
+    got = open(out_path, encoding="utf-8").read()
+    expected = open(
+        f"{RES}/copy/excel/minimal-expected.csv", encoding="utf-8"
+    ).read()
+    assert got == expected
+
+
+# --- EmailToCSV.scala (email-header grammar → single-record CSV) -----------------
+
+
+@requires_fixtures
+def test_email_to_csv_golden(spark, tmp_path):
+    """copy/EmailToCSV.scala — Subject/From/To extracted from an RFC822
+    message (the reference's actual email-01.txt) into a one-record CSV,
+    byte-golden against email-target-01-expected-data.csv (which KEEPS
+    its final newline — the non-seq <elem> target terminates its single
+    record, unlike seq outputs).
+
+    The reference parses the header block with a choice-of-celem
+    grammar (start-sign "Subject", stop-sign ":", trim="both" —
+    email-01.xml); the Spark-first equivalent is a wholeFile text read
+    with one anchored regex per header, distributed one-file-per-row
+    over a mail corpus.
+    """
+    from tensei_agent_spark.plans.spec import Field
+
+    def header_re(label):
+        return rf"(?m)^{label}:[ \t]*(.*?)[ \t]*$"
+
+    src = SourceSpec(
+        "email", "text", f"{RES}/copy/email-01.txt",
+        fields=(
+            Field("subjectValue", "string", format=header_re("Subject")),
+            Field("fromValue", "string", format=header_re("From")),
+            Field("toValue", "string", format=header_re("To")),
+        ),
+        options={"wholeFile": True},
+    )
+    out_path = str(tmp_path / "email_out.csv")
+    tgt = target_spec(
+        _read("copy/email-target-01.xml"), "out", out_path,
+        fmt="csv", seq_id="row", mode="overwrite",
+    )
+    assert tgt.options["trailing_newline"] is True
+    tgt.options.update({"single_file": True})
+
+    recipe = Recipe(
+        "email-fields", "out",
+        mappings=(
+            Mapping(
+                (ColumnRef("email", "subjectValue"),
+                 ColumnRef("email", "fromValue"),
+                 ColumnRef("email", "toValue")),
+                ("subject", "from", "to"),
+            ),
+        ),
+    )
+    run_pipeline(spark, Pipeline("email-to-csv", (src,), (tgt,), (recipe,)))
+
+    got = open(out_path, encoding="utf-8").read()
+    expected = open(
+        f"{RES}/copy/email-target-01-expected-data.csv", encoding="utf-8"
+    ).read()
+    assert got == expected
