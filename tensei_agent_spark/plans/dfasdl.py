@@ -44,6 +44,7 @@ ref          no input consumed — copy of element ``sid`` (projection
 
 from __future__ import annotations
 
+import re
 import xml.etree.ElementTree as ET
 from collections import Counter
 from dataclasses import dataclass, field as dc_field
@@ -79,7 +80,13 @@ def _type_of(tag: str, a: dict) -> str:
         )
     if tag == "date":
         return "date"
-    if tag in ("datetime", "formattime"):
+    if tag == "formattime":
+        # A date-only pattern (no clock tokens) parses to a LocalDate in
+        # the reference — rendered "2000-12-24" into string targets
+        # (copy/target-02.csv), not "2000-12-24 00:00:00".
+        pat = re.sub(r"'[^']*'", "", a.get("format", ""))
+        return "timestamp" if re.search(r"[HhmsSaK]", pat) else "date"
+    if tag == "datetime":
         return "timestamp"
     if tag == "bin":
         return "binary"
@@ -227,6 +234,30 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
                 opts["sep"] = (
                     Counter(signs).most_common(1)[0][0].replace("\\t", "\t")
                 )
+                # Per-field stop-signs, for the stream-grammar reader
+                # and the raw writer. `seps` (one per column gap) only
+                # when they actually differ — a layout like
+                # copy/target-01.xml (" : " then ",") can't be written
+                # with a single separator.
+                opts["stop_signs"] = tuple(
+                    (n.attrib.get("stop-sign") or "").replace("\\t", "\t")
+                    or None
+                    for n, _ in leaves
+                )
+                if len(set(signs)) > 1:
+                    opts["seps"] = tuple(
+                        (n.attrib.get("stop-sign") or opts["sep"]).replace(
+                            "\\t", "\t"
+                        )
+                        for n, _ in leaves[:-1]
+                    )
+                if any("trim" in n.attrib for n, _ in leaves):
+                    # per-element trim attribute (both|left|right) — the
+                    # stream-grammar reader applies it; Spark's CSV
+                    # reader already trims via ignore*WhiteSpace.
+                    opts["trims"] = tuple(
+                        n.attrib.get("trim") for n, _ in leaves
+                    )
             # element-level parse attributes that Spark's reader takes
             # globally: formatnum locale separators and the formattime
             # pattern (Java DateTimeFormatter syntax on both sides)
@@ -237,7 +268,14 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
                 if tag == "formatnum" and "grouping-separator" in a:
                     opts.setdefault("groupingSeparator", a["grouping-separator"])
                 if tag == "formattime" and "format" in a:
-                    opts.setdefault("timestampFormat", a["format"])
+                    # date-typed patterns drive Spark's dateFormat, clock
+                    # patterns its timestampFormat (see _type_of)
+                    key = (
+                        "dateFormat"
+                        if _type_of("formattime", a) == "date"
+                        else "timestampFormat"
+                    )
+                    opts.setdefault(key, a["format"])
         if not fields_per_layout:
             raise ValueError(f"seq {seq.attrib.get('id')!r} has no <elem> row")
         if len(fields_per_layout) > 1:

@@ -272,8 +272,17 @@ def run_pipeline(
 
         # Parent-side: generate deterministic surrogate keys for
         # auto-increment columns and publish the (natural → generated)
-        # map for child recipes (≙ AutoIncrementValueBuffer).
-        auto_fields = [f for f in target.fields if f.auto_increment]
+        # map for child recipes (≙ AutoIncrementValueBuffer). Database
+        # targets only (that's where the reference's identity columns
+        # live) — or explicit opt-in via natural_key. A FILE target
+        # writes a nullified auto-inc column as empty, not generated
+        # (copy/target-02.csv's leading commas).
+        generate_keys = target.format == "jdbc" or "natural_key" in target.options
+        auto_fields = (
+            [f for f in target.fields if f.auto_increment]
+            if generate_keys
+            else []
+        )
         for af in auto_fields:
             natural = target.options.get("natural_key") or out.columns[0]
             start = int(target.options.get("auto_increment_start", 1))

@@ -21,6 +21,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..plans.spec import TargetSpec
 from . import register
@@ -28,15 +29,63 @@ from . import register
 
 @register("csv")
 def write_csv(df: DataFrame, spec: TargetSpec) -> None:
+    # Doubles render BigDecimal-style (the reference's formatnum values
+    # are BigDecimals; toPlainString prints integral values WITHOUT a
+    # fractional part): 123.0 → "123", 2.11111 → "2.11111"
+    # (copy/target-05..07 goldens). A genuinely scaled integral like
+    # BigDecimal("1.0") would print "1.0" there — double can't carry
+    # that scale, a documented non-divergence for the corpus.
+    for sf in df.schema.fields:
+        if sf.dataType.typeName() in ("double", "float"):
+            c = F.col(f"`{sf.name}`")
+            df = df.withColumn(
+                sf.name,
+                F.when(
+                    c == F.floor(c), c.cast("decimal(38,0)").cast("string")
+                ).otherwise(c.cast("string")),
+            )
     opts = {
         "header": "false",
         "sep": ",",
         "encoding": "UTF-8",
         "emptyValue": "",
         **{k: str(v) for k, v in spec.options.items()
-           if k not in ("single_file", "order_by", "limit", "trailing_newline")},
+           if k not in ("single_file", "order_by", "limit",
+                        "trailing_newline", "seps", "raw", "stop_signs")},
     }
     order_by = spec.options.get("order_by")
+    # Raw append mode (≙ FileWriterActor: cell payload + stop-sign, NO
+    # quoting ever — an embedded newline is written verbatim, see
+    # target-newline-01.csv). Triggered explicitly via ``raw`` or
+    # implicitly by per-column separators (``seps``, from a DFASDL whose
+    # stop-signs differ — copy/target-01.xml's " : " then ",") which a
+    # single-sep CSV writer cannot express. The row becomes ONE concat
+    # column written through the text writer; Catalyst still prunes and
+    # pushes as usual upstream of the projection.
+    seps = spec.options.get("seps")
+    if seps or str(spec.options.get("raw", "")).lower() in ("1", "true", "yes"):
+        gap = list(seps) if seps else [opts["sep"]] * (len(df.columns) - 1)
+
+        def _finalize(frame: DataFrame) -> DataFrame:
+            # applied AFTER any order_by sort — the sort needs the
+            # original columns, the text writer needs exactly one
+            parts = []
+            for i, c in enumerate(frame.columns):
+                parts.append(
+                    F.coalesce(F.col(f"`{c}`").cast("string"), F.lit(""))
+                )
+                if i < len(frame.columns) - 1:
+                    parts.append(F.lit(gap[i]))
+            return frame.select(F.concat(*parts).alias("value"))
+
+        opts = {
+            k: v for k, v in opts.items()
+            if k in ("encoding", "lineSep", "compression")
+        }
+        _write = lambda w, path: w.options(**opts).text(path)  # noqa: E731
+    else:
+        _finalize = lambda frame: frame  # noqa: E731
+        _write = lambda w, path: w.options(**opts).csv(path)  # noqa: E731
     # Non-seq (single-record <elem>) targets DO keep the final record
     # terminator (plans/dfasdl synthesizes trailing_newline for them).
     keep_trailing = str(spec.options.get("trailing_newline", "")).lower() in (
@@ -53,8 +102,12 @@ def write_csv(df: DataFrame, spec: TargetSpec) -> None:
         if order_by:
             one = one.sortWithinPartitions(*order_by)
         tmp = spec.uri + "._spark_tmp"
-        (one.write.mode(spec.mode if spec.mode != "upsert" else "overwrite")
-            .options(**opts).csv(tmp))
+        _write(
+            _finalize(one).write.mode(
+                spec.mode if spec.mode != "upsert" else "overwrite"
+            ),
+            tmp,
+        )
         part = glob.glob(os.path.join(tmp, "part-*"))[0]
         shutil.move(part, spec.uri)
         shutil.rmtree(tmp)
@@ -80,6 +133,9 @@ def write_csv(df: DataFrame, spec: TargetSpec) -> None:
         # the documented `order_by` contract (the range-sampling double-scan
         # concern only bites the observe-metrics single_file path above).
         writer = df.orderBy(*order_by) if order_by else df
-        writer.write.mode(spec.mode if spec.mode != "upsert" else "overwrite").options(
-            **opts
-        ).csv(spec.uri)
+        _write(
+            _finalize(writer).write.mode(
+                spec.mode if spec.mode != "upsert" else "overwrite"
+            ),
+            spec.uri,
+        )

@@ -17,9 +17,84 @@ from ..plans.spec import Field, SourceSpec
 from . import register, to_struct_type
 
 
+def _read_stream_grammar(
+    spark: SparkSession, spec: SourceSpec, stop_signs: tuple,
+    trims: tuple = (),
+) -> DataFrame:
+    """Stop-sign stream parse (≙ ``FileParserFunctions.scala:84-133``
+    regex grammar): records are NOT line-delimited — each field consumes
+    characters until its stop-sign, so values may contain raw, unquoted
+    newlines (the reference's ``source-newline-01.csv``). Spark's CSV
+    reader is line-based and cannot express that; instead each file is
+    read whole and one record-regex (non-greedy group per field, dotall)
+    is applied with ``regexp_extract_all`` → ``arrays_zip`` → explode.
+
+    Stop-signs are regex fragments, exactly as the reference compiles
+    them. The last field's missing stop-sign means end-of-line/file.
+    Scale shape: one row per FILE before the explode — right for the
+    many-files corpus this grammar targets; a single huge grammar file
+    would need a custom splittable input, which the reference (one
+    sequential stream) never had either.
+    """
+    pat = "(?s)"
+    for ss in stop_signs[:-1]:
+        pat += f"(.*?)(?:{ss or chr(10)})"
+    pat += "(.*?)(?:\r?\n|$)" if stop_signs[-1] is None else (
+        f"(.*?)(?:{stop_signs[-1]})"
+    )
+    blob = spark.read.text(spec.uri, wholetext=True)
+    n = len(spec.fields)
+    zipped = F.arrays_zip(
+        *[
+            F.regexp_extract_all("value", F.lit(pat), i + 1).alias(f"_g{i}")
+            for i in range(n)
+        ]
+    )
+    rec = F.explode(zipped).alias("_rec")
+
+    def _trimmed(c, i):
+        # per-element DFASDL trim attribute; a padded source may pad
+        # with the separator character itself (trailing tabs in
+        # source-newline-02.tsv), so trim runs BEFORE the type cast.
+        # Java's String.trim drops every char ≤ 0x20 — Spark's trim()
+        # only drops spaces, so use regexp (\s covers tab/CR/LF).
+        mode = trims[i] if i < len(trims) else None
+        if mode == "both":
+            return F.regexp_replace(c, r"^\s+|\s+$", "")
+        if mode == "left":
+            return F.regexp_replace(c, r"^\s+", "")
+        if mode == "right":
+            return F.regexp_replace(c, r"\s+$", "")
+        return c
+
+    out = blob.select(rec).select(
+        *[
+            _trimmed(F.col(f"_rec._g{i}"), i).cast(f.type).alias(f.name)
+            for i, f in enumerate(spec.fields)
+        ]
+    )
+    # An all-empty match (e.g. a separator-only line) is no record —
+    # the reference's parser yields nothing for it.
+    non_empty = None
+    for f in spec.fields:
+        c = F.col(f.name).cast("string") != ""
+        non_empty = c if non_empty is None else (non_empty | c)
+    return _apply_defaults(out.filter(non_empty), spec)
+
+
 @register("csv")
 def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     options = dict(spec.options)
+    stop_signs = options.pop("stop_signs", None)
+    options.pop("seps", None)
+    trims = options.pop("trims", None) or ()
+    if options.pop("stream_grammar", False):
+        if not spec.fields:
+            raise ValueError("stream_grammar needs an explicit field list")
+        signs = tuple(stop_signs) if stop_signs else (
+            (options.get("sep", ","),) * (len(spec.fields) - 1) + (None,)
+        )
+        return _read_stream_grammar(spark, spec, signs, tuple(trims))
     # formatnum locale attributes (≙ decimal-separator / grouping on the
     # reference's formatnum elements, ExcelToCSVConverter locale path):
     # numeric fields are read as strings and normalized JVM-side.
@@ -56,7 +131,12 @@ def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     localized = ()
     if spec.fields is not None:
         read_fields = spec.fields
-        if dec_sep and dec_sep != ".":
+        if dec_sep:
+            # Any dec-sep (incl '.') activates the formatnum cleanup:
+            # the reference strips EVERY captured non-digit that isn't
+            # the declared decimal separator — "22⎖33" with dec-sep "."
+            # is 2233, with dec-sep "⎖" it's 22.33 (CopyCSVTest
+            # source-05/06/07 ↔ target-05/06/07 goldens).
             from dataclasses import replace
 
             localized = tuple(
@@ -75,11 +155,15 @@ def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     else:
         reader = reader.option("inferSchema", "true")
     df = reader.csv(spec.uri)
+    if localized:
+        import re as _re
+
+        strip = f"[^0-9\\-{_re.escape(dec_sep)}]"
     for f in localized:
-        c = F.col(f.name)
-        if grp_sep:
-            c = F.translate(c, grp_sep, "")
-        df = df.withColumn(f.name, F.translate(c, dec_sep, ".").cast(f.type))
+        c = F.regexp_replace(F.col(f.name), strip, "")
+        if dec_sep != ".":
+            c = F.translate(c, dec_sep, ".")
+        df = df.withColumn(f.name, c.cast(f.type))
     return _apply_defaults(df, spec)
 
 

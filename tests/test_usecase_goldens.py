@@ -710,7 +710,7 @@ def test_merge_two_csv_fixture_golden(spark, tmp_path):
         ("id-02", "http://www.example.com/b", "Beta", "descB",
          "http://img.example.com/b.jpg", "BrandB", "0.5",
          "4006381333932", "12.25", "catB", "out of stock", "typeB",
-         "used", "0.0"),
+         "used", "0.75"),
         ("id-03", "http://www.example.com/c", "Gamma", "descC",
          "http://img.example.com/c.jpg", "BrandC", "199.99",
          "4006381333933", "5.5", "catC", "in stock", "typeC", "broken",
@@ -879,3 +879,163 @@ def test_email_to_csv_golden(spark, tmp_path):
         f"{RES}/copy/email-target-01-expected-data.csv", encoding="utf-8"
     ).read()
     assert got == expected
+
+
+# --- CopyCSVTest.scala (file→file copies over the actual fixtures) ---------------
+
+
+def _copy_pipeline(src_xml, src_csv, tgt_xml, out_path, mappings,
+                   src_opts=None, tgt_opts=None):
+    src = source_spec(_read(f"copy/{src_xml}"), "in",
+                      f"{RES}/copy/{src_csv}", fmt="csv", seq_id=None)
+    src.options.update(src_opts or {})
+    tgt = target_spec(_read(f"copy/{tgt_xml}"), "out", out_path,
+                      fmt="csv", seq_id=None, mode="overwrite")
+    tgt.options.update({"single_file": True, **(tgt_opts or {})})
+    recipe = Recipe("copy", "out", mappings=mappings)
+    return Pipeline("copy-csv", (src,), (tgt,), (recipe,))
+
+
+def _in(col):
+    return ColumnRef("in", col)
+
+
+@requires_fixtures
+def test_copy_csv_same_dfasdl_golden(spark, tmp_path):
+    """CopyCSVTest.scala:33-89 — 1:1 copy, byte-identical output."""
+    out_path = str(tmp_path / "copy1.csv")
+    p = _copy_pipeline(
+        "source-01.xml", "source-01.csv", "source-01.xml", out_path,
+        (Mapping((_in("firstname"), _in("lastname"), _in("e-mail")),
+                 ("firstname", "lastname", "e-mail")),),
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == open(f"{RES}/copy/source-01.csv").read()
+
+
+@requires_fixtures
+def test_copy_csv_multi_separator_target_golden(spark, tmp_path):
+    """CopyCSVTest.scala:90-145 — the target DFASDL uses DIFFERENT
+    stop-signs per column (" : " after e-mail, "," after firstname);
+    the compiler emits per-gap ``seps`` and the sink takes the raw
+    concat path. Byte-golden against target-01.csv."""
+    out_path = str(tmp_path / "copy2.csv")
+    p = _copy_pipeline(
+        "source-01.xml", "source-01.csv", "target-01.xml", out_path,
+        (Mapping((_in("e-mail"), _in("firstname"), _in("lastname")),
+                 ("e-mail", "firstname", "lastname")),),
+    )
+    assert p.targets[0].options["seps"] == (" : ", ",")
+    run_pipeline(spark, p)
+    assert open(out_path).read() == open(f"{RES}/copy/target-01.csv").read()
+
+
+@requires_fixtures
+def test_copy_csv_trailing_linefeed_source_golden(spark, tmp_path):
+    """CopyCSVTest.scala:147-259 — a source file ending in a line feed
+    copies to the SAME bytes as one without (the empty tail is no
+    record)."""
+    out_path = str(tmp_path / "copy3.csv")
+    p = _copy_pipeline(
+        "source-01.xml", "source-01-with-line-feed-at-the-end.csv",
+        "source-01.xml", out_path,
+        (Mapping((_in("firstname"), _in("lastname"), _in("e-mail")),
+                 ("firstname", "lastname", "e-mail")),),
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == open(f"{RES}/copy/source-01.csv").read()
+
+
+@requires_fixtures
+def test_copy_csv_source02_to_employee_file_golden(spark, tmp_path):
+    """CopyCSVTest.scala:261-455 — trailing blank lines dropped, the
+    Nullify-mapped auto-increment id stays EMPTY in a file target
+    (",Doe,John,…" leading commas — no key generation outside a
+    database), and the date-only formattime birthday renders
+    "2000-12-24" into the string column. Byte-golden: target-02.csv."""
+    out_path = str(tmp_path / "copy4.csv")
+    p = _copy_pipeline(
+        "source-02.xml", "source-02.csv", "target-02.xml", out_path,
+        (
+            Mapping(
+                (_in("lastname"), _in("firstname"), _in("email"),
+                 _in("birthday"), _in("phone"), _in("division")),
+                ("lastname", "firstname", "email", "birthday", "phone",
+                 "department"),
+            ),
+            Mapping((_in("lastname"),), ("id",),
+                    transformers=(("nullify", {}),)),
+        ),
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == open(f"{RES}/copy/target-02.csv").read()
+
+
+@requires_fixtures
+def test_copy_csv_unquoted_newline_column_golden(spark, tmp_path):
+    """CopyCSVTest.scala:489-552 — a value with a RAW unquoted newline
+    ("Sie ist eine\\nSpezialistin der Medizin"): the stop-sign stream
+    grammar must parse across the line break (Spark's line-based CSV
+    reader cannot), and the raw writer must emit it verbatim, unquoted.
+    Byte-golden: target-newline-01.csv."""
+    out_path = str(tmp_path / "copy5.csv")
+    p = _copy_pipeline(
+        "source-newline-01.xml", "source-newline-01.csv",
+        "target-newline-01.xml", out_path,
+        (Mapping(
+            (_in("e-mail"), _in("firstname"), _in("lastname"),
+             _in("description")),
+            ("e-mail", "firstname", "lastname", "description"),
+        ),),
+        src_opts={"stream_grammar": True},
+        tgt_opts={"raw": True},
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == open(
+        f"{RES}/copy/target-newline-01.csv"
+    ).read()
+
+
+@requires_fixtures
+def test_copy_csv_unquoted_newline_tabs_golden(spark, tmp_path):
+    """CopyCSVTest.scala:553-611 — the tab-separated variant of the
+    unquoted-newline case. Byte-golden: target-newline-02.tsv."""
+    out_path = str(tmp_path / "copy6.tsv")
+    p = _copy_pipeline(
+        "source-newline-02.xml", "source-newline-02.tsv",
+        "target-newline-02.xml", out_path,
+        (Mapping(
+            (_in("e-mail"), _in("firstname"), _in("lastname"),
+             _in("description")),
+            ("e-mail", "firstname", "lastname", "description"),
+        ),),
+        src_opts={"stream_grammar": True},
+        tgt_opts={"raw": True},
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == open(
+        f"{RES}/copy/target-newline-02.tsv"
+    ).read()
+
+
+@pytest.mark.parametrize("case", ["05", "06", "07"])
+@requires_fixtures
+def test_copy_csv_decimal_separator_golden(spark, tmp_path, case):
+    """CopyCSVTest.scala:612-780 — formatnum decimal-separator parsing:
+    the SOURCE declares ',' / '.' / '⎖' as the decimal mark, every
+    other captured non-digit is stripped as grouping ("22⎖33" is 2233
+    under '.', 22.33 under '⎖'); the target renders with '.' and no
+    fractional part for integral values. Byte-golden against
+    target-05/06/07.csv."""
+    out_path = str(tmp_path / f"copy_dec_{case}.csv")
+    p = _copy_pipeline(
+        f"source-{case}.xml", f"source-{case}.csv",
+        f"target-{case}.xml", out_path,
+        (Mapping((_in("firstname"), _in("lastname"), _in("e-mail"),
+                  _in("value")),
+                 ("firstname", "lastname", "e-mail", "value")),),
+    )
+    run_pipeline(spark, p)
+    assert open(out_path, encoding="utf-8").read() == open(
+        f"{RES}/copy/target-{case}.csv", encoding="utf-8"
+    ).read()
