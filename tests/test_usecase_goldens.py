@@ -1039,3 +1039,27 @@ def test_copy_csv_decimal_separator_golden(spark, tmp_path, case):
     assert open(out_path, encoding="utf-8").read() == open(
         f"{RES}/copy/target-{case}.csv", encoding="utf-8"
     ).read()
+
+
+@pytest.mark.parametrize("src_csv", ["source-03.csv", "source-04.csv"])
+@requires_fixtures
+def test_copy_csv_blank_tail_variants_golden(spark, tmp_path, src_csv):
+    """CopyCSVTest.scala:338-487 — ten trailing line feeds (source-03),
+    or trailing lines of tabs and spaces (source-04): all dropped, same
+    golden bytes as the clean file (target-02.csv)."""
+    out_path = str(tmp_path / "copy_tail.csv")
+    p = _copy_pipeline(
+        "source-02.xml", src_csv, "target-02.xml", out_path,
+        (
+            Mapping(
+                (_in("lastname"), _in("firstname"), _in("email"),
+                 _in("birthday"), _in("phone"), _in("division")),
+                ("lastname", "firstname", "email", "birthday", "phone",
+                 "department"),
+            ),
+            Mapping((_in("lastname"),), ("id",),
+                    transformers=(("nullify", {}),)),
+        ),
+    )
+    run_pipeline(spark, p)
+    assert open(out_path).read() == open(f"{RES}/copy/target-02.csv").read()
