@@ -1439,12 +1439,18 @@ def t_string_chain(spark: SparkSession, sf: str) -> DataFrame:
            CAST(42 AS BIGINT) AS fixed_long,
            CAST(DATE '2020-01-02' AS VARCHAR) AS fixed_date,
            CAST(n_nationkey AS VARCHAR) AS key_str,
-           CAST(concat(CAST(n_nationkey AS VARCHAR), '7') AS BIGINT) AS key7_long
+           CAST(concat(CAST(n_nationkey AS VARCHAR), '7') AS BIGINT) AS key7_long,
+           CAST(0 AS BIGINT) AS default_long,
+           '1970-01-01 00:00:00' AS default_datetime,
+           '1970-01-01' AS default_date,
+           '00:00:00' AS default_time
     FROM nation
     """,
 )
 def t_overwrite_cast(spark: SparkSession, sf: str) -> DataFrame:
-    """Overwrite (typed constants) + CastStringToLong parity."""
+    """Overwrite (typed constants + the reference's PER-TYPE defaults
+    when value is missing, Overwrite.scala:44-52) + CastStringToLong
+    parity."""
     n = load(spark, sf, "nation")
     key_str = F.col("n_nationkey").cast("string")
     return n.select(
@@ -1458,6 +1464,12 @@ def t_overwrite_cast(spark: SparkSession, sf: str) -> DataFrame:
         .alias("fixed_date"),
         key_str.alias("key_str"),
         T("cast_string_to_long", [F.concat(key_str, F.lit("7"))])[0].alias("key7_long"),
+        # no value → typed defaults (epoch datetime/date, zero, midnight)
+        T("overwrite", [], type="long")[0].alias("default_long"),
+        F.date_format(T("overwrite", [], type="datetime")[0],
+                      "yyyy-MM-dd HH:mm:ss").alias("default_datetime"),
+        T("overwrite", [], type="date")[0].cast("string").alias("default_date"),
+        T("overwrite", [], type="time")[0].alias("default_time"),
     )
 
 

@@ -204,9 +204,89 @@ def excel_to_csv(path: str, sheet: str | int = 0, out_dir: str | None = None) ->
     return dest
 
 
+def read_excel_distributed(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    """Many-workbook ingest: one executor task per FILE instead of a
+    driver-side staging pass.
+
+    ``spec.uri`` may be a directory or glob over thousands of ``.xls``/
+    ``.xlsx`` files. Workbook bytes arrive via Spark's ``binaryFile``
+    source; both stdlib readers here are pure functions over bytes, so
+    the grid extraction runs inside ``mapInPandas`` (Arrow-batched, no
+    JVM round-trips per cell) and only the typed ROWS cross back —
+    never the workbook blobs. Cell values are the same rendered strings
+    the staging converter emits (xlfmt dates/times/percents included),
+    then cast to the DFASDL field types.
+
+    Options: ``sheet`` (name or index), ``header`` — truthy skips the
+    first row of EVERY workbook (the per-file header line).
+    """
+    import pandas as pd
+
+    fields = spec.fields
+    if not fields:
+        raise ValueError("read_excel_distributed needs an explicit field list")
+    sheet = spec.options.get("sheet", 0)
+    skip_header = str(spec.options.get("header", "")).lower() in (
+        "1", "true", "yes",
+    )
+    names = [f.name for f in fields]
+
+    def convert(batches):
+        import io
+        import os as _os
+        import tempfile as _tf
+
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                # both readers take a filename; spill the blob to the
+                # task's local scratch (workbooks are small relative to
+                # executor disk; content is already fully in memory)
+                suffix = _os.path.splitext(path)[1] or ".xlsx"
+                with _tf.NamedTemporaryFile(suffix=suffix, delete=False) as fh:
+                    fh.write(bytes(content))
+                    tmp = fh.name
+                try:
+                    if suffix.lower() in (".xlsx", ".xlsm"):
+                        rows = read_xlsx_rows(tmp, sheet=sheet)
+                    else:
+                        from .biff import read_xls_rows
+
+                        rows = read_xls_rows(tmp, sheet=sheet)
+                finally:
+                    _os.unlink(tmp)
+                if skip_header:
+                    rows = rows[1:]
+                data = [
+                    [(r[i] if i < len(r) and r[i] != "" else None)
+                     for i in range(len(names))]
+                    for r in rows
+                ]
+                yield pd.DataFrame(data, columns=names, dtype=object)
+
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", spec.options.get("glob", "*.xls*"))
+        .load(spec.uri)
+        .select("path", "content")
+    )
+    as_strings = blobs.mapInPandas(
+        convert, schema=", ".join(f"`{n}` string" for n in names)
+    )
+    from pyspark.sql import functions as F
+
+    out = as_strings.select(
+        *[F.col(f"`{f.name}`").cast(f.type).alias(f.name) for f in fields]
+    )
+    from .csv import _apply_defaults
+
+    return _apply_defaults(out, spec)
+
+
 @register("excel")
 def read_excel(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     opts = dict(spec.options)
+    if opts.pop("distributed", False):
+        return read_excel_distributed(spark, spec)
     sheet = opts.pop("sheet", 0)
     staged = excel_to_csv(spec.uri, sheet=sheet)
     csv_spec = SourceSpec(

@@ -511,3 +511,39 @@ def test_xlsx_multiline_cell_and_empty_row(tmp_path, spark):
     )
     got = {r["id"]: r["note"] for r in read_source(spark, spec).collect()}
     assert got[1] == "line1\nline2" and got[3] == "plain"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/src/it/resources/usecases/copy/excel"),
+    reason="reference fixture corpus not present",
+)
+def test_excel_distributed_many_files(spark, tmp_path):
+    """Distributed workbook ingest: N files → binaryFile + mapInPandas,
+    one task per workbook, typed rows out — the 100 TB path for an
+    Excel corpus (the staging converter is per-file driver work)."""
+    import shutil as _sh
+
+    src = "/root/reference/src/it/resources/usecases/copy/excel/minimal.xls"
+    d = tmp_path / "books"
+    d.mkdir()
+    for i in range(3):
+        _sh.copy(src, d / f"book{i}.xls")
+
+    spec = SourceSpec(
+        "people", "excel", str(d),
+        (Field("name"), Field("firstname"), Field("age", "long"),
+         Field("price", "double"), Field("birthdate", "date"),
+         Field("birthtime")),
+        options={"distributed": True, "header": "true"},
+    )
+    from tensei_agent_spark.sources import read_source
+
+    df = read_source(spark, spec)
+    rows = df.collect()
+    assert len(rows) == 9  # 3 files × 3 data rows
+    got = {(r["name"], r["age"], str(r["birthdate"]), r["birthtime"])
+           for r in rows}
+    assert ("Mustermann", 30, "1987-03-22", "12:30:22") in got
+    assert ("Musterkind", 5, "2012-03-28", "23:01") in got
+    # the format-aware rendering must match the staging converter's
+    assert {str(r["price"]) for r in rows} == {"9.3", "222.21", "12.22"}
