@@ -70,6 +70,14 @@ def prepare(df: DataFrame, spec: TargetSpec) -> DataFrame:
                     F.col(f.name).rlike(f.format), F.col(f.name)
                 ),
             )
+        if f.max_length and f.type == "string":
+            # dfasdl-utils processStringData cuts an overlong value to
+            # the target's max-length (ProcessorTest "should truncate
+            # the appropriate target fields",
+            # processors/long-column-expected-target.csv)
+            out = out.withColumn(
+                f.name, F.substring(F.col(f.name), 1, int(f.max_length))
+            )
     unique_cols = [f.name for f in spec.fields if f.unique and f.name in out.columns]
     if unique_cols:
         from ..operators.dedup import dedup_exact

@@ -20,6 +20,7 @@ from . import register, to_struct_type
 def _read_stream_grammar(
     spark: SparkSession, spec: SourceSpec, stop_signs: tuple,
     trims: tuple = (),
+    leading: int = 0,
 ) -> DataFrame:
     """Stop-sign stream parse (≙ ``FileParserFunctions.scala:84-133``
     regex grammar): records are NOT line-delimited — each field consumes
@@ -43,6 +44,13 @@ def _read_stream_grammar(
         f"(.*?)(?:{stop_signs[-1]})"
     )
     blob = spark.read.text(spec.uri, wholetext=True)
+    if leading:
+        # leading top-level DFASDL elements = header lines, per file
+        blob = blob.select(
+            F.regexp_replace(
+                "value", f"^(?:[^\n]*\n){{{int(leading)}}}", ""
+            ).alias("value")
+        )
     n = len(spec.fields)
     zipped = F.arrays_zip(
         *[
@@ -94,7 +102,10 @@ def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         signs = tuple(stop_signs) if stop_signs else (
             (options.get("sep", ","),) * (len(spec.fields) - 1) + (None,)
         )
-        return _read_stream_grammar(spark, spec, signs, tuple(trims))
+        return _read_stream_grammar(
+            spark, spec, signs, tuple(trims),
+            leading=int(options.get("leading_lines", 0) or 0),
+        )
     # formatnum locale attributes (≙ decimal-separator / grouping on the
     # reference's formatnum elements, ExcelToCSVConverter locale path):
     # numeric fields are read as strings and normalized JVM-side.

@@ -1063,3 +1063,85 @@ def test_copy_csv_blank_tail_variants_golden(spark, tmp_path, src_csv):
     )
     run_pipeline(spark, p)
     assert open(out_path).read() == open(f"{RES}/copy/target-02.csv").read()
+
+
+# --- ProcessorTest.scala (processor-core goldens over its fixtures) --------------
+
+_PROC = "/root/reference/src/test/resources/com/wegtam/tensei/agent/processors"
+
+requires_proc_fixtures = pytest.mark.skipif(
+    not os.path.isdir(_PROC), reason="reference fixture corpus not present"
+)
+
+
+def _proc_read(name: str) -> str:
+    with open(f"{_PROC}/{name}", encoding="utf-8") as fh:
+        return fh.read()
+
+
+@requires_proc_fixtures
+def test_processor_simple_copy_golden(spark, tmp_path):
+    """ProcessorTest.scala:31-96 — ONE DFASDL as source and target; the
+    header line is consumed on read and NOT re-emitted on write.
+    Byte-golden: simple-dfasdl-data-expected-target.csv."""
+    out_path = str(tmp_path / "proc1.csv")
+    src = source_spec(_proc_read("simple-dfasdl.xml"), "in",
+                      f"{_PROC}/simple-dfasdl-data.csv", fmt="csv",
+                      seq_id="rows")
+    tgt = target_spec(_proc_read("simple-dfasdl.xml"), "out", out_path,
+                      fmt="csv", seq_id="rows", mode="overwrite")
+    tgt.options.update({"single_file": True})
+    recipe = Recipe("copy-columns", "out", mappings=(
+        Mapping((_in("firstname"), _in("lastname"), _in("email"),
+                 _in("birthday")),
+                ("firstname", "lastname", "email", "birthday")),
+    ))
+    run_pipeline(spark, Pipeline("proc-simple", (src,), (tgt,), (recipe,)))
+    assert open(out_path, encoding="utf-8").read() == _proc_read(
+        "simple-dfasdl-data-expected-target.csv"
+    )
+
+
+@requires_proc_fixtures
+def test_processor_maxlength_truncation_golden(spark, tmp_path):
+    """ProcessorTest.scala:99-175 — the free-text ``notes`` column
+    CONTAINS the source separator (commas inside prose), so only the
+    stop-sign stream grammar parses it (last field runs to end of
+    line); the target's ``max-length="32"`` truncates on write and the
+    two-column target mixes separators (" : "). Byte-golden:
+    long-column-expected-target.csv."""
+    out_path = str(tmp_path / "proc2.csv")
+    src = source_spec(_proc_read("long-column-source.xml"), "in",
+                      f"{_PROC}/long-column.csv", fmt="csv", seq_id="rows")
+    src.options["stream_grammar"] = True
+    tgt = target_spec(_proc_read("long-column-target.xml"), "out", out_path,
+                      fmt="csv", seq_id="rows", mode="overwrite")
+    tgt.options.update({"single_file": True})
+    recipe = Recipe("copy-columns", "out", mappings=(
+        Mapping((_in("birthday"), _in("notes")), ("birthday", "notes")),
+    ))
+    run_pipeline(spark, Pipeline("proc-long", (src,), (tgt,), (recipe,)))
+    assert open(out_path, encoding="utf-8").read() == _proc_read(
+        "long-column-expected-target.csv"
+    )
+
+
+@requires_proc_fixtures
+def test_processor_empty_source_golden(spark, tmp_path):
+    """ProcessorTest.scala:177-247 — an empty source yields an EMPTY
+    target file, not a failure."""
+    out_path = str(tmp_path / "proc3.csv")
+    src = source_spec(_proc_read("simple-dfasdl.xml"), "in",
+                      f"{_PROC}/empty.csv", fmt="csv", seq_id="rows")
+    tgt = target_spec(_proc_read("simple-dfasdl.xml"), "out", out_path,
+                      fmt="csv", seq_id="rows", mode="overwrite")
+    tgt.options.update({"single_file": True})
+    recipe = Recipe("copy-columns", "out", mappings=(
+        Mapping((_in("firstname"), _in("lastname"), _in("email"),
+                 _in("birthday")),
+                ("firstname", "lastname", "email", "birthday")),
+    ))
+    run_pipeline(spark, Pipeline("proc-empty", (src,), (tgt,), (recipe,)))
+    assert open(out_path, encoding="utf-8").read() == _proc_read(
+        "empty-expected-target.csv"
+    )
