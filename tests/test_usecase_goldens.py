@@ -1145,3 +1145,27 @@ def test_processor_empty_source_golden(spark, tmp_path):
     assert open(out_path, encoding="utf-8").read() == _proc_read(
         "empty-expected-target.csv"
     )
+
+
+@requires_proc_fixtures
+def test_processor_numeric_roundtrip_golden(spark, tmp_path):
+    """processors/files/CSVProcessorTest.scala — num and formatnum
+    columns round-trip byte-exact (42, 3.14, -2.71: the BigDecimal-style
+    rendering must not emit "42.0" or lose signs)."""
+    files = f"{_PROC}/files"
+    out_path = str(tmp_path / "files1.csv")
+
+    def _r(name):
+        return open(f"{files}/{name}", encoding="utf-8").read()
+
+    src = source_spec(_r("simple-01.xml"), "in", f"{files}/simple-01.csv",
+                      fmt="csv", seq_id="rows")
+    tgt = target_spec(_r("simple-01.xml"), "out", out_path, fmt="csv",
+                      seq_id="rows", mode="overwrite")
+    tgt.options.update({"single_file": True})
+    cols = ("firstname", "lastname", "email", "integer", "float1", "float2")
+    recipe = Recipe("copy", "out", mappings=(
+        Mapping(tuple(_in(c) for c in cols), cols),
+    ))
+    run_pipeline(spark, Pipeline("proc-files", (src,), (tgt,), (recipe,)))
+    assert open(out_path, encoding="utf-8").read() == _r("simple-01-target.csv")
