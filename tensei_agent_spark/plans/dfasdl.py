@@ -93,10 +93,36 @@ def _type_of(tag: str, a: dict) -> str:
     return "string"
 
 
+def _uniquify(fields: tuple) -> tuple:
+    """Resolve missing/duplicate field names positionally — the vCard
+    grammar's label elements carry only ``class="label"``, no id
+    (FileParsers/vCard/complex-01.xml), so several fields would
+    otherwise collide."""
+    from dataclasses import replace
+
+    seen: dict[str, int] = {}
+    out = []
+    for i, f in enumerate(fields):
+        name = f.name or f"_f{i}"
+        if name in seen:
+            seen[name] += 1
+            name = f"{name}__{seen[name]}"
+        else:
+            seen[name] = 0
+        out.append(replace(f, name=name) if name != f.name else f)
+    return tuple(out)
+
+
 def _field_of(node: ET.Element, prefix: str) -> Field:
     tag = _local(node.tag)
     a = node.attrib
-    name = a.get("db-column-name") or a.get("json-attribute-name") or a["id"]
+    name = (
+        a.get("db-column-name")
+        or a.get("json-attribute-name")
+        or a.get("id")
+        or a.get("class")
+        or ""
+    )
     if prefix:
         name = f"{prefix}.{name}"
     default: str | int | float | None = None
@@ -121,6 +147,7 @@ def _field_of(node: ET.Element, prefix: str) -> Field:
         length=int(a["length"]) if "length" in a else None,
         max_length=int(a["max-length"]) if "max-length" in a else None,
         ref=a.get("sid") if tag == "ref" else None,
+        start_sign=a.get("start-sign"),
     )
 
 
@@ -153,6 +180,50 @@ class SeqSchema:
     # column name -> referenced DFASDL element id (resolve against the
     # full document via resolve_foreign_keys)
     foreign_keys: dict = dc_field(default_factory=dict, hash=False)
+
+
+def _unescape_sign(s: str) -> str:
+    """``\\t`` is the only escape the reference's stop-sign WRITER
+    decodes (FileWriterActor.scala:231-251); on the READ side stop-signs
+    are regex fragments, so a single regex-escaped char (``\\|``) means
+    that literal char for the line-based reader."""
+    s = s.replace("\\t", "\t")
+    if len(s) == 2 and s[0] == "\\" and not s[1].isalnum():
+        return s[1]
+    return s
+
+
+def _layout_opts(leaves: list, opts: dict) -> None:
+    """Derive the flat-file read/write options of one row layout: the
+    modal separator, per-field stop-signs (stream grammar), per-gap
+    separators when they differ (raw writer), per-element trims."""
+    signs = [
+        n.attrib["stop-sign"]
+        for n, _ in leaves[:-1]
+        if "stop-sign" in n.attrib
+    ]
+    if signs and "sep" not in opts:
+        opts["sep"] = _unescape_sign(Counter(signs).most_common(1)[0][0])
+        # Per-field stop-signs, for the stream-grammar reader and the
+        # raw writer. `seps` (one per column gap) only when they
+        # actually differ — a layout like copy/target-01.xml (" : "
+        # then ",") can't be written with a single separator.
+        opts["stop_signs"] = tuple(
+            (n.attrib.get("stop-sign") or "").replace("\\t", "\t") or None
+            for n, _ in leaves
+        )
+        if len(set(signs)) > 1:
+            opts["seps"] = tuple(
+                _unescape_sign(n.attrib.get("stop-sign") or opts["sep"])
+                for n, _ in leaves[:-1]
+            )
+    if any("trim" in n.attrib for n, _ in leaves):
+        # per-element trim attribute (both|left|right) — the
+        # stream-grammar reader applies it; Spark's CSV reader already
+        # trims via ignore*WhiteSpace.
+        opts.setdefault(
+            "trims", tuple(n.attrib.get("trim") for n, _ in leaves)
+        )
 
 
 def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
@@ -210,11 +281,15 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
             leaves: list[tuple[ET.Element, str]] = []
             for wrapper in layout:
                 leaves.extend(_collect_leaves(wrapper))
-            fields = tuple(_field_of(n, pfx) for n, pfx in leaves)
+            fields = _uniquify(tuple(_field_of(n, pfx) for n, pfx in leaves))
             if not fields_per_layout:
                 # element ids ride along for document-wide FK resolution
-                # (field names may be db-column-name overrides)
-                opts["_element_ids"] = tuple(n.attrib["id"] for n, _ in leaves)
+                # (field names may be db-column-name overrides; id-less
+                # elements fall back to the synthesized field name)
+                opts["_element_ids"] = tuple(
+                    n.attrib.get("id") or f.name
+                    for (n, _), f in zip(leaves, fields)
+                )
             fields_per_layout.append(fields)
             for (n, pfx), f in zip(leaves, fields):
                 if "db-foreign-key" in n.attrib:
@@ -222,42 +297,7 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
             # flat-file separator: the modal stop-sign of the layout's
             # non-terminal elements (the last element's stop-sign — the
             # row terminator, typically \n — is the line split)
-            signs = [
-                n.attrib["stop-sign"]
-                for n, _ in leaves[:-1]
-                if "stop-sign" in n.attrib
-            ]
-            if signs and "sep" not in opts:
-                # ``\t`` is the only escape the reference's stop-sign
-                # writer decodes (FileWriterActor.scala:231-251); other
-                # backslash pairs stay literal.
-                opts["sep"] = (
-                    Counter(signs).most_common(1)[0][0].replace("\\t", "\t")
-                )
-                # Per-field stop-signs, for the stream-grammar reader
-                # and the raw writer. `seps` (one per column gap) only
-                # when they actually differ — a layout like
-                # copy/target-01.xml (" : " then ",") can't be written
-                # with a single separator.
-                opts["stop_signs"] = tuple(
-                    (n.attrib.get("stop-sign") or "").replace("\\t", "\t")
-                    or None
-                    for n, _ in leaves
-                )
-                if len(set(signs)) > 1:
-                    opts["seps"] = tuple(
-                        (n.attrib.get("stop-sign") or opts["sep"]).replace(
-                            "\\t", "\t"
-                        )
-                        for n, _ in leaves[:-1]
-                    )
-                if any("trim" in n.attrib for n, _ in leaves):
-                    # per-element trim attribute (both|left|right) — the
-                    # stream-grammar reader applies it; Spark's CSV
-                    # reader already trims via ignore*WhiteSpace.
-                    opts["trims"] = tuple(
-                        n.attrib.get("trim") for n, _ in leaves
-                    )
+            _layout_opts(leaves, opts)
             # element-level parse attributes that Spark's reader takes
             # globally: formatnum locale separators and the formattime
             # pattern (Java DateTimeFormatter syntax on both sides)
@@ -289,10 +329,11 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
             )
         )
     if not seqs:
-        # A document whose row container is a bare top-level <elem>
-        # (no seq) describes a SINGLE record — the reference's
-        # EmailToCSV target (email-target-01.xml). The writer DOES
-        # terminate that record (the golden
+        # A document whose row container is a bare top-level <elem> —
+        # or nothing but top-level data elements — describes a SINGLE
+        # record (the reference's EmailToCSV target email-target-01.xml;
+        # the FileParsers/CSV/simple-01.xml conformance family). The
+        # writer DOES terminate that record (the golden
         # email-target-01-expected-data.csv ends with a newline, unlike
         # seq outputs), hence trailing_newline.
         for wrapper in root:
@@ -301,25 +342,33 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
             leaves = _collect_leaves(wrapper)
             if not leaves:
                 continue
-            fields = tuple(_field_of(n, pfx) for n, pfx in leaves)
+            fields = _uniquify(tuple(_field_of(n, pfx) for n, pfx in leaves))
             opts = {"limit": 1, "trailing_newline": True}
             if encoding:
                 opts["encoding"] = encoding
-            signs = [
-                n.attrib["stop-sign"]
-                for n, _ in leaves[:-1]
-                if "stop-sign" in n.attrib
-            ]
-            if signs:
-                opts["sep"] = (
-                    Counter(signs).most_common(1)[0][0].replace("\\t", "\t")
-                )
-            opts["_element_ids"] = tuple(n.attrib["id"] for n, _ in leaves)
+            _layout_opts(leaves, opts)
+            opts["_element_ids"] = tuple(
+                n.attrib.get("id") or f.name
+                for (n, _), f in zip(leaves, fields)
+            )
             seqs.append(
                 SeqSchema(
                     seq_id=wrapper.attrib["id"], fields=fields, options=opts
                 )
             )
+    if not seqs:
+        bare = [(n, "") for n in root if _local(n.tag) in _DATA_TAGS]
+        if bare:
+            fields = _uniquify(tuple(_field_of(n, pfx) for n, pfx in bare))
+            opts = {"limit": 1, "trailing_newline": True}
+            if encoding:
+                opts["encoding"] = encoding
+            _layout_opts(bare, opts)
+            opts["_element_ids"] = tuple(
+                n.attrib.get("id") or f.name
+                for (n, _), f in zip(bare, fields)
+            )
+            seqs.append(SeqSchema(seq_id="record", fields=fields, options=opts))
     if not seqs:
         raise ValueError("DFASDL document contains no seq/fixseq")
     return seqs

@@ -57,6 +57,11 @@ class Field:
     # ``BaseParser.scala:285-312`` SaveReferenceData). Applied as a
     # post-read projection alias in sources/__init__.read_source.
     ref: str | None = None
+    # DFASDL ``start-sign``: regex the value must BEGIN with — choice
+    # branches use it to reject rows (a branch whose first element
+    # carries start-sign="\\w" never matches an empty line,
+    # FileParsers/CSV/complex-02-with-seq.xml).
+    start_sign: str | None = None
 
 
 @dataclass(frozen=True)

@@ -238,13 +238,31 @@ def read_choice(
             union_fields.setdefault(f.name, f.type)
     structs = []
     for i, (fields, sep) in enumerate(layouts):
-        schema = to_struct_type(fields)
-        parsed = F.from_csv(F.col("value"), schema.simpleString(), {"sep": sep})
-        # branch valid ⇔ every declared column parsed non-null
-        valid = None
+        # explicit backticked DDL: simpleString() emits bare names,
+        # which from_csv's parser rejects for ids like ``e-mail``
+        ddl = ", ".join(
+            "`" + f.name.replace("`", "``") + "` " + f.type for f in fields
+        )
+        parsed = F.from_csv(F.col("value"), ddl, {"sep": sep})
+        # Branch validity ≙ the reference's grammar match
+        # (BaseParser.scala:250-271): every TYPED (non-string) element
+        # must parse; a ``start-sign`` is a required value prefix; a
+        # ``format`` (formatstr) must match. A branch of plain str
+        # elements with no constraints is a catch-all — a str element
+        # consumes anything, including nothing (the empty-row branch of
+        # FileParsers/CSV/complex-02-with-seq.xml).
+        valid = F.lit(True)
         for f in fields:
-            c = parsed[f.name].isNotNull()
-            valid = c if valid is None else (valid & c)
+            if f.type != "string":
+                valid = valid & parsed[f.name].isNotNull()
+            if f.start_sign:
+                valid = valid & F.coalesce(
+                    parsed[f.name].cast("string"), F.lit("")
+                ).rlike(f"^(?:{f.start_sign})")
+            if f.format and f.type == "string":
+                valid = valid & F.coalesce(
+                    parsed[f.name].cast("string"), F.lit("")
+                ).rlike(f.format)
         present = {f.name for f in fields}
         row = F.struct(
             *[

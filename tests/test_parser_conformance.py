@@ -1,0 +1,265 @@
+"""FileParser conformance: the reference's CSV parser fixtures replayed.
+
+Each fixture triple under
+``src/test/resources/com/wegtam/tensei/agent/parsers/FileParsers/CSV``
+is (data file, DFASDL, expected-data.xml — the reference's parsed
+DataTreeDocument serialized back as the DFASDL with values as text).
+The suite parses the data through this engine's sources — the stop-sign
+STREAM GRAMMAR, the reference's parse model: quote-unaware (quoted
+fixtures keep their literal quotes), per-element trim, regex
+stop-signs — and compares every record's every value against the
+expected tree.
+
+Covered semantics, fixture by fixture: flat no-seq documents are a
+single record (simple-01 family: pipes/semicolon/tabs separators,
+full and partial quoting, umlauts); elem-wrapped single records
+(complex-01) and their fixseq-bounded variant; typed num/formatnum
+rows (simple-03); row-level choice with start-sign rejection and an
+empty-row catch-all branch (complex-02); per-element trim variants
+(complex-03); empty trailing columns (empty-column-at-end); nested
+seq-in-seq cell explosion (sequence-stop-sign-01).
+
+Not replayed: choice-01/02 (PER-FIELD choice — each column
+independently num-or-str; the engine models choice at row level, and
+no use case exercises field-level dispatch).
+"""
+
+from __future__ import annotations
+
+import os
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from tensei_agent_spark.plans.dfasdl import parse_dfasdl, source_spec
+from tensei_agent_spark.sources import read_source
+
+CSV_DIR = (
+    "/root/reference/src/test/resources/com/wegtam/tensei/agent/parsers"
+    "/FileParsers/CSV"
+)
+
+requires_fixtures = pytest.mark.skipif(
+    not os.path.isdir(CSV_DIR), reason="reference fixture corpus not present"
+)
+
+_DATA_TAGS = {
+    "str", "num", "formatstr", "formatnum", "formattime",
+    "date", "time", "datetime", "bin", "ref",
+}
+_WRAPPERS = {"elem", "celem", "choice"}
+
+
+def _local(tag):
+    return tag.rsplit("}", 1)[-1]
+
+
+def _leaf_id(e):
+    eid = e.get("id")
+    if eid:
+        return eid
+    cls = e.get("class") or ""
+    return cls.split("id:", 1)[-1]
+
+
+def _leaves(node):
+    out = []
+    for c in node:
+        t = _local(c.tag)
+        if t in _DATA_TAGS:
+            out.append(c)
+        elif t in _WRAPPERS:
+            out.extend(_leaves(c))
+    return out
+
+
+def expected_records(path):
+    """expected-data.xml → list of {element id: text-or-None} records."""
+    root = ET.parse(path).getroot()
+    seq = next(
+        (c for c in root if _local(c.tag) in ("seq", "fixseq")), None
+    )
+    if seq is None:
+        leaves = _leaves(root)
+        return [{_leaf_id(e): e.text for e in leaves}]
+    return [
+        {_leaf_id(e): e.text for e in _leaves(child)}
+        for child in seq
+        if _local(child.tag) in _WRAPPERS
+    ]
+
+
+def _norm(v):
+    """'' / None / the reference's literal Option rendering 'None' all
+    mean 'no value'."""
+    if v is None or v == "" or v == "None":
+        return None
+    return str(v)
+
+
+def _rows_to_records(df):
+    cols = [c for c in df.columns if not c.startswith("_")]
+    out = []
+    for r in df.collect():
+        rec = {}
+        for c in cols:
+            v = r[c]
+            if v is not None:
+                rec[c] = str(v)
+        out.append(rec)
+    return out
+
+
+def _compare(got_records, exp_records):
+    assert len(got_records) == len(exp_records), (
+        f"record count: got {len(got_records)} expected {len(exp_records)}"
+    )
+    for i, (got, exp) in enumerate(zip(got_records, exp_records)):
+        exp_vals = {k: _norm(v) for k, v in exp.items()}
+        for k, ev in exp_vals.items():
+            gv = _norm(got.get(k))
+            assert gv == ev, f"record {i} field {k!r}: got {gv!r} expected {ev!r}"
+        # no spurious extra values outside the expected branch
+        extra = {k: v for k, v in got.items() if k not in exp_vals and _norm(v)}
+        assert not extra, f"record {i} has unexpected values {extra}"
+
+
+# (fixture stem, data file) — read through the stream grammar.
+GRAMMAR_CASES = [
+    ("simple-01", "simple-01.csv"),
+    ("simple-01-pipes", "simple-01-pipes.csv"),
+    ("simple-01-quotes", "simple-01-quotes.csv"),
+    ("simple-01-quotes-partial", "simple-01-quotes-partial.csv"),
+    ("simple-01-semicolon", "simple-01-semicolon.csv"),
+    ("simple-01-tabs", "simple-01.tsv"),
+    ("simple-02", "simple-02.csv"),
+    ("simple-03", "simple-03.csv"),
+    ("complex-01", "complex-01.csv"),
+    ("complex-01-with-fixseq", "complex-01.csv"),
+    ("complex-03-with-seq", "complex-03.csv"),
+    ("empty-column-at-end", "empty-column-at-end.csv"),
+]
+
+
+@requires_fixtures
+@pytest.mark.parametrize("stem,data", GRAMMAR_CASES, ids=[c[0] for c in GRAMMAR_CASES])
+def test_csv_parser_conformance(spark, stem, data):
+    with open(f"{CSV_DIR}/{stem}.xml", encoding="utf-8") as fh:
+        xml = fh.read()
+    schema = parse_dfasdl(xml)[0]
+    spec = source_spec(xml, "in", f"{CSV_DIR}/{data}", fmt="csv",
+                       seq_id=schema.seq_id)
+    spec.options["stream_grammar"] = True
+    df = read_source(spark, spec)
+    _compare(
+        _rows_to_records(df),
+        expected_records(f"{CSV_DIR}/{stem}-expected-data.xml"),
+    )
+
+
+@requires_fixtures
+def test_csv_parser_conformance_choice_rows(spark):
+    """complex-02-with-seq: row-level choice — a 6-column branch guarded
+    by start-sign="\\w" on its first element, and a single-str catch-all
+    branch that absorbs empty lines as empty-row records."""
+    from tensei_agent_spark.plans.spec import SourceSpec
+    from tensei_agent_spark.sources.csv import read_choice
+
+    with open(f"{CSV_DIR}/complex-02-with-seq.xml", encoding="utf-8") as fh:
+        xml = fh.read()
+    schema = parse_dfasdl(xml)[0]
+    layouts = [(schema.fields, schema.options.get("sep", ","))]
+    for alt in schema.options.get("alt_layouts", ()):
+        layouts.append((alt, schema.options.get("sep", ",")))
+    spec = SourceSpec("in", "csv", f"{CSV_DIR}/complex-02.csv", schema.fields)
+    df = read_choice(spark, spec, layouts)
+    _compare(
+        _rows_to_records(df),
+        expected_records(f"{CSV_DIR}/complex-02-with-seq-expected-data.xml"),
+    )
+
+
+@requires_fixtures
+def test_csv_parser_conformance_nested_seq(spark):
+    """sequence-stop-sign-01: a seq of seqs — outer rows split on the
+    seq stop-sign (line ends), inner cells on commas; every CELL is one
+    record of the inner layout. Spark-first: split + posexplode, fully
+    parallel over lines."""
+    from pyspark.sql import functions as F
+
+    # expected tree nests seq-in-seq: one <elem> per CELL
+    root = ET.parse(
+        f"{CSV_DIR}/sequence-stop-sign-01-expected-data.xml"
+    ).getroot()
+    exp = [
+        {_leaf_id(e): e.text for e in _leaves(cell)}
+        for line in next(c for c in root if _local(c.tag) == "seq")
+        for cell in line
+        if _local(cell.tag) == "elem"
+    ]
+    lines = spark.read.text(f"{CSV_DIR}/sequence-stop-sign-01.csv")
+    cells = lines.select(
+        F.explode(F.split("value", ",")).alias("data")
+    )
+    _compare(_rows_to_records(cells), exp)
+
+
+# --- vCard grammar (multi-line records, label:value pairs) -----------------------
+
+VCARD_DIR = (
+    "/root/reference/src/test/resources/com/wegtam/tensei/agent/parsers"
+    "/FileParsers/vCard"
+)
+
+
+def _expected_values(path):
+    """Leaf TEXTS in document order, per record (label elements have no
+    id — positional comparison)."""
+    root = ET.parse(path).getroot()
+    seq = next((c for c in root if _local(c.tag) in ("seq", "fixseq")), None)
+    groups = (
+        [c for c in seq if _local(c.tag) in _WRAPPERS]
+        if seq is not None
+        else [root]
+    )
+    return [[e.text for e in _leaves(g)] for g in groups]
+
+
+def _vcard_case(spark, stem, data):
+    with open(f"{VCARD_DIR}/{stem}.xml", encoding="utf-8") as fh:
+        xml = fh.read()
+    schema = parse_dfasdl(xml)[0]
+    spec = source_spec(xml, "in", f"{VCARD_DIR}/{data}", fmt="csv",
+                       seq_id=schema.seq_id)
+    spec.options["stream_grammar"] = True
+    df = read_source(spark, spec)
+    got = [
+        [None if v in (None, "") else str(v) for v in r]
+        for r in df.collect()
+    ]
+    exp = [
+        [_norm(v) for v in rec]
+        for rec in _expected_values(f"{VCARD_DIR}/{stem}-expected-data.xml")
+    ]
+    assert got == exp
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(VCARD_DIR), reason="reference fixture corpus not present"
+)
+def test_vcard_simple_conformance(spark):
+    """vCard/simple-01 — ONE 17-line record; label fields stop at ':',
+    value fields at end-of-line, so the record regex spans the lines
+    (the PHOTO value keeps its inner ':' — only the FIRST colon is the
+    label separator)."""
+    _vcard_case(spark, "simple-01", "simple-01.vcf")
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(VCARD_DIR), reason="reference fixture corpus not present"
+)
+def test_vcard_complex_conformance(spark):
+    """vCard/complex-01 — a SEQ of multi-line vCards (label elements
+    carry no id, exercising the positional field-name synthesis); each
+    17-line card is one record."""
+    _vcard_case(spark, "complex-01", "complex-01.vcf")
