@@ -119,6 +119,7 @@ def _field_of(node: ET.Element, prefix: str) -> Field:
     name = (
         a.get("db-column-name")
         or a.get("json-attribute-name")
+        or a.get("xml-element-name")
         or a.get("id")
         or a.get("class")
         or ""
@@ -162,10 +163,19 @@ def _collect_leaves(node: ET.Element, prefix: str = "") -> list[ET.Element]:
             if tag in _DATA_TAGS:
                 out.append((child, pfx))
             elif tag in _WRAPPER_TAGS:
-                # a nested wrapper contributes its id to the path only
-                # when it actually nests data (celem / structured elem)
-                walk(child, f"{pfx}.{child.attrib['id']}".lstrip(".")
-                     if tag == "celem" else pfx)
+                # a NESTED wrapper is a structural container: its name
+                # joins the column path (celem always; an inner elem
+                # too — the XML grammar's <elem id="name"> holding
+                # firstname/lastname, simple-xml-stacked-dfasdl.xml;
+                # the ROW wrapper itself is the walk root and never
+                # prefixes). The path label follows the field name chain.
+                a = child.attrib
+                label = (
+                    a.get("json-attribute-name")
+                    or a.get("xml-element-name")
+                    or a.get("id", "")
+                )
+                walk(child, f"{pfx}.{label}".lstrip("."))
     walk(node, prefix)
     return out
 

@@ -263,3 +263,109 @@ def test_vcard_complex_conformance(spark):
     carry no id, exercising the positional field-name synthesis); each
     17-line card is one record."""
     _vcard_case(spark, "complex-01", "complex-01.vcf")
+
+
+# --- XML grammar (XmlFileParser fixtures) ----------------------------------------
+
+XML_DIR = "/root/reference/src/test/resources/com/wegtam/tensei/agent/parsers"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(XML_DIR), reason="reference fixture corpus not present"
+)
+def test_xml_simple_conformance(spark):
+    """simple-xml-dfasdl + simple-dfasdl-data.xml — element-per-column
+    rows; parse-identity against the source document's own values."""
+    with open(f"{XML_DIR}/simple-xml-dfasdl.xml", encoding="utf-8") as fh:
+        xml = fh.read()
+    spec = source_spec(xml, "in", f"{XML_DIR}/simple-dfasdl-data.xml",
+                       fmt="xml", seq_id="rows")
+    spec.options["rowTag"] = "row"
+    got = [
+        (r["firstname"], r["lastname"], r["email"], str(r["birthday"]))
+        for r in read_source(spark, spec).collect()
+    ]
+    doc = ET.parse(f"{XML_DIR}/simple-dfasdl-data.xml").getroot()
+    exp = [
+        tuple(row.find(t).text for t in
+              ("firstname", "lastname", "email", "birthday"))
+        for row in doc
+    ]
+    assert sorted(got) == sorted(exp) and len(exp) == 5
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(XML_DIR), reason="reference fixture corpus not present"
+)
+def test_xml_stacked_conformance(spark):
+    """simple-xml-stacked-dfasdl — a nested <elem id="name"> whose
+    children map via xml-element-name: the compiler derives the struct
+    paths name.firstname / name.lastname and the XML reader resolves
+    them."""
+    with open(f"{XML_DIR}/simple-xml-stacked-dfasdl.xml", encoding="utf-8") as fh:
+        xml = fh.read()
+    schema = parse_dfasdl(xml)[0]
+    assert [f.name for f in schema.fields] == [
+        "name.firstname", "name.lastname", "email", "birthday",
+    ]
+    spec = source_spec(xml, "in", f"{XML_DIR}/simple-dfasdl-stacked-data.xml",
+                       fmt="xml", seq_id="rows")
+    spec.options["rowTag"] = "row"
+    rows = {r["email"]: r for r in read_source(spark, spec).collect()}
+    assert rows["gauss@example.com"]["name.firstname"] == "Johann Carl Friedrich"
+    assert rows["gauss@example.com"]["name.lastname"] == "Gauß"
+    assert str(rows["br@example.com"]["birthday"]) == "1826-09-17"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(XML_DIR), reason="reference fixture corpus not present"
+)
+def test_xml_nested_seq_conformance(spark):
+    """complex-small-xml-dfasdl — per-row nested seq (awards): rows with
+    N awards yield N child records, an empty <awards/> yields ONE empty
+    award record (the reference emits an empty award-complete element,
+    complex-small-xml-dfasdl-expected-data.xml). Value-exact against the
+    expected tree via explode_outer."""
+    from pyspark.sql import functions as F
+    from tensei_agent_spark.plans.spec import SourceSpec
+    from tensei_agent_spark.sources import read_source as rs
+
+    df = rs(spark, SourceSpec(
+        "in", "xml",
+        f"{XML_DIR}/complex-dfasdl-small-data.xml",
+        None, {"rowTag": "row"},
+    ))
+    flat = df.select(
+        "firstname",
+        F.explode_outer("awards.award").alias("award"),
+    ).select(
+        "firstname",
+        F.col("award.year").alias("year"),
+        F.col("award.name").alias("name"),
+    )
+    got = {
+        (r["firstname"], None if r["year"] is None else str(r["year"]),
+         r["name"])
+        for r in flat.collect()
+    }
+
+    root = ET.parse(
+        f"{XML_DIR}/complex-small-xml-dfasdl-expected-data.xml"
+    ).getroot()
+    exp = set()
+    seq = next(c for c in root if _local(c.tag) == "seq")
+    for row in seq:
+        first = next(
+            e.text for e in row if "firstname" in (e.get("class") or "")
+        )
+        awards_seq = next(c for c in row if _local(c.tag) == "seq")
+        for award in awards_seq:
+            # leaf ids here are compare-helper-NN; the semantic name is
+            # the class suffix (award-complete-year → year)
+            vals = {
+                ((e.get("class") or "").split("id:", 1)[-1]).rsplit("-", 1)[-1]:
+                e.text
+                for e in _leaves(award)
+            }
+            exp.add((first, vals.get("year"), vals.get("name")))
+    assert got == exp
