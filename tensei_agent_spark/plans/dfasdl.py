@@ -243,21 +243,57 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
     encoding = root.attrib.get("default-encoding")
     seqs: list[SeqSchema] = []
     leading = 0
-    for seq in root:
-        tag = _local(seq.tag)
+    # Row sets: top-level seq/fixseq, plus seqs NESTED inside wrapper
+    # elems — a JSON document's arrays live at a path
+    # (FileParsers/JSON/example-dfasdl.xml: root > persons(json
+    # "persons") > persons-seq), recorded as the seq's explodePath. The
+    # discovery walk does NOT enter seqs: a seq inside a row (awards,
+    # other) belongs to that row's layout, not the document's row sets.
+    candidates: list[tuple[ET.Element, str]] = []
+    leading_by_seq: dict[int, int] = {}
+
+    def _descend(n: ET.Element, path: str) -> None:
+        for child in n:
+            ctag = _local(child.tag)
+            if ctag in ("seq", "fixseq"):
+                candidates.append((child, path))
+            elif ctag in _WRAPPER_TAGS:
+                a = child.attrib
+                label = (
+                    a.get("json-attribute-name")
+                    or a.get("xml-element-name")
+                    or a.get("id", "")
+                )
+                _descend(child, f"{path}.{label}".lstrip("."))
+
+    has_top_seq = any(_local(c.tag) in ("seq", "fixseq") for c in root)
+    for child in root:
+        tag = _local(child.tag)
         if tag in _DATA_TAGS:
             # A top-level data element before a seq consumes one line of
             # the flat file (the reference's header idiom:
             # ``<str id="header"/>`` ahead of the row set, e.g.
             # usecases/emptyTargetColumns/source-dfasdl.xml).
             leading += 1
-            continue
-        if tag not in ("seq", "fixseq"):
-            continue
+        elif tag in ("seq", "fixseq"):
+            candidates.append((child, ""))
+            if leading:
+                leading_by_seq[id(child)] = leading
+                leading = 0
+        elif tag in _WRAPPER_TAGS and not has_top_seq:
+            # nested row sets only matter when the document has no
+            # top-level ones (single-record wrapper docs keep their
+            # synthesized layout; see below). The TOP wrapper maps to
+            # the document root itself and contributes no path segment.
+            _descend(child, "")
+
+    for seq, json_path in candidates:
+        tag = _local(seq.tag)
         opts: dict = {}
-        if leading:
-            opts["leading_lines"] = leading
-            leading = 0
+        if id(seq) in leading_by_seq:
+            opts["leading_lines"] = leading_by_seq[id(seq)]
+        if json_path:
+            opts["explodePath"] = json_path
         if encoding:
             opts["encoding"] = encoding
         if "max" in seq.attrib:

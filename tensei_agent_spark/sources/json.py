@@ -31,10 +31,20 @@ def read_json(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     df = reader.json(spec.uri)
     if explode_path:
         # sequence ≙ JSON array: explode the array of records to rows,
-        # then flatten the record struct to columns.
-        df = df.select(F.explode(F.col(explode_path)).alias("_row")).select("_row.*")
-        if spec.fields is not None:
-            df = df.select(
-                *[F.col(f.name).cast(f.type).alias(f.name) for f in spec.fields]
-            )
+        # then flatten the record struct to columns. An array of
+        # SCALARS (FileParsers/JSON example's house.size) yields one
+        # single-column row per element instead.
+        from pyspark.sql.types import StructType
+
+        df = df.select(F.explode(F.col(explode_path)).alias("_row"))
+        if isinstance(df.schema["_row"].dataType, StructType):
+            df = df.select("_row.*")
+            if spec.fields is not None:
+                df = df.select(
+                    *[F.col(f.name).cast(f.type).alias(f.name) for f in spec.fields]
+                )
+        else:
+            name = spec.fields[0].name if spec.fields else "value"
+            typ = spec.fields[0].type if spec.fields else "string"
+            df = df.select(F.col("_row").cast(typ).alias(name))
     return df

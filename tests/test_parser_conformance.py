@@ -369,3 +369,44 @@ def test_xml_nested_seq_conformance(spark):
             }
             exp.add((first, vals.get("year"), vals.get("name")))
     assert got == exp
+
+
+# --- JSON grammar (JsonFileParser example fixture) --------------------------------
+
+JSON_DIR = (
+    "/root/reference/src/test/resources/com/wegtam/tensei/agent/parsers"
+    "/FileParsers/JSON"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(JSON_DIR), reason="reference fixture corpus not present"
+)
+def test_json_nested_seq_conformance(spark):
+    """example-dfasdl — the persons array lives at a JSON path inside
+    wrapper elems; the compiler discovers the nested seq and records
+    its explodePath, and json-attribute-name drives both the path
+    segments and the struct field names (name.firstname). Values are
+    the reference test's own assertions
+    (JsonFileParserTest.scala:116-150: 2 person rows, Max/Eva,
+    apartment 4 as a Long; house-size-seq 3 rows)."""
+    with open(f"{JSON_DIR}/example-dfasdl.xml", encoding="utf-8") as fh:
+        xml = fh.read()
+
+    persons = source_spec(xml, "in", f"{JSON_DIR}/example.json",
+                          fmt="json", seq_id="persons-seq")
+    assert persons.options["explodePath"] == "persons"
+    rows = read_source(spark, persons).collect()
+    assert len(rows) == 2
+    by_first = {r["name.firstname"]: r for r in rows}
+    assert set(by_first) == {"Max", "Eva"}
+    assert by_first["Eva"]["apartment"] == 4
+    assert by_first["Max"]["name.lastname"] == "Mustermann"
+    assert str(by_first["Max"]["birthday"]) == "1997-03-21"
+    assert str(by_first["Eva"]["lastPay"]) == "2015-11-01 12:34:55"
+
+    sizes = source_spec(xml, "in", f"{JSON_DIR}/example.json",
+                        fmt="json", seq_id="house-size-seq")
+    assert sizes.options["explodePath"] == "house.size"
+    vals = [r[0] for r in read_source(spark, sizes).collect()]
+    assert sorted(vals) == [15, 30, 45]
