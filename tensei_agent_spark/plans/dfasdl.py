@@ -72,12 +72,22 @@ def _type_of(tag: str, a: dict) -> str:
         return "long"
     if tag == "formatnum":
         # regex-parsed numbers: locale decimals parse to double at read
-        # time (sources/csv handles decimal-separator), integral → long
+        # time (sources handle decimal-separator), integral → long. A
+        # pattern that captures a decimal mark implies a decimal even
+        # without the attribute — the reference's extractor infers the
+        # separator from the matched lexeme
+        # (DatabaseParsers/simple-01-expected-data.xml gains
+        # decimal-separator="," from format "…\,\d{2}").
+        fmt = a.get("format", "")
         return (
             "double"
-            if a.get("precision") or a.get("decimal-separator")
+            if a.get("precision")
+            or a.get("decimal-separator")
+            or ("," in fmt or "." in fmt)
             else "long"
         )
+
+
     if tag == "date":
         return "date"
     if tag == "formattime":
@@ -91,6 +101,15 @@ def _type_of(tag: str, a: dict) -> str:
     if tag == "bin":
         return "binary"
     return "string"
+
+
+def _inferred_dec_sep(fmt: str) -> str | None:
+    """The decimal mark a formatnum pattern implies: the LAST of ','/'.'
+    in the pattern (grouping marks come before the decimal one)."""
+    c, d = fmt.rfind(","), fmt.rfind(".")
+    if c < 0 and d < 0:
+        return None
+    return "," if c > d else "."
 
 
 def _uniquify(fields: tuple) -> tuple:
@@ -351,6 +370,10 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
                 a, tag = n.attrib, _local(n.tag)
                 if tag == "formatnum" and "decimal-separator" in a:
                     opts.setdefault("decimalSeparator", a["decimal-separator"])
+                elif tag == "formatnum" and "format" in a:
+                    inferred = _inferred_dec_sep(a["format"])
+                    if inferred:
+                        opts.setdefault("decimalSeparator", inferred)
                 if tag == "formatnum" and "grouping-separator" in a:
                     opts.setdefault("groupingSeparator", a["grouping-separator"])
                 if tag == "formattime" and "format" in a:

@@ -32,6 +32,13 @@ def read_jdbc(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     opts = dict(spec.options)
     filter_expr = opts.pop("filter", None)
     limit = opts.pop("limit", None)
+    # engine-level parse metadata — must not leak into the JDBC
+    # connection properties
+    dec_sep = str(opts.pop("decimalSeparator", "") or ",")
+    for meta in ("stop_signs", "seps", "trims", "sep", "groupingSeparator",
+                 "dateFormat", "timestampFormat", "leading_lines",
+                 "trailing_newline", "explodePath"):
+        opts.pop(meta, None)
     select_cols = [f.name for f in spec.fields] if spec.fields else None
 
     reader = spark.read.format("jdbc").option("url", spec.uri)
@@ -47,6 +54,26 @@ def read_jdbc(spark: SparkSession, spec: SourceSpec) -> DataFrame:
         df = df.filter(filter_expr)  # predicate pushdown via Catalyst
     if limit:
         df = df.limit(int(limit))
+    # formatnum elements over VARCHAR columns (the reference's
+    # DatabaseParser applies the format regex + locale cleanup to
+    # string-typed money columns, DatabaseParsers/simple-01:
+    # '1.500.000,83 €' → 1500000.83): extract the capture group, strip
+    # grouping marks, normalize the decimal separator, cast.
+    if spec.fields:
+        import re as _re
+
+        dec = dec_sep
+        dtypes = dict(df.dtypes)
+        for f in spec.fields:
+            numeric = f.type in ("double", "long") or f.type.startswith(
+                "decimal"
+            )
+            if f.format and numeric and dtypes.get(f.name) == "string":
+                c = F.regexp_extract(F.col(f.name), f.format, 1)
+                c = F.regexp_replace(c, f"[^0-9\\-{_re.escape(dec)}]", "")
+                if dec != ".":
+                    c = F.translate(c, dec, ".")
+                df = df.withColumn(f.name, c.cast(f.type))
     return df
 
 

@@ -410,3 +410,48 @@ def test_json_nested_seq_conformance(spark):
     assert sizes.options["explodePath"] == "house.size"
     vals = [r[0] for r in read_source(spark, sizes).collect()]
     assert sorted(vals) == [15, 30, 45]
+
+
+# --- DatabaseParser (formatnum over VARCHAR money columns) ------------------------
+
+DB_DIR = (
+    "/root/reference/src/test/resources/com/wegtam/tensei/agent/parsers"
+    "/DatabaseParsers"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(DB_DIR), reason="reference fixture corpus not present"
+)
+def test_database_parser_formatnum_conformance(spark, tmp_path):
+    """DatabaseParserTest.scala:84-155 over DatabaseParsers/simple-01 —
+    a VARCHAR salary '1.500.000,83 €' passes the formatnum regex, loses
+    its grouping dots and currency sign, and lands as the decimal the
+    expected tree records with its inferred decimal-separator=","
+    (simple-01-expected-data.xml: 1500000,83). Typed values asserted:
+    id Long, birthday LocalDate, salary 1500000.83."""
+    from tensei_agent_spark.sinks.jdbc import jvm_execute
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:{tmp_path}/dbparser;create=true"
+    jvm_execute(spark, url, [
+        "CREATE TABLE accounts (id BIGINT, name VARCHAR(254),"
+        " description VARCHAR(4000), birthday DATE, salary VARCHAR(100))",
+        "INSERT INTO accounts VALUES (1, 'Max Mustermann', 'Vorstand',"
+        " '1963-01-01', '1.500.000,83 €')",
+        "INSERT INTO accounts VALUES (2, 'Eva Musterfrau', 'Aufsichtsrat',"
+        " '1968-01-01', '2.800.000,00 €')",
+    ], driver)
+
+    with open(f"{DB_DIR}/simple-01.xml", encoding="utf-8") as fh:
+        xml = fh.read()
+    spec = source_spec(xml, "in", url, fmt="jdbc", seq_id="accounts")
+    assert spec.options.get("decimalSeparator") == ","
+    spec.options.update({"driver": driver, "table": "accounts"})
+    rows = {r["id"]: r for r in read_source(spark, spec).collect()}
+
+    assert rows[1]["name"] == "Max Mustermann"
+    assert rows[1]["description"] == "Vorstand"
+    assert str(rows[1]["birthday"]) == "1963-01-01"
+    assert rows[1]["salary"] == 1500000.83
+    assert rows[2]["salary"] == 2800000.00
