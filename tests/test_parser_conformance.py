@@ -455,3 +455,38 @@ def test_database_parser_formatnum_conformance(spark, tmp_path):
     assert str(rows[1]["birthday"]) == "1963-01-01"
     assert rows[1]["salary"] == 1500000.83
     assert rows[2]["salary"] == 2800000.00
+
+
+# --- Stats analyzers over the stats fixture ----------------------------------------
+
+STATS_DIR = "/root/reference/src/test/resources/com/wegtam/tensei/agent/stats"
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(STATS_DIR), reason="reference fixture corpus not present"
+)
+def test_stats_analyzers_fixture_conformance(spark):
+    """StatsTest.scala:297-400 over stats/simple-data.csv — the
+    NumericAnalyzer on `alter` (count 3, min 3.0, max 27.0, mean
+    18.666666666666668 — the exact double the reference asserts) and
+    the StringAnalyzer on `name` length (min 4, max 8, mean
+    5.666666666666667)."""
+    from tensei_agent_spark.operators.stats import numeric_profile, string_profile
+
+    with open(f"{STATS_DIR}/simple-dfasdl.xml", encoding="utf-8") as fh:
+        xml = fh.read()
+    spec = source_spec(xml, "in", f"{STATS_DIR}/simple-data.csv",
+                       fmt="csv", seq_id="rows")
+    # StatsTest feeds the analyzers ALL THREE rows directly (SaveData
+    # messages, no FileParser) — the fixture DFASDL's header element is
+    # not exercised there, and the data file carries no header line.
+    spec.options.pop("leading_lines", None)
+    df = read_source(spark, spec)
+
+    num = numeric_profile(df, ["alter"]).first()
+    assert (num["n"], num["min_v"], num["max_v"]) == (3, 3.0, 27.0)
+    assert num["mean_v"] == 18.666666666666668
+
+    s = string_profile(df, ["name"]).first()
+    assert (s["n"], s["min_len"], s["max_len"]) == (3, 4, 8)
+    assert s["mean_len"] == 5.666666666666667
