@@ -43,6 +43,22 @@ def prepare(df: DataFrame, spec: TargetSpec) -> DataFrame:
     regex re-validation of ``format`` fields — non-matching values
     null out, exactly like the reference's formatstr re-check)."""
     out = df
+    # Declared target columns NO mapping produced still exist in the
+    # written row set, as typed NULLs placed at their tree position
+    # (the reference writes None for unmapped elements —
+    # MappingModeAssociation.scala:526-756 leaves date_entered
+    # unmapped and the target table still has the column). Defaults
+    # coalesce over them right below.
+    missing = [f for f in spec.fields if f.name not in out.columns]
+    if missing:
+        out = out.select(
+            "*",
+            *[F.lit(None).cast(f.type).alias(f.name) for f in missing],
+        )
+        declared = [f.name for f in spec.fields if f.name in out.columns]
+        out = out.select(
+            *declared, *[c for c in out.columns if c not in declared]
+        )
     # Coerce each column to its declared target element type first —
     # ≙ processTargetData, which converts every incoming value to the
     # target element's type before the writer sees it (a num source

@@ -1169,3 +1169,193 @@ def test_processor_numeric_roundtrip_golden(spark, tmp_path):
     ))
     run_pipeline(spark, Pipeline("proc-files", (src,), (tgt,), (recipe,)))
     assert open(out_path, encoding="utf-8").read() == _r("simple-01-target.csv")
+
+
+# --- CopyBetweenDatabases: multi-table + empty-table cases ----------------------
+
+
+@requires_fixtures
+def test_copy_between_databases_two_tables_golden(spark, derby_url, tmp_path):
+    """CopyBetweenDatabases.scala:284-470 — ONE DFASDL with TWO seqs
+    drives two recipes copying two tables into a second database; the
+    formatnum salary (explicit '.' separator, ',' grouping) keeps its
+    double values (3.14256 exact). Goldens are the reference's own row
+    assertions."""
+    src_url = derby_url
+    tgt_url = f"jdbc:derby:{tmp_path}/copydst2;create=true"
+    jvm_execute(spark, src_url, [
+        "CREATE TABLE cbd2_accounts (id BIGINT, name VARCHAR(254),"
+        " description VARCHAR(2000), birthday DATE, salary DOUBLE)",
+        "CREATE TABLE cbd2_accounts2 (id BIGINT, name VARCHAR(254),"
+        " description VARCHAR(2000), birthday DATE, salary DOUBLE)",
+        "INSERT INTO cbd2_accounts VALUES (1, 'Max Mustermann',"
+        " 'Afraid of his wife...', '1980-01-01', 1500000.83)",
+        "INSERT INTO cbd2_accounts VALUES (2, 'Eva Musterfrau', NULL,"
+        " '1988-01-01', 2800000.00)",
+        "INSERT INTO cbd2_accounts VALUES (3, 'Dr. Evil',"
+        " 'Afraid of Austin Powers!', '1972-08-08', 3.14256)",
+        "INSERT INTO cbd2_accounts2 VALUES (4, 'Max Mustermann',"
+        " 'Afraid of his wife...', '1999-01-01', 1500000.83)",
+        "INSERT INTO cbd2_accounts2 VALUES (5, 'Eva Musterfrau', NULL,"
+        " '1981-01-01', 2800000.00)",
+        "INSERT INTO cbd2_accounts2 VALUES (3, 'Dr. Evil',"
+        " 'Afraid of Austin Powers!', '2001-08-08', 3.14256)",
+    ], DRIVER)
+
+    xml = _read("databases/copy-between-databases-02.xml")
+    s1 = source_spec(xml, "a1", src_url, fmt="jdbc", seq_id="accounts")
+    s1.options.update({"driver": DRIVER, "table": "cbd2_accounts"})
+    s2 = source_spec(xml, "a2", src_url, fmt="jdbc", seq_id="accounts2")
+    s2.options.update({"driver": DRIVER, "table": "cbd2_accounts2"})
+    t1 = target_spec(xml, "o1", tgt_url, fmt="jdbc", seq_id="accounts",
+                     mode="overwrite")
+    t1.options.update({"driver": DRIVER, "table": "ACCOUNTS"})
+    t2 = target_spec(xml, "o2", tgt_url, fmt="jdbc", seq_id="accounts2",
+                     mode="overwrite")
+    t2.options.update({"driver": DRIVER, "table": "ACCOUNTS2"})
+
+    cols = ("id", "name", "description", "birthday", "salary")
+    r1 = Recipe("id1", "o1", mappings=(
+        Mapping(tuple(ColumnRef("a1", c) for c in cols), cols),
+    ))
+    r2 = Recipe("id2", "o2", mappings=(
+        Mapping(tuple(ColumnRef("a2", c) for c in cols), cols),
+    ))
+    run_pipeline(spark, Pipeline("cbd-two", (s1, s2), (t1, t2), (r1, r2)))
+
+    a = {r["id"]: r for r in _table(spark, tgt_url, "ACCOUNTS").collect()}
+    assert sorted(a) == [1, 2, 3]
+    assert a[3]["name"] == "Dr. Evil"
+    assert a[3]["salary"] == 3.14256
+    assert str(a[2]["birthday"]) == "1988-01-01"
+    assert a[2]["description"] is None
+    b = {r["id"]: r for r in _table(spark, tgt_url, "ACCOUNTS2").collect()}
+    assert sorted(b) == [3, 4, 5]
+    assert str(b[3]["birthday"]) == "2001-08-08"
+    assert b[4]["salary"] == 1500000.83
+
+
+@requires_fixtures
+def test_copy_between_databases_empty_table_golden(spark, derby_url, tmp_path):
+    """CopyBetweenDatabases.scala:194-282 — an EMPTY source table copies
+    to an empty (but existing) target table."""
+    tgt_url = f"jdbc:derby:{tmp_path}/copydst0;create=true"
+    jvm_execute(spark, derby_url, [
+        "CREATE TABLE cbd0_accounts (id BIGINT, name VARCHAR(254),"
+        " description VARCHAR(2000), birthday DATE, salary VARCHAR(100))",
+    ], DRIVER)
+
+    xml = _read("databases/copy-between-databases-01.xml")
+    src = source_spec(xml, "a", derby_url, fmt="jdbc", seq_id="accounts")
+    src.options.update({"driver": DRIVER, "table": "cbd0_accounts"})
+    tgt = target_spec(xml, "o", tgt_url, fmt="jdbc", seq_id="accounts",
+                      mode="overwrite")
+    tgt.options.update({"driver": DRIVER, "table": "ACCOUNTS"})
+    cols = ("id", "name", "description", "birthday", "salary")
+    recipe = Recipe("copy", "o", mappings=(
+        Mapping(tuple(ColumnRef("a", c) for c in cols), cols),
+    ))
+    run_pipeline(spark, Pipeline("cbd-empty", (src,), (tgt,), (recipe,)))
+    assert _table(spark, tgt_url, "ACCOUNTS").count() == 0
+
+
+# --- MappingModeAssociation: mapping-order permutations --------------------------
+
+
+@requires_fixtures
+def test_mapping_mode_association_random_order_golden(spark, derby_url):
+    """MappingModeAssociation.scala:306-525 — the SAME migration with
+    the mappings in a jumbled order: output column placement follows the
+    TARGET TREE, not the mapping list, so the result is identical."""
+    import random
+
+    jvm_execute(spark, derby_url, [
+        s.replace("assoc_accounts", "assoc_accounts_r")
+        for s in ASSOC_DDL
+    ], DRIVER)
+
+    src = source_spec(
+        _read("databases/association.xml"), "accounts", derby_url,
+        fmt="jdbc", seq_id="accounts",
+    )
+    src.options.update({"driver": DRIVER, "table": "ASSOC_ACCOUNTS_R"})
+    tgt = target_spec(
+        _read("databases/association-target.xml"), "out", derby_url,
+        fmt="jdbc", seq_id="accounts", mode="overwrite",
+    )
+    tgt.options.update({"driver": DRIVER, "table": "TGT_ACCOUNTS_RND"})
+
+    shuffled = list(_ASSOC_COLS)
+    random.Random(42).shuffle(shuffled)
+    recipe = Recipe(
+        "map-random", "out",
+        mappings=tuple(
+            Mapping((ColumnRef("accounts", c),), (c,)) for c in shuffled
+        ),
+    )
+    run_pipeline(spark, Pipeline("assoc-rnd", (src,), (tgt,), (recipe,)))
+
+    sel = (
+        'SELECT "id", "name", "vorname", CAST("description" AS'
+        ' VARCHAR(2000)), "website" FROM TGT_ACCOUNTS_RND ORDER BY "id"'
+    )
+    rows = jvm_query(spark, derby_url, sel, DRIVER)
+    assert [r[0] for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert rows[5][1] == "Münteraner"
+    # target DDL column order follows the target tree despite the
+    # shuffled mappings
+    back = _table(spark, derby_url, "TGT_ACCOUNTS_RND")
+    assert back.columns == list(_ASSOC_COLS)
+
+
+@requires_fixtures
+def test_mapping_mode_association_partial_nullified_golden(spark, derby_url):
+    """MappingModeAssociation.scala:526-1285 — only SOME source elements
+    map; the rest are Nullify-mapped (in varying positions). Unmapped
+    and nullified columns land as NULL, mapped ones keep their values,
+    and column placement stays tree-ordered."""
+    jvm_execute(spark, derby_url, [
+        s.replace("assoc_accounts", "assoc_accounts_p")
+        for s in ASSOC_DDL
+    ], DRIVER)
+
+    src = source_spec(
+        _read("databases/association.xml"), "accounts", derby_url,
+        fmt="jdbc", seq_id="accounts",
+    )
+    src.options.update({"driver": DRIVER, "table": "ASSOC_ACCOUNTS_P"})
+    tgt = target_spec(
+        _read("databases/association-target.xml"), "out", derby_url,
+        fmt="jdbc", seq_id="accounts", mode="overwrite",
+    )
+    tgt.options.update({"driver": DRIVER, "table": "TGT_ACCOUNTS_PART"})
+
+    def ref(c):
+        return ColumnRef("accounts", c)
+
+    # nullified elements FIRST (the .scala:757 ordering), mapped after
+    recipe = Recipe(
+        "map-partial", "out",
+        mappings=(
+            Mapping((ref("id"),) * 3,
+                    ("description", "phone_office", "website"),
+                    transformers=(("nullify", {}),)),
+            Mapping((ref("id"), ref("name"), ref("vorname")),
+                    ("id", "name", "vorname")),
+            Mapping((ref("birthday"),), ("birthday",)),
+        ),
+    )
+    run_pipeline(spark, Pipeline("assoc-part", (src,), (tgt,), (recipe,)))
+
+    rows = jvm_query(
+        spark, derby_url,
+        'SELECT "id", "name", CAST("description" AS VARCHAR(2000)),'
+        ' "phone_office", "website", "birthday", "date_entered"'
+        ' FROM TGT_ACCOUNTS_PART ORDER BY "id"', DRIVER,
+    )
+    assert [r[0] for r in rows] == [1, 2, 3, 4, 5, 6]
+    for r in rows:
+        assert r[2] is None and r[3] is None and r[4] is None
+        assert r[6] is None  # date_entered never mapped
+    assert str(rows[0][5]) == "2013-05-21"
+    assert rows[5][1] == "Münteraner"
