@@ -1359,3 +1359,55 @@ def test_mapping_mode_association_partial_nullified_golden(spark, derby_url):
         assert r[6] is None  # date_entered never mapped
     assert str(rows[0][5]) == "2013-05-21"
     assert rows[5][1] == "Münteraner"
+
+
+@requires_fixtures
+def test_sugarcrm_join_to_database_golden(spark, sugar_derby, tmp_path):
+    """SugarCRM.scala:281-396 — the three-table db-select join (accounts
+    ⋈ accounts_contacts ⋈ contacts, LIMIT 3) lands in ANOTHER database:
+    contact first/last names, the company name, and NULL birthdates,
+    exactly the reference's row assertions."""
+    tgt_url = f"jdbc:derby:{tmp_path}/sugardst;create=true"
+    db = "/root/reference/src/it/resources/usecases/databases"
+
+    src = source_spec(
+        _read("databases/sugarcrm-6-join.xml"), "joined", sugar_derby,
+        fmt="jdbc", seq_id="accounts_with_contacts",
+    )
+    # H2 LIMIT → Derby FETCH FIRST; LIMIT without ORDER BY is
+    # engine-defined, and the reference's golden rows are H2's
+    # insertion-order scan of accounts_contacts — ORDER BY ac.id pins
+    # exactly that selection (the seed's first three link rows).
+    src.options["query"] = src.options["query"].replace(
+        "LIMIT 3", "ORDER BY ac.id FETCH FIRST 3 ROWS ONLY"
+    )
+    src.options.update({"driver": DRIVER})
+    tgt = target_spec(
+        _read("databases/sugarcrm-target-02.xml"), "out", tgt_url,
+        fmt="jdbc", seq_id="accounts", mode="overwrite",
+    )
+    tgt.options.update({"driver": DRIVER, "table": "ACCOUNTS"})
+
+    def ref(c):
+        return ColumnRef("joined", c)
+
+    recipe = Recipe(
+        "map-accounts", "out",
+        mappings=(
+            Mapping(
+                (ref("first_name"), ref("last_name"), ref("name"),
+                 ref("birthdate")),
+                ("name", "surname", "companyname", "birthdate"),
+            ),
+        ),
+    )
+    run_pipeline(spark, Pipeline("sugar-join-db", (src,), (tgt,), (recipe,)))
+
+    rows = _table(spark, tgt_url, "ACCOUNTS").collect()
+    got = {(r["name"], r["surname"], r["companyname"], r["birthdate"])
+           for r in rows}
+    assert got == {
+        ("Hilary", "Shealy", "Constrata Trust LLC", None),
+        ("Deidra", "Salem", "Tracker Com LP", None),
+        ("Everett", "Osteen", "Rhyme & Reason Inc", None),
+    }
