@@ -490,3 +490,46 @@ def test_stats_analyzers_fixture_conformance(spark):
     s = string_profile(df, ["name"]).first()
     assert (s["n"], s["min_len"], s["max_len"]) == (3, 4, 8)
     assert s["mean_len"] == 5.666666666666667
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(DB_DIR), reason="reference fixture corpus not present"
+)
+def test_database_parser_where_filter_conformance(spark, tmp_path):
+    """DatabaseParserTest.scala:272-370 over simple-03-where — the seq's
+    ``filter="salary > 2000000"`` pushes into the scan and keeps exactly
+    the three matching rows (Eva 2.8M, Chris 3.2M, Jack 9.9M); the
+    DOUBLE salary stays numeric through the formatnum element."""
+    from tensei_agent_spark.sinks.jdbc import jvm_execute
+
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    url = f"jdbc:derby:{tmp_path}/dbwhere;create=true"
+    jvm_execute(spark, url, [
+        "CREATE TABLE accounts (id BIGINT, name VARCHAR(254),"
+        " description VARCHAR(4000), birthday DATE, salary DOUBLE)",
+        "INSERT INTO accounts VALUES (1, 'Max Mustermann', 'Vorstand',"
+        " '1963-01-01', 1500000.83)",
+        "INSERT INTO accounts VALUES (2, 'Eva Musterfrau', 'Aufsichtsrat',"
+        " '1968-01-01', 2800000.00)",
+        "INSERT INTO accounts VALUES (3, 'Marki Mark', 'Gesellschafter',"
+        " '1974-02-22', 1900000.00)",
+        "INSERT INTO accounts VALUES (4, 'Chris Christoffer', 'IT-Chef',"
+        " '1981-06-22', 3200000.00)",
+        "INSERT INTO accounts VALUES (5, 'Jack Slater', 'Marketing-Chef',"
+        " '1977-11-12', 9900000.00)",
+    ], driver)
+
+    with open(f"{DB_DIR}/simple-03-where.xml", encoding="utf-8") as fh:
+        xml = fh.read()
+    spec = source_spec(xml, "in", url, fmt="jdbc", seq_id="accounts")
+    assert spec.options["filter"] == "salary > 2000000"
+    spec.options.update({"driver": driver, "table": "accounts"})
+    df = read_source(spark, spec)
+    rows = {r["id"]: r for r in df.collect()}
+    assert sorted(rows) == [2, 4, 5]
+    assert rows[2]["name"] == "Eva Musterfrau"
+    assert rows[4]["name"] == "Chris Christoffer"
+    assert rows[4]["salary"] == 3200000.0
+    # the predicate must reach the DB scan, not a post-filter
+    assert "PushedFilters: [" in df._jdf.queryExecution().simpleString() or \
+        "salary" in df._jdf.queryExecution().executedPlan().toString()
