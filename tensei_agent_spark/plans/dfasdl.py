@@ -199,6 +199,39 @@ def _collect_leaves(node: ET.Element, prefix: str = "") -> list[ET.Element]:
     return out
 
 
+def _collect_tokens(node: ET.Element) -> list[list[tuple[ET.Element, str]]]:
+    """Like :func:`_collect_leaves`, but each entry is one consumed
+    TOKEN with its alternative elements: a plain data element is a
+    singleton, a FIELD-LEVEL ``choice`` (choice below the row wrapper —
+    FileParsers/CSV/choice-01.xml, each column independently num-or-str)
+    contributes ALL its alternatives for one token."""
+    out: list[list[tuple[ET.Element, str]]] = []
+
+    def walk(n: ET.Element, pfx: str) -> None:
+        for child in n:
+            tag = _local(child.tag)
+            if tag in _DATA_TAGS:
+                out.append([(child, pfx)])
+            elif tag == "choice":
+                alts: list[tuple[ET.Element, str]] = []
+                for alt in child:
+                    if _local(alt.tag) in _WRAPPER_TAGS:
+                        alts.extend(_collect_leaves(alt, pfx))
+                if alts:
+                    out.append(alts)
+            elif tag in _WRAPPER_TAGS:
+                a = child.attrib
+                label = (
+                    a.get("json-attribute-name")
+                    or a.get("xml-element-name")
+                    or a.get("id", "")
+                )
+                walk(child, f"{pfx}.{label}".lstrip("."))
+
+    walk(node, "")
+    return out
+
+
 @dataclass(frozen=True)
 class SeqSchema:
     """One parsed row set."""
@@ -343,10 +376,22 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
         fields_per_layout: list[tuple[Field, ...]] = []
         fks: dict = {}
         for layout in layouts:
-            leaves: list[tuple[ET.Element, str]] = []
+            tokens: list[list[tuple[ET.Element, str]]] = []
             for wrapper in layout:
-                leaves.extend(_collect_leaves(wrapper))
+                tokens.extend(_collect_tokens(wrapper))
+            leaves = [alt for tok in tokens for alt in tok]
             fields = _uniquify(tuple(_field_of(n, pfx) for n, pfx in leaves))
+            if not fields_per_layout and any(len(t) > 1 for t in tokens):
+                # field-level choice: record which fields compete for
+                # each token, and the per-TOKEN stop-signs/trims the
+                # grammar reader consumes (first alternative speaks for
+                # the token — the fixtures share attrs across branches)
+                fi = iter(fields)
+                opts["token_fields"] = tuple(
+                    tuple(next(fi).name for _ in tok) for tok in tokens
+                )
+                reps = [tok[0] for tok in tokens]
+                _layout_opts(reps, opts)
             if not fields_per_layout:
                 # element ids ride along for document-wide FK resolution
                 # (field names may be db-column-name overrides; id-less
@@ -408,13 +453,20 @@ def parse_dfasdl(xml_str: str) -> list[SeqSchema]:
         for wrapper in root:
             if _local(wrapper.tag) not in _WRAPPER_TAGS:
                 continue
-            leaves = _collect_leaves(wrapper)
+            tokens = _collect_tokens(wrapper)
+            leaves = [alt for tok in tokens for alt in tok]
             if not leaves:
                 continue
             fields = _uniquify(tuple(_field_of(n, pfx) for n, pfx in leaves))
             opts = {"limit": 1, "trailing_newline": True}
             if encoding:
                 opts["encoding"] = encoding
+            if any(len(t) > 1 for t in tokens):
+                fi = iter(fields)
+                opts["token_fields"] = tuple(
+                    tuple(next(fi).name for _ in tok) for tok in tokens
+                )
+                _layout_opts([tok[0] for tok in tokens], opts)
             _layout_opts(leaves, opts)
             opts["_element_ids"] = tuple(
                 n.attrib.get("id") or f.name

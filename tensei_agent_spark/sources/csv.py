@@ -21,6 +21,7 @@ def _read_stream_grammar(
     spark: SparkSession, spec: SourceSpec, stop_signs: tuple,
     trims: tuple = (),
     leading: int = 0,
+    token_fields: tuple | None = None,
 ) -> DataFrame:
     """Stop-sign stream parse (≙ ``FileParserFunctions.scala:84-133``
     regex grammar): records are NOT line-delimited — each field consumes
@@ -43,6 +44,12 @@ def _read_stream_grammar(
     pat += "(.*?)(?:\r?\n|$)" if stop_signs[-1] is None else (
         f"(.*?)(?:{stop_signs[-1]})"
     )
+    fields_by_name = {f.name: f for f in spec.fields}
+    groups = (
+        tuple(token_fields)
+        if token_fields
+        else tuple((f.name,) for f in spec.fields)
+    )
     blob = spark.read.text(spec.uri, wholetext=True)
     if leading:
         # leading top-level DFASDL elements = header lines, per file
@@ -51,7 +58,7 @@ def _read_stream_grammar(
                 "value", f"^(?:[^\n]*\n){{{int(leading)}}}", ""
             ).alias("value")
         )
-    n = len(spec.fields)
+    n = len(groups)
     zipped = F.arrays_zip(
         *[
             F.regexp_extract_all("value", F.lit(pat), i + 1).alias(f"_g{i}")
@@ -75,12 +82,33 @@ def _read_stream_grammar(
             return F.regexp_replace(c, r"\s+$", "")
         return c
 
-    out = blob.select(rec).select(
-        *[
-            _trimmed(F.col(f"_rec._g{i}"), i).cast(f.type).alias(f.name)
-            for i, f in enumerate(spec.fields)
-        ]
-    )
+    # One projected column per FIELD. A multi-alternative token (field-
+    # level choice, FileParsers/CSV/choice-01.xml) dispatches its value
+    # first-parse-wins across its candidate fields: a typed alternative
+    # claims the token iff it parses (try_cast non-null / formatstr
+    # match); an unconstrained str alternative is the catch-all.
+    projected = []
+    for ti, fnames in enumerate(groups):
+        token = _trimmed(F.col(f"_rec._g{ti}"), ti)
+        if len(fnames) == 1:
+            f = fields_by_name[fnames[0]]
+            projected.append(token.cast(f.type).alias(f.name))
+            continue
+        claimed = F.lit(False)
+        for fname in fnames:
+            f = fields_by_name[fname]
+            if f.type != "string":
+                parses = token.try_cast(f.type).isNotNull()
+            elif f.format:
+                parses = token.rlike(f.format)
+            else:
+                parses = F.lit(True)
+            take = parses & ~claimed
+            projected.append(
+                F.when(take, token.cast(f.type)).alias(f.name)
+            )
+            claimed = claimed | parses
+    out = blob.select(rec).select(*projected)
     # An all-empty match (e.g. a separator-only line) is no record —
     # the reference's parser yields nothing for it.
     non_empty = None
@@ -95,16 +123,19 @@ def read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     options = dict(spec.options)
     stop_signs = options.pop("stop_signs", None)
     options.pop("seps", None)
+    token_fields = options.pop("token_fields", None)
     trims = options.pop("trims", None) or ()
     if options.pop("stream_grammar", False):
         if not spec.fields:
             raise ValueError("stream_grammar needs an explicit field list")
+        n_tokens = len(token_fields) if token_fields else len(spec.fields)
         signs = tuple(stop_signs) if stop_signs else (
-            (options.get("sep", ","),) * (len(spec.fields) - 1) + (None,)
+            (options.get("sep", ","),) * (n_tokens - 1) + (None,)
         )
         return _read_stream_grammar(
             spark, spec, signs, tuple(trims),
             leading=int(options.get("leading_lines", 0) or 0),
+            token_fields=token_fields,
         )
     # formatnum locale attributes (≙ decimal-separator / grouping on the
     # reference's formatnum elements, ExcelToCSVConverter locale path):

@@ -19,9 +19,11 @@ empty-row catch-all branch (complex-02); per-element trim variants
 (complex-03); empty trailing columns (empty-column-at-end); nested
 seq-in-seq cell explosion (sequence-stop-sign-01).
 
-Not replayed: choice-01/02 (PER-FIELD choice — each column
-independently num-or-str; the engine models choice at row level, and
-no use case exercises field-level dispatch).
+choice-01/02 (PER-FIELD choice — each column independently
+num-or-str) dispatch each token first-parse-wins across the branch
+fields, so every record lands its value under the element id of the
+branch that matched ("42" under num-field3, "test01" under
+str-field3), exactly as the expected trees record.
 """
 
 from __future__ import annotations
@@ -91,10 +93,16 @@ def expected_records(path):
 
 def _norm(v):
     """'' / None / the reference's literal Option rendering 'None' all
-    mean 'no value'."""
+    mean 'no value'; integral values compare canonically (the reference
+    keeps the source LEXEME for parsed nums — '01' in
+    choice-02-expected-data.xml is the Long 1)."""
     if v is None or v == "" or v == "None":
         return None
-    return str(v)
+    s = str(v)
+    try:
+        return str(int(s))
+    except ValueError:
+        return s
 
 
 def _rows_to_records(df):
@@ -138,6 +146,8 @@ GRAMMAR_CASES = [
     ("complex-01-with-fixseq", "complex-01.csv"),
     ("complex-03-with-seq", "complex-03.csv"),
     ("empty-column-at-end", "empty-column-at-end.csv"),
+    ("choice-01", "choice-01.csv"),
+    ("choice-02", "choice-02.csv"),
 ]
 
 
