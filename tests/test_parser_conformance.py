@@ -543,3 +543,56 @@ def test_database_parser_where_filter_conformance(spark, tmp_path):
     # the predicate must reach the DB scan, not a post-filter
     assert "PushedFilters: [" in df._jdf.queryExecution().simpleString() or \
         "salary" in df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- Text grammar (seq bounded by its stop-sign, then a footer) --------------------
+
+TEXT_DIR = (
+    "/root/reference/src/test/resources/com/wegtam/tensei/agent/parsers"
+    "/FileParsers/Text"
+)
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(TEXT_DIR), reason="reference fixture corpus not present"
+)
+def test_text_seq_stop_sign_conformance(spark):
+    """Text/text-01 — the headers seq is bounded by ITS OWN stop-sign
+    (``\\A$``, the first blank line): every line before it is one row,
+    the blank line itself is an EMPTY row (the expected tree records
+    content None for it), and the trailing ``<str id="footer"
+    stop-sign="EOF"/>`` absorbs the rest of the file. Spark-first: one
+    wholetext split at the first blank line; header lines explode to
+    rows."""
+    from pyspark.sql import functions as F
+
+    blob = spark.read.text(f"{TEXT_DIR}/text-01.txt", wholetext=True)
+    parts = blob.select(
+        F.split("value", "\n\n", 2).alias("p")
+    ).select(
+        F.element_at("p", 1).alias("head"),
+        F.element_at("p", 2).alias("footer"),
+    )
+    # blank-line row: the seq consumed the terminator as one empty row
+    rows = parts.select(
+        F.explode(
+            F.concat(F.split("head", "\n"), F.array(F.lit(None)))
+        ).alias("content")
+    )
+    got = [r["content"] for r in rows.collect()]
+
+    root = ET.parse(f"{TEXT_DIR}/text-01-expected-data.xml").getroot()
+    seq = next(c for c in root if _local(c.tag) == "seq")
+    exp = [
+        next(e.text for e in _leaves(row))
+        for row in seq
+        if _local(row.tag) in _WRAPPERS
+    ]
+    assert [_norm(v) for v in got] == [_norm(v) for v in exp]
+
+    footer = parts.first()["footer"]
+    exp_footer = next(
+        e.text for e in root
+        if _local(e.tag) == "str" and _leaf_id(e) == "footer"
+    )
+    assert footer == exp_footer
