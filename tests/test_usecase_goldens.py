@@ -1411,3 +1411,51 @@ def test_sugarcrm_join_to_database_golden(spark, sugar_derby, tmp_path):
         ("Deidra", "Salem", "Tracker Com LP", None),
         ("Everett", "Osteen", "Rhyme & Reason Inc", None),
     }
+
+
+@requires_fixtures
+def test_copy_between_databases_six_tables_golden(spark, derby_url, tmp_path):
+    """CopyBetweenDatabases.scala:1115-1305 — a SIX-seq source document
+    of which only the fifth table maps, into a DIFFERENT target DFASDL
+    that drops the description column; the other five tables (filled or
+    empty) are simply not read. Golden rows 6/7/8 with exact doubles."""
+    tgt_url = f"jdbc:derby:{tmp_path}/copydst6;create=true"
+    jvm_execute(spark, derby_url, [
+        "CREATE TABLE cbd6_accounts5 (id BIGINT, name VARCHAR(254),"
+        " description VARCHAR(2000), birthday DATE, salary DOUBLE)",
+        "INSERT INTO cbd6_accounts5 VALUES (6, 'Max Mustermann',"
+        " 'Afraid of his wife...', '1963-01-01', 1500000.83)",
+        "INSERT INTO cbd6_accounts5 VALUES (7, 'Eva Musterfrau', NULL,"
+        " '1968-01-01', 2800000.00)",
+        "INSERT INTO cbd6_accounts5 VALUES (8, 'Dr. Evil',"
+        " 'Afraid of Austin Powers!', '1968-08-08', 3.14256)",
+    ], DRIVER)
+
+    src = source_spec(
+        _read("databases/copy-between-databases-06.xml"), "a5", derby_url,
+        fmt="jdbc", seq_id="accounts5",
+    )
+    src.options.update({"driver": DRIVER, "table": "cbd6_accounts5"})
+    tgt = target_spec(
+        _read("databases/copy-between-databases-06-target.xml"), "o5",
+        tgt_url, fmt="jdbc", seq_id="accounts5", mode="overwrite",
+    )
+    tgt.options.update({"driver": DRIVER, "table": "ACCOUNTS5"})
+
+    recipe = Recipe("id5", "o5", mappings=(
+        Mapping(
+            (ColumnRef("a5", "id"), ColumnRef("a5", "name"),
+             ColumnRef("a5", "birthday"), ColumnRef("a5", "salary")),
+            ("id", "name", "birthday", "salary"),
+        ),
+    ))
+    run_pipeline(spark, Pipeline("cbd-six", (src,), (tgt,), (recipe,)))
+
+    back = _table(spark, tgt_url, "ACCOUNTS5")
+    assert "description" not in back.columns
+    rows = {r["id"]: r for r in back.collect()}
+    assert sorted(rows) == [6, 7, 8]
+    assert rows[6]["name"] == "Max Mustermann"
+    assert str(rows[6]["birthday"]) == "1963-01-01"
+    assert rows[6]["salary"] == 1500000.83
+    assert rows[8]["salary"] == 3.14256
