@@ -1459,3 +1459,61 @@ def test_copy_between_databases_six_tables_golden(spark, derby_url, tmp_path):
     assert str(rows[6]["birthday"]) == "1963-01-01"
     assert rows[6]["salary"] == 1500000.83
     assert rows[8]["salary"] == 3.14256
+
+
+@requires_fixtures
+def test_copy_between_databases_three_tables_golden(spark, derby_url, tmp_path):
+    """CopyBetweenDatabases.scala:471-715 — three seqs of one document
+    drive three recipes into a second database; each target table holds
+    exactly its source rows."""
+    tgt_url = f"jdbc:derby:{tmp_path}/copydst3;create=true"
+    seed = []
+    for i, (tbl, base) in enumerate(
+        (("cbd3_accounts", (1, 2, 3)), ("cbd3_accounts2", (4, 5, 3)),
+         ("cbd3_accounts3", (6, 7, 8)))
+    ):
+        seed.append(
+            f"CREATE TABLE {tbl} (id BIGINT, name VARCHAR(254),"
+            " description VARCHAR(2000), birthday DATE, salary DOUBLE)"
+        )
+        names = [("Max Mustermann", "'Afraid of his wife...'", 1500000.83),
+                 ("Eva Musterfrau", "NULL", 2800000.00),
+                 ("Dr. Evil", "'Afraid of Austin Powers!'", 3.14256)]
+        for rid, (nm, desc, sal) in zip(base, names):
+            seed.append(
+                f"INSERT INTO {tbl} VALUES ({rid}, '{nm}', {desc},"
+                f" '1968-01-01', {sal})"
+            )
+    jvm_execute(spark, derby_url, seed, DRIVER)
+
+    xml = _read("databases/copy-between-databases-03.xml")
+    cols = ("id", "name", "description", "birthday", "salary")
+    sources, targets, recipes = [], [], []
+    for n, (seq, tbl) in enumerate(
+        (("accounts", "cbd3_accounts"), ("accounts2", "cbd3_accounts2"),
+         ("accounts3", "cbd3_accounts3"))
+    ):
+        s = source_spec(xml, f"s{n}", derby_url, fmt="jdbc", seq_id=seq)
+        s.options.update({"driver": DRIVER, "table": tbl})
+        t = target_spec(xml, f"t{n}", tgt_url, fmt="jdbc", seq_id=seq,
+                        mode="overwrite")
+        t.options.update({"driver": DRIVER, "table": seq.upper()})
+        sources.append(s)
+        targets.append(t)
+        recipes.append(Recipe(f"r{n}", f"t{n}", mappings=(
+            Mapping(tuple(ColumnRef(f"s{n}", c) for c in cols), cols),
+        )))
+    run_pipeline(
+        spark,
+        Pipeline("cbd-three", tuple(sources), tuple(targets), tuple(recipes)),
+    )
+
+    # Golden ids per table (CopyBetweenDatabases.scala:616-715)
+    for seq, ids in (("ACCOUNTS", [1, 2, 3]), ("ACCOUNTS2", [3, 4, 5]),
+                     ("ACCOUNTS3", [6, 7, 8])):
+        rows = {r["id"]: r for r in _table(spark, tgt_url, seq).collect()}
+        assert sorted(rows) == ids, seq
+    a = {r["id"]: r for r in _table(spark, tgt_url, "ACCOUNTS").collect()}
+    assert a[1]["description"] == "Afraid of his wife..."
+    assert a[2]["description"] is None
+    assert a[3]["name"] == "Dr. Evil"
