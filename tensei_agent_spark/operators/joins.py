@@ -33,35 +33,53 @@ def with_row_index(
 
     Scale note: a bare ``row_number().over(Window.orderBy(...))`` funnels
     the whole table through ONE partition. Instead we compute a local
-    row number per partition id and add broadcast per-partition offsets —
-    every step is distributed; only the tiny (num_partitions)-row count
-    table touches the driver.
+    row number per partition id and add broadcast per-partition offsets.
+    The offsets are a ``groupBy(_pid)`` aggregate of the SAME
+    range-partitioned frame — one lazy plan, no driver action, and the
+    range exchange is computed once (ReusedExchange / AQE stage reuse).
+    The cumulative pass runs in an unpartitioned window over the
+    O(num_partitions)-row counts frame, never over the input.
+
+    The local index is read out of ``monotonically_increasing_id``
+    (documented layout ``partition_id << 33 | row-in-partition``) right
+    after ``sortWithinPartitions``, so the big side needs no
+    ``Window.partitionBy(_pid)`` — avoiding a second full shuffle
+    (hashpartitioning on _pid) of already-range-partitioned data.
     """
     order = [F.col(c) for c in order_cols]
-    part = (
-        df.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
+    # Explicit N pins the exchange (REPARTITION_BY_NUM): AQE partition
+    # coalescing is per-read and can differ between the two branches
+    # reading this shuffle, which would desynchronize mid>>33 vs
+    # spark_partition_id() — see windows._n_shuffle.
+    from .windows import _n_shuffle
+
+    shuffled = df.repartitionByRange(_n_shuffle(df), *order)
+    # Local 0-based index within each range partition (lower 33 bits).
+    local = (
+        shuffled.sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn("_local_rn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
     )
-    # Local index within each range partition.
-    w = Window.partitionBy("_pid").orderBy(*order)
-    local = part.withColumn("_local_rn", F.row_number().over(w))
-    # Tiny per-partition row counts -> cumulative offsets (driver-side,
-    # O(partitions) not O(rows)).
-    counts = sorted(local.groupBy("_pid").count().collect())
-    offsets, acc = {}, 0
-    for row in counts:
-        offsets[row["_pid"]] = acc
-        acc += row["count"]
-    offset_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+    # Tiny per-partition row counts -> exclusive running sum = offsets.
+    # Counted on the PRE-sort frame: spark_partition_id() matches
+    # _mid >> 33 (same reused exchange), and skips a full re-sort.
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offset_df = (
+        shuffled.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(w_prev), F.lit(0).cast("long")).alias(
+                "_off"
+            ),
         )
     )
     return (
-        local.join(offset_df, "_pid")
-        .withColumn(index_col, F.col("_local_rn") + F.col("_off") - F.lit(1))
-        .drop("_pid", "_local_rn", "_off")
+        local.join(F.broadcast(offset_df), "_pid")
+        .withColumn(index_col, F.col("_local_rn") + F.col("_off"))
+        .drop("_pid", "_mid", "_local_rn", "_off")
     )
 
 

@@ -9,10 +9,21 @@ compute the *bit-exact same result* distributed:
    global order across partitions),
 2. run the window per range partition (hash-partitioned WindowExec,
    fully parallel),
-3. shift each partition by the cumulative count/sum of its
-   predecessors — a tiny O(num_partitions) table collected on the
-   driver and broadcast back (same technique as
-   ``operators/joins.with_row_index``).
+3. shift each partition by the cumulative count/sum/max of its
+   predecessors — a tiny O(num_partitions) offsets table derived from
+   a per-partition aggregate and broadcast-joined back.
+
+The whole thing is ONE lazy plan: the offsets table is a
+``groupBy(_pid)`` aggregate of the SAME range-partitioned frame, so
+within the single downstream action Spark's ReusedExchange (AQE stage
+reuse) computes the expensive upstream + range shuffle exactly once.
+Earlier revisions ``collect()``-ed the offsets at build time, which
+(a) forced an eager action per helper call and (b) recomputed the
+unpersisted upstream lineage twice — a measured +30% on
+``hybrid_search_rrf`` at r7 (VERDICT r7 item 1). The cumulative pass
+over the per-partition stats runs in an unpartitioned window, which
+is safe precisely because that frame is O(shuffle partitions) rows,
+not O(input rows).
 
 Exactness contract:
 
@@ -31,7 +42,6 @@ Used by ``customer_balance_quartiles``, ``part_abc_classification``,
 from __future__ import annotations
 
 from collections.abc import Sequence
-from decimal import Decimal
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -48,12 +58,49 @@ def _as_columns(order: Sequence[Column | str]) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order]
 
 
+def _n_shuffle(df: DataFrame) -> int:
+    """Explicit partition count for the range exchange.
+
+    Pinning N (shuffle origin REPARTITION_BY_NUM) disables AQE
+    partition coalescing for that exchange. That is REQUIRED for
+    correctness here, not a tuning choice: the rank/offset helpers read
+    the same shuffle from two branches and match rows on the physical
+    partition id (_pid). AQE coalescing decisions are per-read — one
+    branch can coalesce while the other does not (observed under a
+    cached self-join), silently desynchronizing the two _pid columns
+    and corrupting the join.
+    """
+    try:
+        return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return 200
+
+
 def _range_partitioned(df: DataFrame, order: list[Column]) -> DataFrame:
-    return (
-        df.repartitionByRange(*order)
-        .sortWithinPartitions(*order)
-        .withColumn("_pid", F.spark_partition_id())
+    # No sortWithinPartitions: _pid depends only on the partitioning,
+    # and every consumer either aggregates (order-irrelevant) or runs a
+    # Window.partitionBy(_pid).orderBy(order) that sorts on its own.
+    return df.repartitionByRange(_n_shuffle(df), *order).withColumn(
+        "_pid", F.spark_partition_id()
     )
+
+
+# monotonically_increasing_id() layout (documented in its API contract):
+# upper 31 bits = partition id, lower 33 bits = record number within the
+# partition. Reading both back out gives a per-partition row number
+# WITHOUT a Window.partitionBy(_pid) — which would force a second full
+# shuffle (hashpartitioning(_pid)) of data already range-partitioned.
+_MID_BITS = 33
+_MID_MASK = (1 << _MID_BITS) - 1
+
+
+def _w_prev():
+    # Cumulative window over the per-partition stats frame.
+    # Unpartitioned on purpose: the frame has one row per shuffle
+    # partition (~32-1000), so the single-task window is
+    # O(partitions), never O(rows). Built lazily — WindowSpec
+    # construction needs an active SparkContext.
+    return Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
 
 
 def with_global_rank(
@@ -64,26 +111,43 @@ def with_global_rank(
     """Attach a 1-based global ``row_number()`` over *order*, distributed.
 
     *order* must be a total order (include a unique tie-break column).
+    Lazy: builds one plan, no driver action — the range exchange is
+    shared (ReusedExchange) between the row-number branch and the tiny
+    per-partition-count branch.
+
+    No second full shuffle: after ``sortWithinPartitions`` the local
+    row number is read straight out of ``monotonically_increasing_id``
+    (documented layout: ``partition_id << 33 | row-in-partition``), so
+    the big side needs no ``Window.partitionBy(_pid)`` — which would
+    otherwise force a full ``hashpartitioning(_pid)`` exchange of the
+    whole input just to rediscover a partitioning it already has.
     """
     order = _as_columns(order)
-    part = _range_partitioned(df, order)
-    w = Window.partitionBy("_pid").orderBy(*order)
-    local = part.withColumn("_lrn", F.row_number().over(w))
-    counts = sorted(
-        (r["_pid"], r["n"])
-        for r in local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    shuffled = df.repartitionByRange(_n_shuffle(df), *order)
+    local = (
+        shuffled.sortWithinPartitions(*order)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", _MID_BITS).cast("int"))
+        .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit(_MID_MASK)) + F.lit(1))
     )
-    offsets, acc = [], 0
-    for pid, n in counts:
-        offsets.append((pid, acc))
-        acc += n
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, "_pid int, _off long")
+    # Counts from the PRE-sort frame: spark_partition_id() gives the
+    # same ids as _mid >> 33 (same reused exchange, same AQE coalesce),
+    # and skipping the sort saves a full re-sort in the counts branch.
+    offsets = (
+        shuffled.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(_w_prev()), F.lit(0).cast("long")).alias(
+                "_off"
+            ),
+        )
     )
     return (
-        local.join(off_df, "_pid")
+        local.join(F.broadcast(offsets), "_pid")
         .withColumn(out, F.col("_lrn") + F.col("_off"))
-        .drop("_pid", "_lrn", "_off")
+        .drop("_pid", "_mid", "_lrn", "_off")
     )
 
 
@@ -114,26 +178,25 @@ def with_global_prefix_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     local = part.withColumn("_lcum", F.sum(value_col).over(w))
-    # Per-partition totals -> cumulative offsets. Python ints/Decimals
-    # are arbitrary-precision, so the driver-side accumulation is exact.
-    totals = sorted(
-        (r["_pid"], r["t"])
-        for r in local.groupBy("_pid").agg(F.sum(value_col).alias("t")).collect()
-    )
     sum_type = local.schema["_lcum"].dataType  # sum() widens decimals
-    zero = Decimal(0) if isinstance(sum_type, DecimalType) else 0
-    offsets, acc = [], zero
-    for pid, t in totals:
-        offsets.append((pid, acc))
-        acc += t if t is not None else zero
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(
-            offsets,
-            f"_pid int, _off {sum_type.simpleString()}",
+    # Per-partition totals -> exclusive running sum = each partition's
+    # offset. Exact types only (checked above), so the regrouped
+    # addition is associative and bit-equal to the serial sum. Totals
+    # come from the same _pid frame (shared exchange), no sort needed.
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_t"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("_t").over(_w_prev()), F.lit(0).cast(sum_type)
+            )
+            .cast(sum_type)
+            .alias("_off"),
         )
     )
     return (
-        local.join(off_df, "_pid")
+        local.join(F.broadcast(offsets), "_pid")
         .withColumn(out, (F.col("_lcum") + F.col("_off")).cast(sum_type))
         .drop("_pid", "_lcum", "_off")
     )
@@ -199,21 +262,16 @@ def with_global_prefix_max(
         .rowsBetween(Window.unboundedPreceding, end)
     )
     local = part.withColumn("_lmax", F.max(value_col).over(w))
-    totals = sorted(
-        (r["_pid"], r["t"])
-        for r in local.groupBy("_pid").agg(F.max(value_col).alias("t")).collect()
-    )
-    offsets, acc = [], None
-    for pid, t in totals:
-        offsets.append((pid, acc))
-        if t is not None:
-            acc = t if acc is None else max(acc, t)
-    vt = df.schema[value_col].dataType.simpleString()
-    off_df = F.broadcast(
-        df.sparkSession.createDataFrame(offsets, f"_pid int, _off {vt}")
+    # Offset for partition p = max over all partitions < p (NULL at the
+    # global head). max() skips NULLs in both the agg and the window,
+    # matching the driver-side acc=None semantics this replaces.
+    offsets = (
+        part.groupBy("_pid")
+        .agg(F.max(value_col).alias("_t"))
+        .select("_pid", F.max("_t").over(_w_prev()).alias("_off"))
     )
     return (
-        local.join(off_df, "_pid")
+        local.join(F.broadcast(offsets), "_pid")
         # greatest() skips NULLs: first-row-of-partition exclusive max
         # falls back to the previous partitions' offset (or NULL at the
         # global head).
