@@ -897,12 +897,67 @@ def band_signatures(
     )
 
 
-def bucket_pairs(band_sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def bucket_pairs(
+    band_sig: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_df: int | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
     """(id_a, id_b) distinct pairs of ids sharing an LSH bucket — the
     in-bucket combination explosion used by both the batch path
     (:func:`minhash_lsh_pairs`) and the incremental index
     (incremental.MinHashIndex); one implementation so the two stay
-    bit-identical (the incremental path's determinism contract)."""
+    bit-identical (the incremental path's determinism contract).
+
+    ``max_bucket_df``: candidate-stage safety valve for boilerplate-
+    heavy shards (mirror of ngram_jaccard_pairs' ``max_shingle_df``).
+    A bucket holding d docs expands to O(d²) pairs, so one templated
+    band key (empty texts, shared headers) can blow the output
+    quadratically at scale. Buckets with more than ``max_bucket_df``
+    members are EXCLUDED — before their member lists are ever
+    materialized (the hot keys are detected on a partial-aggregating
+    count and anti-joined out, so a 100M-doc pathological bucket never
+    builds a 100M-element collect_list buffer). The cap is
+    deterministic (a size threshold, not a sample) and LOSSY above the
+    cap: pairs colliding only in hot buckets are missed. Below the cap
+    the output is bit-identical to the uncapped run (pinned by test).
+    Never silent: engaging it logs, and ``stats`` (pass a dict)
+    receives ``stats["truncation"]`` — a LAZY one-row frame
+    (hot_buckets, dropped_pairs) over the persisted band signatures.
+    Default None = exact, uncapped (the oracle-compared queries).
+    """
+    if max_bucket_df is not None:
+        if max_bucket_df < 1:
+            raise ValueError(f"max_bucket_df must be >= 1, got {max_bucket_df}")
+        logger.info(
+            "bucket_pairs: candidate stage capped at bucket size <= %d; "
+            "pairs colliding only in hotter buckets are dropped "
+            "(stats['truncation'] quantifies)", max_bucket_df,
+        )
+        from ..cache import track
+
+        # band_sig feeds both the size count and the kept-join; persist
+        # so the signature pipeline (the expensive part) runs once.
+        band_sig = track(band_sig)
+        sizes = band_sig.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        hot = sizes.filter(F.col("_df") > max_bucket_df)
+        if stats is not None:
+            stats["truncation"] = hot.agg(
+                F.count(F.lit(1)).alias("hot_buckets"),
+                F.coalesce(
+                    F.sum(F.col("_df") * (F.col("_df") - 1) / 2), F.lit(0.0)
+                ).cast("long").alias("dropped_pairs"),
+            )
+        # Hot keys are FEW by construction (each is a boilerplate
+        # collision) — broadcast anti-join strips their postings
+        # without ever grouping them.
+        band_sig = band_sig.join(
+            F.broadcast(hot.select("band", "band_key")),
+            ["band", "band_key"],
+            "left_anti",
+        )
     return (
         band_sig.groupBy("band", "band_key")
         .agg(F.collect_list(F.col(id_col)).alias("ids"))
@@ -929,6 +984,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     hash_fn: str = "md5",
+    max_bucket_df: int | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
@@ -940,13 +997,15 @@ def minhash_lsh_pairs(
     a self-join, which would scan the corpus and build the signatures
     twice (Spark does not reuse the exchange across differently-aliased
     subtrees). One corpus scan, one signature shuffle, one bucket
-    shuffle; fan-out bounded by bucket size.
+    shuffle; fan-out bounded by bucket size — or, with
+    ``max_bucket_df`` (see :func:`bucket_pairs`), hard-capped against
+    boilerplate bucket blow-up.
     Output: (id_a, id_b) distinct candidate pairs, id_a < id_b.
     """
     band_sig = band_signatures(
         docs, text_col, id_col, k, num_hashes, bands, hash_fn
     )
-    return bucket_pairs(band_sig, id_col)
+    return bucket_pairs(band_sig, id_col, max_bucket_df, stats)
 
 
 def shared_shingle_contamination(

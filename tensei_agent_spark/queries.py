@@ -1669,10 +1669,15 @@ def dedup_minhash_fast(spark: SparkSession, sf: str) -> DataFrame:
     round-trip — ~2× cheaper on the corpus scan, measured at sf0.1).
     xxhash64 has no DuckDB twin, so correctness is covered by (a) the
     md5 variant's oracle match on the same plan and (b) the recall test
-    in tests/test_dedup_fast.py."""
+    in tests/test_dedup_fast.py. The production path also engages the
+    max_bucket_df valve (256): a boilerplate band key at corpus scale
+    expands O(d²) pairs; at the test SFs every bucket is far below the
+    cap, so the output is bit-identical to the uncapped twin (pinned by
+    tests/test_dedup_fast.py::test_bucket_cap_parity_below_cap)."""
     return D.minhash_lsh_pairs(
         load(spark, sf, "documents"), "text", "doc_id",
         k=8, num_hashes=16, bands=4, hash_fn="xxhash64",
+        max_bucket_df=256,
     )
 
 

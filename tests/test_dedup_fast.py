@@ -326,3 +326,61 @@ def test_tune_lsh_tracks_threshold():
 
     with pytest.raises(ValueError):
         tune_lsh(1.5, 16)
+
+
+def test_bucket_cap_parity_below_cap(spark):
+    """max_bucket_df is a pure no-op while every LSH bucket stays under
+    the cap: bit-identical pairs to the uncapped run, and the stats
+    frame reads zero."""
+    docs = _corpus(spark)
+    stats: dict = {}
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, hash_fn="xxhash64", max_bucket_df=256, stats=stats
+        ).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, hash_fn="xxhash64").collect()
+    }
+    assert capped == uncapped
+    t = stats["truncation"].first()
+    assert (t["hot_buckets"], t["dropped_pairs"]) == (0, 0)
+
+
+def test_bucket_cap_drops_hostile_boilerplate_bucket(spark):
+    """A corpus of IDENTICAL texts puts every doc in the same bucket in
+    every band (one band key × 4 bands): n=40 docs → 780 pairs uncapped.
+    Cap 10 excludes those buckets entirely — zero candidates — and the
+    truncation frame accounts every dropped pair, per band."""
+    n = 40
+    rows = [(i, "exactly the same boilerplate text for everyone") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = minhash_lsh_pairs(docs, hash_fn="xxhash64").count()
+    assert uncapped == n * (n - 1) // 2
+    stats: dict = {}
+    capped = minhash_lsh_pairs(
+        docs, hash_fn="xxhash64", max_bucket_df=10, stats=stats
+    )
+    assert capped.count() == 0
+    t = stats["truncation"].first()
+    # 4 bands × one hot bucket each, each dropping C(40,2) raw pairs.
+    assert t["hot_buckets"] == 4
+    assert t["dropped_pairs"] == 4 * n * (n - 1) // 2
+
+
+def test_bucket_cap_keeps_cold_buckets_alongside_hot(spark):
+    """Mixed corpus: hot boilerplate cluster capped away, cold exact-dup
+    pair still emitted — the cap is per bucket, not a global switch."""
+    rows = [(i, "exactly the same boilerplate text for everyone") for i in range(30)]
+    rows += [(100, "a genuinely unique document body xyzzy"),
+             (101, "a genuinely unique document body xyzzy")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            docs, hash_fn="xxhash64", max_bucket_df=10
+        ).collect()
+    }
+    assert pairs == {(100, 101)}

@@ -84,6 +84,19 @@ def main() -> None:
         emb = scaled_emb(spark, s)
         n_docs = docs.count()
         ngram_stats: dict = {}
+        lsh_stats: dict = {}
+        # Hostile leg input: 10% of every copy collapses to ONE
+        # boilerplate text — at x1 that's ~500 docs sharing each band
+        # bucket (~125k raw pairs per band uncapped); the max_bucket_df
+        # valve must keep the capped run corpus-linear and account the
+        # drop in the truncation stats, never silently.
+        hostile = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.lit("all rights reserved standard footer boilerplate"),
+            ).otherwise(F.col("text")),
+        )
         ops = {
             "dedup_exact": lambda: D.exact_text_dups(
                 docs, "text", "doc_id"
@@ -91,6 +104,15 @@ def main() -> None:
             "minhash_lsh_fast": lambda: D.minhash_lsh_pairs(
                 docs, "text", "doc_id",
                 k=8, num_hashes=16, bands=4, hash_fn="xxhash64",
+            ).count(),
+            # Bucket-cap evidence leg (VERDICT r7 item 2): hostile
+            # boilerplate corpus, production cap engaged — wall time
+            # must stay corpus-linear while the uncapped pair volume
+            # would grow quadratically in the boilerplate cluster.
+            "minhash_lsh_capped_hostile": lambda: D.minhash_lsh_pairs(
+                hostile, "text", "doc_id",
+                k=8, num_hashes=16, bands=4, hash_fn="xxhash64",
+                max_bucket_df=256, stats=lsh_stats,
             ).count(),
             # Production configuration of the fast twin: OPH screen +
             # df-2000 candidate cap. The x8 leg exists to evidence the
@@ -129,7 +151,10 @@ def main() -> None:
             # linear ops' curves are established by x1/x2/x4 and an x8
             # pass of the whole family would double the smoke's wall
             # time for no new information.
-            ops = {"ngram_jaccard_fast": ops["ngram_jaccard_fast"]}
+            ops = {
+                "ngram_jaccard_fast": ops["ngram_jaccard_fast"],
+                "minhash_lsh_capped_hostile": ops["minhash_lsh_capped_hostile"],
+            }
         for name, run in ops.items():
             release_all()
             spark.catalog.clearCache()
@@ -145,6 +170,15 @@ def main() -> None:
                 "rows_out": rows_out,
                 "sec": sec,
             }
+            if name == "minhash_lsh_capped_hostile" and "truncation" in lsh_stats:
+                try:
+                    t = lsh_stats["truncation"].first()
+                    rec["truncation"] = {
+                        "hot_buckets": t["hot_buckets"],
+                        "dropped_pairs": t["dropped_pairs"],
+                    }
+                except Exception as exc:
+                    rec["truncation_error"] = repr(exc)[:200]
             if name == "ngram_jaccard_fast" and "truncation" in ngram_stats:
                 # Read BEFORE the next op's release_all drops the
                 # persisted prefix table this aggregate reuses.
