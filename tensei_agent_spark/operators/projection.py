@@ -85,37 +85,45 @@ def random_project(
     across engines. ``k`` must be a perfect square so 1/sqrt(k) is an
     exact literal.
 
-    Plan: posexplode → broadcast join against the 64-row sign table
-    (each input dim carries its k-vector of signs, so the join is 1:1,
-    no fan-out) → k partial-aggregated conditional sums per vector.
-    One exchange carrying k longs per vector.
+    Plan: a PURE MAP. The ±1 sign matrix is a driver-side constant
+    (md5 of (j,i) — nothing to ship), so each p_j unrolls to a literal
+    codegen sum ``±q_0 ± q_1 … ± q_{d-1}`` over the row's quantized
+    components: zero exchange, zero join, whole-stage codegen end to
+    end. (The earlier posexplode → broadcast-join → k-conditional-sum
+    groupBy formulation shuffled one 16-long row per vector — pointless
+    for a data-independent linear map; at 100 TB this version touches
+    nothing but the scan.)
     """
     isq = math.isqrt(k)
     if isq * isq != k:
         raise ValueError(f"k={k} must be a perfect square (exact 1/sqrt)")
-    spark = emb.sparkSession
-    sign_rows = [
-        (i, [rp_sign(j, i, salt) for j in range(k)]) for i in range(dim)
-    ]
-    signs = spark.createDataFrame(sign_rows, "i int, s array<int>")
-    q = quantized_components(emb, vec_col, id_col, scale)
-    joined = q.join(F.broadcast(signs), "i")
-    div = F.lit(float(scale * isq))
-    sums = joined.groupBy(id_col).agg(
-        *[
-            F.sum(F.element_at("s", j + 1).cast("long") * F.col("q")).alias(
-                f"_t{j}"
-            )
-            for j in range(k)
-        ]
+    # Quantize ONCE into an intermediate array column; the 16 sums
+    # below only index it. (CollapseProject keeps the producer
+    # projection separate — a 64-element CreateArray consumed 16×
+    # is not "cheap" — so each component quantizes once per row, not
+    # once per output dim.) Both projections are authored as SQL
+    # strings: the unrolled tree is ~3000 expression nodes, and
+    # composing it Column-by-Column costs one py4j round trip per
+    # node (~5s of pure driver chatter, measured); two selectExpr
+    # calls hand the JVM parser one string instead.
+    quant_expr = "array({}) AS _q".format(
+        ", ".join(
+            "CAST(floor(CAST(element_at({v}, {i}) AS DOUBLE) * {s} + 0.5d)"
+            " AS BIGINT)".format(v=vec_col, i=i + 1, s=float(scale))
+            for i in range(dim)
+        )
     )
-    return sums.select(
-        F.col(id_col),
-        *[
-            (F.col(f"_t{j}").cast("double") / div).alias(f"p{j}")
-            for j in range(k)
-        ],
-    )
+    quant = emb.selectExpr(id_col, quant_expr)
+    div = float(scale * isq)
+    p_exprs = []
+    for j in range(k):
+        terms = "".join(
+            ("+" if rp_sign(j, i, salt) > 0 else "-")
+            + f"element_at(_q, {i + 1})"
+            for i in range(dim)
+        ).lstrip("+")
+        p_exprs.append(f"CAST(({terms}) AS DOUBLE) / {div} AS p{j}")
+    return quant.selectExpr(id_col, *p_exprs)
 
 
 def gram_matrix(

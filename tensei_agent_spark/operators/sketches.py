@@ -170,6 +170,7 @@ def cms_build(
     depth: int = CMS_DEPTH,
     width: int = CMS_WIDTH,
     salt: str = "cms-v1",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count-Min sketch of an item stream: (d, bucket, cnt) cells.
 
@@ -181,11 +182,21 @@ def cms_build(
     daily sketches, merge ranges), and every count is an exact BIGINT
     → the whole structure is bit-reproducible in any engine.
 
+    ``weight_col``: build from a PRE-AGGREGATED (key, count) table
+    instead of the raw stream — cnt becomes SUM(weight). Bit-identical
+    to sketching the raw stream (integer cell sums are associative),
+    but the d×|input| md5 hashing runs over the vocabulary instead of
+    every token occurrence — ~|stream|/|vocab| fewer hashes when a
+    counts table already exists upstream.
+
     Size the error from the standard bound: estimates overcount by at
     most εN with ε = e/width at probability 1−e^−depth.
     """
     d = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("d")
-    cells = items.select(F.col(key_col).cast("string").alias("_k"), d).select(
+    keep = [F.col(key_col).cast("string").alias("_k"), d] + (
+        [F.col(weight_col).alias("_wt")] if weight_col is not None else []
+    )
+    cells = items.select(*keep).select(
         "d",
         (
             F.conv(
@@ -205,10 +216,14 @@ def cms_build(
         )
         .cast("int")
         .alias("bucket"),
+        *([F.col("_wt")] if weight_col is not None else []),
     )
-    return cells.groupBy("d", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    cnt = (
+        F.sum("_wt").cast("long")
+        if weight_col is not None
+        else F.count(F.lit(1))
     )
+    return cells.groupBy("d", "bucket").agg(cnt.alias("cnt"))
 
 
 def cms_estimate(

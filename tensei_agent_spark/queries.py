@@ -9622,19 +9622,24 @@ def cms_word_estimates(spark: SparkSession, sf: str) -> DataFrame:
     from .operators.sketches import cms_build, cms_estimate
 
     docs = load(spark, sf, "documents")
-    toks = cache.track(
-        docs.select(
-            F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-            ).alias("w")
-        ).filter(F.col("w") != "")
+    toks = docs.select(
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("w")
+    ).filter(F.col("w") != "")
+    # ONE pass over the token stream: everything downstream (total,
+    # probes, sketch) derives from the vocab-sized counts table, so
+    # the persisted frame is |vocab| rows, not |tokens|, and the d×N
+    # md5 hashing in cms_build runs per WORD (weight_col), not per
+    # occurrence — bit-identical cells, ~stream/vocab fewer hashes.
+    truec = cache.track(
+        toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
     )
-    truec = toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
-    tot = toks.agg(F.count(F.lit(1)).alias("n"))
+    tot = truec.agg(F.sum("true_cnt").alias("n"))
     probes = truec.crossJoin(F.broadcast(tot)).filter(
         F.col("true_cnt") * 500 >= F.col("n")
     )
-    sketch = cms_build(toks, "w")
+    sketch = cms_build(truec, "w", weight_col="true_cnt")
     est = cms_estimate(sketch, probes.select("w"), "w")
     return (
         probes.join(est, "w")

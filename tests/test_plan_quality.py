@@ -130,6 +130,22 @@ def test_stratified_sample_window_is_per_stratum(spark):
     assert "windowspecdefinition(lang" in plan
 
 
+def _assert_single_partition_only_pid_offsets(plan: str) -> None:
+    """A SinglePartition exchange is allowed ONLY for the offsets
+    branch of the distributed rank/prefix helpers: it collapses the
+    O(shuffle-partitions)-row per-_pid stats for their cumulative
+    pass, never the data itself. Each such exchange must therefore sit
+    directly on a per-_pid hash aggregate."""
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        first_agg = next(
+            (ln for ln in seg.splitlines() if "HashAggregate" in ln), ""
+        )
+        assert "keys=[_pid" in first_agg, (
+            "SinglePartition exchange feeding something other than the "
+            "tiny per-partition offsets aggregate:" + seg[:500]
+        )
+
+
 def test_open_orders_sweep_stays_delta_sweep(spark):
     """Concurrent-interval counting must stay a delta sweep: hash
     aggregates + the distributed prefix-sum (whose only join is the
@@ -140,7 +156,7 @@ def test_open_orders_sweep_stays_delta_sweep(spark):
     plan = _plan(spark, "open_orders_daily")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert "SinglePartition" not in plan
+    _assert_single_partition_only_pid_offsets(plan)
 
 
 def test_decile_matrix_has_no_global_window(spark):
@@ -175,7 +191,7 @@ def test_anomaly_frame_runs_over_day_series(spark):
     plan = _plan(spark, "daily_event_anomaly")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "SinglePartition" not in plan
+    _assert_single_partition_only_pid_offsets(plan)
 
 
 def _assert_windows_are_partitioned(plan: str):
@@ -352,14 +368,14 @@ def test_winnowing_window_is_doc_partitioned(spark):
         assert "doc_id" in m.group(1)
 
 
-def test_random_projection_sign_table_broadcasts(spark):
-    """JL projection: the 64-row sign table joins as a broadcast (1:1,
-    no shuffle of the exploded components for the join) and the
-    16 sums partial-aggregate."""
+def test_random_projection_is_a_pure_map(spark):
+    """JL projection: the ±1 sign matrix is a driver-side constant and
+    each output dim unrolls to a literal codegen sum — the plan must be
+    scan → project with NO exchange, join, or aggregate at all."""
     plan = _plan(spark, "embedding_random_projection")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "partial_sum" in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Aggregate" not in plan
 
 
 def test_differential_join_avoids_smj_and_cartesian(spark):
