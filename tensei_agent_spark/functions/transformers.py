@@ -187,8 +187,10 @@ def overwrite(cols, type: str = "string", value: str | None = None):
             "time": "00:00:00",
         }[t]
     # 'now' is special ONLY for temporal types — a string/long constant
-    # that happens to be the word 'now' must stay a literal.
-    if value == "now" and t in ("date", "datetime", "time"):
+    # that happens to be the word 'now' must stay a literal. The
+    # reference lowercases before comparing (Overwrite.scala's
+    # value.toLowerCase(Locale.ROOT) == "now"), so 'NOW'/'Now' count.
+    if value.lower() == "now" and t in ("date", "datetime", "time"):
         now = {
             "date": F.current_date(),
             "datetime": F.current_timestamp(),

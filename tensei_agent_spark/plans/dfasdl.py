@@ -78,7 +78,7 @@ def _type_of(tag: str, a: dict) -> str:
         # separator from the matched lexeme
         # (DatabaseParsers/simple-01-expected-data.xml gains
         # decimal-separator="," from format "…\,\d{2}").
-        fmt = a.get("format", "")
+        fmt = _mark_scan_text(a.get("format", ""))
         return (
             "double"
             if a.get("precision")
@@ -103,9 +103,40 @@ def _type_of(tag: str, a: dict) -> str:
     return "string"
 
 
+_QUANT_RE = re.compile(r"\{\d+(?:,\d*)?\}")
+_CLASS_RE = re.compile(r"\[(?:\\.|[^\]\\])*\]")
+
+
+def _mark_scan_text(fmt: str) -> str:
+    """A formatnum pattern reduced to the characters that can actually
+    MATCH a literal decimal mark in the lexeme.
+
+    The raw pattern text lies about marks two ways (ADVICE r8):
+    quantifier commas — ``(-?\\d{1,17})``, the reference
+    DatabaseSchemaExtractor's BIGINT idiom, would type integral columns
+    double (precision loss above 2^53) and inject a spurious seq-wide
+    decimalSeparator — and character-class syntax, where ``[0-9]``
+    contributes nothing but ``[.,]`` really is a mark alternation. So:
+    classes collapse to exactly the marks they positively contain
+    (negated classes to nothing), then ``{m,n}`` quantifiers are
+    stripped. Relative ','/'.' order is preserved for the last-mark
+    rule in :func:`_inferred_dec_sep`.
+    """
+
+    def _cls(m: re.Match) -> str:
+        inner = m.group(0)
+        if inner.startswith("[^"):
+            return ""
+        return "".join(ch for ch in inner[1:-1] if ch in ",.")
+
+    return _QUANT_RE.sub("", _CLASS_RE.sub(_cls, fmt))
+
+
 def _inferred_dec_sep(fmt: str) -> str | None:
     """The decimal mark a formatnum pattern implies: the LAST of ','/'.'
-    in the pattern (grouping marks come before the decimal one)."""
+    in the pattern (grouping marks come before the decimal one).
+    Quantifier/class syntax is excluded first (``_mark_scan_text``)."""
+    fmt = _mark_scan_text(fmt)
     c, d = fmt.rfind(","), fmt.rfind(".")
     if c < 0 and d < 0:
         return None
@@ -194,7 +225,11 @@ def _collect_leaves(node: ET.Element, prefix: str = "") -> list[ET.Element]:
                     or a.get("xml-element-name")
                     or a.get("id", "")
                 )
-                walk(child, f"{pfx}.{label}".lstrip("."))
+                # An anonymous wrapper (no id/xml-element-name/
+                # json-attribute-name) is structural only — joining its
+                # empty label would leave 'parent.'/'parent..child'
+                # artifacts (lstrip only removes LEADING dots).
+                walk(child, f"{pfx}.{label}".lstrip(".") if label else pfx)
     walk(node, prefix)
     return out
 
@@ -226,7 +261,11 @@ def _collect_tokens(node: ET.Element) -> list[list[tuple[ET.Element, str]]]:
                     or a.get("xml-element-name")
                     or a.get("id", "")
                 )
-                walk(child, f"{pfx}.{label}".lstrip("."))
+                # An anonymous wrapper (no id/xml-element-name/
+                # json-attribute-name) is structural only — joining its
+                # empty label would leave 'parent.'/'parent..child'
+                # artifacts (lstrip only removes LEADING dots).
+                walk(child, f"{pfx}.{label}".lstrip(".") if label else pfx)
 
     walk(node, "")
     return out

@@ -41,7 +41,14 @@ def write_csv(df: DataFrame, spec: TargetSpec) -> None:
             df = df.withColumn(
                 sf.name,
                 F.when(
-                    c == F.floor(c), c.cast("decimal(38,0)").cast("string")
+                    # NaN == NaN is TRUE in Spark and floor(NaN) = NaN,
+                    # and |v| >= 1e38 overflows the decimal(38,0) cast
+                    # to NULL (written as empty string) — both must
+                    # fall through to the plain string rendering.
+                    (~F.isnan(c))
+                    & (F.abs(c) < F.lit(1e38))
+                    & (c == F.floor(c)),
+                    c.cast("decimal(38,0)").cast("string"),
                 ).otherwise(c.cast("string")),
             )
     opts = {

@@ -60,21 +60,40 @@ def read_jdbc(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     # '1.500.000,83 €' → 1500000.83): extract the capture group, strip
     # grouping marks, normalize the decimal separator, cast.
     if spec.fields:
-        import re as _re
-
-        dec = dec_sep
         dtypes = dict(df.dtypes)
         for f in spec.fields:
             numeric = f.type in ("double", "long") or f.type.startswith(
                 "decimal"
             )
             if f.format and numeric and dtypes.get(f.name) == "string":
-                c = F.regexp_extract(F.col(f.name), f.format, 1)
-                c = F.regexp_replace(c, f"[^0-9\\-{_re.escape(dec)}]", "")
-                if dec != ".":
-                    c = F.translate(c, dec, ".")
-                df = df.withColumn(f.name, c.cast(f.type))
+                df = df.withColumn(
+                    f.name,
+                    formatnum_clean_col(f.name, f.format, dec_sep, f.type),
+                )
     return df
+
+
+def formatnum_clean_col(name: str, fmt: str, dec: str, target_type: str):
+    """The locale-cleanup column for a formatnum-over-VARCHAR field:
+    extract the format's capture group, strip grouping marks, normalize
+    the decimal separator, cast.
+
+    Groupless formats exist in the corpus (``[0-9]+``, ``-?\\d+\\.\\d+``):
+    Spark's regexp_extract raises 'Regex group count is 0' for group 1
+    there — take the whole match (group 0) when the pattern has no
+    capture group (ADVICE r8).
+    """
+    import re as _re
+
+    try:
+        n_groups = _re.compile(fmt).groups
+    except _re.error:
+        n_groups = 0
+    c = F.regexp_extract(F.col(name), fmt, 1 if n_groups >= 1 else 0)
+    c = F.regexp_replace(c, f"[^0-9\\-{_re.escape(dec)}]", "")
+    if dec != ".":
+        c = F.translate(c, dec, ".")
+    return c.cast(target_type)
 
 
 def read_table(

@@ -248,3 +248,124 @@ def test_fuzz_random_schema_roundtrips(spark, tmp_path_factory, names, data):
                 assert r[n] == datetime.date.fromisoformat(v)
             else:
                 assert r[n] == v
+
+
+# --- ADVICE r8 regressions ------------------------------------------------
+
+
+def _fmt_spec(fmt_attr: str):
+    doc = f"""<?xml version="1.0" encoding="UTF-8"?>
+<dfasdl xmlns="http://www.dfasdl.org/DFASDL" semantic="custom">
+  <seq id="rows">
+    <elem id="row">
+      <formatnum id="v" format="{fmt_attr}"/>
+    </elem>
+  </seq>
+</dfasdl>"""
+    return source_spec(doc, "t", "file:///tmp/t.csv")
+
+
+def test_formatnum_quantifier_commas_stay_integral():
+    """(-?\\d{1,17}) — the reference DatabaseSchemaExtractor's BIGINT
+    idiom — has NO decimal mark: the column must stay long (a double
+    would lose precision above 2^53) and no decimalSeparator may be
+    injected into the seq options."""
+    spec = _fmt_spec("(-?\\d{1,17})")
+    assert spec.fields[0].type == "long"
+    assert "decimalSeparator" not in spec.options
+
+
+def test_formatnum_class_quantifier_stays_integral():
+    spec = _fmt_spec("[0-9]{3,3}")
+    assert spec.fields[0].type == "long"
+    assert "decimalSeparator" not in spec.options
+
+
+def test_formatnum_escaped_comma_still_decimal():
+    spec = _fmt_spec("(-?\\d+\\,\\d{2})")
+    assert spec.fields[0].type == "double"
+    assert spec.options.get("decimalSeparator") == ","
+
+
+def test_formatnum_mark_class_alternation_is_decimal():
+    """[.,] really is a decimal-mark alternation — the class collapse
+    must keep it (last mark in pattern order wins)."""
+    spec = _fmt_spec("(-?\\d+[.,]\\d{2})")
+    assert spec.fields[0].type == "double"
+
+
+def test_anonymous_wrapper_does_not_dot_the_path():
+    """A nested wrapper with no id/xml-element-name/json-attribute-name
+    is structural only: field paths must not gain 'parent.'-style empty
+    segments ('parent..child')."""
+    doc = """<?xml version="1.0" encoding="UTF-8"?>
+<dfasdl xmlns="http://www.dfasdl.org/DFASDL" semantic="custom">
+  <seq id="rows">
+    <elem id="row">
+      <elem id="parent">
+        <elem>
+          <str id="child"/>
+        </elem>
+      </elem>
+    </elem>
+  </seq>
+</dfasdl>"""
+    spec = source_spec(doc, "t", "file:///tmp/t.csv")
+    assert [f.name for f in spec.fields] == ["parent.child"]
+
+
+def test_jdbc_formatnum_groupless_pattern(spark):
+    """Groupless formatnum formats ([0-9]+) must extract group 0 — not
+    raise 'Regex group count is 0' (ADVICE r8)."""
+    from tensei_agent_spark.sources.jdbc import formatnum_clean_col
+
+    df = spark.createDataFrame(
+        [("1.500.000,83 EUR",), ("42",)], "v string"
+    )
+    grouped = df.select(
+        formatnum_clean_col("v", r"([-]?[0-9.,]+)", ",", "double").alias("x")
+    ).collect()
+    assert [r["x"] for r in grouped] == [1500000.83, 42.0]
+    groupless = df.select(
+        formatnum_clean_col("v", r"[-]?[0-9.,]+", ",", "double").alias("x")
+    ).collect()
+    assert [r["x"] for r in groupless] == [1500000.83, 42.0]
+    ints = df.select(
+        formatnum_clean_col("v", r"[0-9]+", ",", "long").alias("x")
+    ).collect()
+    assert [r["x"] for r in ints] == [1, 42]
+
+
+def test_csv_sink_double_rendering_nan_and_huge(spark, tmp_path):
+    """NaN and |v| >= 1e38 doubles must render as their plain string
+    form, not empty (the decimal(38,0) cast overflows to NULL)."""
+    from tensei_agent_spark.plans.spec import TargetSpec
+    from tensei_agent_spark.sinks import write_target
+
+    out = tmp_path / "doubles.csv"
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 1e40), (3, 123.0), (4, 2.5)],
+        "i int, v double",
+    ).select("v")
+    spec = TargetSpec(
+        name="t", format="csv", uri=str(out),
+        options={"single_file": True, "order_by": "v"},
+    )
+    write_target(df, spec)
+    text = out.read_text().strip().splitlines()
+    assert "123" in text          # integral double renders without .0
+    assert "2.5" in text
+    assert "NaN" in text          # not an empty cell
+    assert any("E38" in ln or "e+40" in ln or "1.0E40" in ln for ln in text)
+
+
+def test_overwrite_now_is_case_insensitive(spark):
+    from tensei_agent_spark.functions.transformers import build
+
+    df = spark.createDataFrame([(1,)], "i int")
+    out = df.select(
+        build("overwrite", [], value="NOW", type="date")[0].alias("d")
+    ).first()
+    import datetime
+
+    assert isinstance(out["d"], datetime.date)
