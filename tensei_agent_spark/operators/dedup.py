@@ -30,6 +30,29 @@ from ..cache import track
 logger = logging.getLogger(__name__)
 
 
+def spread_for_cpu_map(df: DataFrame) -> DataFrame:
+    """Give a CPU-heavy per-row map stage at least ``defaultParallelism``
+    partitions.
+
+    Parquet splits by bytes (``maxPartitionBytes``), so a small-byte but
+    CPU-expensive input — 5 k documents in one 7 MB file, each about to
+    pay ~1300 xxhash64 shingles + OPH folds — lands in ONE task and
+    serializes the heaviest stage of the dedup family (measured: the
+    sf0.1 shingle map ran 3.7 s single-task, twice, out of a 7.5 s
+    total). A cluster reading many files already exceeds the target and
+    passes through untouched; the repartition only fires on few-split
+    inputs, where shuffling the raw rows is by construction cheap
+    (they fit in few splits).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()  # plan metadata, no job
+    except Exception:
+        return df
+    return df.repartition(target) if current < target else df
+
+
 def dedup_exact(
     df: DataFrame,
     unique_cols: Sequence[str],
@@ -204,6 +227,9 @@ def char_shingles(
     pass False and skip that shuffle entirely.
     """
     n = F.greatest(F.length(F.col(text_col)) - F.lit(k - 1), F.lit(1))
+    # byte-small but CPU-heavy inputs (one parquet split) would run the
+    # whole shingle fan-out in one task — see spread_for_cpu_map.
+    docs = spread_for_cpu_map(docs.select(F.col(id_col), F.col(text_col)))
     out = docs.select(
         F.col(id_col),
         F.col(text_col),
@@ -353,7 +379,12 @@ def ngram_jaccard_pairs(
     # usable threshold; below that the signature columns would be dead
     # weight in the cache, so they are only added when used.
     use_bit_screen = bit_screen and threshold - 0.30 > 0.05
-    tok_sets = docs.select(F.col(id_col), tok_arr.alias("_ts")).withColumn(
+    # The shingle+OPH map is the single most CPU-expensive stage —
+    # spread it across cores even when the input is one parquet split
+    # (da/db below keep the raw `docs`: their scans are passthrough).
+    tok_sets = spread_for_cpu_map(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), tok_arr.alias("_ts")).withColumn(
         "n_sh", F.size("_ts")
     )
     if use_bit_screen:
@@ -781,9 +812,9 @@ def simhash_fingerprints(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ).alias("tok")
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    exploded = docs.select(F.col(id_col), tok).select(
-        F.col(id_col), h.alias("h")
-    )
+    exploded = spread_for_cpu_map(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), tok).select(F.col(id_col), h.alias("h"))
     sums = exploded.groupBy(id_col).agg(
         *[
             F.sum(
