@@ -397,7 +397,20 @@ def ngram_jaccard_pairs(
             *[F.col(f"_w{w}")["m"].alias(f"_m{w}") for w in range(4)],
             *[F.col(f"_w{w}")["s"].alias(f"_g{w}") for w in range(4)],
         )
-    tok_sets = track(tok_sets)
+    # Exchange ABOVE the map, not just below: tok_sets feeds up to five
+    # branches (freq, ga/gb, ta/tb) whose broadcast jobs race the cold
+    # cache concurrently and would each recompute the shingle+OPH map
+    # (measured 59.7 cpu-s — ~5x the 12 cpu-s map — at sf0.1). With the
+    # map sandwiched between two exchanges, AQE stage reuse materializes
+    # its shuffle output exactly once and every branch (cache build
+    # included) reads shuffle files instead of re-hashing. The extra
+    # shuffle moves the ~10 KB/doc token arrays one hop — noise against
+    # a 5x map recompute at any scale.
+    tok_sets = track(
+        tok_sets.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+        )
+    )
     postings = tok_sets.select(
         F.col(id_col), "n_sh", F.explode("_ts").alias("shingle")
     )
