@@ -190,7 +190,14 @@ def overwrite(cols, type: str = "string", value: str | None = None):
     # that happens to be the word 'now' must stay a literal. The
     # reference lowercases before comparing (Overwrite.scala's
     # value.toLowerCase(Locale.ROOT) == "now"), so 'NOW'/'Now' count.
-    if value.lower() == "now" and t in ("date", "datetime", "time"):
+    # isinstance guard: a non-string value (numeric default passed
+    # programmatically) must stay a literal, not raise AttributeError
+    # on .lower() (ADVICE r9).
+    if (
+        isinstance(value, str)
+        and value.lower() == "now"
+        and t in ("date", "datetime", "time")
+    ):
         now = {
             "date": F.current_date(),
             "datetime": F.current_timestamp(),

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_for_cpu_map
+
 # Feature-hash space. 2^10 buckets keeps the demo collision rate
 # realistic; production fastText uses 2^21-2^24 — the plan is identical.
 N_BUCKETS = 1024
@@ -99,7 +101,14 @@ def score_documents(
     output (no features → no evidence); callers union them back with
     a policy default if needed.
     """
-    feats = docs.select(
+    # The tokenize + bigram + explode + md5-per-feature chain is the
+    # most CPU-expensive non-dedup map stage in the bench; on a
+    # few-split parquet it runs in as many tasks as splits (one, at
+    # sf0.1) — spread it first, exactly like the dedup family
+    # (measured: quality_classifier_scores 4.5 s → see BENCH_LOCAL_r09).
+    feats = spread_for_cpu_map(
+        docs.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col),
         F.explode(hashed_features(F.col(text_col))).alias("_f"),
     )

@@ -30,27 +30,10 @@ from ..cache import track
 logger = logging.getLogger(__name__)
 
 
-def spread_for_cpu_map(df: DataFrame) -> DataFrame:
-    """Give a CPU-heavy per-row map stage at least ``defaultParallelism``
-    partitions.
-
-    Parquet splits by bytes (``maxPartitionBytes``), so a small-byte but
-    CPU-expensive input — 5 k documents in one 7 MB file, each about to
-    pay ~1300 xxhash64 shingles + OPH folds — lands in ONE task and
-    serializes the heaviest stage of the dedup family (measured: the
-    sf0.1 shingle map ran 3.7 s single-task, twice, out of a 7.5 s
-    total). A cluster reading many files already exceeds the target and
-    passes through untouched; the repartition only fires on few-split
-    inputs, where shuffling the raw rows is by construction cheap
-    (they fit in few splits).
-    """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    try:
-        current = df.rdd.getNumPartitions()  # plan metadata, no job
-    except Exception:
-        return df
-    return df.repartition(target) if current < target else df
+# Shared with the classifier and any other CPU-bound map stage; the
+# canonical implementation (and its AQE-safe partition probe) lives in
+# operators/spread.py. Re-exported here for the existing call sites.
+from .spread import spread_for_cpu_map  # noqa: E402,F401
 
 
 def dedup_exact(
@@ -994,11 +977,14 @@ def bucket_pairs(
                     F.sum(F.col("_df") * (F.col("_df") - 1) / 2), F.lit(0.0)
                 ).cast("long").alias("dropped_pairs"),
             )
-        # Hot keys are FEW by construction (each is a boilerplate
-        # collision) — broadcast anti-join strips their postings
-        # without ever grouping them.
+        # Hot keys are typically FEW (each is a boilerplate collision),
+        # but "typically" is not a driver-memory guarantee: a corpus
+        # with very many buckets just above the cap could blow the
+        # broadcast limit under a forced hint (ADVICE r9). No hint —
+        # AQE sizes the built side at runtime and picks broadcast
+        # anti-join exactly when the hot set is actually small.
         band_sig = band_sig.join(
-            F.broadcast(hot.select("band", "band_key")),
+            hot.select("band", "band_key"),
             ["band", "band_key"],
             "left_anti",
         )

@@ -106,14 +106,29 @@ def random_project(
     # composing it Column-by-Column costs one py4j round trip per
     # node (~5s of pure driver chatter, measured); two selectExpr
     # calls hand the JVM parser one string instead.
+    # Ragged-input guard (ADVICE r9): under ANSI (Spark 4's default)
+    # element_at past the array end THROWS, so a vector shorter than
+    # dim must be zero-padded first — absent components contribute 0,
+    # the semantics of the earlier posexplode formulation. The pad is
+    # ONE case-when per row (not 64 per-element try_element_at +
+    # coalesce wrappers, which blew janino's 64 KB generated-method
+    # limit and knocked the whole pipeline out of codegen); the fused
+    # element-type cast also shrinks the quantize projection vs having
+    # a per-element CAST.
+    pad_expr = (
+        "CASE WHEN size({v}) >= {d} THEN CAST({v} AS ARRAY<DOUBLE>) "
+        "ELSE concat(CAST({v} AS ARRAY<DOUBLE>),"
+        " array_repeat(0.0d, {d} - size({v}))) END AS _v"
+    ).format(v=vec_col, d=dim)
     quant_expr = "array({}) AS _q".format(
         ", ".join(
-            "CAST(floor(CAST(element_at({v}, {i}) AS DOUBLE) * {s} + 0.5d)"
-            " AS BIGINT)".format(v=vec_col, i=i + 1, s=float(scale))
+            "CAST(floor(element_at(_v, {i}) * {s} + 0.5d) AS BIGINT)".format(
+                i=i + 1, s=float(scale)
+            )
             for i in range(dim)
         )
     )
-    quant = emb.selectExpr(id_col, quant_expr)
+    quant = emb.selectExpr(id_col, pad_expr).selectExpr(id_col, quant_expr)
     div = float(scale * isq)
     p_exprs = []
     for j in range(k):

@@ -88,7 +88,13 @@ def formatnum_clean_col(name: str, fmt: str, dec: str, target_type: str):
     try:
         n_groups = _re.compile(fmt).groups
     except _re.error:
-        n_groups = 0
+        # Java-only syntax Python cannot parse: we cannot PROVE the
+        # pattern is groupless, and group 1 (the pre-r8 behavior) works
+        # in Spark for every grouped Java pattern — falling back to
+        # group 0 would silently change extraction when digits exist
+        # outside group 1 (ADVICE r9). Group 0 is only safe when the
+        # pattern compiles and provably has zero groups.
+        n_groups = 1
     c = F.regexp_extract(F.col(name), fmt, 1 if n_groups >= 1 else 0)
     c = F.regexp_replace(c, f"[^0-9\\-{_re.escape(dec)}]", "")
     if dec != ".":

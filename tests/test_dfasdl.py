@@ -336,6 +336,26 @@ def test_jdbc_formatnum_groupless_pattern(spark):
     assert [r["x"] for r in ints] == [1, 42]
 
 
+def test_jdbc_formatnum_java_only_pattern_keeps_group_1(spark):
+    """A format valid in Java regex but rejected by Python re (here a
+    possessive quantifier) must keep extracting group 1 — the pre-r8
+    behavior — not silently fall back to group 0, which would sweep in
+    digits outside the capture group (ADVICE r9)."""
+    import re
+
+    from tensei_agent_spark.sources.jdbc import formatnum_clean_col
+
+    fmt = r"(\p{Digit}[0-9.,]*)x[0-9]+"  # \p{Digit}: Java-only
+    with pytest.raises(re.error):
+        re.compile(fmt)
+    df = spark.createDataFrame([("1.500,83x999",)], "v string")
+    got = df.select(
+        formatnum_clean_col("v", fmt, ",", "double").alias("x")
+    ).collect()
+    # group 1 → '1.500,83' → 1500.83; group 0 would give 1500.83999
+    assert [r["x"] for r in got] == [1500.83]
+
+
 def test_csv_sink_double_rendering_nan_and_huge(spark, tmp_path):
     """NaN and |v| >= 1e38 doubles must render as their plain string
     form, not empty (the decimal(38,0) cast overflows to NULL)."""

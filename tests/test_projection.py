@@ -107,3 +107,18 @@ def test_pca_whiten_unit_variance(emb):
     cov = np.cov(w, rowvar=False, ddof=1)
     off = cov - np.diag(np.diag(cov))
     assert np.max(np.abs(off)) < 5e-2
+
+
+def test_random_project_ragged_vector_components_contribute_zero(spark):
+    """A vector shorter than dim must project as if zero-padded (the
+    posexplode-era semantics): element_at past the array end returns
+    NULL, which must become 0, not poison every p_j (ADVICE r9)."""
+    short = [0.5] * 32
+    padded = short + [0.0] * 32
+    df = spark.createDataFrame(
+        [(1, short), (2, padded)], "vec_id int, embedding array<float>"
+    )
+    rows = {r["vec_id"]: r for r in random_project(df, k=16).collect()}
+    for j in range(16):
+        assert rows[1][f"p{j}"] == rows[2][f"p{j}"]
+        assert rows[1][f"p{j}"] is not None

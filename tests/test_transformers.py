@@ -200,3 +200,16 @@ def test_overwrite_now_is_literal_for_non_temporal(spark):
     import datetime
 
     assert isinstance(d, datetime.date)
+
+
+def test_overwrite_non_string_value_stays_literal(spark):
+    """A non-string value passed programmatically (numeric default) must
+    not raise AttributeError on .lower() (ADVICE r9)."""
+    from tensei_agent_spark.functions import build as T
+
+    row = spark.range(1).select(
+        T("overwrite", [], type="long", value=42)[0].alias("v"),
+        T("overwrite", [], type="string", value="now")[0].alias("s"),
+    ).first()
+    assert row["v"] == 42
+    assert row["s"] == "now"
