@@ -25,6 +25,20 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("tensei-agent-spark-bench")
     spark.sparkContext.setLogLevel("WARN")
+    # The global-rank/offset helpers (operators/windows.py) run ONE
+    # intentional unpartitioned window over the O(shuffle-partitions)-row
+    # groupBy(_pid) stats frame; WindowExec warns "No Partition Defined"
+    # for it on every run. The warning is correct for data windows but
+    # noise for this bounded frame (the plan audit separates the two —
+    # tools/plan_audit.py), so silence just that logger here.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j2 API not reachable: warnings are cosmetic anyway
 
     bench_names = [n for n, q in REGISTRY.items() if q.bench]
     # Warm the JVM + parquet footers once with the cheapest query.

@@ -60,3 +60,95 @@ def test_top_level_args_respects_nesting():
         "f(b#2, c#3) ASC NULLS LAST",
         "d#4",
     ]
+
+
+# --- bounded offsets-window exemption (VERDICT r8: the groupBy(_pid)
+# cumulative-offset helper is O(shuffle partitions) rows, not O(rows);
+# the audit must exempt exactly that shape and nothing else) -----------
+
+OFFSETS_GREEN = """\
++- Project [_pid#5, coalesce(_we0#13L, 0) AS _off#11L]
+   +- Window [sum(_n#6L) windowspecdefinition(_pid#5 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) AS _we0#13L], [_pid#5 ASC NULLS FIRST]
+      +- Sort [_pid#5 ASC NULLS FIRST], false, 0
+         +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=66]
+            +- HashAggregate(keys=[_pid#5], functions=[count(1)], output=[_pid#5, _n#6L])
+               +- Project [SPARK_PARTITION_ID() AS _pid#5]
+                  +- Range (0, 1000, step=1, splits=32)
+"""
+
+
+def test_offsets_window_over_pid_aggregate_is_exempt():
+    assert global_windows(OFFSETS_GREEN) == []
+
+
+def test_pid_window_without_pid_aggregate_child_still_flags():
+    # same window line, but the child is a raw scan — an unbounded
+    # O(rows) single-task window that merely NAMES its column _pid
+    red = """\
++- Window [sum(_n#6L) windowspecdefinition(_pid#5 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) AS _we0#13L], [_pid#5 ASC NULLS FIRST]
+   +- Project [x#1L AS _pid#5]
+      +- Range (0, 1000, step=1, splits=32)
+"""
+    assert len(global_windows(red)) == 1
+
+
+def test_pid_aggregate_outside_subtree_does_not_exempt():
+    # the HashAggregate(keys=[_pid]) sits in a SIBLING branch (indent
+    # returns to the window's level first) — must still flag
+    red = """\
+:- Window [sum(_n#6L) windowspecdefinition(_pid#5 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) AS _we0#13L], [_pid#5 ASC NULLS FIRST]
+:  +- Range (0, 1000, step=1, splits=32)
++- HashAggregate(keys=[_pid#9], functions=[count(1)])
+   +- Range (0, 1000, step=1, splits=32)
+"""
+    assert len(global_windows(red)) == 1
+
+
+def test_mixed_specs_on_offsets_line_still_flag():
+    # a second, genuinely global spec on the same Window line must not
+    # ride the _pid exemption
+    red = """\
++- Window [sum(_n#6L) windowspecdefinition(_pid#5 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), -1)) AS _we0#13L, rank() windowspecdefinition(ts#2 ASC NULLS FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) AS r#14], [_pid#5 ASC NULLS FIRST]
+   +- HashAggregate(keys=[_pid#5], functions=[count(1)], output=[_pid#5, _n#6L])
+"""
+    assert len(global_windows(red)) == 1
+
+
+# --- build-time double-action detector (VERDICT r7 #8 / r8 #6) --------
+
+
+def test_planted_double_collect_flags(spark):
+    """A build that collects a shuffled intermediate (the r8
+    rank-helper bug shape) must report its non-metadata jobs."""
+    from pyspark.sql import functions as F
+
+    from plan_audit import audit_query
+
+    def bad_build(spark, sf):
+        agg = (
+            spark.range(10_000)
+            .groupBy((F.col("id") % 7).alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        offsets = agg.collect()  # driver-side action over a shuffle
+        return spark.createDataFrame(offsets, agg.schema)
+
+    r = audit_query(spark, "planted-double-collect", bad_build, "unused")
+    assert r["build_jobs"] >= 1
+
+
+def test_lazy_build_reports_zero_jobs(spark):
+    """A pure-plan build (scan + parquet schema probe only) must report
+    zero non-metadata jobs — the footer read is exempt."""
+    from tensei_agent_spark.catalog import load
+    from plan_audit import audit_query
+
+    def good_build(spark, sf):
+        return load(spark, sf, "region").select("r_name")
+
+    r = audit_query(
+        spark, "planted-lazy", good_build, "/root/testdata/sf0.001"
+    )
+    assert r["build_jobs"] == 0
+    assert r["global_windows"] == []
+    assert not r["cartesian"]

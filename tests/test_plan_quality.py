@@ -6,6 +6,13 @@ stay correct."""
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(__file__), os.pardir, "tools")
+)
+
 from tensei_agent_spark.queries import REGISTRY
 
 SF = "/root/testdata/sf0.001"
@@ -195,12 +202,16 @@ def test_anomaly_frame_runs_over_day_series(spark):
 
 
 def _assert_windows_are_partitioned(plan: str):
-    """Every Window node must carry a partition spec (our range-pid
-    local windows) — an unpartitioned Window is the single-partition
-    global sort that dies at 100x (VERDICT r2 item 4)."""
-    for line in plan.splitlines():
-        if "Window [" in line:
-            assert "_pid" in line, f"global window: {line.strip()}"
+    """Every Window node must either carry a partition spec (our
+    range-pid local windows) or be the bounded groupBy(_pid) offsets
+    shape — an unpartitioned Window over data is the single-partition
+    global sort that dies at 100x (VERDICT r2 item 4). Delegates to the
+    audit tool's subtree-aware detector: the old `'_pid' in line`
+    substring check was satisfied by the offsets window's own ORDER BY
+    column and had gone vacuous (VERDICT r8 item 2)."""
+    from plan_audit import global_windows
+
+    assert global_windows(plan) == [], f"global windows: {global_windows(plan)}"
 
 
 def test_global_order_queries_have_no_global_window(spark):

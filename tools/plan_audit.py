@@ -67,23 +67,153 @@ def _top_level_args(s: str) -> list[str]:
     return [a for a in args if a]
 
 
+# The engine's global-rank/offset helpers (operators/windows.py _w_prev,
+# operators/joins.py) run ONE intentional orderings-only window: a
+# cumulative sum over the groupBy(_pid) per-partition stats frame. That
+# frame is O(shuffle partitions) rows (~32-1000), never O(rows), so the
+# single task is bounded by construction. Exempt exactly that shape —
+# ordering is the lone column `_pid` AND the window's plan subtree
+# contains the HashAggregate keyed on _pid that proves the input is the
+# per-partition aggregate — and keep flagging every other
+# orderings-only window (VERDICT r8: 23 false positives, 0 real).
+PID_ONLY_ORDER = re.compile(r"^_pid#\d+ (ASC|DESC) NULLS (FIRST|LAST)$")
+PID_KEYED_AGG = re.compile(r"HashAggregate\(keys=\[_pid#\d+")
+
+
+def _indent(line: str) -> int:
+    """Depth of a plan-tree line = width of its drawing prefix
+    (spaces, ':', '+', '-', '|'); node names (incl. the codegen
+    '*(n)' star) start right after it."""
+    return re.match(r"^[\s:+|-]*", line).end()
+
+
 def global_windows(plan: str) -> list[str]:
     """Window specs whose argument list holds only ordering expressions
     (no partition columns). Checks EVERY windowspecdefinition on a
     line — one Window operator can carry several specs, and a
-    partitioned first spec must not mask a global second one."""
+    partitioned first spec must not mask a global second one.
+
+    A spec ordering solely on `_pid` is exempt IFF the window's subtree
+    holds a ``HashAggregate(keys=[_pid…])`` (the bounded offsets frame);
+    a `_pid`-ordered window over anything else still flags."""
+    lines = plan.splitlines()
     bad = []
-    for line in plan.splitlines():
+    for idx, line in enumerate(lines):
         if "windowspecdefinition(" not in line:
             continue
+        hard = 0  # orderings-only, not the offsets shape
+        exemptable = 0  # orderings-only on _pid alone
         for m in WINDOW_SPEC.finditer(line):
             args = _top_level_args(m.group(1).rstrip(", "))
-            if args and all(
-                a.rstrip().endswith(ORDER_SUFFIXES) for a in args
+            if not (
+                args
+                and all(a.rstrip().endswith(ORDER_SUFFIXES) for a in args)
             ):
-                bad.append(line.strip()[:160])
-                break
+                continue  # partitioned spec
+            if len(args) == 1 and PID_ONLY_ORDER.match(args[0].strip()):
+                exemptable += 1
+            else:
+                hard += 1
+        if not hard and exemptable:
+            base = _indent(line)
+            subtree_ok = False
+            for nxt in lines[idx + 1 :]:
+                if _indent(nxt) <= base:
+                    break
+                if PID_KEYED_AGG.search(nxt):
+                    subtree_ok = True
+                    break
+            if subtree_ok:
+                continue  # bounded offsets window: O(partitions) rows
+            hard = exemptable
+        if hard:
+            bad.append(line.strip()[:160])
     return bad
+
+
+# Build-time Spark-action budget (the "double-action smell", VERDICT
+# r7 #8 / r8 #6): building a registry plan should run ZERO non-metadata
+# jobs — a build that collects intermediate results recomputes that
+# lineage again at action time unless it persists first (the r8
+# rank-helper bug). The exceptions are the eagerly-trained / iterative
+# operators, whose small bounded driver loops are documented in their
+# modules; each gets its MEASURED job count (sf0.001 tree, r9) as an
+# explicit allowance. Anything over its allowance is a violation — a
+# regression that adds a build-time action to any other query flags
+# immediately.
+EAGER_BUILD_JOBS: dict[str, int] = {
+    # k-means / IVF / PQ codebook training (operators/{clustering,pq}.py):
+    # k-iteration Lloyd loops, each iteration one bounded job
+    "ann_ivf_pq_topk": 26,
+    "ann_ivf_topk": 14,
+    "ann_pq_topk": 12,
+    "embedding_kmeans": 11,
+    "coreset_kcenter": 9,  # k greedy max-distance probes
+    # connected-components fixpoint (operators/dedup.py): 1-row xor+count
+    # signature collect per large/small-star round
+    "dedup_components": 18,
+    "dedup_keep_best": 18,
+    "leakage_safe_split": 18,
+    "customer_golden_records": 7,
+    # Fellegi-Sunter EM (operators/linkage.py): <=16-row pattern-count
+    # collect per EM step
+    "record_linkage_em": 4,
+    "record_linkage_scores": 5,
+    # PCA eigendecomposition of the d*d gram matrix (operators/projection.py)
+    "embedding_pca_variance": 4,
+    "embedding_pca_project": 4,
+    # skew.differential_join: bounded hot-key frequency sample
+    "differential_join_priority_revenue": 4,
+    # capped-vocab collects (20k) / bounded sketch materializations
+    "heavy_hitter_words": 3,
+    "t_closeness_report": 3,
+    "bpe_vocab_merges": 2,  # driver merge loop over capped vocab
+    "bpe_token_counts": 2,
+}
+
+
+def _is_metadata_job(tracker, job_id: int) -> bool:
+    """True for the parquet footer/schema-inference probes that EVERY
+    ``spark.read.parquet`` fires (1 stage, stage name 'parquet at …'):
+    bounded metadata reads, not double-computed lineage. Unknown or
+    expired job/stage info counts as NOT metadata — fail toward
+    flagging."""
+    info = tracker.getJobInfo(job_id)
+    if info is None:
+        return False
+    names = []
+    for sid in info.stageIds:
+        si = tracker.getStageInfo(sid)
+        if si is None:
+            return False
+        names.append(si.name or "")
+    return bool(names) and all(n.startswith("parquet at") for n in names)
+
+
+def audit_query(spark, name: str, build, sf: str) -> dict:
+    """Build one registry query under a dedicated job group and report
+    {cartesian, global_windows, build_jobs} for it — build_jobs counts
+    the NON-metadata Spark jobs the build triggered (the double-action
+    smell; schema probes are excluded by :func:`_is_metadata_job`)."""
+    sc = spark.sparkContext
+    group = f"plan-audit:{name}"
+    sc.setJobGroup(group, "build-time action detector", False)
+    try:
+        df = build(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    jobs = [
+        j
+        for j in tracker.getJobIdsForGroup(group)
+        if not _is_metadata_job(tracker, j)
+    ]
+    return {
+        "cartesian": "CartesianProduct" in plan,
+        "global_windows": global_windows(plan),
+        "build_jobs": len(jobs),
+    }
 
 
 def main() -> None:
@@ -100,23 +230,23 @@ def main() -> None:
     for name, q in REGISTRY.items():
         t0 = time.time()
         try:
-            df = q.build(spark, SF)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            r = audit_query(spark, name, q.build, SF)
         except Exception as exc:
             report[name] = {"error": repr(exc)[:200]}
             violations.append(f"{name}: build failed {exc!r}")
             continue
-        cart = "CartesianProduct" in plan
-        gw = global_windows(plan)
-        report[name] = {
-            "cartesian": cart,
-            "global_windows": gw,
-            "sec": round(time.time() - t0, 2),
-        }
-        if cart:
+        r["sec"] = round(time.time() - t0, 2)
+        report[name] = r
+        if r["cartesian"]:
             violations.append(f"{name}: CartesianProduct")
-        for line in gw:
+        for line in r["global_windows"]:
             violations.append(f"{name}: global window: {line}")
+        allowance = EAGER_BUILD_JOBS.get(name, 0)
+        if r["build_jobs"] > allowance:
+            violations.append(
+                f"{name}: build ran {r['build_jobs']} Spark job(s) "
+                f"(allowance {allowance}) — double-action smell"
+            )
     with open(OUT, "w") as f:
         json.dump(
             {

@@ -1,15 +1,20 @@
-"""Round-close runbook: the four checks every round must end green on,
+"""Round-close runbook: the checks every round must end green on,
 in order, stopping at the first failure.
 
     python tools/round_close.py <round-number>
 
-1. full pytest (tests/)
-2. strict full-registry oracle sweep at sf0.01
+1. bench at sf0.1 — FIRST, behind a load-average settle gate, so the
+   recorded number measures the engine on an idle box, not the close
+   pipeline's own pytest/sweep load (VERDICT r7 #6, r8 #4); then the
+   per-query comparison against the previous round's BENCH artifact
+   (fails on >1.5x regressions or dropped queries)
+2. full pytest (tests/)
+3. strict full-registry oracle sweep at sf0.01
    → commits-ready CORRECTNESS_LOCAL_r<N>.json
-3. registry-wide plan audit (cartesian products / global windows)
-   → PLAN_AUDIT_r<N>.json
-4. bench at sf0.1 + per-query comparison against the previous round's
-   BENCH artifact (fails on >1.5x regressions or dropped queries)
+4. registry-wide plan audit (cartesian products / global windows /
+   build-time actions) → PLAN_AUDIT_r<N>.json
+5. scale smoke (x1/x2/x4 curves + hostile-boilerplate LSH leg)
+   → SCALE_SMOKE_r<N>.json
 
 Artifacts land in the repo root; commit them LAST, after the round's
 code work (memory: round-workflow)."""
@@ -22,6 +27,7 @@ import os
 import re
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -34,30 +40,31 @@ def run(label: str, cmd: list[str], **kw) -> subprocess.CompletedProcess:
     return proc
 
 
+def settle(threshold: float = 4.0, max_wait: int = 180) -> None:
+    """Block until 1-min load average drops below *threshold* (or give
+    up after *max_wait* s, loudly): a bench taken while a previous
+    pytest/sweep JVM is still draining measures the box, not the
+    engine."""
+    t0 = time.time()
+    while time.time() - t0 < max_wait:
+        load = os.getloadavg()[0]
+        if load < threshold:
+            print(f"load settled at {load:.1f}", flush=True)
+            return
+        print(f"load {load:.1f} >= {threshold} — settling…", flush=True)
+        time.sleep(10)
+    print(
+        f"WARNING: load still {os.getloadavg()[0]:.1f} after {max_wait}s; "
+        "bench number may be contaminated", flush=True,
+    )
+
+
 def main() -> None:
     if len(sys.argv) != 2 or not sys.argv[1].isdigit():
         sys.exit(__doc__)
     n = int(sys.argv[1])
 
-    run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
-    run(
-        "oracle sweep sf0.01",
-        [
-            sys.executable,
-            "tools/verify_sweep.py",
-            "/root/testdata/sf0.01",
-            "--out",
-            f"CORRECTNESS_LOCAL_r{n:02d}.json",
-        ],
-    )
-    # Per-round audit artifact: without the env override the tool's
-    # default name would clobber a PRIOR round's committed audit.
-    run(
-        "plan audit",
-        [sys.executable, "tools/plan_audit.py"],
-        env={**os.environ, "PLAN_AUDIT_OUT": f"PLAN_AUDIT_r{n:02d}.json"},
-    )
-
+    settle()
     bench = run(
         "bench sf0.1",
         [sys.executable, "bench.py"],
@@ -87,6 +94,30 @@ def main() -> None:
         run("bench compare", [
             sys.executable, "tools/bench_compare.py", prev[-1][1], local,
         ])
+
+    run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])
+    run(
+        "oracle sweep sf0.01",
+        [
+            sys.executable,
+            "tools/verify_sweep.py",
+            "/root/testdata/sf0.01",
+            "--out",
+            f"CORRECTNESS_LOCAL_r{n:02d}.json",
+        ],
+    )
+    # Per-round audit artifact: without the env override the tool's
+    # default name would clobber a PRIOR round's committed audit.
+    run(
+        "plan audit",
+        [sys.executable, "tools/plan_audit.py"],
+        env={**os.environ, "PLAN_AUDIT_OUT": f"PLAN_AUDIT_r{n:02d}.json"},
+    )
+    run(
+        "scale smoke",
+        [sys.executable, "tools/scale_smoke.py"],
+        env={**os.environ, "SCALE_SMOKE_OUT": f"SCALE_SMOKE_r{n:02d}.json"},
+    )
     print("\nround-close: ALL GREEN — commit the refreshed artifacts.")
 
 
