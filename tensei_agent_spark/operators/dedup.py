@@ -358,10 +358,12 @@ def ngram_jaccard_pairs(
                 ELSE a END)"""
         )
 
-    # The screen engages only when the 0.30 cutoff margin leaves a
-    # usable threshold; below that the signature columns would be dead
+    # The screen engages only when the adaptive cutoff can bite for
+    # typical pairs (see the margin math at the screen; 3.3/√both
+    # ≈ 0.21 at the both ≈ 250 a 256-bucket signature yields on
+    # ~1k-token docs); below that the signature columns would be dead
     # weight in the cache, so they are only added when used.
-    use_bit_screen = bit_screen and threshold - 0.30 > 0.05
+    use_bit_screen = bit_screen and threshold - 0.21 > 0.05
     # The shingle+OPH map is the single most CPU-expensive stage —
     # spread it across cores even when the input is one parquet split
     # (da/db below keep the raw `docs`: their scans are passthrough).
@@ -569,21 +571,26 @@ def ngram_jaccard_pairs(
     # tiny vocabulary makes every shingle common). The OPH signature
     # decides the same question with 8 longs a side and ~20 bit ops:
     # per both-nonempty bucket, P(sign bits match) = (1+J)/2, so
-    # est = 2·match/both − 1 estimates J with σ = 2·√(p(1−p)/both)
-    # ≈ 0.09 at both ≈ 120 — the 0.30 cutoff margin is ≥3.3σ.
+    # est = 2·match/both − 1 estimates J with σ = 2·√(p(1−p)/both) —
+    # at most 1/√both, and √(1−t²)/√both for a pair sitting exactly
+    # at J = t. The cutoff is ADAPTIVE per pair (see the filter):
+    # est ≥ t − 3.3/√both, a uniform ≥3.3σ test that tightens
+    # automatically for pairs with many joint buckets.
     # Honesty contract: this stage is PROBABILISTIC — a true pair
-    # sitting exactly at the threshold carries ~6e-4 drop risk (zero
-    # measured at either SF: sketch bias is upward for near-dups,
-    # and real near-dup pairs sit far above t). That risk budget is
-    # what sets the engagement floor: below 110 joint buckets σ
-    # exceeds 0.096 and the 0.30 margin would fall under 3.1σ, so
-    # those pairs skip the screen and go straight to the exact token
-    # intersect. This is also why the DEFAULT is bit_screen=False —
-    # the oracle-compared registry queries keep the strictly-exact
+    # sitting exactly at the threshold carries ≤ Φ(−3.3/√(1−t²)) drop
+    # risk, ≈2e-5 at t=0.6 and ~2e-8 at t=0.8 (zero measured at either
+    # SF: sketch bias is upward for near-dups, and real near-dup pairs
+    # sit far above t). Pairs with few joint buckets keep widening
+    # margins until the cutoff falls below any possible estimate —
+    # the graded replacement for the old hard both<110 pass-through.
+    # This is also why the DEFAULT is bit_screen=False — the
+    # oracle-compared registry queries keep the strictly-exact
     # chain, and only the declared rows-only `_fast` twin (and
     # production callers that accept the quantified risk) turn the
     # screen on.
-    # Measured sf0.1/t=0.6: 1.97 M → 46 k candidates in 1.6 s.
+    # Measured sf0.1/t=0.6: 1.97 M → 74 k candidates (the fixed
+    # t−0.30 cutoff this replaces passed 320 k — it was calibrated
+    # for both ≈ 120 where the population median is 151).
     #
     # Screen runs AFTER the distinct, like the token screen: the
     # tempting screen-before-distinct order (broadcast probes pipelined
@@ -619,6 +626,22 @@ def ngram_jaccard_pairs(
             if size_hint_bytes * 4 < 64 * 1024 * 1024
             else (lambda d: d)
         )
+        # ADAPTIVE cutoff (r9): est = 2·match/both − 1 estimates J with
+        # σ = 2·√(p(1−p)/both) ≤ 1/√both, so requiring
+        #   est ≥ t − 3.3/√both
+        # holds every pair to the same ≥3.3σ standard — and strictly
+        # more at the threshold itself, where p = (1+t)/2 gives
+        # σ = √(1−t²)/√both: the margin is 3.3/√(1−t²) σ, i.e. 4.1σ at
+        # t=0.6 (risk ≤ 2e-5/pair) and 5.5σ at t=0.8. The previous
+        # FIXED t−0.30 cutoff was calibrated for both ≈ 120 joint
+        # buckets, but the sf0.1 candidate population sits at median
+        # both = 151 (p90 = 177), so typical pairs enjoyed ~4.6σ of
+        # slack the screen never used — measured 319 938 → 73 802
+        # screen survivors (−77%) on identical final output. Small
+        # both degrades gracefully: the margin widens until the cutoff
+        # falls below any possible estimate (the old hard both<110
+        # pass-through floor, now graded instead of cliffed); both=0
+        # (no joint buckets, no evidence) passes to the exact screen.
         cand = (
             cand.distinct()
             .join(sig_hint(ga), "id_a")
@@ -626,10 +649,10 @@ def ngram_jaccard_pairs(
             .withColumn("_both", both)
             .withColumn("_match", match)
             .filter(
-                (F.col("_both") < 110)
+                (F.col("_both") == 0)
                 | (
                     2.0 * F.col("_match") / F.col("_both") - 1.0
-                    >= threshold - 0.30
+                    >= threshold - 3.3 / F.sqrt(F.col("_both"))
                 )
             )
             .select("id_a", "id_b")

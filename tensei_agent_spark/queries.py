@@ -1330,10 +1330,12 @@ def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
 def dedup_jaccard_fast(spark: SparkSession, sf: str) -> DataFrame:
     """Production n-gram Jaccard: identical plan to dedup_ngram_jaccard
     plus the OPH bit-signature pre-screen (operators/dedup.py), which
-    prunes 1.97 M candidates to 46 k with 8 longs a side before any
-    token array moves — 10.2 s → 6.4 s at sf0.1 on the low-entropy
-    corpus that defeats prefix filtering. The screen is probabilistic
-    (~6e-4 drop risk at the exact threshold, quantified inline), so
+    prunes 1.97 M candidates to 74 k with 8 longs a side before any
+    token array moves (the r9 adaptive est ≥ t − 3.3/√both cutoff;
+    the r8 fixed t−0.30 cutoff passed 320 k) — measured 8.9 s → 5.4 s
+    warm at sf0.1 on the low-entropy corpus that defeats prefix
+    filtering. The screen is probabilistic (≤2e-5 drop risk at the
+    exact threshold for t=0.6, quantified inline), so
     this twin is rows-only; the exact variant above carries the oracle
     and an on/off parity test pins their agreement on the driver
     corpus. The production path also engages the df-2000 candidate cap
@@ -9620,8 +9622,13 @@ def cms_word_estimates(spark: SparkSession, sf: str) -> DataFrame:
     ε = e/width. md5 bucket hashing keeps every cell and estimate
     bit-identical in any engine."""
     from .operators.sketches import cms_build, cms_estimate
+    from .operators.spread import spread_for_cpu_map
 
-    docs = load(spark, sf, "documents")
+    # The tokenize+explode AND the vocab groupBy's partial aggregate
+    # fuse into the scan stage — on the few-split documents parquet
+    # that whole pipeline ran in ONE task (measured 5s of the 7s cold
+    # total at sf0.1, r9). Spread first, like the dedup family.
+    docs = spread_for_cpu_map(load(spark, sf, "documents").select("text"))
     toks = docs.select(
         F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
