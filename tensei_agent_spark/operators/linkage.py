@@ -44,6 +44,7 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .spread import spread_for_cpu_map
 from .windows import with_global_rank
 
 __all__ = [
@@ -78,8 +79,14 @@ def exact(name: str) -> Comparator:
 
 
 def levenshtein_within(name: str, max_dist: int) -> Comparator:
+    # Bounded 3-arg levenshtein (Spark 3.5+): banded O(n·k) DP with
+    # early exit instead of the full O(n·m) table — the distance only
+    # matters up to the bound, and it returns -1 past it, so >= 0 IS
+    # the <= max_dist predicate. On the blocked customer pairs the
+    # comparator is the hot loop (VERDICT r8: "cost is levenshtein on
+    # pairs").
     return Comparator(
-        name, lambda a, b: (F.levenshtein(a, b) <= max_dist).cast("int")
+        name, lambda a, b: (F.levenshtein(a, b, max_dist) >= 0).cast("int")
     )
 
 
@@ -122,7 +129,13 @@ def blocked_pairs(
     """
     dedup_self = b is None
     b = a if b is None else b
-    left = a.select(
+    # Spread the PROBE side (ADVICE/VERDICT r8 audit): the small
+    # build side broadcasts, so each pass's block expansion — and the
+    # comparator evaluation downstream (levenshtein per pair) — runs
+    # in the probe scan's tasks. A few-split source serializes the
+    # whole O(Σ|block|²) grind on one core; measured at sf0.1 the two
+    # passes ran as TWO tasks total. Pass-through on wide inputs.
+    left = spread_for_cpu_map(a).select(
         F.col(id_col).alias("id_a"),
         *[F.col(c).alias(f"{c}_a") for c in compare_cols],
         *[F.col(c).alias(f"_blk_{c}_a") for c in _blocker_cols(blockers)],

@@ -4171,8 +4171,11 @@ def fuzzy_customer_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dist", F.levenshtein("_na", "_nb").cast("bigint"))
-        .filter(F.col("dist") <= 1)
+        # Bounded levenshtein (3-arg, Spark 3.5+): banded O(n*k) DP
+        # with early exit instead of the full O(n*m) table; returns -1
+        # past the bound, so >= 0 IS the <= 1 predicate.
+        .withColumn("dist", F.levenshtein("_na", "_nb", 1).cast("bigint"))
+        .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", "dist")
     )
 
@@ -4240,7 +4243,7 @@ def customer_golden_records(spark: SparkSession, sf: str) -> DataFrame:
     pairs = (
         a.join(b, "_blk")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.levenshtein("_na", "_nb") <= 1)
+        .filter(F.levenshtein("_na", "_nb", 1) >= 0)
         .select("id_a", "id_b")
     )
     c = c.drop("c_nationkey")
@@ -8111,7 +8114,8 @@ def _linkage_agreements(spark: SparkSession, sf: str) -> DataFrame:
         LK.Comparator(
             "name",
             lambda a, b: (
-                F.levenshtein(F.col("c_name_a"), F.col("c_name_b")) <= 2
+                # bounded form: -1 past the bound, so >= 0 <=> dist <= 2
+                F.levenshtein(F.col("c_name_a"), F.col("c_name_b"), 2) >= 0
             ).cast("int"),
         ),
     ]
