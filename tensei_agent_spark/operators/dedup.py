@@ -109,8 +109,12 @@ def word_ngram_spans(
     # fuses two words into one token and identical sentences hash
     # differently across wrapped/unwrapped copies.
     words = F.split(F.trim(F.col(text_col)), r"\s+")
+    # The window fan-out (~|words| windows/doc, each md5-hashed) is a
+    # CPU-heavy map that fuses into the scan — spread it so a few-split
+    # corpus doesn't serialize it on one core (pass-through at scale).
     d = (
-        docs.select(F.col(id_col), words.alias("_ws"))
+        spread_for_cpu_map(docs.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), words.alias("_ws"))
         .withColumn("_nw", F.size("_ws"))
         .filter(F.col("_nw") >= w)
     )

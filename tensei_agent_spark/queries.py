@@ -2897,7 +2897,14 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     ORDER per-term columns (not a float SUM across an unordered group)
     so the score is deterministic and engine-stable; the final top-20
     is a TakeOrdered on (rounded score, doc_id), not a global sort."""
-    docs = load(spark, sf, "documents")
+    from .operators.spread import spread_for_cpu_map
+
+    # The tokenize+explode fuses into the documents scan and is read
+    # TWICE (dl + tf branches) — on a few-split input both passes ran
+    # single-task; spread once, both parallelize (pass-through at scale).
+    docs = spread_for_cpu_map(
+        load(spark, sf, "documents").select("doc_id", "text")
+    )
     terms = ["vector", "hash", "stream"]
     k1, b = 1.2, 0.75
     toks = docs.select(
