@@ -89,6 +89,40 @@ def test_bench_compare_green_when_stable_or_grown(tmp_path):
     assert "added in" in proc.stdout
 
 
+def test_bench_compare_noise_floor(tmp_path):
+    """Ratio alone must not flag sub-second jitter (r9: untouched q1/q3
+    measured 1.66x/1.53x in the close run, back to baseline when re-run
+    isolated) — a slowdown needs ratio > 1.5 AND > 0.75 s absolute, or
+    ratio > 3x outright."""
+    old = _bench_artifact(
+        tmp_path, "old.json", {"jitter": 0.6, "real": 2.0, "blowup": 0.2}
+    )
+    # jitter: 1.8x but only +0.5s -> green; real: 1.6x and +1.2s -> red
+    new = _bench_artifact(
+        tmp_path, "new.json", {"jitter": 1.1, "real": 3.2, "blowup": 0.25}
+    )
+    proc = _run_compare(old, new)
+    assert proc.returncode == 1, proc.stdout
+    lines = {
+        ln.split()[0]: ln
+        for ln in proc.stdout.splitlines()
+        if ln and ln.split()[0] in {"jitter", "real", "blowup"}
+    }
+    assert "REGRESSION" in lines["real"]
+    assert "REGRESSION" not in lines["jitter"]
+    assert "REGRESSION" not in lines["blowup"]
+
+
+def test_bench_compare_flags_ratio_blowup_despite_small_delta(tmp_path):
+    """An order-of-magnitude ratio on a cheap query is a plan change,
+    not jitter — flags even under the absolute floor."""
+    old = _bench_artifact(tmp_path, "old.json", {"cheap": 0.1})
+    new = _bench_artifact(tmp_path, "new.json", {"cheap": 0.45})
+    proc = _run_compare(old, new)
+    assert proc.returncode == 1, proc.stdout
+    assert "REGRESSION" in proc.stdout
+
+
 def test_bench_compare_flags_new_and_failed(tmp_path):
     """A query new THIS round that is already failing must trip the
     gate — no old timing does not mean no problem."""

@@ -155,10 +155,14 @@ EAGER_BUILD_JOBS: dict[str, int] = {
     "dedup_keep_best": 18,
     "leakage_safe_split": 18,
     "customer_golden_records": 7,
-    # Fellegi-Sunter EM (operators/linkage.py): <=16-row pattern-count
-    # collect per EM step
-    "record_linkage_em": 4,
-    "record_linkage_scores": 5,
+    # Fellegi-Sunter EM (operators/linkage.py): ONE <=2^f-row
+    # pattern-count collect (EM iterates in pure Python on the counts);
+    # the job count is that single action's AQE shuffle-stage jobs.
+    # Re-measured +2 each after e1cc473 spread blocked_pairs' probe
+    # side: the deliberate repartition adds one exchange — hence one
+    # AQE stage-job — per blocking pass.
+    "record_linkage_em": 6,
+    "record_linkage_scores": 7,
     # PCA eigendecomposition of the d*d gram matrix (operators/projection.py)
     "embedding_pca_variance": 4,
     "embedding_pca_project": 4,
