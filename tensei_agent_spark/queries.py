@@ -9633,13 +9633,16 @@ def cms_word_estimates(spark: SparkSession, sf: str) -> DataFrame:
     ε = e/width. md5 bucket hashing keeps every cell and estimate
     bit-identical in any engine."""
     from .operators.sketches import cms_build, cms_estimate
-    from .operators.spread import spread_for_cpu_map
 
-    # The tokenize+explode AND the vocab groupBy's partial aggregate
-    # fuse into the scan stage — on the few-split documents parquet
-    # that whole pipeline ran in ONE task (measured 5s of the 7s cold
-    # total at sf0.1, r9). Spread first, like the dedup family.
-    docs = spread_for_cpu_map(load(spark, sf, "documents").select("text"))
+    # Deliberately NOT spread_for_cpu_map (r9 arbitration of the r6→r8
+    # +23% regression): unlike the dedup family's ~1300-hash-per-doc
+    # shingle maps, the per-row work here is ONE regex split — a cheap,
+    # I/O-shaped map. A/B at sf0.1 warm best-of-3 (×2): spread 0.85 /
+    # 0.98 s vs unspread 0.68 s — the repartition shuffles the raw text
+    # for no CPU win and costs an extra AQE stage. The single-task
+    # fusion the r9 spread targeted was cold-JIT, not steady state.
+    # At 100 TB the corpus is many files → the scan is already wide.
+    docs = load(spark, sf, "documents").select("text")
     toks = docs.select(
         F.explode(
             F.split(F.lower(F.trim(F.col("text"))), r"\s+")
