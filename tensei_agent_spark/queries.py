@@ -2897,14 +2897,14 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     ORDER per-term columns (not a float SUM across an unordered group)
     so the score is deterministic and engine-stable; the final top-20
     is a TakeOrdered on (rounded score, doc_id), not a global sort."""
-    from .operators.spread import spread_for_cpu_map
-
-    # The tokenize+explode fuses into the documents scan and is read
-    # TWICE (dl + tf branches) — on a few-split input both passes ran
-    # single-task; spread once, both parallelize (pass-through at scale).
-    docs = spread_for_cpu_map(
-        load(spark, sf, "documents").select("doc_id", "text")
-    )
+    # Deliberately NOT spread_for_cpu_map (r9 A/B, same verdict as
+    # cms_word_estimates): the tokenize is ONE regex split per row —
+    # I/O-shaped, not a CPU grind — and although the stream is read
+    # twice (dl + tf), hybrid_search_rrf measured 1.37-1.47 s unspread
+    # vs 1.86-2.31 s spread (warm best-of-3, ×2 each). The raw-text
+    # shuffle plus extra AQE stage outweighs two cheap single-split
+    # passes; at 100 TB the corpus is many files → already wide.
+    docs = load(spark, sf, "documents").select("doc_id", "text")
     terms = ["vector", "hash", "stream"]
     k1, b = 1.2, 0.75
     toks = docs.select(
