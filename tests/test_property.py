@@ -352,3 +352,58 @@ def test_cms_point_estimates_never_undercount_property(spark, keys):
     for k, n in truth.items():
         assert got[k] >= n  # CM never undercounts
         assert got[k] <= len(keys)  # and never exceeds the stream
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(words, words), min_size=1, max_size=6
+    ),
+    st.integers(1, 3),
+)
+def test_bounded_levenshtein_equals_unbounded_predicate(spark, pairs, k):
+    """The r9 rewrite's contract: ``levenshtein(a, b, k) >= 0`` is
+    exactly ``levenshtein(a, b) <= k`` — the banded DP returns the true
+    distance within the bound and -1 past it, for arbitrary strings and
+    bounds. Guards every comparator site that moved to the 3-arg form
+    (linkage.levenshtein_within, fuzzy_customer_pairs,
+    customer_golden_records)."""
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        F.levenshtein("a", "b").alias("full"),
+        F.levenshtein("a", "b", k).alias("bounded"),
+    ).collect()
+    for r in rows:
+        if r["full"] <= k:
+            assert r["bounded"] == r["full"]
+        else:
+            assert r["bounded"] == -1
+
+
+@SLOW
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=10, unique=True),
+    st.lists(st.integers(0, 30), min_size=1, max_size=10, unique=True),
+)
+def test_rrf_fuse_matches_python_model(spark, ids_a, ids_b):
+    """rrf_fuse == the Fellegi-free Python model: Σ 1/(60+rank) with
+    missing-list terms contributing 0, terms added in list order."""
+    from tensei_agent_spark.operators.hybrid import rrf_fuse
+
+    la = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(ids_a)], "doc_id long, rank long"
+    )
+    lb = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(ids_b)], "doc_id long, rank long"
+    )
+    got = {
+        r["doc_id"]: r["rrf"]
+        for r in rrf_fuse([("x", la), ("y", lb)]).collect()
+    }
+    ra = {d: i + 1 for i, d in enumerate(ids_a)}
+    rb = {d: i + 1 for i, d in enumerate(ids_b)}
+    for d in set(ra) | set(rb):
+        want = (1.0 / (60.0 + ra[d]) if d in ra else 0.0) + (
+            1.0 / (60.0 + rb[d]) if d in rb else 0.0
+        )
+        assert got[d] == want  # bit-exact: fixed-order float adds
