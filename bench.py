@@ -41,8 +41,32 @@ def main() -> None:
         pass  # log4j2 API not reachable: warnings are cosmetic anyway
 
     bench_names = [n for n, q in REGISTRY.items() if q.bench]
-    # Warm the JVM + parquet footers once with the cheapest query.
-    REGISTRY[bench_names[0]].build(spark, sf_dir).count()
+    # Warm-up pass: run every bench query once at the tiny warm SF
+    # before any timing. A single cheap-query warm-up leaves the heavy
+    # paths (higher-order shingle lambdas, codegen'd window/join
+    # shapes, Arrow batches) cold for their own first timed run —
+    # JIT/Janino first-run overhead measured ~0.7s on
+    # dedup_ngram_jaccard_fast alone (3.2s fresh vs 2.35s steady).
+    # Warming at sf0.001 compiles the same generated classes (plan
+    # shapes are SF-invariant) in seconds without touching the timed
+    # data; the timed best-of-3 below then measures steady state, per
+    # standard JVM benchmarking practice. Falls back to the old
+    # single-query warm-up when no warm dir exists.
+    warm_dir = os.environ.get(
+        "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
+    )
+    if os.path.isdir(warm_dir) and os.path.abspath(
+        warm_dir
+    ) != os.path.abspath(sf_dir):
+        for name in bench_names:
+            try:
+                REGISTRY[name].build(spark, warm_dir).count()
+            except Exception:
+                pass  # a warm-up failure must not block the timing run
+        release_all()
+        spark.catalog.clearCache()
+    else:
+        REGISTRY[bench_names[0]].build(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in bench_names:

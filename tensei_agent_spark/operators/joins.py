@@ -35,9 +35,14 @@ def with_row_index(
     the whole table through ONE partition. Instead we compute a local
     row number per partition id and add broadcast per-partition offsets.
     The offsets are a ``groupBy(_pid)`` aggregate of the SAME
-    range-partitioned frame — one lazy plan, no driver action, and the
-    range exchange is computed once (ReusedExchange / AQE stage reuse).
-    The cumulative pass runs in an unpartitioned window over the
+    range-partitioned frame — one lazy plan, no driver action. That
+    frame is PERSISTED for correctness (see windows._range_partitioned):
+    the two branches match rows on the physical partition id, and
+    independent executions of a range exchange can sample different
+    bounds (AQE exchange reuse is best-effort — a collected
+    row_aligned_merge at sf0.1 showed zero ReusedExchange and emitted
+    1022 rows for a 1000-row merge before the persist, r9). The
+    cumulative pass runs in an unpartitioned window over the
     O(num_partitions)-row counts frame, never over the input.
 
     The local index is read out of ``monotonically_increasing_id``
@@ -51,9 +56,10 @@ def with_row_index(
     # coalescing is per-read and can differ between the two branches
     # reading this shuffle, which would desynchronize mid>>33 vs
     # spark_partition_id() — see windows._n_shuffle.
+    from ..cache import track
     from .windows import _n_shuffle
 
-    shuffled = df.repartitionByRange(_n_shuffle(df), *order)
+    shuffled = track(df.repartitionByRange(_n_shuffle(df), *order))
     # Local 0-based index within each range partition (lower 33 bits).
     local = (
         shuffled.sortWithinPartitions(*order)
@@ -63,7 +69,7 @@ def with_row_index(
     )
     # Tiny per-partition row counts -> exclusive running sum = offsets.
     # Counted on the PRE-sort frame: spark_partition_id() matches
-    # _mid >> 33 (same reused exchange), and skips a full re-sort.
+    # _mid >> 33 (one persisted layout), and skips a full re-sort.
     w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
     offset_df = (
         shuffled.withColumn("_pid", F.spark_partition_id())

@@ -14,16 +14,23 @@ compute the *bit-exact same result* distributed:
    a per-partition aggregate and broadcast-joined back.
 
 The whole thing is ONE lazy plan: the offsets table is a
-``groupBy(_pid)`` aggregate of the SAME range-partitioned frame, so
-within the single downstream action Spark's ReusedExchange (AQE stage
-reuse) computes the expensive upstream + range shuffle exactly once.
-Earlier revisions ``collect()``-ed the offsets at build time, which
-(a) forced an eager action per helper call and (b) recomputed the
-unpersisted upstream lineage twice — a measured +30% on
-``hybrid_search_rrf`` at r7 (VERDICT r7 item 1). The cumulative pass
-over the per-partition stats runs in an unpartitioned window, which
-is safe precisely because that frame is O(shuffle partitions) rows,
-not O(input rows).
+``groupBy(_pid)`` aggregate of the SAME range-partitioned frame, and
+that frame is PERSISTED (MEMORY_AND_DISK, release-tracked). The
+persist is a correctness requirement, not a tuning choice: both
+branches match rows on the physical partition id, and two independent
+executions of a range exchange can sample DIFFERENT partition bounds
+(RangePartitioner seeds by runtime RDD id). AQE's exchange reuse
+usually prevents the double execution, but reuse is best-effort — a
+collected composite plan (``row_aligned_merge`` at sf0.1, r9) showed
+zero ReusedExchange and produced duplicated + dropped ranks. The
+persisted frame pins one materialization; everything downstream reads
+cache blocks. Earlier revisions ``collect()``-ed the offsets at build
+time, which (a) forced an eager action per helper call and (b)
+recomputed the unpersisted upstream lineage twice — a measured +30%
+on ``hybrid_search_rrf`` at r7 (VERDICT r7 item 1). The cumulative
+pass over the per-partition stats runs in an unpartitioned window,
+which is safe precisely because that frame is O(shuffle partitions)
+rows, not O(input rows).
 
 Exactness contract:
 
@@ -80,8 +87,29 @@ def _range_partitioned(df: DataFrame, order: list[Column]) -> DataFrame:
     # No sortWithinPartitions: _pid depends only on the partitioning,
     # and every consumer either aggregates (order-irrelevant) or runs a
     # Window.partitionBy(_pid).orderBy(order) that sorts on its own.
-    return df.repartitionByRange(_n_shuffle(df), *order).withColumn(
-        "_pid", F.spark_partition_id()
+    #
+    # PERSISTED — for correctness, not speed (r9, found by the sf0.1
+    # strict sweep): the rank/offset helpers read this frame from two
+    # branches and match rows on _pid. RangePartitioner BOUNDS come
+    # from a sample seeded by the runtime RDD id, so two independent
+    # executions of the same range exchange can place border rows in
+    # different partitions. AQE exchange reuse usually makes the two
+    # branches share one execution — but reuse is an OPTIMIZATION,
+    # and under collect() of a composite plan (row_aligned_merge) the
+    # final adaptive plan showed ZERO ReusedExchange: four independent
+    # range shuffles, desynchronized _pid, duplicated + dropped ranks
+    # (1022 rows from a 1000-row positional merge, count() still
+    # 1000). The persist pins ONE materialization — the InMemoryScan's
+    # partitioning is the cached RDD's, its exchange partitioner is a
+    # memoized lazy val, so even cache-evicted partitions recompute
+    # against the SAME bounds. Tracked, so the next registry build
+    # releases it.
+    from ..cache import track
+
+    return track(
+        df.repartitionByRange(_n_shuffle(df), *order).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
 
 
@@ -111,9 +139,12 @@ def with_global_rank(
     """Attach a 1-based global ``row_number()`` over *order*, distributed.
 
     *order* must be a total order (include a unique tie-break column).
-    Lazy: builds one plan, no driver action — the range exchange is
-    shared (ReusedExchange) between the row-number branch and the tiny
-    per-partition-count branch.
+    Lazy: builds one plan, no driver action. The shuffled frame is
+    PERSISTED because the row-number branch and the counts branch
+    match rows on the physical partition id — see
+    :func:`_range_partitioned` for the correctness failure (sampled
+    range bounds drifting between independent executions) that makes
+    a persist mandatory here, not an optimization.
 
     No second full shuffle: after ``sortWithinPartitions`` the local
     row number is read straight out of ``monotonically_increasing_id``
@@ -122,8 +153,10 @@ def with_global_rank(
     otherwise force a full ``hashpartitioning(_pid)`` exchange of the
     whole input just to rediscover a partitioning it already has.
     """
+    from ..cache import track
+
     order = _as_columns(order)
-    shuffled = df.repartitionByRange(_n_shuffle(df), *order)
+    shuffled = track(df.repartitionByRange(_n_shuffle(df), *order))
     local = (
         shuffled.sortWithinPartitions(*order)
         .withColumn("_mid", F.monotonically_increasing_id())
@@ -131,7 +164,7 @@ def with_global_rank(
         .withColumn("_lrn", F.col("_mid").bitwiseAND(F.lit(_MID_MASK)) + F.lit(1))
     )
     # Counts from the PRE-sort frame: spark_partition_id() gives the
-    # same ids as _mid >> 33 (same reused exchange, same AQE coalesce),
+    # same ids as _mid >> 33 (both read the ONE persisted layout),
     # and skipping the sort saves a full re-sort in the counts branch.
     offsets = (
         shuffled.withColumn("_pid", F.spark_partition_id())

@@ -186,3 +186,35 @@ def test_bucketed_aggregation_has_no_exchange(spark):
         assert "Exchange" not in plan, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_agg_b")
+
+
+def test_row_aligned_merge_collect_is_exact_at_sf01(spark):
+    """Regression (r9, found by the sf0.1 strict sweep): the positional
+    merge's rank and offsets branches match rows on the physical
+    partition id, and before the range-shuffle persist two independent
+    executions of the exchange sampled DIFFERENT partition bounds —
+    collect()/toPandas() of this exact composite returned 1022 rows
+    (duplicated ranks, rank 914 missing) while count() said 1000. AQE
+    exchange reuse is best-effort; the persisted frame makes the
+    single materialization structural. The sf0.1 inputs reproduce the
+    drift deterministically (supplier's 1000 rows over 32 sampled
+    range partitions); sf0.001 never tripped it."""
+    import os
+
+    from tensei_agent_spark.catalog import load as cat_load
+    from tensei_agent_spark.operators.joins import row_aligned_merge
+
+    sf = "/root/testdata/sf0.1"
+    if not os.path.isdir(sf):
+        import pytest
+
+        pytest.skip("sf0.1 testdata not present")
+    cust = cat_load(spark, sf, "customer").select("c_custkey", "c_name")
+    supp = cat_load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    out = row_aligned_merge(
+        cust, supp, ["c_custkey"], ["s_suppkey"], "rn"
+    )
+    rows = out.collect()  # the failing path was collect, NOT count
+    assert len(rows) == 1000
+    rns = sorted(r["rn"] for r in rows)
+    assert rns == list(range(1000)), "ranks must be dense and unique"
