@@ -52,6 +52,21 @@ for t in TABLES:
 
 qs, osql = e.queries(), e.oracle_sql()
 
+# Queries whose DuckDB ORACLE (not the Spark plan) is intractable at
+# sf0.1: each one feeds a corpus-wide shingle self-join into a
+# recursive/iterative transitive closure, which DuckDB executes as a
+# repeated all-pairs materialization — observed >80 GB of spill before
+# ENOSPC at 600-760 s each (r9; r5 hit the same wall). At sf0.1 the
+# SPARK side still runs and is recorded rows-only; each is bit-exact
+# against its oracle at sf0.01 in CORRECTNESS_LOCAL_r<N>.json. Name
+# filters (ONLY) override the exclusion for targeted debugging.
+ORACLE_INTRACTABLE_SF01 = {
+    "dedup_components",
+    "dedup_keep_best",
+    "leakage_safe_split",
+}
+_at_sf01 = SF.rstrip("/").endswith("sf0.1")
+
 results = {}
 fails = []
 t_all = time.time()
@@ -64,6 +79,21 @@ for name, fn in qs.items():
         continue
     t0 = time.time()
     try:
+        if (
+            _at_sf01
+            and name in ORACLE_INTRACTABLE_SF01
+            and not ONLY
+        ):
+            n = fn(spark, SF).count()  # Spark side still must run
+            results[name] = {
+                "status": "rows_only_oracle_intractable", "rows": n,
+                "sec": round(time.time() - t0, 2),
+            }
+            print(
+                f"  {name}: rows_only (oracle intractable at sf0.1) "
+                f"n={n} ({time.time()-t0:.1f}s)", flush=True,
+            )
+            continue
         if name not in osql:
             n = fn(spark, SF).count()  # rows-only check
             results[name] = {
@@ -108,6 +138,19 @@ summary = {
     "total_sec": round(time.time() - t_all, 1),
     "queries": results,
 }
+excluded = sorted(
+    n for n, r in results.items()
+    if r["status"] == "rows_only_oracle_intractable"
+)
+if excluded:
+    summary["excluded_intractable_oracle"] = excluded
+    summary["note"] = (
+        "each excluded query's DuckDB ORACLE (not the Spark plan) is a "
+        "corpus-wide shingle self-join feeding a transitive closure — "
+        ">80 GB DuckDB spill then ENOSPC at sf0.1 (r9); the Spark side "
+        "ran (rows recorded) and each is bit-exact at sf0.01 in "
+        "CORRECTNESS_LOCAL_r<N>.json"
+    )
 if OUT:
     with open(OUT, "w") as fh:
         json.dump(summary, fh, indent=1, sort_keys=False)
