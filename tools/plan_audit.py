@@ -36,7 +36,9 @@ from tensei_agent_spark.queries import REGISTRY  # noqa: E402
 from tensei_agent_spark.session import get_spark  # noqa: E402
 
 SF = "/root/testdata/sf0.001"
-OUT = os.environ.get("PLAN_AUDIT_OUT", "PLAN_AUDIT_r04.json")
+# Default to a scratch name: ad-hoc runs must not overwrite a committed
+# round artifact (round_close sets PLAN_AUDIT_OUT to the round's name).
+OUT = os.environ.get("PLAN_AUDIT_OUT", "PLAN_AUDIT_LOCAL.json")
 
 WINDOW_SPEC = re.compile(r"windowspecdefinition\((.*?)specifiedwindowframe")
 ORDER_SUFFIXES = (
