@@ -835,9 +835,16 @@ def simhash_fingerprints(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     ).alias("tok")
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("long")
-    exploded = spread_for_cpu_map(
-        docs.select(F.col(id_col), F.col(text_col))
-    ).select(F.col(id_col), tok).select(F.col(id_col), h.alias("h"))
+    # Deliberately NOT spread_for_cpu_map (r9 A/B, same verdict as the
+    # cms/bm25 tokenize maps): one md5 per token is middling CPU, and
+    # the raw-text shuffle + extra AQE stage measured net-negative
+    # (0.99-1.32 s unspread vs 1.24-1.41 s spread, 3 reps of warm
+    # best-of-3). Contrast the shingle+minhash maps (~1300 hashes +
+    # 16 min-folds per doc), where the spread wins 1.7x — see
+    # SCALE.md "when not to spread".
+    exploded = docs.select(F.col(id_col), tok).select(
+        F.col(id_col), h.alias("h")
+    )
     sums = exploded.groupBy(id_col).agg(
         *[
             F.sum(
