@@ -407,3 +407,65 @@ def test_rrf_fuse_matches_python_model(spark, ids_a, ids_b):
             1.0 / (60.0 + rb[d]) if d in rb else 0.0
         )
         assert got[d] == want  # bit-exact: fixed-order float adds
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_with_global_rank_equals_single_partition_window(spark, rows):
+    """The distributed rank (range-partition + local row_number +
+    persisted-offsets join — operators/windows.py) must equal Spark's
+    own row_number() OVER (ORDER BY ...) single-partition window for
+    arbitrary data, INCLUDING under collect() — the path where the r9
+    exchange-reuse bug corrupted ranks while count() looked fine."""
+    from pyspark.sql import Window
+
+    from tensei_agent_spark.operators.windows import with_global_rank
+
+    rows = list({(k, u) for k, u in rows})  # total order needs unique keys
+    df = spark.createDataFrame(rows, "k long, u long")
+    got = {
+        (r["k"], r["u"]): r["i"]
+        for r in with_global_rank(df, ["k", "u"], out="i").collect()
+    }
+    want = {
+        (r["k"], r["u"]): r["i"]
+        for r in df.withColumn(
+            "i", F.row_number().over(Window.orderBy("k", "u"))
+        ).collect()
+    }
+    assert got == want
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(-1000, 1000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_with_global_prefix_sum_equals_single_partition_window(spark, rows):
+    """Distributed running sum == sum() OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING) on exact types, under collect()."""
+    from pyspark.sql import Window
+
+    from tensei_agent_spark.operators.windows import with_global_prefix_sum
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r["k"]: r["cum"]
+        for r in with_global_prefix_sum(df, ["k"], "v", out="cum").collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want
