@@ -41,7 +41,9 @@ from tensei_agent_spark.session import get_spark  # noqa: E402
 import os
 
 SF_DIR = "/root/testdata/sf0.1"
-OUT = os.environ.get("SCALE_SMOKE_OUT", "SCALE_SMOKE_r04.json")
+# Scratch default: ad-hoc runs must not overwrite a committed round
+# artifact (round_close sets SCALE_SMOKE_OUT to the round's name).
+OUT = os.environ.get("SCALE_SMOKE_OUT", "SCALE_SMOKE_LOCAL.json")
 
 
 def scaled_docs(spark, s: int):
@@ -72,6 +74,22 @@ def scaled_emb(spark, s: int):
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+def _rank_leg(docs) -> int:
+    """Rank the corpus with the persisted-offsets helper and ASSERT the
+    ranks are dense 1..n in the same action — a non-dense rank here is
+    exactly the r9 exchange-reuse corruption."""
+    from tensei_agent_spark.operators.windows import with_global_rank
+
+    r = with_global_rank(docs, ["doc_id"], out="_i")
+    row = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("_i").alias("mx"),
+        F.count_distinct("_i").alias("nd"),
+    ).first()
+    assert row["mx"] == row["n"] == row["nd"], f"ranks not dense: {row}"
+    return row["n"]
 
 
 def main() -> None:
@@ -145,6 +163,13 @@ def main() -> None:
             "random_projection": lambda: PRJ.random_project(
                 emb, k=16
             ).count(),
+            # r9: the rank helpers now PERSIST their range shuffle
+            # (correctness — see windows._range_partitioned). This leg
+            # evidences that the persisted formulation stays linear AND
+            # exact as the corpus doubles: ranks must be dense 1..n
+            # (the exchange-reuse bug produced duplicated + dropped
+            # ranks precisely under composite plans at this SF).
+            "global_rank_persisted": lambda: _rank_leg(docs),
         }
         if s == 8:
             # The x8 leg is the candidate-cap evidence run only — the
