@@ -260,6 +260,7 @@ def ngram_jaccard_pairs(
     max_shingle_df: int | None = None,
     size_hint_bytes: int | None = None,
     stats: dict | None = None,
+    df_rank: str = "sampled",
 ) -> DataFrame:
     """Near-dup pairs by EXACT n-gram Jaccard, via prefix filtering
     (the SSJoin/PPJoin candidate-pruning lemma).
@@ -272,9 +273,13 @@ def ngram_jaccard_pairs(
     cap are EXCLUDED from candidate generation — a shingle shared by d
     docs expands to O(d²) candidate pairs, so one templated n-gram that
     survives into prefixes can blow the join output quadratically at
-    scale. The cap is deterministic (a df order, not a sample) and
-    LOSSY above the cap: a pair whose only shared prefix shingles are
-    hot is missed. Below the cap the output is bit-identical to the
+    scale. The cap is deterministic (fixed sample seed; exact df when
+    ``df_rank="full"`` or the corpus fits the sample) and LOSSY above
+    the cap: a pair whose only shared prefix shingles are hot is
+    missed. Under ``df_rank="sampled"`` the compared df is the scaled
+    sample estimate — hot-enough-to-matter shingles are far above the
+    sample's resolution by construction, and unknown-stats inputs
+    degrade to the exact df. Below the cap the output is bit-identical to the
     uncapped run (pinned by test). Never silent: engaging it logs, and
     ``stats`` (pass a dict) receives ``stats["truncation"]`` — a LAZY
     one-row frame (hot_shingles, dropped_postings) over the already-
@@ -288,6 +293,16 @@ def ngram_jaccard_pairs(
     whose stats degrade to "unknown" (JDBC, RDD-backed) fall back to
     the shuffle path, which AQE upgrades back to broadcast at runtime
     from actual shuffle sizes.
+
+    ``df_rank``: how the document-frequency rarity order is computed.
+    ``"sampled"`` (default) estimates df from a bounded deterministic
+    sample and broadcasts a capped (shingle → df) table, so the
+    postings stream never crosses an exchange — the 100 TB path.
+    ``"full"`` ranks the complete postings stream (one full-corpus
+    token shuffle) — kept for the sampled-vs-full parity pin. BOTH
+    produce the exact pair set: the order only steers candidate
+    pruning, and the prefix lemma holds for any consistent total
+    order on shingles (ties always break on the shingle value).
 
     ``bit_screen=True`` inserts a probabilistic OPH bit-signature
     pre-screen between candidate generation and the exact verify chain
@@ -428,22 +443,104 @@ def ngram_jaccard_pairs(
     small = size_hint_bytes * 8 < 64 * 1024 * 1024
     hint = F.broadcast if small else (lambda d: d)
 
-    freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    # Broadcasting the (shingle → df) table when provably small turns
-    # the rank join into a map-side probe — the postings stream skips a
-    # full exchange (measured 4.1 s → 2.0 s at sf0.1). At scale the
-    # distinct-shingle table outgrows the hint and this reverts to a
-    # shuffle join on its own.
-    ranked = (
-        postings.join(hint(freq), "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.min("n_sh").alias("n_sh"),
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
-            ).alias("_ranked"),
+    if df_rank == "sampled":
+        # SAMPLED document-frequency order (r10) — kills the operator's
+        # only full-corpus shuffle. The rarity order steers PRUNING
+        # only: the prefix lemma holds for ANY consistent total order
+        # on shingles, so the final pair set is exact no matter how df
+        # is estimated (pinned by the sampled-vs-full parity test in
+        # tests/test_dedup_clusters.py). That licenses three bounds:
+        #
+        # 1. df comes from a deterministic Bernoulli SAMPLE of the
+        #    persisted token table — the groupBy shuffles frac·|tokens|
+        #    longs, never the full postings stream. frac targets
+        #    ~300 K sampled postings (see _DF_SAMPLE_TARGET_BYTES'
+        #    calibration note); tiny corpora degenerate to frac = 1.0,
+        #    where the estimate IS the exact df.
+        # 2. Shingles sampled ONCE are dropped (df >= 2): a singleton's
+        #    rank ties on the shingle value either way, and the long
+        #    tail is almost all singletons — the table keeps only the
+        #    head of the distribution, where order actually matters.
+        # 3. The table is capped to the hottest _DF_TABLE_CAP entries
+        #    ((df desc, shingle) — a deterministic TakeOrdered, ~16 MB
+        #    at the cap), so it broadcasts at ANY corpus size. Absent
+        #    shingles read df 0 (rare → sort first, tie-break on the
+        #    shingle value).
+        #
+        # The rank join is then a map-side broadcast probe at ANY
+        # corpus size. Of the full path's three full-corpus shuffles
+        # (df groupBy, rank join, per-doc regroup) only the regroup
+        # remains: tok_sets IS hash(id)-partitioned and explode +
+        # broadcast-join preserve that, but with AQE on, a cached
+        # plan's output partitioning is opaque to EnsureRequirements
+        # (the InMemoryRelation wraps an unfinalized AdaptiveSparkPlan
+        # — verified empirically: AQE off plans the regroup
+        # exchange-free), so Spark re-shuffles the postings once to
+        # regroup them. A Spark planner limitation, not a design
+        # choice — tracked in SCALE.md.
+        # Unknown stats (JDBC/RDD-backed inputs report ~Long.MaxValue,
+        # and the except-branch above pins 2^60) must NOT be read as
+        # "huge corpus": that starves the sample to ~zero rows, which
+        # leaves pruning on raw token order AND — worse — makes the
+        # max_shingle_df valve inert (an empty rank table reads every
+        # shingle as df 0). Degrade to frac 1.0 — the exact df, same
+        # conservative convention as the unknown-stats shuffle
+        # fallback in the broadcast gate below.
+        frac = (
+            1.0
+            if size_hint_bytes >= (1 << 59)
+            else min(1.0, _DF_SAMPLE_TARGET_BYTES / max(size_hint_bytes, 1))
         )
-    )
+        samp = tok_sets if frac >= 1.0 else tok_sets.sample(
+            fraction=frac, seed=_DF_SAMPLE_SEED
+        )
+        freq = (
+            samp.select(F.explode("_ts").alias("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_sdf"))
+            .filter(F.col("_sdf") >= 2)
+            # Scale sampled counts back to corpus estimates so the
+            # max_shingle_df valve keeps its corpus-df meaning. ceil:
+            # never under-read a hot shingle (the valve's lossy side).
+            .select(
+                "shingle",
+                F.ceil(F.col("_sdf") / F.lit(frac)).cast("long").alias("_df"),
+            )
+            .orderBy(F.desc("_df"), "shingle")
+            .limit(_DF_TABLE_CAP)
+        )
+        ranked = (
+            postings.join(F.broadcast(freq), "shingle", "left")
+            .na.fill({"_df": 0})
+            .groupBy(id_col)
+            .agg(
+                F.min("n_sh").alias("n_sh"),
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+                ).alias("_ranked"),
+            )
+        )
+    elif df_rank == "full":
+        # Exact full-corpus df (the pre-r10 path, kept for the parity
+        # pin): one groupBy over the whole postings stream, then a rank
+        # join. Broadcasting the (shingle → df) table when provably
+        # small turns the rank join into a map-side probe — the
+        # postings stream skips a full exchange (measured 4.1 s → 2.0 s
+        # at sf0.1). At scale the distinct-shingle table outgrows the
+        # hint and this reverts to a shuffle join on its own.
+        freq = postings.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        ranked = (
+            postings.join(hint(freq), "shingle")
+            .groupBy(id_col)
+            .agg(
+                F.min("n_sh").alias("n_sh"),
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+                ).alias("_ranked"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown df_rank {df_rank!r} (sampled | full)")
     pfx = ranked.select(
         F.col(id_col),
         F.col("n_sh"),
@@ -718,6 +815,24 @@ def ngram_jaccard_pairs(
         .withColumnsRenamed({"_ia": "id_a", "_ib": "id_b"})
     )
     return pairs
+
+
+# Sampled-df tuning (ngram_jaccard_pairs, df_rank="sampled"). The
+# target is in CATALYST-HINT bytes (parquet-compressed, post-pruning):
+# measured ~10 exploded postings per hint byte on the documents table,
+# so 32 KiB of hint ≈ 300 K sampled postings at any SF — enough to
+# resolve the hot (boilerplate) band that causes candidate blowup,
+# which is the only band the order must get right (frequencies below
+# the sample's resolution are pruning-neutral noise among rare
+# shingles; measured at sf0.1: frac 0.02-1.0 all produce the same
+# final pairs, 2.20 s at 0.05 vs 2.76 s at 1.0). Both knobs trade
+# pruning sharpness for sample cost, NEVER correctness — the pair set
+# is exact under any consistent order (parity-pinned).
+# _DF_TABLE_CAP bounds the broadcast rank table (~16 B/entry → ~16 MB
+# at the cap) so it broadcasts at any corpus size.
+_DF_SAMPLE_TARGET_BYTES = 32 * 1024
+_DF_TABLE_CAP = 1 << 20
+_DF_SAMPLE_SEED = 91765431
 
 
 MINHASH_P = (1 << 31) - 1  # Mersenne prime: (a·h+b) fits signed 64-bit

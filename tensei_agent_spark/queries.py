@@ -1338,7 +1338,12 @@ def dedup_jaccard_fast(spark: SparkSession, sf: str) -> DataFrame:
     exact threshold for t=0.6, quantified inline), so
     this twin is rows-only; the exact variant above carries the oracle
     and an on/off parity test pins their agreement on the driver
-    corpus. The production path also engages the df-2000 candidate cap
+    corpus. Since r10 the rarity order comes from a SAMPLED df rank
+    (operators/dedup.py df_rank="sampled", the default): a bounded
+    deterministic sample + capped broadcast table replaces the
+    full-corpus token-rank shuffle — exact under any consistent
+    order, parity-pinned sampled-vs-full in tests/test_dedup_fast.py.
+    The production path also engages the df-2000 candidate cap
     (a shingle shared by d docs expands to O(d²) pairs; max prefix df
     measured at sf0.1 is 304, so the cap is inert here and bites only
     on boilerplate-heavy shards at scale — with logged truncation,

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import random
 
+import pytest
 from pyspark.sql import functions as F
 
 from tensei_agent_spark.operators.dedup import (
@@ -208,6 +209,46 @@ def test_ngram_jaccard_cap_parity_below_and_truncation_above(spark):
     assert capped2 == {(0, 10), (1, 11)}
     t2 = stats2["truncation"].first()
     assert t2["hot_shingles"] > 0 and t2["dropped_postings"] > 0
+
+
+def test_ngram_jaccard_sampled_vs_full_df_rank_parity(spark):
+    """The document-frequency rarity order only steers candidate
+    pruning — the prefix lemma holds for ANY consistent total order —
+    so the sampled-df path (default, r10: bounded sample + capped
+    broadcast rank table, no full-corpus token shuffle) must emit
+    bit-identical pairs to the full-postings rank it replaced, even
+    when forced down to a tiny sample fraction."""
+    from tensei_agent_spark.catalog import load
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=8, threshold=0.6, df_rank="full"
+        ).collect()
+    }
+    sampled = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=8, threshold=0.6, df_rank="sampled"
+        ).collect()
+    }
+    # Forced ~0.3% sample: the rank table degenerates to a handful of
+    # entries and the order is mostly raw token order — the pair set
+    # must STILL be exact (pruning quality is the only thing sampling
+    # may cost).
+    starved = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=8, threshold=0.6, df_rank="sampled",
+            size_hint_bytes=300 * 32 * 1024,
+        ).collect()
+    }
+    assert full == sampled == starved and len(full) == 25
+
+    with pytest.raises(ValueError, match="df_rank"):
+        ngram_jaccard_pairs(docs, k=8, threshold=0.6, df_rank="bogus")
 
 
 def test_ngram_jaccard_build_runs_no_job(spark):
