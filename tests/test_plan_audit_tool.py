@@ -114,6 +114,102 @@ def test_mixed_specs_on_offsets_line_still_flag():
     assert len(global_windows(red)) == 1
 
 
+# --- r9 rank-corruption class: unpinned range exchange under a _pid
+# join (VERDICT r9 #3). The two _pid branches of the rank/offset
+# helpers MUST read one persisted materialization of the range
+# exchange; two independent exchanges sample different bounds and
+# corrupt the positional match. -----------------------------------------
+
+
+def _broken_global_rank(df, order_col):
+    """The pre-92cf5aa shape: with_global_rank WITHOUT the persist —
+    both _pid branches plan their own range exchange."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    shuffled = df.repartitionByRange(32, F.col(order_col))  # NOT persisted
+    local = (
+        shuffled.sortWithinPartitions(order_col)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright("_mid", 33).cast("int"))
+        .withColumn(
+            "_lrn", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1)
+        )
+    )
+    w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        shuffled.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_n").over(w), F.lit(0).cast("long")).alias("_off"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("i", F.col("_lrn") + F.col("_off"))
+        .drop("_pid", "_mid", "_lrn", "_off")
+    )
+
+
+def test_unpinned_pid_range_join_flags(spark):
+    """The detector must catch the pre-92cf5aa tree's real plan shape."""
+    from plan_audit import pid_join_unpinned_range
+
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    plan = (
+        _broken_global_rank(df, "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(pid_join_unpinned_range(plan)) >= 1
+    spark.catalog.clearCache()
+
+
+def test_persisted_rank_helper_is_clean(spark):
+    """The shipped helper (persisted shared frame) must NOT flag."""
+    from plan_audit import pid_join_unpinned_range
+
+    from tensei_agent_spark.cache import release_all
+    from tensei_agent_spark.operators.windows import with_global_rank
+
+    df = spark.range(1000).withColumnRenamed("id", "v")
+    plan = (
+        with_global_rank(df, ["v"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert pid_join_unpinned_range(plan) == []
+    release_all()
+
+
+def test_pid_range_exchange_outside_join_subtree_not_flagged():
+    """A raw range exchange in a SIBLING branch (e.g. a sorted-output
+    sink) must not trip the _pid rule — only exchanges under the _pid
+    join's own subtree are the corruption signature."""
+    from plan_audit import pid_join_unpinned_range
+
+    plan = """\
++- Union
+   :- BroadcastHashJoin [_pid#5], [_pid#9], Inner, BuildRight, false
+   :  :- InMemoryTableScan [_pid#5, x#1L]
+   :  :        +- InMemoryRelation [_pid#5, x#1L], StorageLevel(disk, memory)
+   :  :              +- Exchange rangepartitioning(x#1L ASC NULLS FIRST, 32), REPARTITION_BY_NUM
+   :  :                 +- Range (0, 1000, step=1, splits=32)
+   :  +- BroadcastExchange HashedRelationBroadcastMode(List(input[0, int, false]))
+   :     +- InMemoryTableScan [_pid#9, _off#11L]
+   :           +- InMemoryRelation [_pid#9, _off#11L], StorageLevel(disk, memory)
+   :                 +- Exchange rangepartitioning(x#1L ASC NULLS FIRST, 32), REPARTITION_BY_NUM
+   :                    +- Range (0, 1000, step=1, splits=32)
+   +- Exchange rangepartitioning(y#2L ASC NULLS FIRST, 32), REPARTITION_BY_NUM
+      +- Range (0, 1000, step=1, splits=32)
+"""
+    assert pid_join_unpinned_range(plan) == []
+
+
 # --- build-time double-action detector (VERDICT r7 #8 / r8 #6) --------
 
 

@@ -9,7 +9,11 @@ Invariants (violations = the plans that die first at 100 TB):
 - no unpartitioned window: a ``windowspecdefinition`` whose argument
   list holds only ordering specs funnels the whole input through ONE
   task — the repo's global-rank formulation (operators/windows.py)
-  exists precisely to avoid this.
+  exists precisely to avoid this;
+- no unpinned range exchange under a ``_pid``-keyed join: the r9
+  rank-corruption class — two independent executions of one range
+  exchange sample different partition bounds and desynchronize the
+  positional match (see :func:`pid_join_unpinned_range`).
 
 Writes PLAN_AUDIT_r<N>.json ({query: {cartesian, global_windows}}),
 prints violations, exits nonzero if any. Run from the repo root:
@@ -133,6 +137,52 @@ def global_windows(plan: str) -> list[str]:
     return bad
 
 
+# The r9 rank-corruption class, promoted to a permanent gate (VERDICT
+# r9 #3): the global-rank/offset helpers (operators/windows.py) read
+# ONE range exchange from two branches and match rows on the physical
+# partition id (_pid). RangePartitioner samples its bounds per
+# EXECUTION, so if the shared frame is not pinned by a persist, the
+# two branches can materialize two independent range exchanges with
+# DIFFERENT bounds — desynchronized _pid, duplicated + dropped ranks
+# (the pre-92cf5aa tree produced 1022 rows from a 1000-row positional
+# merge). Plan signature of the broken shape: a join keyed on _pid
+# whose subtree contains a RAW `Exchange rangepartitioning` (i.e. one
+# NOT nested inside an InMemoryRelation — the persist pins exactly one
+# materialization, so in the safe shape every range exchange under a
+# _pid join renders inside the cached relation).
+PID_JOIN_KEY = re.compile(r"Join [^\n]*?\[[^\]]*_pid#\d+")
+RANGE_EXCHANGE = re.compile(r"Exchange rangepartitioning\(")
+
+
+def pid_join_unpinned_range(plan: str) -> list[str]:
+    """Joins keyed on `_pid` whose subtree holds a range exchange that
+    is NOT pinned under an InMemoryRelation — the desynchronized-
+    bounds corruption signature (see comment above)."""
+    lines = plan.splitlines()
+    bad = []
+    for idx, line in enumerate(lines):
+        if not PID_JOIN_KEY.search(line):
+            continue
+        base = _indent(line)
+        imr_depth: int | None = None  # inside a cached-relation subtree
+        for nxt in lines[idx + 1 :]:
+            d = _indent(nxt)
+            if d <= base:
+                break  # left the join's subtree
+            if imr_depth is not None and d <= imr_depth:
+                imr_depth = None  # left the InMemoryRelation subtree
+            if imr_depth is None and "InMemoryRelation" in nxt:
+                imr_depth = d
+                continue
+            if imr_depth is None and RANGE_EXCHANGE.search(nxt):
+                bad.append(
+                    f"unpinned range exchange under _pid join: "
+                    f"{line.strip()[:120]}"
+                )
+                break
+    return bad
+
+
 # Build-time Spark-action budget (the "double-action smell", VERDICT
 # r7 #8 / r8 #6): building a registry plan should run ZERO non-metadata
 # jobs — a build that collects intermediate results recomputes that
@@ -218,6 +268,7 @@ def audit_query(spark, name: str, build, sf: str) -> dict:
     return {
         "cartesian": "CartesianProduct" in plan,
         "global_windows": global_windows(plan),
+        "pid_unpinned_range": pid_join_unpinned_range(plan),
         "build_jobs": len(jobs),
     }
 
@@ -247,6 +298,8 @@ def main() -> None:
             violations.append(f"{name}: CartesianProduct")
         for line in r["global_windows"]:
             violations.append(f"{name}: global window: {line}")
+        for line in r["pid_unpinned_range"]:
+            violations.append(f"{name}: {line}")
         allowance = EAGER_BUILD_JOBS.get(name, 0)
         if r["build_jobs"] > allowance:
             violations.append(
