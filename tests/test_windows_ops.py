@@ -257,3 +257,27 @@ def test_global_prefix_max_matches_pandas_cummax(spark):
 
         expect = None if isinstance(v, float) and math.isnan(v) else int(v)
         assert got_exc[k] == expect, (k, got_exc[k], expect)
+
+
+def test_rank_survives_release_before_execute(spark):
+    """ADVICE r9: release_all() between BUILDING a rank-helper plan and
+    EXECUTING it must not corrupt ranks. unpersist() drops cache
+    entries/blocks but never rewrites built plans — the executed plan
+    still reads both _pid branches through the one InMemoryRelation
+    substituted at build time, whose single cached-RDD lineage pins one
+    set of range bounds even when every block recomputes. Heavy ties +
+    enough rows to straddle partition bounds make a desynchronized
+    exchange show up as duplicated/dropped ranks."""
+    from pyspark.sql import functions as F
+
+    from tensei_agent_spark.cache import release_all
+    from tensei_agent_spark.operators.windows import with_global_rank
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 997).alias("v"), F.col("id").alias("tb")
+    )
+    ranked = with_global_rank(df, ["v", "tb"], out="i")
+    release_all()  # strip the correctness persist BEFORE executing
+    spark.catalog.clearCache()
+    ranks = sorted(r["i"] for r in ranked.select("i").collect())
+    assert ranks == list(range(1, 100_001))
