@@ -55,6 +55,7 @@ def main() -> None:
     warm_dir = os.environ.get(
         "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
     )
+    warm_failed: list[str] = []
     if os.path.isdir(warm_dir) and os.path.abspath(
         warm_dir
     ) != os.path.abspath(sf_dir):
@@ -62,9 +63,19 @@ def main() -> None:
             try:
                 REGISTRY[name].build(spark, warm_dir).count()
             except Exception:
-                pass  # a warm-up failure must not block the timing run
+                # Must not block the timing run — but silently degraded
+                # warm-up skews every first timed sample with zero
+                # trace (ADVICE r9), so count and report below.
+                warm_failed.append(name)
         release_all()
         spark.catalog.clearCache()
+        if warm_failed:
+            print(
+                f"bench: warm-up FAILED for {len(warm_failed)}/"
+                f"{len(bench_names)} queries (cold first timed runs): "
+                f"{warm_failed}",
+                flush=True,
+            )
     else:
         REGISTRY[bench_names[0]].build(spark, sf_dir).count()
 
@@ -97,17 +108,22 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # Methodology version stamp (ADVICE r9): cross-protocol
+        # comparisons conflate protocol changes with engine changes.
+        # v1 = single cheap-query warm-up (r1-r8 artifacts, implicit);
+        # v2 = full per-query sf0.001 warm-up pass + best-of-3 +
+        # round_close settle gate at load < 1.5 (r9+).
+        "protocol": 2,
+    }
+    if warm_failed:
+        payload["warmup_failed"] = warm_failed
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -21,26 +21,36 @@ import json
 import sys
 
 
-def load(path: str) -> tuple[dict[str, float], set[str]]:
-    """Return (ok_queries, failed_queries).
+def load(path: str) -> tuple[dict[str, float], set[str], int]:
+    """Return (ok_queries, failed_queries, protocol_version).
 
     A -1.0 value is bench.py's failure sentinel; those names go into
     the failed set instead of being silently dropped, so a query that
     regresses from a timing to an outright failure is still visible to
-    the exit-code decision below."""
+    the exit-code decision below. Artifacts without a ``protocol``
+    stamp predate the v2 methodology (full per-query warm-up pass +
+    best-of-3 + load<1.5 settle gate) and load as protocol 1."""
     with open(path) as f:
         d = json.load(f)
-    q = d.get("parsed", d).get("queries", {})
+    parsed = d.get("parsed", d)
+    q = parsed.get("queries", {})
     ok = {k: float(v) for k, v in q.items() if v >= 0}
     failed = {k for k, v in q.items() if v < 0}
-    return ok, failed
+    return ok, failed, int(parsed.get("protocol", 1))
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     a_path, b_path = sys.argv[1], sys.argv[2]
-    (a, _a_failed), (b, b_failed) = load(a_path), load(b_path)
+    (a, _a_failed, a_proto), (b, b_failed, b_proto) = load(a_path), load(b_path)
+    if a_proto != b_proto:
+        print(
+            f"WARNING: cross-protocol comparison (v{a_proto} vs "
+            f"v{b_proto}) — per-query deltas conflate methodology "
+            "changes (warm-up, sampling, settle gate) with engine "
+            "changes; trust direction only, not magnitude (ADVICE r9)."
+        )
     shared = sorted(set(a) & set(b), key=lambda k: -b[k])
     regressions = []
     print(f"{'query':35s} {a_path:>14s} {b_path:>14s}  ratio")
