@@ -8,6 +8,12 @@ BIT-EXACT comparison (the driver value-hashes). Usage:
 ``--out`` writes a machine-readable verdict (per-query status + timing)
 — the round snapshot commits it as ``CORRECTNESS_LOCAL_r<N>.json``.
 
+For supplementary big-SF sweeps (CORRECTNESS_SF01_r<N>.json), set
+``SPARK_GRAFT_SKIP_INTRACTABLE_ORACLES=1`` to skip the three DuckDB
+oracles that are intractable at sf0.1 (their Spark side still runs,
+against PINNED row counts that fail on drift). The flag is explicit so
+an sf0.1 path name alone can never silently weaken the gate.
+
 Comparison rules (ordered, strictest applicable wins):
 - both integer dtypes → exact int64 compare (a float64 cast would
   silently equate distinct values above 2^53, e.g. 64-bit hash ids);
@@ -17,6 +23,7 @@ Comparison rules (ordered, strictest applicable wins):
 """
 
 import json
+import os
 import sys
 import time
 import traceback
@@ -57,15 +64,21 @@ qs, osql = e.queries(), e.oracle_sql()
 # recursive/iterative transitive closure, which DuckDB executes as a
 # repeated all-pairs materialization — observed >80 GB of spill before
 # ENOSPC at 600-760 s each (r9; r5 hit the same wall). At sf0.1 the
-# SPARK side still runs and is recorded rows-only; each is bit-exact
-# against its oracle at sf0.01 in CORRECTNESS_LOCAL_r<N>.json. Name
-# filters (ONLY) override the exclusion for targeted debugging.
+# SPARK side still runs and its row count is PINNED (ADVICE r9: an
+# unvalidated count let a regression pass unnoticed until the sf0.01
+# sweep) — drift from the pinned count fails the sweep; each query is
+# additionally bit-exact against its oracle at sf0.01 in
+# CORRECTNESS_LOCAL_r<N>.json. The exclusion is keyed off an explicit
+# flag (SPARK_GRAFT_SKIP_INTRACTABLE_ORACLES=1), not the directory
+# name; unset the flag to debug against the real (intractable) oracle.
 ORACLE_INTRACTABLE_SF01 = {
-    "dedup_components",
-    "dedup_keep_best",
-    "leakage_safe_split",
+    "dedup_components": 477,
+    "dedup_keep_best": 4756,
+    "leakage_safe_split": 5000,
 }
-_at_sf01 = SF.rstrip("/").endswith("sf0.1")
+_skip_intractable = os.environ.get(
+    "SPARK_GRAFT_SKIP_INTRACTABLE_ORACLES", ""
+) == "1"
 
 results = {}
 fails = []
@@ -79,19 +92,21 @@ for name, fn in qs.items():
         continue
     t0 = time.time()
     try:
-        if (
-            _at_sf01
-            and name in ORACLE_INTRACTABLE_SF01
-            and not ONLY
-        ):
+        if _skip_intractable and name in ORACLE_INTRACTABLE_SF01:
             n = fn(spark, SF).count()  # Spark side still must run
+            want = ORACLE_INTRACTABLE_SF01[name]
+            if n != want:
+                raise AssertionError(
+                    f"pinned sf0.1 row count drifted: {n} != {want}"
+                )
             results[name] = {
                 "status": "rows_only_oracle_intractable", "rows": n,
+                "pinned_rows": want,
                 "sec": round(time.time() - t0, 2),
             }
             print(
-                f"  {name}: rows_only (oracle intractable at sf0.1) "
-                f"n={n} ({time.time()-t0:.1f}s)", flush=True,
+                f"  {name}: rows_only (oracle intractable; pinned "
+                f"n={n} ok) ({time.time()-t0:.1f}s)", flush=True,
             )
             continue
         if name not in osql:
@@ -148,7 +163,8 @@ if excluded:
         "each excluded query's DuckDB ORACLE (not the Spark plan) is a "
         "corpus-wide shingle self-join feeding a transitive closure — "
         ">80 GB DuckDB spill then ENOSPC at sf0.1 (r9); the Spark side "
-        "ran (rows recorded) and each is bit-exact at sf0.01 in "
+        "ran, its row count matched the pinned expectation (fails on "
+        "drift), and each is bit-exact at sf0.01 in "
         "CORRECTNESS_LOCAL_r<N>.json"
     )
 if OUT:
