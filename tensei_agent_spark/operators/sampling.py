@@ -119,15 +119,19 @@ def shuffle_shards(
         F.concat(F.col(key).cast("string"), F.lit(":"), F.lit(salt))
     )
     shard = hash_bucket(F.col(key), buckets=n_shards, salt=salt + "#shard")
-    from ..cache import track
 
-    # persisted: feeds both the per-shard base aggregate and the join
-    ranked = track(
-        with_global_rank(
-            df.withColumn("_okey", okey).withColumn(shard_col, shard),
-            [shard_col, "_okey", key],
-            out="_grank",
-        )
+    # NOT persisted (r10 rank-free audit): the helper's INTERNAL pin
+    # already makes ranks deterministic across readers (both branches
+    # recompute from the one pinned range materialization — see
+    # cache.py's release contract), so a second corpus-sized persist
+    # here bought only the re-use of cheap post-rank column arithmetic
+    # while costing a full cache write+read of the ranked corpus. The
+    # base branch now recomputes that arithmetic over the cached
+    # exchange blocks instead.
+    ranked = with_global_rank(
+        df.withColumn("_okey", okey).withColumn(shard_col, shard),
+        [shard_col, "_okey", key],
+        out="_grank",
     )
     base = ranked.groupBy(shard_col).agg(
         (F.min("_grank") - 1).alias("_base")
