@@ -144,6 +144,80 @@ for name, fn in qs.items():
         with open(OUT + ".partial", "w") as fh:
             json.dump(results, fh, indent=1)
 
+# --- ANN recall quantification (VERDICT r9 #4): the ann_* family is
+# rows-only by construction (approximate membership / FP tie order),
+# so quantify each against the exact brute-force baseline inside the
+# gate. Floors are the sf0.01 MEASURED values minus a hair —
+# deterministic seeds make recall exactly reproducible, so any drop is
+# a real regression, not noise. LSH's low floor is honest: the
+# synthetic embeddings are isotropic (no cluster structure), the
+# hyperplane-LSH worst case — its quality envelope under controlled
+# structure is pinned in tests/test_ann_recall.py instead.
+# Floors are per-SF (recall is data-dependent); at an uncalibrated SF
+# the recall is still computed and RECORDED in the artifact, just not
+# asserted — computation never silently narrows, only the floor does.
+ANN_RECALL_FLOORS = {
+    "sf0.01": {
+        "ann_cosine_topk_fast": 0.99,  # double vs decimal: tie order only
+        "ann_int8_topk": 0.99,         # measured 1.000
+        "ann_ivf_topk": 0.85,          # measured 0.880 (4/8 cells probed)
+        "ann_ivf_pq_topk": 0.80,       # measured 0.840 (ADC + exact refine)
+        "ann_pq_topk": 0.50,           # measured 0.540 (pure ADC, no refine)
+        "ann_lsh_topk": 0.12,          # measured 0.140 (isotropic worst case)
+    },
+    "sf0.1": {
+        "ann_cosine_topk_fast": 0.99,  # measured 1.000
+        "ann_int8_topk": 0.90,         # measured 0.940
+        "ann_ivf_topk": 0.90,          # measured 0.940
+        "ann_ivf_pq_topk": 0.68,       # measured 0.720
+        "ann_pq_topk": 0.40,           # measured 0.440
+        "ann_lsh_topk": 0.12,          # measured 0.140
+    },
+}
+ANN_RECALL_QUERIES = sorted(ANN_RECALL_FLOORS["sf0.01"])
+
+
+def _topk_sets(df):
+    out: dict = {}
+    for r in df.select("query_id", "cand_id").collect():
+        out.setdefault(r["query_id"], set()).add(r["cand_id"])
+    return out
+
+
+_sf_floors = ANN_RECALL_FLOORS.get(os.path.basename(SF.rstrip("/")), {})
+_recall_names = [
+    n for n in ANN_RECALL_QUERIES
+    if n in results and results[n]["status"] != "fail"
+]
+if _recall_names:
+    from tensei_agent_spark.cache import release_all  # noqa: E402
+
+    exact_sets = _topk_sets(qs["ann_cosine_topk"](spark, SF))
+    release_all()
+    _tot = sum(len(v) for v in exact_sets.values())
+    for name in _recall_names:
+        hits = sum(
+            len(exact_sets[q] & s)
+            for q, s in _topk_sets(qs[name](spark, SF)).items()
+            if q in exact_sets
+        )
+        release_all()
+        rec = round(hits / _tot, 4)
+        results[name]["recall_at_10"] = rec
+        floor = _sf_floors.get(name)
+        if floor is None:
+            print(f"  {name}: recall@10 {rec} (no floor at this SF)",
+                  flush=True)
+        elif rec < floor:
+            fails.append(name)
+            results[name]["status"] = "fail"
+            results[name]["err"] = (
+                f"recall@10 {rec} below pinned floor {floor}"
+            )
+            print(f"  {name}: RECALL FAIL {rec} < {floor}", flush=True)
+        else:
+            print(f"  {name}: recall@10 {rec} (floor {floor})", flush=True)
+
 summary = {
     "sf_dir": SF,
     "total": len(results),
