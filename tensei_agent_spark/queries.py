@@ -3508,6 +3508,82 @@ def stats_quantiles_approx(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "stats_quantiles_exact",
+    """
+    WITH v AS (SELECT CAST(c_acctbal AS DOUBLE) AS v, c_custkey
+               FROM customer),
+         r AS (SELECT v, row_number() OVER (ORDER BY v, c_custkey) AS rk
+               FROM v),
+         n AS (SELECT COUNT(*) AS n FROM v),
+         b AS (SELECT CAST(p AS DOUBLE) AS p, n.n AS n,
+                      (n.n - 1) * CAST(p AS DOUBLE) AS h
+               FROM n, (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(p)),
+         b2 AS (SELECT p, h - floor(h) AS frac,
+                       CAST(floor(h) AS BIGINT) + 1 AS lo_rk,
+                       least(CAST(floor(h) AS BIGINT) + 2, n) AS hi_rk
+                FROM b)
+    SELECT b2.p AS p, lo.v + b2.frac * (hi.v - lo.v) AS value
+    FROM b2 JOIN r lo ON lo.rk = b2.lo_rk JOIN r hi ON hi.rk = b2.hi_rk
+    ORDER BY p
+    """,
+)
+def stats_quantiles_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT distributed percentiles (quantile_cont semantics: linear
+    interpolation between order statistics at h = (n−1)·p), bit-exact
+    against the oracle — the quantified twin VERDICT r9 #6 asked for
+    next to the rows-only sketch quantiles. Shape: global rank over
+    (value, key) via the distributed rank helper (range partition +
+    per-partition row_number + broadcast offsets — never a global
+    window), a 1-row lazy count expanded to a 10-row (percentile,
+    wanted-rank) table, broadcast-joined back so the big side is
+    touched by exactly one scan + one rank exchange at any corpus
+    size. Both engines evaluate the IDENTICAL double expression
+    lo + frac·(hi − lo) from identical exact inputs (DECIMAL source
+    cast to double, integer ranks), so no round guard is needed."""
+    ps = (0.25, 0.5, 0.75, 0.9, 0.99)
+    cust = load(spark, sf, "customer").select(
+        F.col("c_acctbal").cast("double").alias("v"), "c_custkey"
+    )
+    ranked = with_global_rank(cust, ["v", "c_custkey"], out="rk")
+    bounds = (
+        cust.agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.explode(F.array(*[F.lit(p) for p in ps])).alias("p"),
+        )
+        .withColumn("h", (F.col("n") - 1) * F.col("p"))
+        .withColumn("frac", F.col("h") - F.floor("h"))
+        .withColumn("lo_rk", F.floor("h").cast("long") + 1)
+        .withColumn("hi_rk", F.least(F.floor("h").cast("long") + 2, F.col("n")))
+    )
+    want = bounds.select(
+        "p",
+        "frac",
+        F.explode(
+            F.array(
+                F.struct(F.lit("lo").alias("role"), F.col("lo_rk").alias("rk")),
+                F.struct(F.lit("hi").alias("role"), F.col("hi_rk").alias("rk")),
+            )
+        ).alias("w"),
+    ).select("p", "frac", F.col("w.role").alias("role"), F.col("w.rk").alias("rk"))
+    return (
+        ranked.join(F.broadcast(want), "rk")
+        .groupBy("p", "frac")
+        .agg(
+            F.max(F.when(F.col("role") == "lo", F.col("v"))).alias("lo_v"),
+            F.max(F.when(F.col("role") == "hi", F.col("v"))).alias("hi_v"),
+        )
+        .select(
+            "p",
+            (F.col("lo_v") + F.col("frac") * (F.col("hi_v") - F.col("lo_v"))).alias(
+                "value"
+            ),
+        )
+        .orderBy("p")
+    )
+
+
+@register(
     "leakage_safe_split",
     """
     WITH RECURSIVE
