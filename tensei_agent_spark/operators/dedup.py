@@ -295,11 +295,13 @@ def ngram_jaccard_pairs(
     from actual shuffle sizes.
 
     ``df_rank``: how the document-frequency rarity order is computed.
-    ``"sampled"`` (default) estimates df from a bounded deterministic
-    sample and broadcasts a capped (shingle → df) table, so the
-    postings stream never crosses an exchange — the 100 TB path.
-    ``"full"`` ranks the complete postings stream (one full-corpus
-    token shuffle) — kept for the sampled-vs-full parity pin. BOTH
+    ``"sampled"`` (default) estimates df from a deterministic
+    25%-floor sample and broadcasts a capped (shingle → df) table, so
+    the rank join is a map-side probe at any corpus size — the 100 TB
+    path (calibration + measured trade at the ``_DF_MIN_FRAC``
+    constant). ``"full"`` ranks the complete postings stream (df
+    groupBy + shuffled rank join over every posting) — kept for the
+    sampled-vs-full parity pin. BOTH
     produce the exact pair set: the order only steers candidate
     pruning, and the prefix lemma holds for any consistent total
     order on shingles (ties always break on the shingle value).
@@ -453,10 +455,12 @@ def ngram_jaccard_pairs(
         #
         # 1. df comes from a deterministic Bernoulli SAMPLE of the
         #    persisted token table — the groupBy shuffles frac·|tokens|
-        #    longs, never the full postings stream. frac targets
-        #    ~300 K sampled postings (see _DF_SAMPLE_TARGET_BYTES'
-        #    calibration note); tiny corpora degenerate to frac = 1.0,
-        #    where the estimate IS the exact df.
+        #    longs, never the full postings stream. frac is floored at
+        #    _DF_MIN_FRAC = 0.25 (see the calibration note at the
+        #    constants: a starved sample cannot resolve the near-dup
+        #    mid band and pruning degrades, measured +28% at x8);
+        #    tiny corpora degenerate to frac = 1.0, where the estimate
+        #    IS the exact df.
         # 2. Shingles sampled ONCE are dropped (df >= 2): a singleton's
         #    rank ties on the shingle value either way, and the long
         #    tail is almost all singletons — the table keeps only the
@@ -489,7 +493,10 @@ def ngram_jaccard_pairs(
         frac = (
             1.0
             if size_hint_bytes >= (1 << 59)
-            else min(1.0, _DF_SAMPLE_TARGET_BYTES / max(size_hint_bytes, 1))
+            else max(
+                _DF_MIN_FRAC,
+                min(1.0, _DF_SAMPLE_TARGET_BYTES / max(size_hint_bytes, 1)),
+            )
         )
         samp = tok_sets if frac >= 1.0 else tok_sets.sample(
             fraction=frac, seed=_DF_SAMPLE_SEED
@@ -818,19 +825,28 @@ def ngram_jaccard_pairs(
 
 
 # Sampled-df tuning (ngram_jaccard_pairs, df_rank="sampled"). The
-# target is in CATALYST-HINT bytes (parquet-compressed, post-pruning):
-# measured ~10 exploded postings per hint byte on the documents table,
-# so 32 KiB of hint ≈ 300 K sampled postings at any SF — enough to
-# resolve the hot (boilerplate) band that causes candidate blowup,
-# which is the only band the order must get right (frequencies below
-# the sample's resolution are pruning-neutral noise among rare
-# shingles; measured at sf0.1: frac 0.02-1.0 all produce the same
-# final pairs, 2.20 s at 0.05 vs 2.76 s at 1.0). Both knobs trade
-# pruning sharpness for sample cost, NEVER correctness — the pair set
-# is exact under any consistent order (parity-pinned).
+# sample must resolve the df band that actually drives candidate
+# blowup, and that band is corpus-dependent: on web-shaped corpora
+# (long rare tail + hot boilerplate head) a few hundred thousand
+# sampled postings suffice, but on NEAR-DUP-DENSE corpora every
+# shingle sits in a mid band (df ≈ cluster size, 2-64) that a starved
+# sample cannot see — prefix selection then degrades toward random
+# order among unresolved shingles. Measured on the x8 derived near-dup
+# corpus (46 M postings, every doc in an 8-clone cluster): frac 1.0
+# (full) 33.2 s, frac 0.25 35.0 s (−5%, within box noise), frac ≤0.05
+# 42-43 s (+28%). Hence a FRACTION FLOOR of 0.25: df ≥ ~8 stays
+# resolved at any scale, the df groupBy still shuffles 4× less than
+# the full rank, and the capped BROADCAST rank table — the dominant
+# structural win, it deletes the full path's shuffled rank JOIN
+# entirely — is unconditional. Tiny corpora (hint ≤ ~32 KiB of
+# Catalyst estimate, ≲300 K postings) and unknown-stats inputs use
+# frac 1.0 (exact df). All knobs trade pruning sharpness for sample
+# cost, NEVER correctness — the pair set is exact under any
+# consistent order (parity-pinned down to a forced ~0.3% sample).
 # _DF_TABLE_CAP bounds the broadcast rank table (~16 B/entry → ~16 MB
 # at the cap) so it broadcasts at any corpus size.
 _DF_SAMPLE_TARGET_BYTES = 32 * 1024
+_DF_MIN_FRAC = 0.25
 _DF_TABLE_CAP = 1 << 20
 _DF_SAMPLE_SEED = 91765431
 

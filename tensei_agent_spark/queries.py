@@ -1339,10 +1339,12 @@ def dedup_jaccard_fast(spark: SparkSession, sf: str) -> DataFrame:
     this twin is rows-only; the exact variant above carries the oracle
     and an on/off parity test pins their agreement on the driver
     corpus. Since r10 the rarity order comes from a SAMPLED df rank
-    (operators/dedup.py df_rank="sampled", the default): a bounded
-    deterministic sample + capped broadcast table replaces the
-    full-corpus token-rank shuffle — exact under any consistent
-    order, parity-pinned sampled-vs-full in tests/test_dedup_fast.py.
+    (operators/dedup.py df_rank="sampled", the default): a 25%-floor
+    deterministic sample + capped broadcast table replaces the full
+    path's shuffled rank join (and 4x the df groupBy) - exact under
+    any consistent order, parity-pinned sampled-vs-full in
+    tests/test_dedup_fast.py; bench-neutral locally, floor calibrated
+    on the x8 near-dup smoke leg (SCALE.md).
     The production path also engages the df-2000 candidate cap
     (a shingle shared by d docs expands to O(d²) pairs; max prefix df
     measured at sf0.1 is 304, so the cap is inert here and bites only

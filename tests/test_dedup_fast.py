@@ -234,17 +234,25 @@ def test_ngram_jaccard_sampled_vs_full_df_rank_parity(spark):
             docs, k=8, threshold=0.6, df_rank="sampled"
         ).collect()
     }
-    # Forced ~0.3% sample: the rank table degenerates to a handful of
-    # entries and the order is mostly raw token order — the pair set
-    # must STILL be exact (pruning quality is the only thing sampling
-    # may cost).
-    starved = {
-        (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(
-            docs, k=8, threshold=0.6, df_rank="sampled",
-            size_hint_bytes=300 * 32 * 1024,
-        ).collect()
-    }
+    # Forced ~0.3% sample (floor bypassed): the rank table degenerates
+    # to a handful of entries and the order is mostly raw token order —
+    # the pair set must STILL be exact (pruning quality is the only
+    # thing sampling may cost; the production _DF_MIN_FRAC floor exists
+    # for quality, not correctness).
+    import tensei_agent_spark.operators.dedup as dedup_mod
+
+    old_floor = dedup_mod._DF_MIN_FRAC
+    dedup_mod._DF_MIN_FRAC = 0.0
+    try:
+        starved = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, k=8, threshold=0.6, df_rank="sampled",
+                size_hint_bytes=300 * 32 * 1024,
+            ).collect()
+        }
+    finally:
+        dedup_mod._DF_MIN_FRAC = old_floor
     assert full == sampled == starved and len(full) == 25
 
     with pytest.raises(ValueError, match="df_rank"):
