@@ -259,6 +259,30 @@ def test_ngram_jaccard_sampled_vs_full_df_rank_parity(spark):
         ngram_jaccard_pairs(docs, k=8, threshold=0.6, df_rank="bogus")
 
 
+def test_ngram_jaccard_sampled_rank_is_layout_invariant(spark):
+    """Bernoulli sample() picks DIFFERENT rows under different
+    partition layouts, so the sampled df table (and hence the rarity
+    order) is layout-sensitive — the emitted pairs must not be: the
+    prefix lemma makes the output exact under ANY consistent order.
+    Forces frac < 1 (the sample node is absent at tiny-corpus frac
+    1.0, which is what the registry-level invariance suite exercises)."""
+    from tensei_agent_spark.catalog import load
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, "/root/testdata/sf0.01", "documents")
+    hint = int(32 * 1024 / 0.3)  # forces frac = max(0.25, 0.3) = 0.3
+    out = []
+    for layout in (docs, docs.repartition(3), docs.repartition(17, "text")):
+        out.append({
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                layout, k=8, threshold=0.6, df_rank="sampled",
+                size_hint_bytes=hint,
+            ).collect()
+        })
+    assert out[0] == out[1] == out[2] and len(out[0]) == 25
+
+
 def test_ngram_jaccard_build_runs_no_job(spark):
     """Building (and explaining) the operator must stay driver-side:
     broadcast steering reads Catalyst's plan stats, never count()."""
