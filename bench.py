@@ -56,9 +56,10 @@ def main() -> None:
         "SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001"
     )
     warm_failed: list[str] = []
-    if os.path.isdir(warm_dir) and os.path.abspath(
+    full_warmup = os.path.isdir(warm_dir) and os.path.abspath(
         warm_dir
-    ) != os.path.abspath(sf_dir):
+    ) != os.path.abspath(sf_dir)
+    if full_warmup:
         for name in bench_names:
             try:
                 REGISTRY[name].build(spark, warm_dir).count()
@@ -118,8 +119,10 @@ def main() -> None:
         # comparisons conflate protocol changes with engine changes.
         # v1 = single cheap-query warm-up (r1-r8 artifacts, implicit);
         # v2 = full per-query sf0.001 warm-up pass + best-of-3 +
-        # round_close settle gate at load < 1.5 (r9+).
-        "protocol": 2,
+        # round_close settle gate at load < 1.5 (r9+). Stamp what
+        # actually RAN: the no-warm-dir fallback is v1 methodology
+        # regardless of code version (code review r10).
+        "protocol": 2 if full_warmup else 1,
     }
     if warm_failed:
         payload["warmup_failed"] = warm_failed

@@ -273,13 +273,21 @@ def ngram_jaccard_pairs(
     cap are EXCLUDED from candidate generation — a shingle shared by d
     docs expands to O(d²) candidate pairs, so one templated n-gram that
     survives into prefixes can blow the join output quadratically at
-    scale. The cap is deterministic (fixed sample seed; exact df when
-    ``df_rank="full"`` or the corpus fits the sample) and LOSSY above
-    the cap: a pair whose only shared prefix shingles are hot is
-    missed. Under ``df_rank="sampled"`` the compared df is the scaled
-    sample estimate — hot-enough-to-matter shingles are far above the
-    sample's resolution by construction, and unknown-stats inputs
-    degrade to the exact df. Below the cap the output is bit-identical to the
+    scale. The cap is LOSSY above itself: a pair whose only shared
+    prefix shingles are hot is missed. With the EXACT df
+    (``df_rank="full"``, or sampled with frac 1.0 — tiny corpora,
+    unknown-stats inputs, caps ≤ 50) the cap decision is exact and
+    deterministic, and below the cap the output is bit-identical to
+    the uncapped run (pinned by test). Under ``df_rank="sampled"``
+    with frac < 1 the compared df is the scaled sample estimate
+    ``ceil(sdf/frac)`` — quantized to multiples of 1/frac with noise
+    σ ≈ √(df/frac) — so shingles within a ±~4·√(cap/frac) band of the
+    cap (±~360 at cap 2000, frac 0.25) can flip sides run-to-layout:
+    the below-cap-parity guarantee weakens to "exact outside the
+    band", and the lossy set is deterministic only for a fixed seed
+    AND input layout. A frac floor of min(1, 50/cap) keeps the band
+    proportionally narrow; callers needing the exact contract at
+    frac < 1 should pass ``df_rank="full"``. Below the cap the output is bit-identical to the
     uncapped run (pinned by test). Never silent: engaging it logs, and
     ``stats`` (pass a dict) receives ``stats["truncation"]`` — a LAZY
     one-row frame (hot_shingles, dropped_postings) over the already-
@@ -451,7 +459,7 @@ def ngram_jaccard_pairs(
         # only: the prefix lemma holds for ANY consistent total order
         # on shingles, so the final pair set is exact no matter how df
         # is estimated (pinned by the sampled-vs-full parity test in
-        # tests/test_dedup_clusters.py). That licenses three bounds:
+        # tests/test_dedup_fast.py). That licenses three bounds:
         #
         # 1. df comes from a deterministic Bernoulli SAMPLE of the
         #    persisted token table — the groupBy shuffles frac·|tokens|
@@ -469,7 +477,16 @@ def ngram_jaccard_pairs(
         #    ((df desc, shingle) — a deterministic TakeOrdered, ~16 MB
         #    at the cap), so it broadcasts at ANY corpus size. Absent
         #    shingles read df 0 (rare → sort first, tie-break on the
-        #    shingle value).
+        #    shingle value). ORDER-wise the cut is sound: a shingle
+        #    only falls off when 2^20 others are hotter, i.e. it IS
+        #    relatively rare in that corpus. VALVE-wise it is sound
+        #    only while the table is not saturated above the cap
+        #    (min kept df ≤ max_shingle_df ⟹ every absent shingle's
+        #    estimate is below the cap and passes legitimately); a
+        #    table whose 2^20-th entry still exceeds the cap could
+        #    hide hotter-than-cap shingles as df 0 — detectable, so
+        #    ``stats["df_table"]`` exposes (n_entries, min_df) and the
+        #    saturation predicate as a lazy 1-row frame.
         #
         # The rank join is then a map-side broadcast probe at ANY
         # corpus size. Of the full path's three full-corpus shuffles
@@ -498,6 +515,17 @@ def ngram_jaccard_pairs(
                 min(1.0, _DF_SAMPLE_TARGET_BYTES / max(size_hint_bytes, 1)),
             )
         )
+        if max_shingle_df is not None:
+            # Valve-resolution guard (code review r10): the valve
+            # compares the SCALED estimate ceil(sdf/frac) to the cap,
+            # and that estimate is quantized to multiples of 1/frac
+            # with sampling noise σ ≈ √(df/frac). A cap below the
+            # estimator's resolution would turn the valve into
+            # nonsense (cap=3 at frac=0.25 would drop every shingle
+            # the sample saw twice, est ≥ 8), so force the sample
+            # fine enough that ~50 expected hits land at the cap
+            # boundary — caps ≤ 50 therefore use the exact df.
+            frac = max(frac, min(1.0, 50.0 / max_shingle_df))
         samp = tok_sets if frac >= 1.0 else tok_sets.sample(
             fraction=frac, seed=_DF_SAMPLE_SEED
         )
@@ -587,6 +615,22 @@ def ngram_jaccard_pairs(
                 F.count_distinct("shingle").alias("hot_shingles"),
                 F.count(F.lit(1)).alias("dropped_postings"),
             )
+            if df_rank == "sampled":
+                # Valve-soundness observability (code review r10): the
+                # valve sees absent-from-table shingles as df 0, which
+                # is sound only while the capped table is NOT
+                # saturated above the cap (min kept df ≤ cap ⟹ every
+                # absent shingle's estimate is genuinely below the
+                # cap). Expose the predicate as a lazy 1-row frame
+                # over the broadcast-sized freq table.
+                stats["df_table"] = freq.agg(
+                    F.count(F.lit(1)).alias("n_entries"),
+                    F.min("_df").alias("min_df"),
+                    (
+                        (F.count(F.lit(1)) == F.lit(_DF_TABLE_CAP))
+                        & (F.min("_df") > F.lit(max_shingle_df))
+                    ).alias("valve_blind_spot"),
+                )
         pfx = pfx.filter(F.col("_df") <= max_shingle_df).drop("_df")
     # Candidate generation = SELF-EQUI-JOIN of the prefix postings on
     # the shingle, with PPJoin positional + length pruning inline: at

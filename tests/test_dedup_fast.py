@@ -210,6 +210,24 @@ def test_ngram_jaccard_cap_parity_below_and_truncation_above(spark):
     t2 = stats2["truncation"].first()
     assert t2["hot_shingles"] > 0 and t2["dropped_postings"] > 0
 
+    # Valve-resolution guard (code review r10): a cap below the sample
+    # estimator's resolution must force the exact df — with a forced
+    # big hint (frac would be 0.25, min estimate ceil(2/0.25)=8 > 3,
+    # i.e. the valve would drop every twice-sampled shingle), cap=3
+    # must still produce the exact capped pair set, and the
+    # df_table soundness frame must read unsaturated.
+    stats3: dict = {}
+    capped3 = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            boiler, k=8, threshold=0.6, max_shingle_df=3, stats=stats3,
+            size_hint_bytes=4 * 32 * 1024,
+        ).collect()
+    }
+    assert capped3 == {(0, 10), (1, 11)}
+    dft = stats3["df_table"].first()
+    assert not dft["valve_blind_spot"] and dft["n_entries"] > 0
+
 
 def test_ngram_jaccard_sampled_vs_full_df_rank_parity(spark):
     """The document-frequency rarity order only steers candidate

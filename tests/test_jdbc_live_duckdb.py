@@ -30,8 +30,16 @@ import sys
 
 import pytest
 
+# Maven-layout lookup, not a full ~/.cache walk (a hot pip/hf cache
+# holds hundreds of thousands of files and this runs at every pytest
+# collection): .../org/duckdb/duckdb_jdbc/<version>/duckdb_jdbc-*.jar
 _JARS = glob.glob(
-    os.path.expanduser("~/.cache/**/duckdb_jdbc*.jar"), recursive=True
+    os.path.expanduser(
+        "~/.cache/coursier/**/org/duckdb/duckdb_jdbc/*/duckdb_jdbc-*.jar"
+    ),
+    recursive=True,
+) or glob.glob(
+    os.path.expanduser("~/.m2/repository/org/duckdb/duckdb_jdbc/*/duckdb_jdbc-*.jar")
 )
 
 _SCRIPT = r"""

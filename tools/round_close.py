@@ -85,9 +85,15 @@ def main() -> None:
         json.dump({"parsed": payload}, f, indent=1)
     print(line)
 
+    # Prefer the builder's own BENCH_LOCAL twin over the driver's
+    # BENCH_r artifact for the same round: the local twin carries the
+    # protocol stamp and was measured by this tool under the same
+    # settle gate, so the comparison never crosses methodologies when
+    # a same-protocol baseline exists (code review r10).
     prev = sorted(
         (
             int(re.search(r"r(\d+)", p).group(1)),
+            "LOCAL" in os.path.basename(p),
             p,
         )
         for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
@@ -96,7 +102,7 @@ def main() -> None:
     )
     if prev:
         run("bench compare", [
-            sys.executable, "tools/bench_compare.py", prev[-1][1], local,
+            sys.executable, "tools/bench_compare.py", prev[-1][2], local,
         ])
 
     run("pytest", [sys.executable, "-m", "pytest", "tests/", "-x", "-q"])

@@ -11,8 +11,10 @@ BIT-EXACT comparison (the driver value-hashes). Usage:
 For supplementary big-SF sweeps (CORRECTNESS_SF01_r<N>.json), set
 ``SPARK_GRAFT_SKIP_INTRACTABLE_ORACLES=1`` to skip the three DuckDB
 oracles that are intractable at sf0.1 (their Spark side still runs,
-against PINNED row counts that fail on drift). The flag is explicit so
-an sf0.1 path name alone can never silently weaken the gate.
+against PINNED row counts that fail on drift). The skip engages only
+when the flag is set AND the SF dir has calibrated pins — an sf0.1
+path name alone can never weaken the gate, and a stale exported flag
+is ignored at sf0.01 where those oracles are tractable.
 
 Comparison rules (ordered, strictest applicable wins):
 - both integer dtypes → exact int64 compare (a float64 cast would
@@ -68,17 +70,26 @@ qs, osql = e.queries(), e.oracle_sql()
 # unvalidated count let a regression pass unnoticed until the sf0.01
 # sweep) — drift from the pinned count fails the sweep; each query is
 # additionally bit-exact against its oracle at sf0.01 in
-# CORRECTNESS_LOCAL_r<N>.json. The exclusion is keyed off an explicit
-# flag (SPARK_GRAFT_SKIP_INTRACTABLE_ORACLES=1), not the directory
-# name; unset the flag to debug against the real (intractable) oracle.
-ORACLE_INTRACTABLE_SF01 = {
-    "dedup_components": 477,
-    "dedup_keep_best": 4756,
-    "leakage_safe_split": 5000,
+# CORRECTNESS_LOCAL_r<N>.json. The exclusion requires an explicit flag
+# (SPARK_GRAFT_SKIP_INTRACTABLE_ORACLES=1) AND an SF dir the pins are
+# calibrated for; unset the flag to debug against the real
+# (intractable) oracle.
+ORACLE_INTRACTABLE_PINS = {
+    "sf0.1": {
+        "dedup_components": 477,
+        "dedup_keep_best": 4756,
+        "leakage_safe_split": 5000,
+    },
 }
-_skip_intractable = os.environ.get(
-    "SPARK_GRAFT_SKIP_INTRACTABLE_ORACLES", ""
-) == "1"
+# The skip needs BOTH the explicit flag AND an SF dir the pins were
+# calibrated for (code review r10: a flag left exported in the shell
+# must not weaken the bit-exact sf0.01 gate, where these oracles are
+# tractable — there the flag is simply ignored).
+_sf_pins = ORACLE_INTRACTABLE_PINS.get(os.path.basename(SF.rstrip("/")), {})
+_skip_intractable = (
+    os.environ.get("SPARK_GRAFT_SKIP_INTRACTABLE_ORACLES", "") == "1"
+    and bool(_sf_pins)
+)
 
 results = {}
 fails = []
@@ -92,9 +103,9 @@ for name, fn in qs.items():
         continue
     t0 = time.time()
     try:
-        if _skip_intractable and name in ORACLE_INTRACTABLE_SF01:
+        if _skip_intractable and name in _sf_pins:
             n = fn(spark, SF).count()  # Spark side still must run
-            want = ORACLE_INTRACTABLE_SF01[name]
+            want = _sf_pins[name]
             if n != want:
                 raise AssertionError(
                     f"pinned sf0.1 row count drifted: {n} != {want}"
@@ -192,17 +203,34 @@ _recall_names = [
 if _recall_names:
     from tensei_agent_spark.cache import release_all  # noqa: E402
 
-    exact_sets = _topk_sets(qs["ann_cosine_topk"](spark, SF))
-    release_all()
-    _tot = sum(len(v) for v in exact_sets.values())
-    for name in _recall_names:
-        hits = sum(
-            len(exact_sets[q] & s)
-            for q, s in _topk_sets(qs[name](spark, SF)).items()
-            if q in exact_sets
-        )
+    # Guarded like the main loop (code review r10): one transient
+    # failure during the recall re-executions must not crash the
+    # script after every query already verified — the --out summary
+    # would never be written and the whole sweep would be lost.
+    try:
+        exact_sets = _topk_sets(qs["ann_cosine_topk"](spark, SF))
         release_all()
-        rec = round(hits / _tot, 4)
+        _tot = sum(len(v) for v in exact_sets.values())
+    except Exception as ex:
+        exact_sets, _tot = {}, 0
+        print(f"  recall baseline FAILED: {ex!r}"[:300], flush=True)
+    for name in _recall_names:
+        try:
+            if _tot == 0:
+                raise RuntimeError("empty/failed exact baseline")
+            hits = sum(
+                len(exact_sets[q] & s)
+                for q, s in _topk_sets(qs[name](spark, SF)).items()
+                if q in exact_sets
+            )
+            release_all()
+            rec = round(hits / _tot, 4)
+        except Exception as ex:
+            fails.append(name)
+            results[name]["status"] = "fail"
+            results[name]["err"] = f"recall computation failed: {ex!r}"[:500]
+            print(f"  {name}: RECALL ERROR {ex!r}"[:200], flush=True)
+            continue
         results[name]["recall_at_10"] = rec
         floor = _sf_floors.get(name)
         if floor is None:
