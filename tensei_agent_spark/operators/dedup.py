@@ -282,7 +282,7 @@ def ngram_jaccard_pairs(
     with frac < 1 the compared df is the scaled sample estimate
     ``ceil(sdf/frac)`` — quantized to multiples of 1/frac with noise
     σ ≈ √(df/frac) — so shingles within a ±~4·√(cap/frac) band of the
-    cap (±~360 at cap 2000, frac 0.25) can flip sides run-to-layout:
+    cap (±~250 at cap 2000, frac 0.5) can flip sides run-to-layout:
     the below-cap-parity guarantee weakens to "exact outside the
     band", and the lossy set is deterministic only for a fixed seed
     AND input layout. A frac floor of min(1, 50/cap) keeps the band
@@ -304,7 +304,7 @@ def ngram_jaccard_pairs(
 
     ``df_rank``: how the document-frequency rarity order is computed.
     ``"sampled"`` (default) estimates df from a deterministic
-    25%-floor sample and broadcasts a capped (shingle → df) table, so
+    50%-floor sample and broadcasts a capped (shingle → df) table, so
     the rank join is a map-side probe at any corpus size — the 100 TB
     path (calibration + measured trade at the ``_DF_MIN_FRAC``
     constant). ``"full"`` ranks the complete postings stream (df
@@ -464,7 +464,7 @@ def ngram_jaccard_pairs(
         # 1. df comes from a deterministic Bernoulli SAMPLE of the
         #    persisted token table — the groupBy shuffles frac·|tokens|
         #    longs, never the full postings stream. frac is floored at
-        #    _DF_MIN_FRAC = 0.25 (see the calibration note at the
+        #    _DF_MIN_FRAC = 0.5 (see the calibration note at the
         #    constants: a starved sample cannot resolve the near-dup
         #    mid band and pruning degrades, measured +28% at x8);
         #    tiny corpora degenerate to frac = 1.0, where the estimate
@@ -521,8 +521,8 @@ def ngram_jaccard_pairs(
             # and that estimate is quantized to multiples of 1/frac
             # with sampling noise σ ≈ √(df/frac). A cap below the
             # estimator's resolution would turn the valve into
-            # nonsense (cap=3 at frac=0.25 would drop every shingle
-            # the sample saw twice, est ≥ 8), so force the sample
+            # nonsense (cap=3 at frac=0.5 would drop every shingle
+            # the sample saw twice, est ≥ 4), so force the sample
             # fine enough that ~50 expected hits land at the cap
             # boundary — caps ≤ 50 therefore use the exact df.
             frac = max(frac, min(1.0, 50.0 / max_shingle_df))
@@ -876,10 +876,13 @@ def ngram_jaccard_pairs(
 # shingle sits in a mid band (df ≈ cluster size, 2-64) that a starved
 # sample cannot see — prefix selection then degrades toward random
 # order among unresolved shingles. Measured on the x8 derived near-dup
-# corpus (46 M postings, every doc in an 8-clone cluster): frac 1.0
-# (full) 33.2 s, frac 0.25 35.0 s (−5%, within box noise), frac ≤0.05
-# 42-43 s (+28%). Hence a FRACTION FLOOR of 0.25: df ≥ ~8 stays
-# resolved at any scale, the df groupBy still shuffles 4× less than
+# corpus (46 M postings, every doc in an 8-clone cluster), interleaved
+# variants in one session: frac ≤0.05 +28% over full; frac 0.25
+# consistently ~5-8% behind full (estimates quantized to multiples of
+# 4 collapse the df 8-64 cluster band); frac 0.5 statistically
+# indistinguishable from full across two interleaved sessions
+# (quantization 2 ≈ exact). Hence a FRACTION FLOOR of 0.5: near-exact
+# pruning at any scale, the df groupBy still shuffles 2× less than
 # the full rank, and the capped BROADCAST rank table — the dominant
 # structural win, it deletes the full path's shuffled rank JOIN
 # entirely — is unconditional. Tiny corpora (hint ≤ ~32 KiB of
@@ -890,7 +893,7 @@ def ngram_jaccard_pairs(
 # _DF_TABLE_CAP bounds the broadcast rank table (~16 B/entry → ~16 MB
 # at the cap) so it broadcasts at any corpus size.
 _DF_SAMPLE_TARGET_BYTES = 32 * 1024
-_DF_MIN_FRAC = 0.25
+_DF_MIN_FRAC = 0.5
 _DF_TABLE_CAP = 1 << 20
 _DF_SAMPLE_SEED = 91765431
 

@@ -1339,9 +1339,9 @@ def dedup_jaccard_fast(spark: SparkSession, sf: str) -> DataFrame:
     this twin is rows-only; the exact variant above carries the oracle
     and an on/off parity test pins their agreement on the driver
     corpus. Since r10 the rarity order comes from a SAMPLED df rank
-    (operators/dedup.py df_rank="sampled", the default): a 25%-floor
+    (operators/dedup.py df_rank="sampled", the default): a 50%-floor
     deterministic sample + capped broadcast table replaces the full
-    path's shuffled rank join (and 4x the df groupBy) - exact under
+    path's shuffled rank join (and 2x the df groupBy) - exact under
     any consistent order, parity-pinned sampled-vs-full in
     tests/test_dedup_fast.py; bench-neutral locally, floor calibrated
     on the x8 near-dup smoke leg (SCALE.md).

@@ -212,7 +212,7 @@ def test_ngram_jaccard_cap_parity_below_and_truncation_above(spark):
 
     # Valve-resolution guard (code review r10): a cap below the sample
     # estimator's resolution must force the exact df — with a forced
-    # big hint (frac would be 0.25, min estimate ceil(2/0.25)=8 > 3,
+    # big hint (frac would be 0.5, min estimate ceil(2/0.5)=4 > 3,
     # i.e. the valve would drop every twice-sampled shingle), cap=3
     # must still produce the exact capped pair set, and the
     # df_table soundness frame must read unsaturated.
@@ -288,7 +288,7 @@ def test_ngram_jaccard_sampled_rank_is_layout_invariant(spark):
     from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = load(spark, "/root/testdata/sf0.01", "documents")
-    hint = int(32 * 1024 / 0.3)  # forces frac = max(0.25, 0.3) = 0.3
+    hint = int(32 * 1024 / 0.3)  # forces frac = max(floor, 0.3) < 1
     out = []
     for layout in (docs, docs.repartition(3), docs.repartition(17, "text")):
         out.append({
