@@ -80,6 +80,7 @@ def main() -> None:
     else:
         REGISTRY[bench_names[0]].build(spark, sf_dir).count()
 
+    load_before = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     for name in bench_names:
         best = float("inf")
@@ -123,6 +124,14 @@ def main() -> None:
         # actually RAN: the no-warm-dir fallback is v1 methodology
         # regardless of code version (code review r10).
         "protocol": 2 if full_warmup else 1,
+        # Contamination marker (r10): the round_close settle gate only
+        # guards the bench START — a co-tenant spike arriving mid-run
+        # inflated one r10 close sample ~25% across UNTOUCHED queries.
+        # Recording the 1-min loadavg at both ends makes such a sample
+        # identifiable in the artifact instead of forensically. The
+        # bench's own 32-thread work raises loadavg too, so read the
+        # pair as a delta, not an absolute.
+        "loadavg": [load_before, round(os.getloadavg()[0], 2)],
     }
     if warm_failed:
         payload["warmup_failed"] = warm_failed
