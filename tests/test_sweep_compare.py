@@ -69,3 +69,29 @@ def test_norm_sorts_rows_and_columns_deterministically():
     ng, nw = norm(g), norm(w)
     assert list(ng.columns) == list(nw.columns) == ["a", "b"]
     assert ng.equals(nw)
+
+
+def test_bench_compare_cross_protocol_warns(tmp_path, capsys=None):
+    """bench_compare must warn when comparing artifacts measured under
+    different methodologies (ADVICE r9) and stay silent same-protocol;
+    unstamped artifacts load as protocol 1."""
+    import json
+    import subprocess
+    import sys
+
+    a = tmp_path / "a.json"
+    b = tmp_path / "b.json"
+    q = {"queries": {"q": 1.0}}
+    a.write_text(json.dumps(q))  # unstamped -> v1
+    b.write_text(json.dumps({**q, "protocol": 2}))
+    out = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(a), str(b)],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert "cross-protocol" in out.stdout and out.returncode == 0
+    b.write_text(json.dumps(q))  # both v1 -> no warning
+    out = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(a), str(b)],
+        capture_output=True, text=True, cwd=".",
+    )
+    assert "cross-protocol" not in out.stdout and out.returncode == 0

@@ -281,3 +281,38 @@ def test_rank_survives_release_before_execute(spark):
     spark.catalog.clearCache()
     ranks = sorted(r["i"] for r in ranked.select("i").collect())
     assert ranks == list(range(1, 100_001))
+
+
+def test_stats_quantiles_exact_matches_numpy(spark):
+    """The registry's exact-percentile query must agree with numpy's
+    linear-interpolation percentile (the quantile_cont definition) —
+    an oracle-independent pin: DuckDB and Spark could in principle
+    share a bug; numpy's implementation is a third party to both.
+    float64 round-trip of DECIMAL(12,2) cents is exact, and both
+    sides interpolate from identical doubles, so agreement is to the
+    ULP (allow 1 ULP for the a+f*(b-a) vs numpy fused forms)."""
+    import math
+
+    import numpy as np
+
+    from tensei_agent_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["p"]: r["value"]
+        for r in REGISTRY["stats_quantiles_exact"].build(spark, sf).collect()
+    }
+    vals = np.array(
+        [
+            float(r["c_acctbal"])
+            for r in spark.read.parquet(f"{sf}/customer.parquet")
+            .select("c_acctbal")
+            .collect()
+        ],
+        dtype=np.float64,
+    )
+    for p, v in got.items():
+        want = float(np.percentile(vals, p * 100, method="linear"))
+        assert math.isclose(v, want, rel_tol=0, abs_tol=abs(want) * 2.3e-16 + 5e-12), (
+            p, v, want,
+        )
