@@ -303,11 +303,14 @@ def ngram_jaccard_pairs(
     from actual shuffle sizes.
 
     ``df_rank``: how the document-frequency rarity order is computed.
-    ``"sampled"`` (default) estimates df from a deterministic
-    50%-floor sample and broadcasts a capped (shingle → df) table, so
-    the rank join is a map-side probe at any corpus size — the 100 TB
-    path (calibration + measured trade at the ``_DF_MIN_FRAC``
-    constant). ``"full"`` ranks the complete postings stream (df
+    ``"sampled"`` (default) estimates df from a deterministic sample
+    and broadcasts a capped (shingle → df) table, so the rank join is
+    a map-side probe at any corpus size — the 100 TB path. The sample
+    fraction floors at 0.5 ONLY in the calibrated regime where the
+    df≥2 band fits the rank table; past ``_DF_SAT_PROBE_BYTES`` a
+    bounded probe detects table saturation and drops the fraction to
+    a fixed ~``_DF_SAT_TARGET_BYTES`` sample (scale-independent cost;
+    calibration + regime analysis at the ``_DF_MIN_FRAC`` constants). ``"full"`` ranks the complete postings stream (df
     groupBy + shuffled rank join over every posting) — kept for the
     sampled-vs-full parity pin. BOTH
     produce the exact pair set: the order only steers candidate
@@ -490,15 +493,18 @@ def ngram_jaccard_pairs(
         #
         # The rank join is then a map-side broadcast probe at ANY
         # corpus size. Of the full path's three full-corpus shuffles
-        # (df groupBy, rank join, per-doc regroup) only the regroup
-        # remains: tok_sets IS hash(id)-partitioned and explode +
-        # broadcast-join preserve that, but with AQE on, a cached
-        # plan's output partitioning is opaque to EnsureRequirements
-        # (the InMemoryRelation wraps an unfinalized AdaptiveSparkPlan
-        # — verified empirically: AQE off plans the regroup
-        # exchange-free), so Spark re-shuffles the postings once to
-        # regroup them. A Spark planner limitation, not a design
-        # choice — tracked in SCALE.md.
+        # (df groupBy, rank join, per-doc regroup) NONE survives at
+        # runtime (r11): tok_sets is hash(id)-partitioned, explode +
+        # broadcast-join preserve that, and Spark 4.1's AQE wraps the
+        # cache scan in a TableCacheQueryStage whose materialized
+        # partitioning re-plans the regroup EXCHANGE-FREE — partial
+        # and final ObjectHashAggregate run back-to-back on the
+        # cache's own hash(id) layout (the r10 note that AQE's cache
+        # boundary forces a re-shuffle described the INITIAL plan
+        # only; the final plan elides it — asserted at runtime by
+        # tests/test_plan_quality.py and the plan-audit runtime leg).
+        # The df-sample groupBy above is the only remaining postings-
+        # derived shuffle, and the saturation-aware frac bounds it.
         # Unknown stats (JDBC/RDD-backed inputs report ~Long.MaxValue,
         # and the except-branch above pins 2^60) must NOT be read as
         # "huge corpus": that starves the sample to ~zero rows, which
@@ -507,6 +513,28 @@ def ngram_jaccard_pairs(
         # shingle as df 0). Degrade to frac 1.0 — the exact df, same
         # conservative convention as the unknown-stats shuffle
         # fallback in the broadcast gate below.
+        #
+        # SATURATION-AWARE floor (r11): the 0.5 fraction floor was
+        # calibrated on corpora whose whole df≥2 band FITS the capped
+        # rank table — there the extra resolution sharpens pruning
+        # (frac 0.25 measured −5-8%, 0.05 −28%; constants note). Once
+        # the df≥2 table SATURATES _DF_TABLE_CAP, that resolution is
+        # paid for and thrown away: shingles that can't crack the
+        # top-2^20 head read df 0 and tie-break on value NO MATTER
+        # WHAT frac is, and the head itself is hot enough for a small
+        # sample to rank. So for corpora past _DF_SAT_PROBE_BYTES a
+        # bounded PROBE decides the regime: sample a fixed
+        # ~_DF_SAT_TARGET_BYTES of the token table (scale-independent
+        # cost), count its df≥2 groups, and if they already reach the
+        # cap — a SUFFICIENT condition for the 0.5-sample's table to
+        # saturate, since detection is monotone in frac — keep the
+        # probe fraction instead of the half-corpus floor. The probe
+        # is one bounded build-time job (same convention as the
+        # documented eagerly-trained operators) and never fires below
+        # the size gate, so explain-only builds at test SFs still run
+        # ZERO jobs. Under-detection errs toward 0.5 — the calibrated
+        # quality/cost direction, never correctness: frac steers
+        # pruning only and the pair set stays exact (parity pin).
         frac = (
             1.0
             if size_hint_bytes >= (1 << 59)
@@ -515,6 +543,49 @@ def ngram_jaccard_pairs(
                 min(1.0, _DF_SAMPLE_TARGET_BYTES / max(size_hint_bytes, 1)),
             )
         )
+        saturated = False
+        if (
+            frac < 1.0
+            and size_hint_bytes < (1 << 59)
+            and size_hint_bytes >= _DF_SAT_PROBE_BYTES
+        ):
+            frac_probe = min(
+                1.0, _DF_SAT_TARGET_BYTES / max(size_hint_bytes, 1)
+            )
+            probe = (
+                tok_sets.sample(fraction=frac_probe, seed=_DF_SAMPLE_SEED)
+                .select(F.explode("_ts").alias("shingle"))
+                .groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_sdf"))
+                .filter(F.col("_sdf") >= 2)
+            )
+            n_probe = probe.limit(_DF_TABLE_CAP).count()
+            saturated = n_probe >= _DF_TABLE_CAP
+            if saturated:
+                frac = frac_probe
+                logger.info(
+                    "ngram_jaccard_pairs: df-rank table saturates the "
+                    "%d-entry cap (probe at frac %.2e saw %d df>=2 "
+                    "shingles); dropping the 0.5 sample floor to the "
+                    "probe fraction — sub-head shingles read df 0 at "
+                    "any fraction, so the extra resolution buys "
+                    "nothing (pruning-only; pair set exact "
+                    "regardless)",
+                    _DF_TABLE_CAP, frac_probe, n_probe,
+                )
+                if max_shingle_df is not None:
+                    # ADVICE r10: the valve's blind spot (hotter-than-
+                    # cap shingles reading df 0) is only REACHABLE in
+                    # the saturated regime — warn eagerly at build
+                    # instead of relying on callers to collect the
+                    # lazy stats["df_table"] predicate.
+                    logger.warning(
+                        "ngram_jaccard_pairs: max_shingle_df=%d under "
+                        "a SATURATED df-rank table — shingles hotter "
+                        "than the table's floor read df 0 and bypass "
+                        "the valve; collect stats['df_table'] to "
+                        "check valve_blind_spot", max_shingle_df,
+                    )
         if max_shingle_df is not None:
             # Valve-resolution guard (code review r10): the valve
             # compares the SCALED estimate ceil(sdf/frac) to the cap,
@@ -526,6 +597,12 @@ def ngram_jaccard_pairs(
             # fine enough that ~50 expected hits land at the cap
             # boundary — caps ≤ 50 therefore use the exact df.
             frac = max(frac, min(1.0, 50.0 / max_shingle_df))
+        if stats is not None:
+            # Observability for the saturation-aware floor: the chosen
+            # sample fraction and which regime picked it (plain Python
+            # scalars — the decision is made at build time).
+            stats["df_frac"] = frac
+            stats["df_saturated"] = saturated
         samp = tok_sets if frac >= 1.0 else tok_sets.sample(
             fraction=frac, seed=_DF_SAMPLE_SEED
         )
@@ -608,6 +685,18 @@ def ngram_jaccard_pairs(
             "<= %d; pairs linked only through hotter shingles are "
             "dropped (stats['truncation'] quantifies)", max_shingle_df,
         )
+        if df_rank == "sampled":
+            # ADVICE r10: a cap under sampled df compares the cap to a
+            # quantized noisy ESTIMATE — the lossy set near the cap
+            # band is seed- and layout-dependent. Surface that at the
+            # call site instead of only in the docstring.
+            logger.info(
+                "ngram_jaccard_pairs: cap evaluated against SAMPLED df "
+                "estimates (quantized to 1/frac) — shingles within the "
+                "sampling-noise band of the cap may flip sides "
+                "run-to-layout; pass df_rank='full' for the exact "
+                "deterministic cap contract"
+            )
         if stats is not None:
             stats["truncation"] = pfx.filter(
                 F.col("_df") > max_shingle_df
@@ -892,10 +981,32 @@ def ngram_jaccard_pairs(
 # consistent order (parity-pinned down to a forced ~0.3% sample).
 # _DF_TABLE_CAP bounds the broadcast rank table (~16 B/entry → ~16 MB
 # at the cap) so it broadcasts at any corpus size.
+#
+# SATURATION AWARENESS (r11, VERDICT r10 #1): the 0.5 floor is kept
+# ONLY in the regime the calibration covers — a df≥2 band that fits
+# the capped rank table. The calibrated corpora sit well under
+# _DF_SAT_PROBE_BYTES, so below that gate the floor binds
+# unconditionally (zero new cost, bit-for-bit the r10 behavior).
+# Past the gate, a probe samples a fixed ~_DF_SAT_TARGET_BYTES of the
+# token table (frac = target/size — scale-INDEPENDENT cost, one
+# bounded build-time job) and counts its df≥2 groups: reaching
+# _DF_TABLE_CAP there is a sufficient condition for the 0.5 table to
+# saturate (df≥2 detection is monotone in frac), and in that regime
+# the floor's extra resolution is provably wasted — sub-head shingles
+# read df 0 at ANY fraction once 2^20 hotter ones exist — so frac
+# falls to the probe fraction and the half-corpus scan disappears.
+# The probe UNDER-detects on corpora whose df≥2 band is wide but
+# cool (every shingle df ≈ 3 at 1 TB): those keep the 0.5 floor — the
+# calibrated-quality direction, cost not correctness. In the
+# saturated path the sample resolves head df down to ≈ 2·size/target;
+# entries below that threshold tie-break on shingle value, a
+# pruning-sharpness effect only (exactness is order-independent).
 _DF_SAMPLE_TARGET_BYTES = 32 * 1024
 _DF_MIN_FRAC = 0.5
 _DF_TABLE_CAP = 1 << 20
 _DF_SAMPLE_SEED = 91765431
+_DF_SAT_PROBE_BYTES = 256 * 1024 * 1024
+_DF_SAT_TARGET_BYTES = 64 * 1024 * 1024
 
 
 MINHASH_P = (1 << 31) - 1  # Mersenne prime: (a·h+b) fits signed 64-bit

@@ -277,6 +277,81 @@ def test_ngram_jaccard_sampled_vs_full_df_rank_parity(spark):
         ngram_jaccard_pairs(docs, k=8, threshold=0.6, df_rank="bogus")
 
 
+def test_ngram_jaccard_saturation_aware_floor(spark):
+    """VERDICT r10 #1: the 0.5 sample floor is calibrated for corpora
+    whose df≥2 band FITS the capped rank table. Once the table
+    saturates, sub-head shingles read df 0 at any fraction, so the
+    extra resolution buys nothing — the probe must detect saturation
+    and drop frac to the fixed byte-target fraction, with the pair
+    set unchanged (the prefix lemma is order-independent).
+
+    Constants are shrunk to exercise the at-scale branch on a unit-
+    size corpus: probe gate 1 byte (always probe), table cap 64
+    entries, byte target sized for frac ≪ 0.5."""
+    import tensei_agent_spark.operators.dedup as dedup_mod
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    # Clone-dense corpus: every shingle has df ≈ 8, so the df≥2 band
+    # is the whole vocabulary and a 64-entry table saturates trivially.
+    rng = random.Random(11)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    base = ["".join(rng.choice(alphabet) for _ in range(200)) for _ in range(50)]
+    rows = [(100 * b + c, t) for b, t in enumerate(base) for c in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, k=8, threshold=0.8, df_rank="full"
+        ).collect()
+    }
+    # 8 clones each → C(8,2)=28 exact pairs per base doc
+    assert len(full) == 50 * 28
+
+    hint = 1 << 20  # pretend 1 MiB of corpus
+    old = (
+        dedup_mod._DF_SAT_PROBE_BYTES,
+        dedup_mod._DF_SAT_TARGET_BYTES,
+        dedup_mod._DF_TABLE_CAP,
+    )
+    dedup_mod._DF_SAT_PROBE_BYTES = 1
+    dedup_mod._DF_SAT_TARGET_BYTES = 64 * 1024  # frac_probe = 1/16
+    dedup_mod._DF_TABLE_CAP = 64
+    try:
+        stats: dict = {}
+        sat_pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, k=8, threshold=0.8, df_rank="sampled",
+                size_hint_bytes=hint, stats=stats,
+            ).collect()
+        }
+        assert stats["df_saturated"] is True
+        assert stats["df_frac"] == pytest.approx(64 * 1024 / hint)
+        assert stats["df_frac"] < 0.5
+        assert sat_pairs == full
+
+        # Control: a cap the probe cannot fill → calibrated 0.5 floor.
+        dedup_mod._DF_TABLE_CAP = 1 << 20
+        stats2: dict = {}
+        unsat_pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                docs, k=8, threshold=0.8, df_rank="sampled",
+                size_hint_bytes=hint, stats=stats2,
+            ).collect()
+        }
+        assert stats2["df_saturated"] is False
+        assert stats2["df_frac"] == 0.5
+        assert unsat_pairs == full
+    finally:
+        (
+            dedup_mod._DF_SAT_PROBE_BYTES,
+            dedup_mod._DF_SAT_TARGET_BYTES,
+            dedup_mod._DF_TABLE_CAP,
+        ) = old
+
+
 def test_ngram_jaccard_sampled_rank_is_layout_invariant(spark):
     """Bernoulli sample() picks DIFFERENT rows under different
     partition layouts, so the sampled df table (and hence the rarity

@@ -279,6 +279,28 @@ def test_jaccard_bit_screen_in_plan_and_broadcast(spark):
     assert "bit_count" not in exact_plan
 
 
+def test_ngram_regroup_exchange_elided_in_final_plan(spark):
+    """VERDICT r10 #3: the per-doc postings regroup must ride the
+    hash(doc_id)-partitioned tok_sets cache, not re-shuffle the full
+    postings stream. AQE's INITIAL plan carries a conservative
+    ENSURE_REQUIREMENTS exchange there, but Spark 4.1 wraps the cache
+    scan in a TableCacheQueryStage and the FINAL (executed) plan
+    elides it — so the invariant is checked post-execution on final-
+    plan sections only (tools/plan_audit.runtime_regroup_exchanges;
+    the same leg runs registry-wide in the per-round plan audit)."""
+    from plan_audit import runtime_regroup_exchanges
+
+    for name in ("dedup_ngram_jaccard", "dedup_ngram_jaccard_fast"):
+        df = REGISTRY[name].build(spark, SF)
+        df.count()  # materialize so AQE finalizes every stage
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # sanity: the adaptive markers exist, else "final section"
+        # filtering would be vacuous
+        assert "== Final Plan ==" in plan, name
+        hits = runtime_regroup_exchanges(plan)
+        assert hits == [], f"{name}: regroup re-shuffle survived: {hits}"
+
+
 def test_linkage_blocking_is_equi_and_single_distinct_free(spark):
     """Candidate generation must plan as hash equi-joins (one per
     blocking pass), with NO pair-level dedup aggregate: the disjoint-
