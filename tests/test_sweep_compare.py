@@ -74,24 +74,33 @@ def test_norm_sorts_rows_and_columns_deterministically():
 def test_bench_compare_cross_protocol_warns(tmp_path, capsys=None):
     """bench_compare must warn when comparing artifacts measured under
     different methodologies (ADVICE r9) and stay silent same-protocol;
-    unstamped artifacts load as protocol 1."""
+    unstamped artifacts load as protocol 1. Also (VERDICT r10 #6):
+    a side without a loadavg stamp is LOAD-BLIND and must be flagged;
+    stamped sides print their [start, end] pair."""
     import json
+    import os
     import subprocess
     import sys
 
+    # ADVICE r10: derive the repo root from __file__ so the test passes
+    # when pytest is launched from outside the repo root.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     a = tmp_path / "a.json"
     b = tmp_path / "b.json"
     q = {"queries": {"q": 1.0}}
-    a.write_text(json.dumps(q))  # unstamped -> v1
-    b.write_text(json.dumps({**q, "protocol": 2}))
+    a.write_text(json.dumps(q))  # unstamped -> v1, no loadavg
+    b.write_text(json.dumps({**q, "protocol": 2, "loadavg": [0.3, 1.1]}))
     out = subprocess.run(
         [sys.executable, "tools/bench_compare.py", str(a), str(b)],
-        capture_output=True, text=True, cwd=".",
+        capture_output=True, text=True, cwd=repo,
     )
     assert "cross-protocol" in out.stdout and out.returncode == 0
+    assert "LOAD-BLIND" in out.stdout  # a.json has no stamp
+    assert "start 0.3, end 1.1" in out.stdout  # b.json's pair surfaced
     b.write_text(json.dumps(q))  # both v1 -> no warning
     out = subprocess.run(
         [sys.executable, "tools/bench_compare.py", str(a), str(b)],
-        capture_output=True, text=True, cwd=".",
+        capture_output=True, text=True, cwd=repo,
     )
     assert "cross-protocol" not in out.stdout and out.returncode == 0
+    assert out.stdout.count("LOAD-BLIND") == 2  # both sides unstamped

@@ -21,29 +21,35 @@ import json
 import sys
 
 
-def load(path: str) -> tuple[dict[str, float], set[str], int]:
-    """Return (ok_queries, failed_queries, protocol_version).
+def load(path: str) -> tuple[dict[str, float], set[str], int, list | None]:
+    """Return (ok_queries, failed_queries, protocol_version, loadavg).
 
     A -1.0 value is bench.py's failure sentinel; those names go into
     the failed set instead of being silently dropped, so a query that
     regresses from a timing to an outright failure is still visible to
     the exit-code decision below. Artifacts without a ``protocol``
     stamp predate the v2 methodology (full per-query warm-up pass +
-    best-of-3 + load<1.5 settle gate) and load as protocol 1."""
+    best-of-3 + load<1.5 settle gate) and load as protocol 1.
+    (Historical artifacts are immutable from r11 on — a missing stamp
+    is handled HERE, never by retro-editing the JSON; ADVICE r10.)
+    ``loadavg`` is bench.py's [start, end] 1-min load pair (r10+,
+    e59e50d); None for artifacts that predate it — those comparisons
+    are LOAD-BLIND and annotated as such by main()."""
     with open(path) as f:
         d = json.load(f)
     parsed = d.get("parsed", d)
     q = parsed.get("queries", {})
     ok = {k: float(v) for k, v in q.items() if v >= 0}
     failed = {k for k, v in q.items() if v < 0}
-    return ok, failed, int(parsed.get("protocol", 1))
+    return ok, failed, int(parsed.get("protocol", 1)), parsed.get("loadavg")
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     a_path, b_path = sys.argv[1], sys.argv[2]
-    (a, _a_failed, a_proto), (b, b_failed, b_proto) = load(a_path), load(b_path)
+    (a, _a_failed, a_proto, a_load) = load(a_path)
+    (b, b_failed, b_proto, b_load) = load(b_path)
     if a_proto != b_proto:
         print(
             f"WARNING: cross-protocol comparison (v{a_proto} vs "
@@ -51,6 +57,19 @@ def main() -> None:
             "changes (warm-up, sampling, settle gate) with engine "
             "changes; trust direction only, not magnitude (ADVICE r9)."
         )
+    # Load evidence (VERDICT r10 #6): the r10 driver bench ran at
+    # loadavg 3→9 and was unusable as a trendline point. Surface each
+    # side's [start, end] pair; a side without one is LOAD-BLIND — a
+    # co-tenant spike there is forensically invisible, so flag it.
+    for path, la in ((a_path, a_load), (b_path, b_load)):
+        if la is None:
+            print(
+                f"WARNING: {path} carries no loadavg stamp — "
+                "LOAD-BLIND side; a co-tenant spike during that run "
+                "is undetectable (trust deltas accordingly)."
+            )
+        else:
+            print(f"loadavg {path}: start {la[0]}, end {la[1]}")
     shared = sorted(set(a) & set(b), key=lambda k: -b[k])
     regressions = []
     print(f"{'query':35s} {a_path:>14s} {b_path:>14s}  ratio")
