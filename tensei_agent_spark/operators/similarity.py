@@ -188,6 +188,7 @@ def random_hyperplane_buckets(
     seed: int = 42,
     vec_col: str = "embedding",
     n_tables: int = 1,
+    n_probes: int = 1,
 ) -> DataFrame:
     """SimHash-style LSH bucket ids: sign bits against ``n_planes``
     pseudo-random hyperplanes, repeated over ``n_tables`` independent
@@ -195,15 +196,29 @@ def random_hyperplane_buckets(
     neighbor split apart by one table's planes usually shares a bucket
     in another; union of tables' candidates → recall ≈ 1-(1-r)^L).
 
+    ``n_probes`` > 1 enables query-directed MULTI-PROBE (Lv et al.,
+    VLDB'07 shape): per table, also emit the buckets reached by
+    flipping subsets of the ⌈log2(n_probes)⌉ LEAST-CONFIDENT bits —
+    the planes whose |dot| is smallest, i.e. exactly the sign bits a
+    true neighbor is most likely to differ on. Intended for the QUERY
+    side only: the corpus index keeps one exact bucket per table, so
+    probing multiplies the (tiny, broadcast) query fan-out, never the
+    corpus explode — recall bought without growing the index.
+
     Planes are derived deterministically from (seed, table, plane,
     component); generated as literal array columns so the whole
-    computation stays in codegen, no UDF and no driver numpy shipping.
-    Output adds ``bucket`` (table 0's id, back-compat) and ``buckets``
-    (array of table-tagged ids: ``table * 2^n_planes + raw``, so ids
-    from different tables can never equi-match).
+    computation — dots, sign bits, confidence sort, probe flips —
+    stays in codegen, no UDF and no driver numpy shipping.
+    Output adds ``bucket`` (table 0's exact id, back-compat) and
+    ``buckets`` (array of table-tagged ids: ``table * 2^n_planes +
+    raw``, so ids from different tables can never equi-match;
+    n_tables × n_probes entries, exact bucket first per table).
     """
     import random
 
+    if not 1 <= n_probes <= (1 << n_planes):
+        raise ValueError(f"n_probes must be in [1, 2^n_planes], got {n_probes}")
+    n_flip_bits = max(n_probes - 1, 0).bit_length()  # ⌈log2(n_probes)⌉
     vec = F.col(vec_col)
     table_buckets = []
     for t in range(n_tables):
@@ -211,16 +226,47 @@ def random_hyperplane_buckets(
         planes = [
             [rnd.uniform(-1.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
         ]
-        bucket = F.lit(t * (1 << n_planes))
-        for p_idx, plane in enumerate(planes):
+        dots = []
+        for plane in planes:
             plane_col = dlit(plane)
-            dot = F.aggregate(
-                F.zip_with(vec, plane_col, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
+            dots.append(
+                F.aggregate(
+                    F.zip_with(vec, plane_col, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
             )
-            bucket = bucket + F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
-        table_buckets.append(bucket)
+        raw = F.lit(0)
+        for p_idx, dot in enumerate(dots):
+            raw = raw + F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
+        tag = F.lit(t * (1 << n_planes))
+        table_buckets.append(tag + raw)
+        if n_probes > 1:
+            # Confidence order: struct array sorts by (|dot|, plane idx)
+            # — conf[j] is the j-th least-confident plane. Ties break on
+            # the index, so the probe set is fully deterministic.
+            conf = F.array_sort(
+                F.array(
+                    *[
+                        F.struct(F.abs(d).alias("a"), F.lit(i).alias("i"))
+                        for i, d in enumerate(dots)
+                    ]
+                )
+            )
+            pow2 = F.array(*[F.lit(1 << i) for i in range(n_planes)])
+            bitvals = [
+                F.element_at(pow2, conf[j].getField("i") + 1)
+                for j in range(n_flip_bits)
+            ]
+            # Masks in increasing binary order flip ever-more-confident
+            # bit subsets — the standard success-likelihood probe order
+            # when bit j is the j-th least confident.
+            for mask in range(1, n_probes):
+                flip = F.lit(0)
+                for j in range(n_flip_bits):
+                    if (mask >> j) & 1:
+                        flip = flip + bitvals[j]  # distinct powers: + == OR
+                table_buckets.append(tag + raw.bitwiseXOR(flip))
     return df.withColumn("bucket", table_buckets[0]).withColumn(
         "buckets", F.array(*table_buckets)
     )
@@ -358,20 +404,29 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_tables: int = 1,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: only candidates sharing an LSH bucket with the
-    query — in ANY of ``n_tables`` independent tables — are scored.
+    query — in ANY of ``n_tables`` independent tables, against ANY of
+    the query's ``n_probes`` probed buckets per table — are scored.
     Recall < 1 by construction (scale path; brute_force_topk is the
-    exactness baseline); raise ``n_tables`` to buy recall at index-size
-    cost (union-of-tables recall ≈ 1-(1-r)^L).
+    exactness baseline). Two recall levers with different costs:
+    ``n_tables`` multiplies the CORPUS index explode (index-size cost);
+    ``n_probes`` (query-directed multi-probe — flip subsets of the
+    least-confident sign bits) multiplies only the broadcast QUERY
+    fan-out, so at 100 TB it is the cheap lever: the corpus side keeps
+    one exact bucket row per table regardless of probe count.
 
-    Plan shape: slim (id, table-tagged bucket) rows explode ×n_tables
-    and equi-join (queries broadcast); candidate pairs dedup BEFORE any
-    vector is gathered; then one join pulls candidate vectors for
-    scoring — vectors never ride through the candidate-generation join.
+    Plan shape: slim corpus (id, table-tagged bucket) rows explode
+    ×n_tables and equi-join the ×(n_tables·n_probes) exploded broadcast
+    query buckets; candidate pairs dedup BEFORE any vector is gathered;
+    then one join pulls candidate vectors for scoring — vectors never
+    ride through the candidate-generation join.
     """
     cb = random_hyperplane_buckets(corpus, n_planes, dim, seed, vec_col, n_tables)
-    qb = random_hyperplane_buckets(queries, n_planes, dim, seed, vec_col, n_tables)
+    qb = random_hyperplane_buckets(
+        queries, n_planes, dim, seed, vec_col, n_tables, n_probes
+    )
     c_slim = cb.select(
         F.col(id_col).alias("cand_id"), F.explode("buckets").alias("tb")
     )

@@ -2005,13 +2005,19 @@ def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 @register("ann_lsh_topk", None)  # approximate (recall<1) → rows-only check
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Multi-table LSH approximate top-k (the 100 TB scale path; the
-    brute-force query above is its exactness baseline). Deterministic
-    hyperplanes from seed=42; 4 tables × 6 planes — recall floor pinned
-    in tests/test_ann_recall.py."""
+    """Multi-table, multi-probe LSH approximate top-k (the 100 TB
+    scale path; the brute-force query above is its exactness baseline).
+    Deterministic hyperplanes from seed=42; 4 tables × 6 planes, and
+    each query probes its exact bucket plus 7 query-directed neighbors
+    (flips of the 3 least-confident sign bits) per table — the probe
+    lever multiplies only the broadcast query fan-out, never the corpus
+    index, and lifted recall@10 from 0.14 to 0.66/0.72 (sf0.01/sf0.1).
+    Floors pinned in tests/test_ann_recall.py + tools/verify_sweep.py."""
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return SIM.lsh_bucket_topk(emb, queries, k=10, n_planes=6, n_tables=4)
+    return SIM.lsh_bucket_topk(
+        emb, queries, k=10, n_planes=6, n_tables=4, n_probes=8
+    )
 
 
 @register("ann_pq_topk", None)  # PQ distortion is the point → rows-only

@@ -57,6 +57,49 @@ def test_lsh_recall_floor_and_table_scaling(spark):
     assert r8 >= 0.5, f"8-table LSH recall {r8:.2f} below floor"
 
 
+def test_lsh_multiprobe_monotone_and_exhaustive(spark):
+    """Query-directed multi-probe (VERDICT r10 #5): probing more
+    buckets per table must never drop recall, and probing ALL
+    2^n_planes buckets makes every corpus vector a candidate — recall
+    exactly 1.0 (the algebraic ceiling that pins probe-id generation:
+    one duplicated/malformed probe mask would break exhaustiveness)."""
+    emb = load(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = _topk_sets(brute_force_topk(emb, q, k=K, arith="double"))
+    r1 = _recall(_topk_sets(lsh_bucket_topk(emb, q, k=K, n_planes=4)), exact)
+    r4 = _recall(
+        _topk_sets(lsh_bucket_topk(emb, q, k=K, n_planes=4, n_probes=4)), exact
+    )
+    r_all = _recall(
+        _topk_sets(lsh_bucket_topk(emb, q, k=K, n_planes=4, n_probes=16)), exact
+    )
+    assert r1 <= r4 <= r_all
+    assert r_all == 1.0, f"exhaustive probing must equal brute force, got {r_all:.2f}"
+
+
+def test_lsh_probe_buckets_shape(spark):
+    """Probe-id invariants on the buckets array: n_tables*n_probes
+    entries, the exact bucket leads each table's block, every probe
+    stays inside its table's tag range (flips only low n_planes bits),
+    and probes within a table are distinct."""
+    from tensei_agent_spark.operators.similarity import random_hyperplane_buckets
+
+    emb = load(spark, SF, "embeddings").limit(20)
+    n_planes, n_tables, n_probes = 6, 3, 8
+    rows = random_hyperplane_buckets(
+        emb, n_planes=n_planes, n_tables=n_tables, n_probes=n_probes
+    ).select("bucket", "buckets").collect()
+    width = 1 << n_planes
+    for r in rows:
+        bs = r["buckets"]
+        assert len(bs) == n_tables * n_probes
+        assert bs[0] == r["bucket"]  # back-compat column = table 0 exact
+        for t in range(n_tables):
+            block = bs[t * n_probes : (t + 1) * n_probes]
+            assert len(set(block)) == n_probes  # distinct probes
+            assert all(t * width <= b < (t + 1) * width for b in block)
+
+
 def test_ivf_probe_widening_monotone(spark):
     """More probes → recall must not drop (the scale/quality dial)."""
     emb = load(spark, SF, "embeddings")
