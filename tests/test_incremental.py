@@ -215,6 +215,48 @@ def test_minhash_index_incremental_matches_full_batch(spark, tmp_path):
     assert stored.select("doc_id").distinct().count() == docs.count()
 
 
+def test_incremental_clusters_equal_batch_clusters(spark, tmp_path):
+    """VERDICT r10 #4: the cluster-and-keep-one production path —
+    MinHashIndex increments + incremental_components per batch — must
+    land on EXACTLY the clusters of a one-shot full recompute
+    (minhash_lsh_pairs over the whole corpus → connected_components_star)
+    on the same corpus. Labels are canonical min-ids on both paths, so
+    the (node → label) maps compare directly, not just the partitions."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from tensei_agent_spark.operators.dedup import (
+        connected_components_star,
+        incremental_components,
+        minhash_lsh_pairs,
+    )
+    from tensei_agent_spark.operators.incremental import MinHashIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = MinHashIndex(spark, str(tmp_path / "lsh_index"))
+    labels = spark.createDataFrame(
+        [],
+        StructType(
+            [StructField("node", LongType()), StructField("lbl", LongType())]
+        ),
+    )
+    for m in range(3):  # three daily batches partition the corpus
+        batch = docs.filter(F.col("doc_id") % 3 == m)
+        pairs, bands = idx.match_new(batch)
+        labels = incremental_components(labels, pairs).localCheckpoint(
+            eager=True
+        )
+        idx.commit(bands)
+
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    full = connected_components_star(minhash_lsh_pairs(docs))
+    want = {r["node"]: r["component"] for r in full.collect()}
+    assert got == want
+    assert len(got) > 0  # the corpus has near-dup clusters by design
+
+
 def test_manifest_table_commits_time_travel_vacuum(spark, tmp_path):
     from tensei_agent_spark.operators.maintenance import ManifestTable
 

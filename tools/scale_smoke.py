@@ -218,6 +218,72 @@ def main() -> None:
             results.setdefault(name, {})[f"x{s}"] = rec
             print(f"{name} x{s}: {rec}", flush=True)
 
+    # Incremental near-dup leg (VERDICT r10 #4): the x8 smoke curve is
+    # output-density-bound — re-ENUMERATING all pairs of an
+    # ever-growing corpus re-pays the whole history every day. The
+    # production answer is cluster-and-keep-one: feed the same x8
+    # corpus in 4 batches through the persisted MinHashIndex +
+    # incremental_components — per batch, signatures are O(|batch|),
+    # matching is one equi-join against the stored bands, and CC runs
+    # only on the batch's NEW edges over contracted supernodes. The
+    # evidence target: per-batch cost stays ~flat while the one-shot
+    # ngram x8 re-enumeration above pays the full corpus every time.
+    # Equivalence (incremental clusters == one-shot batch clusters) is
+    # pinned in tests/test_incremental.py, not re-proven here.
+    try:
+        import shutil
+        import tempfile
+
+        from tensei_agent_spark.operators.dedup import incremental_components
+        from tensei_agent_spark.operators.incremental import MinHashIndex
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        ix_dir = tempfile.mkdtemp(prefix="smoke_mh_idx_")
+        idx = MinHashIndex(
+            spark, os.path.join(ix_dir, "idx"),
+            k=8, num_hashes=16, bands=4, hash_fn="xxhash64",
+        )
+        labels = spark.createDataFrame(
+            [],
+            StructType(
+                [StructField("node", LongType()), StructField("lbl", LongType())]
+            ),
+        )
+        inc: dict[str, dict] = {}
+        for m in range(4):  # 4 batches of 2 copies each = the x8 corpus
+            base = load(spark, SF_DIR, "documents")
+            parts = [
+                base.select(
+                    (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(f" v{i}")).alias("text"),
+                )
+                for i in (2 * m, 2 * m + 1)
+            ]
+            batch = parts[0].unionAll(parts[1])
+            release_all()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            pairs, bands = idx.match_new(batch)
+            n_pairs = pairs.count()
+            labels = incremental_components(labels, pairs).localCheckpoint(
+                eager=True
+            )
+            idx.commit(bands)
+            inc[f"batch{m + 1}"] = {
+                "sec": round(time.perf_counter() - t0, 2),
+                "new_pairs": n_pairs,
+                "labeled_nodes": labels.count(),
+            }
+            print(f"incremental_minhash batch{m + 1}: {inc[f'batch{m + 1}']}",
+                  flush=True)
+        results["incremental_minhash_x8_in_4_batches"] = inc
+        shutil.rmtree(ix_dir, ignore_errors=True)
+    except Exception as exc:
+        results["incremental_minhash_x8_in_4_batches"] = {
+            "error": repr(exc)[:300]
+        }
+        print(f"incremental leg FAILED: {exc!r}", flush=True)
+
     # Persist the ops results BEFORE the relational phase: a failure
     # while deriving the scaled dirs must not discard minutes of
     # already-measured numbers.
