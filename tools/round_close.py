@@ -3,7 +3,9 @@ in order, stopping at the first failure.
 
     python tools/round_close.py <round-number>
 
-1. bench at sf0.1 — FIRST, behind a load-average settle gate, so the
+0. QUERIES.md freshness: regenerate from the live registry, fail on
+   drift (the registry index must never lag the registry)
+1. bench at sf0.1 — behind a load-average settle gate, so the
    recorded number measures the engine on an idle box, not the close
    pipeline's own pytest/sweep load (VERDICT r7 #6, r8 #4); then the
    per-query comparison against the previous round's BENCH artifact
@@ -67,6 +69,23 @@ def main() -> None:
     if len(sys.argv) != 2 or not sys.argv[1].isdigit():
         sys.exit(__doc__)
     n = int(sys.argv[1])
+
+    # 0. Registry-doc freshness gate (VERDICT r10 #8): QUERIES.md is
+    # generated from the live registry — regenerate it and FAIL if the
+    # committed copy had drifted (the regenerated file stays in the
+    # tree; review and commit it, then re-run). Cheap, so it runs
+    # before anything expensive.
+    run("regenerate QUERIES.md", [sys.executable, "tools/gen_queries_md.py"])
+    drift = subprocess.run(
+        ["git", "diff", "--name-only", "--", "QUERIES.md"],
+        cwd=REPO, capture_output=True, text=True,
+    ).stdout.strip()
+    if drift:
+        sys.exit(
+            "QUERIES.md was STALE vs the registry — regenerated in the "
+            "working tree; review `git diff QUERIES.md`, commit it, and "
+            "re-run round_close"
+        )
 
     settle()
     bench = run(
