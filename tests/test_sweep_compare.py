@@ -104,3 +104,34 @@ def test_bench_compare_cross_protocol_warns(tmp_path, capsys=None):
     )
     assert "cross-protocol" not in out.stdout and out.returncode == 0
     assert out.stdout.count("LOAD-BLIND") == 2  # both sides unstamped
+
+
+def test_bench_compare_infers_protocol_from_round_number(tmp_path):
+    """ADVICE r10 #5: historical artifacts stay immutable — an
+    UNSTAMPED artifact named for round >= 9 loads as protocol 2 (the
+    r9 close already ran the v2 methodology, bench.py just didn't
+    stamp it until r10), so comparing it against a stamped-v2 artifact
+    must NOT warn; a pre-r9 round-named artifact still loads as v1."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    q = {"queries": {"q": 1.0}}
+    r9 = tmp_path / "BENCH_LOCAL_r09.json"   # unstamped, round 9 -> v2
+    r8 = tmp_path / "BENCH_LOCAL_r08.json"   # unstamped, round 8 -> v1
+    r11 = tmp_path / "BENCH_LOCAL_r11.json"  # stamped v2
+    r9.write_text(json.dumps(q))
+    r8.write_text(json.dumps(q))
+    r11.write_text(json.dumps({**q, "protocol": 2}))
+    out = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(r9), str(r11)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert "cross-protocol" not in out.stdout and out.returncode == 0
+    out = subprocess.run(
+        [sys.executable, "tools/bench_compare.py", str(r8), str(r11)],
+        capture_output=True, text=True, cwd=repo,
+    )
+    assert "cross-protocol" in out.stdout and out.returncode == 0

@@ -18,7 +18,28 @@ drops are not.
 from __future__ import annotations
 
 import json
+import os
+import re
 import sys
+
+# First round whose close ran the v2 methodology (full per-query
+# warm-up pass + best-of-3 + load<1.5 settle gate): round 9
+# (75de002 "Final round-9 close artifacts behind the tightened settle
+# gate"). bench.py only started STAMPING the version in r10 (79a8b59),
+# so r9 artifacts are v2-measured but unstamped.
+_V2_FIRST_ROUND = 9
+
+
+def _infer_protocol(path: str) -> int:
+    """Protocol for an UNSTAMPED artifact, from its round number.
+
+    ADVICE r10 #5: historical artifacts are immutable — the r9
+    methodology cutoff lives here in the loader, never as a
+    retro-edit of the committed JSON. ``BENCH*_r{N}.json`` with
+    N >= 9 was measured under v2 (see _V2_FIRST_ROUND); anything
+    earlier, or a file without a round suffix, loads as v1."""
+    m = re.search(r"_r(\d+)\.json$", os.path.basename(path))
+    return 2 if m and int(m.group(1)) >= _V2_FIRST_ROUND else 1
 
 
 def load(path: str) -> tuple[dict[str, float], set[str], int, list | None]:
@@ -28,10 +49,8 @@ def load(path: str) -> tuple[dict[str, float], set[str], int, list | None]:
     the failed set instead of being silently dropped, so a query that
     regresses from a timing to an outright failure is still visible to
     the exit-code decision below. Artifacts without a ``protocol``
-    stamp predate the v2 methodology (full per-query warm-up pass +
-    best-of-3 + load<1.5 settle gate) and load as protocol 1.
-    (Historical artifacts are immutable from r11 on — a missing stamp
-    is handled HERE, never by retro-editing the JSON; ADVICE r10.)
+    stamp fall back to the round-number inference in
+    ``_infer_protocol`` (v2 from r9 on, else v1).
     ``loadavg`` is bench.py's [start, end] 1-min load pair (r10+,
     e59e50d); None for artifacts that predate it — those comparisons
     are LOAD-BLIND and annotated as such by main()."""
@@ -41,7 +60,8 @@ def load(path: str) -> tuple[dict[str, float], set[str], int, list | None]:
     q = parsed.get("queries", {})
     ok = {k: float(v) for k, v in q.items() if v >= 0}
     failed = {k for k, v in q.items() if v < 0}
-    return ok, failed, int(parsed.get("protocol", 1)), parsed.get("loadavg")
+    proto = int(parsed.get("protocol", _infer_protocol(path)))
+    return ok, failed, proto, parsed.get("loadavg")
 
 
 def main() -> None:
