@@ -184,6 +184,43 @@ def with_global_rank(
     )
 
 
+def with_bounded_rank(
+    df: DataFrame,
+    order: Sequence[Column | str],
+    out: str = "i",
+) -> DataFrame:
+    """Attach a 1-based global ``row_number()`` over *order* for a
+    K-BOUNDED frame — a relation whose row count is bounded by
+    construction at ANY corpus size (a top-k arm, per-day / per-year
+    aggregates over a fixed time domain), never corpus-sized.
+
+    *order* must be a total order (unique tie-break), the same
+    contract as :func:`with_global_rank`. The plan is one explicit
+    single-partition exchange + in-partition sort; the rank is read
+    from ``monotonically_increasing_id``'s documented layout
+    (partition 0 → the id IS the 0-based row number in sort order).
+    Compared to :func:`with_global_rank` this drops the
+    range-sampling pass, the mandatory correctness persist, and the
+    offsets window + broadcast-join — measured ~4 fewer Spark jobs
+    per call — because single-partition determinism needs no pin:
+    there are no sampled range bounds to desynchronize, so two
+    independent executions (e.g. a downstream self-join whose
+    branches miss exchange reuse) sort the same total order into the
+    same single partition and read identical ranks.
+
+    The single task holds the whole frame: callers MUST guarantee
+    boundedness. The rank-free audit in SCALE.md tracks which callers
+    are in this class; an unbounded input belongs on
+    :func:`with_global_rank`.
+    """
+    order = _as_columns(order)
+    return (
+        df.repartition(1)
+        .sortWithinPartitions(*order)
+        .withColumn(out, F.monotonically_increasing_id() + F.lit(1))
+    )
+
+
 def with_global_prefix_sum(
     df: DataFrame,
     order: Sequence[Column | str],

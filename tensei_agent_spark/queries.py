@@ -35,6 +35,7 @@ from .operators import joins as J
 from .operators import stats as S
 from .operators.windows import (
     ntile_from_rank,
+    with_bounded_rank,
     with_global_prefix_sum,
     with_global_rank,
 )
@@ -2902,21 +2903,22 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     ln(1 + (N-df+0.5)/(df+0.5)) idf) for the query {vector, hash,
     stream}: top-20 documents.
 
-    Scale shape: the term filter lands right after the explode so only
-    query-term postings survive into the (doc, term) aggregate (|docs| ×
-    |query| rows); doc lengths are one map-side-partial aggregate over
-    the token stream; N/avgdl is a 1-row broadcast; df is an aggregate
-    of the tiny tf table. Per-term contributions are summed as FIXED-
+    Scale shape (r11): ONE pass over the token stream — a single
+    map-side-partial groupBy(doc_id) carries the doc length and each
+    query term's tf as conditional counts, so the (doc, term) tf
+    aggregate, its df roll-up, and their joins all collapse into one
+    |docs|-row frame plus one 1-row broadcast stats aggregate
+    (N/avgdl/per-term df). Per-term contributions are summed as FIXED-
     ORDER per-term columns (not a float SUM across an unordered group)
     so the score is deterministic and engine-stable; the final top-20
     is a TakeOrdered on (rounded score, doc_id), not a global sort."""
     # Deliberately NOT spread_for_cpu_map (r9 A/B, same verdict as
     # cms_word_estimates): the tokenize is ONE regex split per row —
-    # I/O-shaped, not a CPU grind — and although the stream is read
-    # twice (dl + tf), hybrid_search_rrf measured 1.37-1.47 s unspread
-    # vs 1.86-2.31 s spread (warm best-of-3, ×2 each). The raw-text
-    # shuffle plus extra AQE stage outweighs two cheap single-split
-    # passes; at 100 TB the corpus is many files → already wide.
+    # I/O-shaped, not a CPU grind — and hybrid_search_rrf measured
+    # 1.37-1.47 s unspread vs 1.86-2.31 s spread (warm best-of-3, ×2
+    # each). The raw-text shuffle plus extra AQE stage outweighs the
+    # cheap single-split pass; at 100 TB the corpus is many files →
+    # already wide.
     docs = load(spark, sf, "documents").select("doc_id", "text")
     terms = ["vector", "hash", "stream"]
     k1, b = 1.2, 0.75
@@ -2924,52 +2926,66 @@ def bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")
-    # dl feeds both the corpus stats and the score join — persist the
-    # |docs|-row aggregate so the token stream is scanned twice (dl +
-    # tf), not four times (Spark doesn't share subplans across joins).
-    dl = cache.track(
-        toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # ONE pass over the token stream (r11; was two — dl + tf): a single
+    # groupBy(doc_id) computes the doc length AND the per-query-term
+    # tf as conditional-count columns, so the explode runs once, one
+    # exchange replaces two, and the (doc, term)-keyed tf/df joins
+    # vanish entirely — df and the corpus stats collapse into one
+    # 1-row broadcast aggregate OF this frame (measured 13 jobs/25
+    # stages → 7/14 at sf0.01; at 100 TB it halves the token-stream
+    # scans). Persisted (slim: 5 longs/doc) because stats and the
+    # score projection both read it — exchange reuse is best-effort.
+    per_doc = cache.track(
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.count(F.when(F.col("w") == t, True)).alias(f"_tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
     )
-    stats = dl.agg(
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"_tf{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
     )
-    tf = (
-        toks.filter(F.col("w").isin(terms))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
-    contrib = (
-        tf.join(F.broadcast(df_t), "w")
-        .join(dl, "doc_id")
-        .join(F.broadcast(stats))
-        .withColumn(
-            "c",
+    # Per-term contribution, SAME double arithmetic as the oracle's
+    # contrib CTE (absent term → exact 0.0, matching the old
+    # coalesce(sum(when(...)), 0.0) over the tf inner join); fixed-
+    # order per-term addition keeps the score engine-stable.
+    def _c(i: int):
+        return F.when(
+            F.col(f"_tf{i}") > 0,
             F.log(
                 1.0
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+                / (F.col(f"_df{i}") + 0.5)
             )
-            * (F.col("tf") * (F.lit(k1) + 1.0))
+            * (F.col(f"_tf{i}") * (F.lit(k1) + 1.0))
             / (
-                F.col("tf")
+                F.col(f"_tf{i}")
                 + F.lit(k1)
                 * (1.0 - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
             ),
-        )
-    )
-    per_term = [
-        F.coalesce(
-            F.sum(F.when(F.col("w") == t, F.col("c"))), F.lit(0.0)
-        ).alias(f"_c{i}")
-        for i, t in enumerate(terms)
-    ]
-    scored = contrib.groupBy("doc_id").agg(*per_term)
-    score = F.col("_c0")
+        ).otherwise(F.lit(0.0))
+
+    score = _c(0)
     for i in range(1, len(terms)):
-        score = score + F.col(f"_c{i}")
+        score = score + _c(i)
+    # Docs matching NO query term are excluded (the oracle's tf inner
+    # join) — a sub-20-match corpus must not pad with zero scores.
+    any_term = F.col("_tf0") > 0
+    for i in range(1, len(terms)):
+        any_term = any_term | (F.col(f"_tf{i}") > 0)
     return (
-        scored.select("doc_id", F.round(score, 9).alias("bm25"))
+        per_doc.filter(any_term)
+        .join(F.broadcast(stats))
+        .select("doc_id", F.round(score, 9).alias("bm25"))
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
@@ -4041,7 +4057,10 @@ def daily_revenue_ma7(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_rev"))
     )
-    r = with_global_rank(daily, ["day"], out="_i")
+    # Bounded frame (O(distinct days) at any corpus size) → the
+    # single-partition bounded rank, not the range-partitioned helper:
+    # same row_number, ~4 fewer jobs, no persist needed (r11).
+    r = with_bounded_rank(daily, ["day"], out="_i")
     contrib = r.select(
         F.explode(F.sequence(F.col("_i"), F.col("_i") + 6)).alias("_i"), "_rev"
     )
@@ -5579,7 +5598,8 @@ def yearly_revenue_growth(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("_rev"),
         F.count(F.lit(1)).alias("n_orders"),
     )
-    r = with_global_rank(y, ["yr"], out="_i")
+    # Bounded frame (O(years)) → single-partition bounded rank (r11).
+    r = with_bounded_rank(y, ["yr"], out="_i")
     prev = r.select((F.col("_i") + 1).alias("_i"), F.col("_rev").alias("_prev"))
     return (
         r.join(prev, "_i", "left")
@@ -6057,7 +6077,8 @@ def daily_event_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     # index (distributed), then each day row CONTRIBUTES itself to the
     # next 28 indices via explode + hash aggregate — an equi-join plan
     # (no BNLJ range join), exact BIGINT sums in any order.
-    r = with_global_rank(daily, ["day"], out="_i")
+    # Bounded frame (O(distinct days)) → single-partition bounded rank (r11).
+    r = with_bounded_rank(daily, ["day"], out="_i")
     contrib = r.select(
         F.explode(F.sequence(F.col("_i") + 1, F.col("_i") + 28)).alias("_i"),
         "n_events",
@@ -9524,10 +9545,11 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
 
     docs_sf = sf  # both arms read the same scale dir
     b = bm25_topk(spark, docs_sf)
-    # Rank the (already top-20, bounded) BM25 arm with the distributed
-    # global-rank helper — never an unpartitioned window, even on a
-    # bounded relation (plan-audit invariant).
-    b_ranked = with_global_rank(
+    # Rank the (already top-20, bounded) BM25 arm with the bounded-
+    # frame rank — no unpartitioned window (plan-audit invariant), and
+    # no range-sampling/persist/offsets machinery either: the arm is
+    # O(k) rows by construction (r11, SCALE.md rank-free audit).
+    b_ranked = with_bounded_rank(
         b, [F.desc("bm25"), F.asc("doc_id")], out="rank"
     ).select("doc_id", F.col("rank").cast("int").alias("rank")).filter(
         F.col("rank") <= 20

@@ -41,6 +41,38 @@ def test_global_rank_equals_row_number(skewed):
     )
 
 
+def test_bounded_rank_equals_global_rank(skewed):
+    """with_bounded_rank must be bit-equal to with_global_rank (and so
+    to row_number) on the same total order — it substitutes for it in
+    oracle-checked queries whose ranked frame is bounded (r11)."""
+    from tensei_agent_spark.operators.windows import with_bounded_rank
+
+    got = with_bounded_rank(skewed, [F.desc("v"), F.col("id")], out="i")
+    want = with_global_rank(skewed, [F.desc("v"), F.col("id")], out="i")
+    assert (
+        got.select("id", "i").exceptAll(want.select("id", "i")).count() == 0
+        and want.select("id", "i").exceptAll(got.select("id", "i")).count() == 0
+    )
+
+
+def test_bounded_rank_multibranch_consumption_consistent(skewed):
+    """The bounded rank has NO persist — determinism across independent
+    re-executions is structural (total order into one partition), not
+    pinned. Exercise the r9 corruption shape: two branches of one plan
+    read the ranked frame and equi-join on the rank (lag pattern); a
+    desynchronized rank would duplicate/drop rows."""
+    from tensei_agent_spark.operators.windows import with_bounded_rank
+
+    r = with_bounded_rank(skewed, ["v", "id"], out="i")
+    prev = r.select((F.col("i") + 1).alias("i"), F.col("id").alias("prev_id"))
+    joined = r.join(prev, "i", "left")
+    assert joined.count() == 997  # no duplicated/dropped ranks
+    # the lag really is the previous row in (v, id) order
+    row = joined.filter(F.col("i") == 2).select("prev_id").collect()[0]
+    first = skewed.orderBy("v", "id").limit(1).collect()[0]["id"]
+    assert row["prev_id"] == first
+
+
 def test_global_rank_desc_order(skewed):
     got = with_global_rank(skewed, [F.desc("v"), F.col("id")], out="i")
     want = skewed.select(
