@@ -544,8 +544,23 @@ def ngram_jaccard_pairs(
             )
         )
         saturated = False
+        # Valve-resolution floor (applied unconditionally further down;
+        # code review r10): caps need the sample fine enough that ~50
+        # expected hits land at the cap boundary. Computed HERE too
+        # (code review r11) because it bounds what the saturation probe
+        # could ever win: when the valve floor already holds frac at or
+        # above _DF_MIN_FRAC (any cap ≤ 50/_DF_MIN_FRAC = 100), the
+        # probe's outcome cannot lower frac — skip the probe job
+        # entirely rather than running it, logging "dropping the
+        # floor", and then silently overriding its result.
+        valve_frac = (
+            min(1.0, 50.0 / max_shingle_df)
+            if max_shingle_df is not None
+            else 0.0
+        )
         if (
             frac < 1.0
+            and valve_frac < _DF_MIN_FRAC
             and size_hint_bytes < (1 << 59)
             and size_hint_bytes >= _DF_SAT_PROBE_BYTES
         ):
@@ -562,16 +577,20 @@ def ngram_jaccard_pairs(
             n_probe = probe.limit(_DF_TABLE_CAP).count()
             saturated = n_probe >= _DF_TABLE_CAP
             if saturated:
-                frac = frac_probe
+                # The valve floor still binds below _DF_MIN_FRAC (the
+                # skip above only guarantees it can't restore the 0.5
+                # floor) — fold it in HERE so the logged fraction is
+                # the one actually used (code review r11).
+                frac = max(frac_probe, valve_frac)
                 logger.info(
                     "ngram_jaccard_pairs: df-rank table saturates the "
                     "%d-entry cap (probe at frac %.2e saw %d df>=2 "
-                    "shingles); dropping the 0.5 sample floor to the "
-                    "probe fraction — sub-head shingles read df 0 at "
+                    "shingles); dropping the 0.5 sample floor to "
+                    "%.2e — sub-head shingles read df 0 at "
                     "any fraction, so the extra resolution buys "
                     "nothing (pruning-only; pair set exact "
                     "regardless)",
-                    _DF_TABLE_CAP, frac_probe, n_probe,
+                    _DF_TABLE_CAP, frac_probe, n_probe, frac,
                 )
                 if max_shingle_df is not None:
                     # ADVICE r10: the valve's blind spot (hotter-than-
@@ -596,7 +615,9 @@ def ngram_jaccard_pairs(
             # the sample saw twice, est ≥ 4), so force the sample
             # fine enough that ~50 expected hits land at the cap
             # boundary — caps ≤ 50 therefore use the exact df.
-            frac = max(frac, min(1.0, 50.0 / max_shingle_df))
+            # (Already folded into the saturated branch above; this is
+            # the unconditional invariant for every other path.)
+            frac = max(frac, valve_frac)
         if stats is not None:
             # Observability for the saturation-aware floor: the chosen
             # sample fraction and which regime picked it (plain Python

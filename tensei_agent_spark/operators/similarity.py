@@ -197,10 +197,14 @@ def random_hyperplane_buckets(
     in another; union of tables' candidates → recall ≈ 1-(1-r)^L).
 
     ``n_probes`` > 1 enables query-directed MULTI-PROBE (Lv et al.,
-    VLDB'07 shape): per table, also emit the buckets reached by
-    flipping subsets of the ⌈log2(n_probes)⌉ LEAST-CONFIDENT bits —
-    the planes whose |dot| is smallest, i.e. exactly the sign bits a
-    true neighbor is most likely to differ on. Intended for the QUERY
+    VLDB'07): per table, also emit the buckets reached by the
+    ``n_probes - 1`` CHEAPEST flip sets, where a flip set's cost is
+    the summed |dot| of the planes it flips — the sign bits a true
+    neighbor is most likely to differ on are exactly the low-|dot|
+    ones, and ranking whole sets by total cost probes e.g. the single
+    flip of the 4th-least-confident plane before the triple flip of
+    the three least-confident (which a fixed bit-subset order would
+    invert). Intended for the QUERY
     side only: the corpus index keeps one exact bucket per table, so
     probing multiplies the (tiny, broadcast) query fan-out, never the
     corpus explode — recall bought without growing the index.
@@ -220,7 +224,7 @@ def random_hyperplane_buckets(
         raise ValueError(f"n_probes must be in [1, 2^n_planes], got {n_probes}")
     n_flip_bits = max(n_probes - 1, 0).bit_length()  # ⌈log2(n_probes)⌉
     vec = F.col(vec_col)
-    table_buckets = []
+    table_arrays = []
     for t in range(n_tables):
         rnd = random.Random(seed + 7919 * t)
         planes = [
@@ -240,35 +244,94 @@ def random_hyperplane_buckets(
         for p_idx, dot in enumerate(dots):
             raw = raw + F.when(dot >= 0, F.lit(1 << p_idx)).otherwise(F.lit(0))
         tag = F.lit(t * (1 << n_planes))
-        table_buckets.append(tag + raw)
-        if n_probes > 1:
-            # Confidence order: struct array sorts by (|dot|, plane idx)
-            # — conf[j] is the j-th least-confident plane. Ties break on
-            # the index, so the probe set is fully deterministic.
-            conf = F.array_sort(
-                F.array(
-                    *[
-                        F.struct(F.abs(d).alias("a"), F.lit(i).alias("i"))
-                        for i, d in enumerate(dots)
-                    ]
-                )
+        exact = F.array(tag + raw)
+        if n_probes == 1:
+            table_arrays.append(exact)
+            continue
+        # Confidence order: struct array sorts by (|dot|, plane idx)
+        # — conf[j] is the j-th least-confident plane. Ties break on
+        # the index, so the probe set is fully deterministic.
+        conf = F.array_sort(
+            F.array(
+                *[
+                    F.struct(F.abs(d).alias("a"), F.lit(i).alias("i"))
+                    for i, d in enumerate(dots)
+                ]
             )
-            pow2 = F.array(*[F.lit(1 << i) for i in range(n_planes)])
-            bitvals = [
-                F.element_at(pow2, conf[j].getField("i") + 1)
-                for j in range(n_flip_bits)
-            ]
-            # Masks in increasing binary order flip ever-more-confident
-            # bit subsets — the standard success-likelihood probe order
-            # when bit j is the j-th least confident.
-            for mask in range(1, n_probes):
-                flip = F.lit(0)
-                for j in range(n_flip_bits):
-                    if (mask >> j) & 1:
-                        flip = flip + bitvals[j]  # distinct powers: + == OR
-                table_buckets.append(tag + raw.bitwiseXOR(flip))
-    return df.withColumn("bucket", table_buckets[0]).withColumn(
-        "buckets", F.array(*table_buckets)
+        )
+        pow2 = F.array(*[F.lit(1 << i) for i in range(n_planes)])
+        # Success-likelihood probe order (Lv et al. VLDB'07, code
+        # review r11 — the earlier binary-mask order probed e.g. the
+        # triple-flip {b0,b1,b2} before the single {b3}): enumerate
+        # every non-empty flip SET over a pool of the `pool`
+        # least-confident planes, score it by the summed |dot| of the
+        # flipped planes (the perturbation cost — a true neighbor most
+        # likely differs on the cheapest set), sort, take the
+        # n_probes-1 cheapest. pool ≥ log2(n_probes) guarantees enough
+        # candidates; pool = n_planes (≤ 6 → at most 63 sets) makes
+        # the order EXACT; above that the pool is a documented
+        # approximation (a set flipping a beyond-pool plane is ignored
+        # even when its cost would rank). Cost ties break on the flip
+        # mask → deterministic.
+        #
+        # Expression-size discipline: the enumeration is a TRANSFORM
+        # over a literal mask array with `conf` referenced from inside
+        # the lambdas — conf's (large: n_planes × dim literal dots)
+        # tree appears ~3× per table. A first cut expanded the 2^pool-1
+        # (cost, flip) structs as plain Python-built expressions, each
+        # inlining conf — Catalyst spent 13 MINUTES on the resulting
+        # tree at the registry setting (4 tables × 63 sets × ~12 conf
+        # references each). HOFs fall out of whole-stage codegen, but
+        # this runs on the probing side only (broadcast-sized queries).
+        pool = min(n_planes, max(6, n_flip_bits))
+        masks = F.array(*[F.lit(m) for m in range(1, 1 << pool)])
+        pool_idx = F.array(*[F.lit(j) for j in range(pool)])
+        pow2pool = F.array(*[F.lit(1 << j) for j in range(pool)])
+
+        def _bit(m, j):
+            # bit j of mask m, as a boolean (shiftright needs a Python
+            # int operand, so test via AND against the 2^j literal)
+            return m.bitwiseAND(F.element_at(pow2pool, j + 1)) != F.lit(0)
+
+        cands = F.transform(
+            masks,
+            lambda m: F.struct(
+                F.aggregate(
+                    pool_idx,
+                    F.lit(0.0),
+                    lambda acc, j: acc
+                    + F.when(
+                        _bit(m, j), F.element_at(conf, j + 1).getField("a")
+                    ).otherwise(F.lit(0.0)),
+                ).alias("c"),
+                F.aggregate(
+                    pool_idx,
+                    F.lit(0),
+                    lambda acc, j: acc
+                    + F.when(
+                        _bit(m, j),
+                        F.element_at(
+                            pow2,
+                            F.element_at(conf, j + 1).getField("i") + 1,
+                        ),
+                    ).otherwise(F.lit(0)),  # distinct powers: + == OR
+                ).alias("m"),
+            ),
+        )
+        probes = F.slice(F.array_sort(cands), 1, n_probes - 1)
+        table_arrays.append(
+            F.concat(
+                exact,
+                F.transform(
+                    probes, lambda s: tag + raw.bitwiseXOR(s.getField("m"))
+                ),
+            )
+        )
+    buckets = (
+        F.concat(*table_arrays) if len(table_arrays) > 1 else table_arrays[0]
+    )
+    return df.withColumn("buckets", buckets).withColumn(
+        "bucket", F.element_at("buckets", 1)
     )
 
 

@@ -188,6 +188,7 @@ def with_bounded_rank(
     df: DataFrame,
     order: Sequence[Column | str],
     out: str = "i",
+    pin: bool = True,
 ) -> DataFrame:
     """Attach a 1-based global ``row_number()`` over *order* for a
     K-BOUNDED frame — a relation whose row count is bounded by
@@ -200,25 +201,34 @@ def with_bounded_rank(
     from ``monotonically_increasing_id``'s documented layout
     (partition 0 → the id IS the 0-based row number in sort order).
     Compared to :func:`with_global_rank` this drops the
-    range-sampling pass, the mandatory correctness persist, and the
-    offsets window + broadcast-join — measured ~4 fewer Spark jobs
-    per call — because single-partition determinism needs no pin:
-    there are no sampled range bounds to desynchronize, so two
-    independent executions (e.g. a downstream self-join whose
-    branches miss exchange reuse) sort the same total order into the
-    same single partition and read identical ranks.
+    range-sampling pass and the offsets window + broadcast-join —
+    measured ~4 fewer Spark jobs per call — and, unlike there, NO
+    persist is needed for correctness: there are no sampled range
+    bounds to desynchronize, so two independent executions (e.g. a
+    downstream self-join whose branches miss exchange reuse) sort the
+    same total order into the same single partition and read
+    identical ranks. ``pin=True`` (default) still persists the tiny
+    ranked frame — for SCAN COUNT, not determinism (code review r11):
+    a caller that reads the result from several branches (lag joins,
+    fan-outs) would otherwise re-execute the corpus-sized UPSTREAM
+    once per branch whenever best-effort exchange reuse fails (the r9
+    evidence in the module docstring). Single-consumer callers pass
+    ``pin=False`` to skip the materialization job.
 
     The single task holds the whole frame: callers MUST guarantee
     boundedness. The rank-free audit in SCALE.md tracks which callers
     are in this class; an unbounded input belongs on
     :func:`with_global_rank`.
     """
+    from ..cache import track
+
     order = _as_columns(order)
-    return (
+    ranked = (
         df.repartition(1)
         .sortWithinPartitions(*order)
         .withColumn(out, F.monotonically_increasing_id() + F.lit(1))
     )
+    return track(ranked) if pin else ranked
 
 
 def with_global_prefix_sum(

@@ -2009,11 +2009,14 @@ def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Multi-table, multi-probe LSH approximate top-k (the 100 TB
     scale path; the brute-force query above is its exactness baseline).
     Deterministic hyperplanes from seed=42; 4 tables × 6 planes, and
-    each query probes its exact bucket plus 7 query-directed neighbors
-    (flips of the 3 least-confident sign bits) per table — the probe
-    lever multiplies only the broadcast query fan-out, never the corpus
-    index, and lifted recall@10 from 0.14 to 0.66/0.72 (sf0.01/sf0.1).
-    Floors pinned in tests/test_ann_recall.py + tools/verify_sweep.py."""
+    each query probes its exact bucket plus the 7 CHEAPEST flip sets
+    per table (Lv et al. cost order — flip sets ranked by the summed
+    |dot| of the flipped planes) — the probe lever multiplies only the
+    broadcast query fan-out, never the corpus index, and lifted
+    recall@10 from 0.14 (no probes) to 0.72/0.70 (sf0.01/sf0.1; the
+    r11 cost order beat the first-cut fixed bit-subset order's 0.66 at
+    sf0.01 on the same budget). Floors pinned in
+    tests/test_ann_recall.py + tools/verify_sweep.py."""
     emb = load(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return SIM.lsh_bucket_topk(
@@ -9550,7 +9553,9 @@ def hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
     # no range-sampling/persist/offsets machinery either: the arm is
     # O(k) rows by construction (r11, SCALE.md rank-free audit).
     b_ranked = with_bounded_rank(
-        b, [F.desc("bm25"), F.asc("doc_id")], out="rank"
+        # pin=False: single consumer (the fusion join) — no branch can
+        # re-execute the upstream, so skip the materialization job.
+        b, [F.desc("bm25"), F.asc("doc_id")], out="rank", pin=False
     ).select("doc_id", F.col("rank").cast("int").alias("rank")).filter(
         F.col("rank") <= 20
     )

@@ -352,6 +352,54 @@ def test_ngram_jaccard_saturation_aware_floor(spark):
         ) = old
 
 
+def test_ngram_jaccard_probe_skipped_when_valve_floor_binds(spark):
+    """Code review r11: the valve-resolution guard floors frac at
+    min(1, 50/cap) unconditionally, so for caps ≤ 100 (floor ≥ 0.5)
+    the saturation probe's outcome could never lower frac — the probe
+    job must be SKIPPED, not run-logged-and-overridden: df_saturated
+    stays False and df_frac lands on the valve floor, with the pair
+    set still exact under the cap-inert corpus."""
+    import tensei_agent_spark.operators.dedup as dedup_mod
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(13)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    base = ["".join(rng.choice(alphabet) for _ in range(200)) for _ in range(30)]
+    rows = [(100 * b + c, t) for b, t in enumerate(base) for c in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    hint = 1 << 20
+    old = (dedup_mod._DF_SAT_PROBE_BYTES, dedup_mod._DF_TABLE_CAP)
+    dedup_mod._DF_SAT_PROBE_BYTES = 1  # gate open: ONLY the valve skips
+    dedup_mod._DF_TABLE_CAP = 8  # would saturate instantly if probed
+    try:
+        stats: dict = {}
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, k=8, threshold=0.8, df_rank="sampled",
+                max_shingle_df=80,  # valve floor 50/80 = 0.625 ≥ 0.5
+                size_hint_bytes=hint, stats=stats,
+            ).collect()
+        }
+        assert stats["df_saturated"] is False  # probe never ran
+        assert stats["df_frac"] == pytest.approx(0.625)
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, k=8, threshold=0.8, df_rank="full"
+            ).collect()
+        }
+        assert got == want == {
+            (100 * b + i, 100 * b + j)
+            for b in range(30)
+            for i in range(4)
+            for j in range(i + 1, 4)
+        }
+    finally:
+        (dedup_mod._DF_SAT_PROBE_BYTES, dedup_mod._DF_TABLE_CAP) = old
+
+
 def test_ngram_jaccard_sampled_rank_is_layout_invariant(spark):
     """Bernoulli sample() picks DIFFERENT rows under different
     partition layouts, so the sampled df table (and hence the rarity

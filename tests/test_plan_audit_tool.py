@@ -248,3 +248,59 @@ def test_lazy_build_reports_zero_jobs(spark):
     assert r["build_jobs"] == 0
     assert r["global_windows"] == []
     assert not r["cartesian"]
+
+
+def test_single_partition_bounded_repartition_is_exempt():
+    from plan_audit import single_partition_collapses
+
+    plan = (
+        "Exchange SinglePartition, REPARTITION_BY_NUM, [plan_id=1]\n"
+        "+- HashAggregate(keys=[day#1], functions=[count(1)])\n"
+        "   +- Exchange hashpartitioning(day#1, 32), ENSURE_REQUIREMENTS\n"
+    )
+    assert single_partition_collapses(plan) == []
+
+
+def test_single_partition_raw_repartition_flags():
+    """Code review r11: the exemption must NOT cover a repartition(1)
+    whose subtree shows no aggregate/limit — that is the raw-data
+    funnel the rule exists to catch, explicit or not."""
+    from plan_audit import single_partition_collapses
+
+    plan = (
+        "Exchange SinglePartition, REPARTITION_BY_NUM, [plan_id=1]\n"
+        "+- Project [doc_id#1L, text#2]\n"
+        "   +- FileScan parquet [doc_id#1L,text#2]\n"
+    )
+    assert len(single_partition_collapses(plan)) == 1
+
+
+def test_single_partition_planner_collapse_flags():
+    from plan_audit import single_partition_collapses
+
+    plan = (
+        "Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+        "+- HashAggregate(keys=[day#1], functions=[count(1)])\n"
+    )
+    assert len(single_partition_collapses(plan)) == 1
+
+
+def test_single_partition_pid_offsets_is_exempt():
+    from plan_audit import single_partition_collapses
+
+    plan = (
+        "Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+        "+- HashAggregate(keys=[_pid#9], functions=[count(1)])\n"
+    )
+    assert single_partition_collapses(plan) == []
+
+
+def test_single_partition_takeordered_subtree_is_exempt():
+    from plan_audit import single_partition_collapses
+
+    plan = (
+        "Exchange SinglePartition, REPARTITION_BY_NUM, [plan_id=1]\n"
+        "+- TakeOrderedAndProject(limit=20, orderBy=[bm25#3 DESC])\n"
+        "   +- Project [doc_id#1L, bm25#3]\n"
+    )
+    assert single_partition_collapses(plan) == []

@@ -139,24 +139,18 @@ def test_stratified_sample_window_is_per_stratum(spark):
 
 def _assert_single_partition_only_pid_offsets(plan: str) -> None:
     """A SinglePartition exchange is allowed ONLY for (a) the offsets
-    branch of the distributed rank/prefix helpers — it collapses the
-    O(shuffle-partitions)-row per-_pid stats for their cumulative
-    pass, so it must sit directly on a per-_pid hash aggregate — or
-    (b) an EXPLICIT ``repartition(1)`` (shuffle origin
-    REPARTITION_BY_NUM), which only ``with_bounded_rank`` plants over
-    frames the SCALE.md rank-free audit classes bounded (O(days),
-    O(k)). A planner-forced SinglePartition (ENSURE_REQUIREMENTS — a
-    global sort/window collapsing the data itself) still fails."""
-    for seg in plan.split("Exchange SinglePartition")[1:]:
-        if "REPARTITION_BY_NUM" in seg.splitlines()[0]:
-            continue
-        first_agg = next(
-            (ln for ln in seg.splitlines() if "HashAggregate" in ln), ""
-        )
-        assert "keys=[_pid" in first_agg, (
-            "SinglePartition exchange feeding something other than the "
-            "tiny per-partition offsets aggregate:" + seg[:500]
-        )
+    branch of the distributed rank/prefix helpers (sits on a per-_pid
+    hash aggregate) or (b) ``with_bounded_rank``'s explicit
+    ``repartition(1)`` whose subtree shows an aggregate/limit (bounded
+    by the SCALE.md rank-free audit). Delegates to the registry-wide
+    audit's subtree-aware detector so the test and the audit can never
+    drift (code review r11: an earlier inline version exempted ANY
+    REPARTITION_BY_NUM exchange — a raw-data repartition(1) would have
+    shipped green)."""
+    from plan_audit import single_partition_collapses
+
+    hits = single_partition_collapses(plan)
+    assert not hits, f"SinglePartition data collapse: {hits}"
 
 
 def test_open_orders_sweep_stays_delta_sweep(spark):

@@ -56,14 +56,15 @@ def test_bounded_rank_equals_global_rank(skewed):
 
 
 def test_bounded_rank_multibranch_consumption_consistent(skewed):
-    """The bounded rank has NO persist — determinism across independent
-    re-executions is structural (total order into one partition), not
-    pinned. Exercise the r9 corruption shape: two branches of one plan
-    read the ranked frame and equi-join on the rank (lag pattern); a
-    desynchronized rank would duplicate/drop rows."""
+    """With pin=False the bounded rank has NO persist — determinism
+    across independent re-executions must be structural (total order
+    into one partition), not pinned. Exercise the r9 corruption shape:
+    two branches of one plan read the ranked frame and equi-join on
+    the rank (lag pattern); a desynchronized rank would duplicate/drop
+    rows."""
     from tensei_agent_spark.operators.windows import with_bounded_rank
 
-    r = with_bounded_rank(skewed, ["v", "id"], out="i")
+    r = with_bounded_rank(skewed, ["v", "id"], out="i", pin=False)
     prev = r.select((F.col("i") + 1).alias("i"), F.col("id").alias("prev_id"))
     joined = r.join(prev, "i", "left")
     assert joined.count() == 997  # no duplicated/dropped ranks

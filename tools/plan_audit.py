@@ -10,6 +10,9 @@ Invariants (violations = the plans that die first at 100 TB):
   list holds only ordering specs funnels the whole input through ONE
   task — the repo's global-rank formulation (operators/windows.py)
   exists precisely to avoid this;
+- no SinglePartition exchange that collapses DATA through one task:
+  only the per-_pid offsets aggregate and with_bounded_rank's explicit
+  bounded repartition(1) qualify (see :func:`single_partition_collapses`);
 - no unpinned range exchange under a ``_pid``-keyed join: the r9
   rank-corruption class — two independent executions of one range
   exchange sample different partition bounds and desynchronize the
@@ -152,6 +155,47 @@ def global_windows(plan: str) -> list[str]:
 # _pid join renders inside the cached relation).
 PID_JOIN_KEY = re.compile(r"Join [^\n]*?\[[^\]]*_pid#\d+")
 RANGE_EXCHANGE = re.compile(r"Exchange rangepartitioning\(")
+
+
+# SinglePartition exchanges funnel their whole input through ONE task —
+# the shape that dies at 100× (a global sort/window collapse). Two
+# deliberate shapes are allowed (r11):
+#   (a) the offsets branch of the rank/prefix helpers — its first
+#       aggregate is keyed on _pid, O(shuffle partitions) rows;
+#   (b) an EXPLICIT repartition(1) (shuffle origin REPARTITION_BY_NUM),
+#       which only with_bounded_rank plants — its subtree must contain
+#       an aggregate / limit / TakeOrdered node. The node does not
+#       PROVE boundedness (a high-cardinality groupBy is corpus-sized
+#       — that contract is the caller's, audited in SCALE.md), but it
+#       rules out the raw-data funnel this rule exists to catch, and a
+#       planner-forced ENSURE_REQUIREMENTS collapse never qualifies.
+BOUNDED_NODE = re.compile(
+    r"HashAggregate|ObjectHashAggregate|SortAggregate"
+    r"|TakeOrderedAndProject|GlobalLimit|CollectLimit"
+)
+
+
+def single_partition_collapses(plan: str) -> list[str]:
+    """SinglePartition exchanges outside the two allowed shapes above."""
+    lines = plan.splitlines()
+    bad = []
+    for idx, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        base = _indent(line)
+        subtree = []
+        for nxt in lines[idx + 1 :]:
+            if _indent(nxt) <= base:
+                break
+            subtree.append(nxt)
+        if "REPARTITION_BY_NUM" in line:
+            if not any(BOUNDED_NODE.search(ln) for ln in subtree):
+                bad.append(line.strip()[:160])
+            continue
+        first_agg = next((ln for ln in subtree if "HashAggregate" in ln), "")
+        if "keys=[_pid" not in first_agg:
+            bad.append(line.strip()[:160])
+    return bad
 
 
 def pid_join_unpinned_range(plan: str) -> list[str]:
@@ -315,6 +359,7 @@ def audit_query(spark, name: str, build, sf: str) -> dict:
         "cartesian": "CartesianProduct" in plan,
         "global_windows": global_windows(plan),
         "pid_unpinned_range": pid_join_unpinned_range(plan),
+        "single_partition": single_partition_collapses(plan),
         "build_jobs": len(jobs),
     }
 
@@ -346,6 +391,10 @@ def main() -> None:
             violations.append(f"{name}: global window: {line}")
         for line in r["pid_unpinned_range"]:
             violations.append(f"{name}: {line}")
+        for line in r["single_partition"]:
+            violations.append(
+                f"{name}: SinglePartition data collapse: {line}"
+            )
         allowance = EAGER_BUILD_JOBS.get(name, 0)
         if r["build_jobs"] > allowance:
             violations.append(

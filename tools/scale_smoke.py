@@ -230,10 +230,11 @@ def main() -> None:
     # ngram x8 re-enumeration above pays the full corpus every time.
     # Equivalence (incremental clusters == one-shot batch clusters) is
     # pinned in tests/test_incremental.py, not re-proven here.
-    try:
-        import shutil
-        import tempfile
+    import shutil
+    import tempfile
 
+    ix_dir = None
+    try:
         from tensei_agent_spark.operators.dedup import incremental_components
         from tensei_agent_spark.operators.incremental import MinHashIndex
         from pyspark.sql.types import LongType, StructField, StructType
@@ -277,12 +278,16 @@ def main() -> None:
             print(f"incremental_minhash batch{m + 1}: {inc[f'batch{m + 1}']}",
                   flush=True)
         results["incremental_minhash_x8_in_4_batches"] = inc
-        shutil.rmtree(ix_dir, ignore_errors=True)
     except Exception as exc:
         results["incremental_minhash_x8_in_4_batches"] = {
             "error": repr(exc)[:300]
         }
         print(f"incremental leg FAILED: {exc!r}", flush=True)
+    finally:
+        # Code review r11: a mid-batch failure must not leak the temp
+        # index dir on the shared box — clean up on every path.
+        if ix_dir is not None:
+            shutil.rmtree(ix_dir, ignore_errors=True)
 
     # Persist the ops results BEFORE the relational phase: a failure
     # while deriving the scaled dirs must not discard minutes of

@@ -174,7 +174,7 @@ ANN_RECALL_FLOORS = {
         "ann_ivf_topk": 0.85,          # measured 0.880 (4/8 cells probed)
         "ann_ivf_pq_topk": 0.80,       # measured 0.840 (ADC + exact refine)
         "ann_pq_topk": 0.50,           # measured 0.540 (pure ADC, no refine)
-        "ann_lsh_topk": 0.60,          # measured 0.660 (r11 multi-probe, 4x6 +8 probes)
+        "ann_lsh_topk": 0.65,          # measured 0.720 (r11 cost-ordered multi-probe, 4x6 +8)
     },
     "sf0.1": {
         "ann_cosine_topk_fast": 0.99,  # measured 1.000
@@ -182,7 +182,7 @@ ANN_RECALL_FLOORS = {
         "ann_ivf_topk": 0.90,          # measured 0.940
         "ann_ivf_pq_topk": 0.68,       # measured 0.720
         "ann_pq_topk": 0.40,           # measured 0.440
-        "ann_lsh_topk": 0.65,          # measured 0.720 (r11 multi-probe)
+        "ann_lsh_topk": 0.65,          # measured 0.700 (r11 cost-ordered multi-probe)
     },
 }
 ANN_RECALL_QUERIES = sorted(ANN_RECALL_FLOORS["sf0.01"])
