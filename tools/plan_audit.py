@@ -175,8 +175,20 @@ BOUNDED_NODE = re.compile(
 )
 
 
+# A planner SinglePartition exchange is bounded when its immediate
+# child is a PARTIAL aggregate that collapses each input partition to
+# O(1) rows pre-shuffle: a scalar aggregate (keys=[]) or the rank
+# helpers' per-_pid offsets aggregate. The shuffle then moves
+# O(partitions) rows however big the corpus — the standard
+# scalar-aggregate plan, not a data funnel.
+_BOUNDED_CHILD = re.compile(
+    r"(HashAggregate|ObjectHashAggregate|SortAggregate)"
+    r"\(keys=\[(\]|_pid#\d+)"
+)
+
+
 def single_partition_collapses(plan: str) -> list[str]:
-    """SinglePartition exchanges outside the two allowed shapes above."""
+    """SinglePartition exchanges outside the allowed shapes above."""
     lines = plan.splitlines()
     bad = []
     for idx, line in enumerate(lines):
@@ -192,9 +204,9 @@ def single_partition_collapses(plan: str) -> list[str]:
             if not any(BOUNDED_NODE.search(ln) for ln in subtree):
                 bad.append(line.strip()[:160])
             continue
-        first_agg = next((ln for ln in subtree if "HashAggregate" in ln), "")
-        if "keys=[_pid" not in first_agg:
-            bad.append(line.strip()[:160])
+        if subtree and _BOUNDED_CHILD.search(subtree[0]):
+            continue  # partial scalar/_pid agg: O(partitions) rows move
+        bad.append(line.strip()[:160])
     return bad
 
 
