@@ -543,7 +543,13 @@ def ngram_jaccard_pairs(
                 min(1.0, _DF_SAMPLE_TARGET_BYTES / max(size_hint_bytes, 1)),
             )
         )
-        saturated = False
+        # Tri-state: True/False = the probe RAN and answered; None =
+        # not probed (tiny corpus below the gate, or the valve floor
+        # made the probe's frac outcome moot) — saturation is then
+        # UNKNOWN at build and only the lazy stats["df_table"]
+        # predicate can answer it (code review r11: a plain False here
+        # misread "not probed" as "known unsaturated").
+        saturated = None
         # Valve-resolution floor (applied unconditionally further down;
         # code review r10): caps need the sample fine enough that ~50
         # expected hits land at the cap boundary. Computed HERE too
@@ -558,6 +564,28 @@ def ngram_jaccard_pairs(
             if max_shingle_df is not None
             else 0.0
         )
+        if (
+            frac < 1.0
+            and valve_frac >= _DF_MIN_FRAC
+            and size_hint_bytes < (1 << 59)
+            and size_hint_bytes >= _DF_SAT_PROBE_BYTES
+        ):
+            # Probe skipped on a corpus large enough to saturate: the
+            # valve's blind spot (hotter-than-cap shingles reading df
+            # 0) is now UNPROBED, not absent — the eager r10 warning
+            # must still fire, conditionally phrased (code review r11:
+            # small caps are exactly where the valve matters most, so
+            # they must not be the one regime that never warns).
+            logger.warning(
+                "ngram_jaccard_pairs: max_shingle_df=%d on a corpus "
+                "past the saturation-probe gate, but the valve floor "
+                "(frac %.3f) binds the sample fraction so the probe "
+                "was skipped — IF the df-rank table saturates its "
+                "%d-entry cap, shingles hotter than the table's floor "
+                "read df 0 and bypass the valve; collect "
+                "stats['df_table'] to check valve_blind_spot",
+                max_shingle_df, valve_frac, _DF_TABLE_CAP,
+            )
         if (
             frac < 1.0
             and valve_frac < _DF_MIN_FRAC
@@ -622,6 +650,10 @@ def ngram_jaccard_pairs(
             # Observability for the saturation-aware floor: the chosen
             # sample fraction and which regime picked it (plain Python
             # scalars — the decision is made at build time).
+            # df_saturated is TRI-STATE: True/False = probed and
+            # answered; None = not probed (below the size gate, or the
+            # valve floor made the probe moot) — collect
+            # stats["df_table"] for the lazy answer.
             stats["df_frac"] = frac
             stats["df_saturated"] = saturated
         samp = tok_sets if frac >= 1.0 else tok_sets.sample(

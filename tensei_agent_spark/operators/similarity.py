@@ -268,11 +268,20 @@ def random_hyperplane_buckets(
         # flipped planes (the perturbation cost — a true neighbor most
         # likely differs on the cheapest set), sort, take the
         # n_probes-1 cheapest. pool ≥ log2(n_probes) guarantees enough
-        # candidates; pool = n_planes (≤ 6 → at most 63 sets) makes
+        # candidates; pool = n_planes (≤ 12 → at most 4095 sets) makes
         # the order EXACT; above that the pool is a documented
         # approximation (a set flipping a beyond-pool plane is ignored
         # even when its cost would rank). Cost ties break on the flip
-        # mask → deterministic.
+        # mask → deterministic. The pool deliberately does NOT track
+        # n_probes below 4096 (code review r11): a pool that grows
+        # with the probe count would re-rank the candidate universe at
+        # pool boundaries, so the probe set at n+1 probes would not
+        # contain the set at n — breaking the "more probes never drop
+        # recall" dial contract (pinned by the monotonicity tests).
+        # Fixed pool ⟹ probe sets are prefixes of one ranked list ⟹
+        # monotone for every n_probes ≤ 2^pool; beyond 4096 probes per
+        # table (effectively a scan) the pool must grow and the
+        # guarantee is per-pool-size only.
         #
         # Expression-size discipline: the enumeration is a TRANSFORM
         # over a literal mask array with `conf` referenced from inside
@@ -283,7 +292,7 @@ def random_hyperplane_buckets(
         # tree at the registry setting (4 tables × 63 sets × ~12 conf
         # references each). HOFs fall out of whole-stage codegen, but
         # this runs on the probing side only (broadcast-sized queries).
-        pool = min(n_planes, max(6, n_flip_bits))
+        pool = min(n_planes, max(12, n_flip_bits))
         masks = F.array(*[F.lit(m) for m in range(1, 1 << pool)])
         pool_idx = F.array(*[F.lit(j) for j in range(pool)])
         pow2pool = F.array(*[F.lit(1 << j) for j in range(pool)])

@@ -248,3 +248,27 @@ def test_mutual_nn_requires_reciprocity(spark):
         if (b, a) in got and a < b
     }
     assert mutual == {(0, 1)}
+
+
+def test_lsh_probe_sets_prefix_nested_across_budgets(spark):
+    """The probe pool must not track n_probes (code review r11): at
+    n_planes=7 the old pool jumped 6 -> 7 between 64 and 65 probes,
+    re-ranking the candidate universe so the 65-probe set was NOT a
+    superset of the 64-probe set — recall could drop as the dial went
+    up. With the fixed pool, every budget's probe list is a PREFIX of
+    the next one's, which implies the monotone-recall contract for
+    all n_probes ≤ 2^pool."""
+    from tensei_agent_spark.operators.similarity import (
+        random_hyperplane_buckets,
+    )
+
+    emb = load(spark, SF, "embeddings").limit(8)
+    per_budget = {}
+    for n_probes in (8, 64, 65):
+        rows = random_hyperplane_buckets(
+            emb, n_planes=7, n_tables=1, n_probes=n_probes
+        ).select("vec_id", "buckets").collect()
+        per_budget[n_probes] = {r["vec_id"]: r["buckets"] for r in rows}
+    for vid, small in per_budget[8].items():
+        assert per_budget[64][vid][:8] == small
+        assert per_budget[65][vid][:64] == per_budget[64][vid]

@@ -358,7 +358,9 @@ def test_ngram_jaccard_probe_skipped_when_valve_floor_binds(spark):
     the saturation probe's outcome could never lower frac — the probe
     job must be SKIPPED, not run-logged-and-overridden: df_saturated
     stays False and df_frac lands on the valve floor, with the pair
-    set still exact under the cap-inert corpus."""
+    set still exact under the cap-inert corpus. df_saturated is None,
+    not False: saturation was NOT probed, so it is unknown at build
+    (the lazy stats['df_table'] predicate is the answer)."""
     import tensei_agent_spark.operators.dedup as dedup_mod
     from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -382,7 +384,7 @@ def test_ngram_jaccard_probe_skipped_when_valve_floor_binds(spark):
                 size_hint_bytes=hint, stats=stats,
             ).collect()
         }
-        assert stats["df_saturated"] is False  # probe never ran
+        assert stats["df_saturated"] is None  # probe never ran: unknown
         assert stats["df_frac"] == pytest.approx(0.625)
         want = {
             (r["id_a"], r["id_b"])

@@ -304,3 +304,17 @@ def test_single_partition_takeordered_subtree_is_exempt():
         "   +- Project [doc_id#1L, bm25#3]\n"
     )
     assert single_partition_collapses(plan) == []
+
+
+def test_single_partition_scalar_sortaggregate_is_exempt():
+    """Spark renders SortAggregate with the SINGULAR 'key=[' — the
+    scalar string max/min shape must not false-flag (code review r11,
+    confirmed on Spark 4.1.2)."""
+    from plan_audit import single_partition_collapses
+
+    plan = (
+        "Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+        "+- SortAggregate(key=[], functions=[partial_max(text#2)])\n"
+        "   +- FileScan parquet [text#2]\n"
+    )
+    assert single_partition_collapses(plan) == []

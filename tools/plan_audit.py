@@ -181,9 +181,11 @@ BOUNDED_NODE = re.compile(
 # helpers' per-_pid offsets aggregate. The shuffle then moves
 # O(partitions) rows however big the corpus — the standard
 # scalar-aggregate plan, not a data funnel.
+# keys? — SortAggregate renders the singular "key=[" on Spark 4.1
+# (code review r11: the keys-only regex false-flagged scalar
+# SortAggregate plans, e.g. partial_max over a string column).
 _BOUNDED_CHILD = re.compile(
-    r"(HashAggregate|ObjectHashAggregate|SortAggregate)"
-    r"\(keys=\[(\]|_pid#\d+)"
+    r"(Hash|ObjectHash|Sort)Aggregate\(keys?=\[(\]|_pid#\d+)"
 )
 
 
