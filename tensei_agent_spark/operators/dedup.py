@@ -601,38 +601,114 @@ def ngram_jaccard_pairs(
                 .groupBy("shingle")
                 .agg(F.count(F.lit(1)).alias("_sdf"))
                 .filter(F.col("_sdf") >= 2)
-            )
-            n_probe = probe.limit(_DF_TABLE_CAP).count()
+            ).persist()
+            # One bounded probe answers BOTH predicates (r11, measured
+            # — see _DF_SAT_HEAD_SHARE): saturation (df≥2 vocabulary
+            # reaches the cap) AND head concentration (the top-cap
+            # entries' share of sampled df≥2 postings mass). The floor
+            # drops only when the table saturates AND the distribution
+            # has a real head the small sample can rank; a flat
+            # saturated band keeps the calibrated 0.5 — dropping there
+            # measured 1.4× SLOWER with identical output.
+            row = probe.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("_sdf").alias("mass")
+            ).collect()[0]
+            n_probe, mass_total = row["n"], row["mass"] or 0
             saturated = n_probe >= _DF_TABLE_CAP
-            if saturated:
+            head_share = 1.0
+            min_head_df = 0.0
+            head_lo = 0
+            if saturated and mass_total:
+                top = (
+                    probe.orderBy(F.desc("_sdf"), "shingle")
+                    .limit(_DF_TABLE_CAP)
+                    .agg(
+                        F.sum("_sdf").alias("m"), F.min("_sdf").alias("lo")
+                    )
+                    .collect()[0]
+                )
+                head_share = top["m"] / mass_total
+                head_lo = top["lo"]
+                # Corpus-df estimate of the COOLEST head entry — the
+                # detectability anchor for the drop fraction below.
+                # Reliable only when the probe itself saw that entry
+                # ≥ _DF_HEAD_LO_MIN times: a 2-count table entry is as
+                # likely a fluke of a df-8 shingle as a real head
+                # member, and scaling a fluke OVER-estimates
+                # min_head_df, under-flooring the drop.
+                min_head_df = head_lo / frac_probe
+            probe.unpersist()
+            if stats is not None:
+                stats["df_head_share"] = head_share
+            droppable = (
+                saturated
+                and head_share >= _DF_SAT_HEAD_SHARE
+                and head_lo >= _DF_HEAD_LO_MIN
+            )
+            if saturated and not droppable:
+                logger.info(
+                    "ngram_jaccard_pairs: df-rank table saturates the "
+                    "%d-entry cap but the probe cannot certify a "
+                    "RANKABLE head (top-cap mass share %.1f%% vs "
+                    "threshold %.0f%%; coolest head entry sampled "
+                    "%d time(s) vs %d needed) — keeping the "
+                    "calibrated 0.5 floor; dropping on an uncertified "
+                    "head measured 1.4x slower (pruning-only either "
+                    "way)", _DF_TABLE_CAP, 100 * head_share,
+                    100 * _DF_SAT_HEAD_SHARE, head_lo, _DF_HEAD_LO_MIN,
+                )
+            if droppable:
+                # HEAD-DETECTABILITY floor (r11, measured): the drop
+                # fraction must still CATCH the head — a head shingle
+                # missed by the sample (saw it ≤1 time) reads df 0,
+                # sorts as "rare", and lands in PREFIXES, exploding
+                # the candidate join on exactly the hottest shingles.
+                # The first cut dropped straight to frac_probe and
+                # measured 1.4× slower on the forced-cap x8 corpus for
+                # this reason (the head existed — share ≥ 0.3 — but at
+                # frac 1e-3 a df-500 head shingle had a 91% miss
+                # rate). Anchor on the COOLEST head entry: at frac f a
+                # df-d shingle is seen ≥2 times w.h.p. once f·d ≥ ~8,
+                # so floor the drop at 8/min_head_df (≥2 Poisson events
+                # at mean 8 is >99.7%). At a real 2^20 cap over a
+                # Zipf corpus min_head_df is large → the floor is tiny
+                # and the byte-target fraction wins; it only binds
+                # when the head barely clears the detection threshold.
                 # The valve floor still binds below _DF_MIN_FRAC (the
                 # skip above only guarantees it can't restore the 0.5
                 # floor) — fold it in HERE so the logged fraction is
                 # the one actually used (code review r11).
-                frac = max(frac_probe, valve_frac)
+                detect_frac = (
+                    min(1.0, 8.0 / min_head_df) if min_head_df > 0 else 1.0
+                )
+                frac = min(
+                    _DF_MIN_FRAC, max(frac_probe, detect_frac, valve_frac)
+                )
                 logger.info(
                     "ngram_jaccard_pairs: df-rank table saturates the "
                     "%d-entry cap (probe at frac %.2e saw %d df>=2 "
-                    "shingles); dropping the 0.5 sample floor to "
-                    "%.2e — sub-head shingles read df 0 at "
-                    "any fraction, so the extra resolution buys "
-                    "nothing (pruning-only; pair set exact "
+                    "shingles; head share %.2f); dropping the 0.5 "
+                    "sample floor to %.2e — sub-head shingles read "
+                    "df 0 at any fraction, so the extra resolution "
+                    "buys nothing (pruning-only; pair set exact "
                     "regardless)",
-                    _DF_TABLE_CAP, frac_probe, n_probe, frac,
+                    _DF_TABLE_CAP, frac_probe, n_probe, head_share, frac,
                 )
-                if max_shingle_df is not None:
-                    # ADVICE r10: the valve's blind spot (hotter-than-
-                    # cap shingles reading df 0) is only REACHABLE in
-                    # the saturated regime — warn eagerly at build
-                    # instead of relying on callers to collect the
-                    # lazy stats["df_table"] predicate.
-                    logger.warning(
-                        "ngram_jaccard_pairs: max_shingle_df=%d under "
-                        "a SATURATED df-rank table — shingles hotter "
-                        "than the table's floor read df 0 and bypass "
-                        "the valve; collect stats['df_table'] to "
-                        "check valve_blind_spot", max_shingle_df,
-                    )
+            if saturated and max_shingle_df is not None:
+                # ADVICE r10: the valve's blind spot (hotter-than-cap
+                # shingles reading df 0) is only REACHABLE in the
+                # saturated regime — warn eagerly at build instead of
+                # relying on callers to collect the lazy
+                # stats["df_table"] predicate. Fires on EITHER side of
+                # the head-share decision: the blind spot depends on
+                # saturation, not on which fraction was kept.
+                logger.warning(
+                    "ngram_jaccard_pairs: max_shingle_df=%d under "
+                    "a SATURATED df-rank table — shingles hotter "
+                    "than the table's floor read df 0 and bypass "
+                    "the valve; collect stats['df_table'] to "
+                    "check valve_blind_spot", max_shingle_df,
+                )
         if max_shingle_df is not None:
             # Valve-resolution guard (code review r10): the valve
             # compares the SCALED estimate ceil(sdf/frac) to the cap,
@@ -1060,6 +1136,38 @@ _DF_TABLE_CAP = 1 << 20
 _DF_SAMPLE_SEED = 91765431
 _DF_SAT_PROBE_BYTES = 256 * 1024 * 1024
 _DF_SAT_TARGET_BYTES = 64 * 1024 * 1024
+# Saturation alone is NOT sufficient to drop the 0.5 floor (measured,
+# r11): the drop assumes the capped table's head is hot enough for a
+# small sample to rank, which needs the df distribution to actually
+# HAVE a head. On a FLAT saturated corpus (the x8 derived near-dup
+# corpus under a forced 2^10 cap: every shingle df ≈ clone size, no
+# head) the starved sample fills the capped table with noise-ranked
+# arbitrary entries and pruning degrades — interleaved isolated A/B
+# measured 133.6 s (frac 1e-3) vs 95.3 s (frac 0.5), identical
+# 156,384 pairs. So the probe also measures head CONCENTRATION: the
+# share of sampled df≥2 POSTINGS mass held by the top-cap entries.
+# Zipf-shaped real corpora concentrate (top 2^20 of ~10^10 shingles
+# at α≈1 holds ~60% of postings mass ≫ threshold) and drop the
+# floor; flat bands (share ≈ cap/vocab, the x8 case measured 0.3%)
+# keep the calibrated 0.5. Threshold 0.3 is a first cut anchored by
+# those two points; pruning-quality only, never correctness.
+#
+# SECOND guard (same measurement): even with a real head, the drop
+# fraction must still DETECT the head — a head shingle the drop
+# sample misses (≤1 occurrence) reads df 0, sorts as rare, and lands
+# in prefixes, exploding the candidate join on the hottest shingles
+# (the forced-cap x8 corpus had head_share ≥ 0.3 yet still measured
+# 133.6 s vs 95.3 s because frac 1e-3 missed most of the df≈500 mid
+# head). The drop is therefore allowed only when the probe CERTIFIES
+# a rankable head: the coolest top-cap entry must itself have been
+# sampled ≥ _DF_HEAD_LO_MIN times (a 2-count entry is as likely a
+# fluke of a df-8 shingle — scaling it over-estimates the head's
+# floor df). When certification fails the calibrated 0.5 stays —
+# never worse than the pre-saturation-probe behavior; the chosen
+# drop fraction is additionally floored at 8/min_head_df so the
+# certified head stays detectable at the drop fraction itself.
+_DF_SAT_HEAD_SHARE = 0.3
+_DF_HEAD_LO_MIN = 8
 
 
 MINHASH_P = (1 << 31) - 1  # Mersenne prime: (a·h+b) fits signed 64-bit

@@ -278,35 +278,64 @@ def test_ngram_jaccard_sampled_vs_full_df_rank_parity(spark):
 
 
 def test_ngram_jaccard_saturation_aware_floor(spark):
-    """VERDICT r10 #1: the 0.5 sample floor is calibrated for corpora
-    whose df≥2 band FITS the capped rank table. Once the table
-    saturates, sub-head shingles read df 0 at any fraction, so the
-    extra resolution buys nothing — the probe must detect saturation
-    and drop frac to the fixed byte-target fraction, with the pair
-    set unchanged (the prefix lemma is order-independent).
+    """VERDICT r10 #1 + the r11 concentration refinement: the 0.5
+    sample floor drops to the byte-target fraction ONLY when the
+    df-rank table saturates AND the df distribution has a real head
+    the small sample can rank (top-cap share of sampled df≥2 postings
+    mass ≥ _DF_SAT_HEAD_SHARE). Three regimes, pair set identical to
+    df_rank='full' in all of them (the prefix lemma is
+    order-independent):
 
-    Constants are shrunk to exercise the at-scale branch on a unit-
+    1. FLAT saturated (clone-dense corpus: every shingle df ≈ 8, no
+       head) → keep 0.5. Dropping here measured 1.4× SLOWER on the x8
+       corpus under a forced cap — see _DF_SAT_HEAD_SHARE.
+    2. HEADY saturated (shared boilerplate prefix: a narrow band of
+       df-200 shingles over a df-2 tail) → drop to the probe frac.
+    3. Unsaturated (huge cap) → keep 0.5 (the calibrated regime).
+
+    Constants are shrunk to exercise the at-scale branches on a unit-
     size corpus: probe gate 1 byte (always probe), table cap 64
     entries, byte target sized for frac ≪ 0.5."""
     import tensei_agent_spark.operators.dedup as dedup_mod
     from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
 
-    # Clone-dense corpus: every shingle has df ≈ 8, so the df≥2 band
-    # is the whole vocabulary and a 64-entry table saturates trivially.
     rng = random.Random(11)
     alphabet = "abcdefghijklmnopqrstuvwxyz "
-    base = ["".join(rng.choice(alphabet) for _ in range(200)) for _ in range(50)]
-    rows = [(100 * b + c, t) for b, t in enumerate(base) for c in range(8)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    full = {
+    # Regime 1 corpus — clone-dense, FLAT df: every shingle df ≈ 8,
+    # the df≥2 band is the whole vocabulary, no head.
+    base = ["".join(rng.choice(alphabet) for _ in range(200)) for _ in range(50)]
+    flat_rows = [(100 * b + c, t) for b, t in enumerate(base) for c in range(8)]
+    flat = spark.createDataFrame(flat_rows, "doc_id long, text string")
+
+    # Regime 2 corpus — HEADY: 200 docs in 100 identical pairs, every
+    # doc led by the same ~110-char boilerplate (a ~100-shingle band
+    # at df 200 — WIDER than the 64-entry cap, so the whole top-cap
+    # window is real head, not flukes) over a pair-unique random tail
+    # (df 2) — the head holds most of the df≥2 postings mass AND its
+    # coolest top-cap entry is sampled well past _DF_HEAD_LO_MIN.
+    boiler = "".join(rng.choice(alphabet) for _ in range(110))
+    heady_rows = []
+    for p in range(100):
+        tail = "".join(rng.choice(alphabet) for _ in range(100))
+        heady_rows.append((2 * p, boiler + tail))
+        heady_rows.append((2 * p + 1, boiler + tail))
+    heady = spark.createDataFrame(heady_rows, "doc_id long, text string")
+
+    flat_full = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in ngram_jaccard_pairs(
-            docs, k=8, threshold=0.8, df_rank="full"
+            flat, k=8, threshold=0.8, df_rank="full"
         ).collect()
     }
-    # 8 clones each → C(8,2)=28 exact pairs per base doc
-    assert len(full) == 50 * 28
+    assert len(flat_full) == 50 * 28  # 8 clones each → C(8,2) per base
+    heady_full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            heady, k=8, threshold=0.8, df_rank="full"
+        ).collect()
+    }
+    assert len(heady_full) == 100  # one identical pair per tail
 
     hint = 1 << 20  # pretend 1 MiB of corpus
     old = (
@@ -318,32 +347,48 @@ def test_ngram_jaccard_saturation_aware_floor(spark):
     dedup_mod._DF_SAT_TARGET_BYTES = 64 * 1024  # frac_probe = 1/16
     dedup_mod._DF_TABLE_CAP = 64
     try:
+        # Regime 1: saturated but FLAT → the calibrated 0.5 stays.
         stats: dict = {}
-        sat_pairs = {
+        flat_pairs = {
             (r["id_a"], r["id_b"]): r["jaccard"]
             for r in ngram_jaccard_pairs(
-                docs, k=8, threshold=0.8, df_rank="sampled",
+                flat, k=8, threshold=0.8, df_rank="sampled",
                 size_hint_bytes=hint, stats=stats,
             ).collect()
         }
         assert stats["df_saturated"] is True
-        assert stats["df_frac"] == pytest.approx(64 * 1024 / hint)
-        assert stats["df_frac"] < 0.5
-        assert sat_pairs == full
+        assert stats["df_head_share"] < dedup_mod._DF_SAT_HEAD_SHARE
+        assert stats["df_frac"] == 0.5
+        assert flat_pairs == flat_full
 
-        # Control: a cap the probe cannot fill → calibrated 0.5 floor.
-        dedup_mod._DF_TABLE_CAP = 1 << 20
+        # Regime 2: saturated AND heady → frac drops to the probe frac.
         stats2: dict = {}
-        unsat_pairs = {
+        heady_pairs = {
             (r["id_a"], r["id_b"]): r["jaccard"]
             for r in ngram_jaccard_pairs(
-                docs, k=8, threshold=0.8, df_rank="sampled",
+                heady, k=8, threshold=0.8, df_rank="sampled",
                 size_hint_bytes=hint, stats=stats2,
             ).collect()
         }
-        assert stats2["df_saturated"] is False
-        assert stats2["df_frac"] == 0.5
-        assert unsat_pairs == full
+        assert stats2["df_saturated"] is True
+        assert stats2["df_head_share"] >= dedup_mod._DF_SAT_HEAD_SHARE
+        assert stats2["df_frac"] == pytest.approx(64 * 1024 / hint)
+        assert stats2["df_frac"] < 0.5
+        assert heady_pairs == heady_full
+
+        # Regime 3: a cap the probe cannot fill → calibrated 0.5 floor.
+        dedup_mod._DF_TABLE_CAP = 1 << 20
+        stats3: dict = {}
+        unsat_pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                flat, k=8, threshold=0.8, df_rank="sampled",
+                size_hint_bytes=hint, stats=stats3,
+            ).collect()
+        }
+        assert stats3["df_saturated"] is False
+        assert stats3["df_frac"] == 0.5
+        assert unsat_pairs == flat_full
     finally:
         (
             dedup_mod._DF_SAT_PROBE_BYTES,
