@@ -172,7 +172,7 @@ ANN_RECALL_FLOORS = {
         "ann_cosine_topk_fast": 0.99,  # double vs decimal: tie order only
         "ann_int8_topk": 0.99,         # measured 1.000
         "ann_ivf_topk": 0.85,          # measured 0.880 (4/8 cells probed)
-        "ann_ivf_pq_topk": 0.80,       # measured 0.840 (ADC + exact refine)
+        "ann_ivf_pq_topk": 0.85,       # measured 0.880 (r11: refine 5→20)
         "ann_pq_topk": 0.50,           # measured 0.540 (pure ADC, no refine)
         "ann_lsh_topk": 0.65,          # measured 0.720 (r11 cost-ordered multi-probe, 4x6 +8)
     },
@@ -180,7 +180,7 @@ ANN_RECALL_FLOORS = {
         "ann_cosine_topk_fast": 0.99,  # measured 1.000
         "ann_int8_topk": 0.90,         # measured 0.940
         "ann_ivf_topk": 0.90,          # measured 0.940
-        "ann_ivf_pq_topk": 0.68,       # measured 0.720
+        "ann_ivf_pq_topk": 0.85,       # measured 0.920 (r11: refine 5→20)
         "ann_pq_topk": 0.40,           # measured 0.440
         "ann_lsh_topk": 0.65,          # measured 0.700 (r11 cost-ordered multi-probe)
     },
