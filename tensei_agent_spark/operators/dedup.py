@@ -592,69 +592,115 @@ def ngram_jaccard_pairs(
             and size_hint_bytes < (1 << 59)
             and size_hint_bytes >= _DF_SAT_PROBE_BYTES
         ):
-            frac_probe = min(
+            # ESCALATING probe ladder (r11): one probe at the fixed
+            # byte-target fraction answers saturation, but it cannot
+            # always answer head CERTIFICATION — at 100 TB the 64 MiB
+            # target is frac ~6e-7, where even a genuinely hot cap-th
+            # shingle (df ~4e5 under Zipf) expects < 1 sampled
+            # occurrence, so a single fixed probe would read every
+            # huge corpus as "uncertifiable" and the 0.5 floor (a
+            # half-corpus scan) would ALWAYS run at exactly the scale
+            # the saturation logic was built for. The ladder grows the
+            # probe fraction geometrically (×_DF_PROBE_ESCALATION,
+            # capped at _DF_PROBE_FRAC_CAP) until the probe either
+            # certifies a rankable head (drop) or exhausts the budget
+            # (keep 0.5). Costs are bounded by the geometric sum:
+            # Σ rungs ≤ cap·(E/(E-1)) ≈ 1.9% of the corpus — against
+            # the 50% scan it replaces when it certifies, and a ≤1.9%
+            # overhead when it doesn't. Rungs after the first read the
+            # persisted tok_sets cache, not the source. Same seed at
+            # every rung → Bernoulli samples are NESTED (a row kept at
+            # frac f is kept at every f' > f), so saturation detection
+            # is monotone in the rung DETERMINISTICALLY: unsaturated
+            # at rung 1 ⟹ unsaturated at the 0.5 floor's table too...
+            # (within the rung-1 resolution; under-detection errs
+            # toward keeping 0.5, the calibrated direction).
+            frac0 = min(
                 1.0, _DF_SAT_TARGET_BYTES / max(size_hint_bytes, 1)
             )
-            probe = (
-                tok_sets.sample(fraction=frac_probe, seed=_DF_SAMPLE_SEED)
-                .select(F.explode("_ts").alias("shingle"))
-                .groupBy("shingle")
-                .agg(F.count(F.lit(1)).alias("_sdf"))
-                .filter(F.col("_sdf") >= 2)
-            ).persist()
-            # One bounded probe answers BOTH predicates (r11, measured
-            # — see _DF_SAT_HEAD_SHARE): saturation (df≥2 vocabulary
-            # reaches the cap) AND head concentration (the top-cap
-            # entries' share of sampled df≥2 postings mass). The floor
-            # drops only when the table saturates AND the distribution
-            # has a real head the small sample can rank; a flat
-            # saturated band keeps the calibrated 0.5 — dropping there
-            # measured 1.4× SLOWER with identical output.
-            row = probe.agg(
-                F.count(F.lit(1)).alias("n"), F.sum("_sdf").alias("mass")
-            ).collect()[0]
-            n_probe, mass_total = row["n"], row["mass"] or 0
-            saturated = n_probe >= _DF_TABLE_CAP
+            frac_probe = frac0
+            rounds = 0
+            droppable = False
             head_share = 1.0
             min_head_df = 0.0
             head_lo = 0
-            if saturated and mass_total:
-                top = (
-                    probe.orderBy(F.desc("_sdf"), "shingle")
-                    .limit(_DF_TABLE_CAP)
-                    .agg(
-                        F.sum("_sdf").alias("m"), F.min("_sdf").alias("lo")
+            while True:
+                rounds += 1
+                probe = (
+                    tok_sets.sample(
+                        fraction=frac_probe, seed=_DF_SAMPLE_SEED
                     )
-                    .collect()[0]
+                    .select(F.explode("_ts").alias("shingle"))
+                    .groupBy("shingle")
+                    .agg(F.count(F.lit(1)).alias("_sdf"))
+                    .filter(F.col("_sdf") >= 2)
+                ).persist()
+                # Each rung answers BOTH predicates (r11, measured —
+                # see _DF_SAT_HEAD_SHARE): saturation (df≥2 vocabulary
+                # reaches the cap) AND head concentration (the top-cap
+                # entries' share of sampled df≥2 postings mass). The
+                # floor drops only when the table saturates AND the
+                # rung certifies a head it can rank; a flat saturated
+                # band stays uncertified at every rung and keeps the
+                # calibrated 0.5 — dropping there measured 1.4× SLOWER
+                # with identical output.
+                row = probe.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("_sdf").alias("mass"),
+                ).collect()[0]
+                n_probe, mass_total = row["n"], row["mass"] or 0
+                saturated = n_probe >= _DF_TABLE_CAP
+                if saturated and mass_total:
+                    top = (
+                        probe.orderBy(F.desc("_sdf"), "shingle")
+                        .limit(_DF_TABLE_CAP)
+                        .agg(
+                            F.sum("_sdf").alias("m"),
+                            F.min("_sdf").alias("lo"),
+                        )
+                        .collect()[0]
+                    )
+                    head_share = top["m"] / mass_total
+                    head_lo = top["lo"]
+                    # Corpus-df estimate of the COOLEST head entry —
+                    # the detectability anchor for the drop fraction
+                    # below. Reliable only when this rung itself saw
+                    # that entry ≥ _DF_HEAD_LO_MIN times: a 2-count
+                    # table entry is as likely a fluke of a df-8
+                    # shingle as a real head member, and scaling a
+                    # fluke OVER-estimates min_head_df, under-flooring
+                    # the drop.
+                    min_head_df = head_lo / frac_probe
+                probe.unpersist()
+                if not saturated:
+                    # Nested samples: only reachable at rung 1 (later
+                    # rungs see a superset of df≥2 groups).
+                    break
+                droppable = (
+                    head_share >= _DF_SAT_HEAD_SHARE
+                    and head_lo >= _DF_HEAD_LO_MIN
                 )
-                head_share = top["m"] / mass_total
-                head_lo = top["lo"]
-                # Corpus-df estimate of the COOLEST head entry — the
-                # detectability anchor for the drop fraction below.
-                # Reliable only when the probe itself saw that entry
-                # ≥ _DF_HEAD_LO_MIN times: a 2-count table entry is as
-                # likely a fluke of a df-8 shingle as a real head
-                # member, and scaling a fluke OVER-estimates
-                # min_head_df, under-flooring the drop.
-                min_head_df = head_lo / frac_probe
-            probe.unpersist()
+                if droppable or frac_probe >= min(1.0, _DF_PROBE_FRAC_CAP):
+                    break
+                frac_probe = min(
+                    _DF_PROBE_FRAC_CAP, frac_probe * _DF_PROBE_ESCALATION
+                )
             if stats is not None:
                 stats["df_head_share"] = head_share
-            droppable = (
-                saturated
-                and head_share >= _DF_SAT_HEAD_SHARE
-                and head_lo >= _DF_HEAD_LO_MIN
-            )
+                stats["df_probe_rounds"] = rounds
+                stats["df_probe_frac"] = frac_probe
             if saturated and not droppable:
                 logger.info(
                     "ngram_jaccard_pairs: df-rank table saturates the "
-                    "%d-entry cap but the probe cannot certify a "
+                    "%d-entry cap but no probe rung up to frac %.2e "
+                    "(%d rung(s), budget %.2e) could certify a "
                     "RANKABLE head (top-cap mass share %.1f%% vs "
                     "threshold %.0f%%; coolest head entry sampled "
                     "%d time(s) vs %d needed) — keeping the "
                     "calibrated 0.5 floor; dropping on an uncertified "
                     "head measured 1.4x slower (pruning-only either "
-                    "way)", _DF_TABLE_CAP, 100 * head_share,
+                    "way)", _DF_TABLE_CAP, frac_probe, rounds,
+                    _DF_PROBE_FRAC_CAP, 100 * head_share,
                     100 * _DF_SAT_HEAD_SHARE, head_lo, _DF_HEAD_LO_MIN,
                 )
             if droppable:
@@ -682,17 +728,18 @@ def ngram_jaccard_pairs(
                     min(1.0, 8.0 / min_head_df) if min_head_df > 0 else 1.0
                 )
                 frac = min(
-                    _DF_MIN_FRAC, max(frac_probe, detect_frac, valve_frac)
+                    _DF_MIN_FRAC, max(frac0, detect_frac, valve_frac)
                 )
                 logger.info(
                     "ngram_jaccard_pairs: df-rank table saturates the "
-                    "%d-entry cap (probe at frac %.2e saw %d df>=2 "
-                    "shingles; head share %.2f); dropping the 0.5 "
-                    "sample floor to %.2e — sub-head shingles read "
-                    "df 0 at any fraction, so the extra resolution "
-                    "buys nothing (pruning-only; pair set exact "
-                    "regardless)",
-                    _DF_TABLE_CAP, frac_probe, n_probe, head_share, frac,
+                    "%d-entry cap (certified at frac %.2e, rung %d: "
+                    "%d df>=2 shingles, head share %.2f); dropping "
+                    "the 0.5 sample floor to %.2e — sub-head shingles "
+                    "read df 0 at any fraction, so the extra "
+                    "resolution buys nothing (pruning-only; pair set "
+                    "exact regardless)",
+                    _DF_TABLE_CAP, frac_probe, rounds, n_probe,
+                    head_share, frac,
                 )
             if saturated and max_shingle_df is not None:
                 # ADVICE r10: the valve's blind spot (hotter-than-cap
@@ -1168,6 +1215,22 @@ _DF_SAT_TARGET_BYTES = 64 * 1024 * 1024
 # certified head stays detectable at the drop fraction itself.
 _DF_SAT_HEAD_SHARE = 0.3
 _DF_HEAD_LO_MIN = 8
+# Probe-ladder bounds: certification needs the cap-th entry sampled
+# ≥ _DF_HEAD_LO_MIN times, and at 100 TB the fixed 64 MiB byte target
+# is frac ~6e-7 where a genuinely hot cap-th shingle (df ~4e5 for
+# Zipf α≈1 over ~10^13 postings) expects ~0.26 occurrences — a single
+# fixed-size probe can NEVER certify at exactly the scale the
+# saturation logic targets, leaving the half-corpus 0.5 floor as the
+# permanent at-scale behavior. The ladder multiplies the probe
+# fraction by _DF_PROBE_ESCALATION per rung until certification or
+# _DF_PROBE_FRAC_CAP; the geometric sum bounds total probe cost at
+# cap·E/(E-1) ≈ 1.9% of one corpus pass (rungs ≥ 2 read the persisted
+# tok_sets cache). A Zipf corpus certifies at frac ≈ 8/df(cap-th)
+# (~2e-5 at 100 TB — two rungs), replacing the 50% scan with a ~0.01%
+# one; a flat corpus climbs the whole ladder (≤ 1.9% overhead) and
+# keeps the calibrated 0.5.
+_DF_PROBE_ESCALATION = 8
+_DF_PROBE_FRAC_CAP = 1.0 / 64
 
 
 MINHASH_P = (1 << 31) - 1  # Mersenne prime: (a·h+b) fits signed 64-bit

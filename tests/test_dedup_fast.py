@@ -292,6 +292,10 @@ def test_ngram_jaccard_saturation_aware_floor(spark):
     2. HEADY saturated (shared boilerplate prefix: a narrow band of
        df-200 shingles over a df-2 tail) → drop to the probe frac.
     3. Unsaturated (huge cap) → keep 0.5 (the calibrated regime).
+    4. HEADY saturated, head too cool for the FIRST rung (the 100 TB
+       shape: byte-target frac ≪ 8/head_df) → the probe LADDER
+       escalates until a rung certifies, then drops to the
+       head-detectability fraction — still ≪ 0.5.
 
     Constants are shrunk to exercise the at-scale branches on a unit-
     size corpus: probe gate 1 byte (always probe), table cap 64
@@ -389,6 +393,48 @@ def test_ngram_jaccard_saturation_aware_floor(spark):
         assert stats3["df_saturated"] is False
         assert stats3["df_frac"] == 0.5
         assert unsat_pairs == flat_full
+
+        # Regime 4: the 100 TB shape — the byte-target rung (frac
+        # 1/64) samples the df-256 boilerplate head only ~4× (< the
+        # 8-occurrence certification bar), so a single fixed probe
+        # would give up and keep 0.5; the ladder escalates ×8 and the
+        # 1/8 rung certifies (~32 sampled occurrences), dropping frac
+        # to the head-detectability fraction ≪ 0.5.
+        boiler4 = "".join(rng.choice(alphabet) for _ in range(110))
+        tall_rows = []
+        for p in range(128):
+            tail = "".join(rng.choice(alphabet) for _ in range(100))
+            tall_rows.append((2 * p, boiler4 + tail))
+            tall_rows.append((2 * p + 1, boiler4 + tail))
+        tall = spark.createDataFrame(tall_rows, "doc_id long, text string")
+        tall_full = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(
+                tall, k=8, threshold=0.8, df_rank="full"
+            ).collect()
+        }
+        assert len(tall_full) == 128
+        dedup_mod._DF_TABLE_CAP = 64
+        dedup_mod._DF_SAT_TARGET_BYTES = hint // 64  # rung-1 frac 1/64
+        old_cap = dedup_mod._DF_PROBE_FRAC_CAP
+        dedup_mod._DF_PROBE_FRAC_CAP = 0.25
+        try:
+            stats4: dict = {}
+            tall_pairs = {
+                (r["id_a"], r["id_b"]): r["jaccard"]
+                for r in ngram_jaccard_pairs(
+                    tall, k=8, threshold=0.8, df_rank="sampled",
+                    size_hint_bytes=hint, stats=stats4,
+                ).collect()
+            }
+        finally:
+            dedup_mod._DF_PROBE_FRAC_CAP = old_cap
+        assert stats4["df_saturated"] is True
+        assert stats4["df_probe_rounds"] == 2
+        assert stats4["df_probe_frac"] == pytest.approx(8 / 64)
+        assert stats4["df_head_share"] >= dedup_mod._DF_SAT_HEAD_SHARE
+        assert 1 / 64 <= stats4["df_frac"] < 0.5
+        assert tall_pairs == tall_full
     finally:
         (
             dedup_mod._DF_SAT_PROBE_BYTES,
