@@ -292,6 +292,16 @@ def ngram_jaccard_pairs(
     ``stats`` (pass a dict) receives ``stats["truncation"]`` — a LAZY
     one-row frame (hot_shingles, dropped_postings) over the already-
     persisted prefix table, so observability costs no extra lineage.
+    The estimate comparison is additionally BACKSTOPPED by an exact
+    prefix fan-out valve (r11): shingles whose materialized prefix
+    postings exceed the cap are anti-joined away regardless of what
+    the estimate said (prefix-count ≤ corpus df, so every drop is
+    licensed by this same contract; ``stats["prefix_truncation"]``
+    quantifies it). This closes the saturated-rank-table blind spot —
+    a hotter-than-table shingle reading df 0 lands in every holder's
+    prefix and would otherwise expand to O(df²) candidates with no
+    bound at all (measured: 80 GB of spill from one overflowing hot
+    band on a 300k-doc synthetic; see tools/sat_drop_bench.py).
     Default None = exact, uncapped (the oracle-compared queries).
 
     ``size_hint_bytes``: estimated input size steering the broadcast
@@ -582,7 +592,9 @@ def ngram_jaccard_pairs(
                 "(frac %.3f) binds the sample fraction so the probe "
                 "was skipped — IF the df-rank table saturates its "
                 "%d-entry cap, shingles hotter than the table's floor "
-                "read df 0 and bypass the valve; collect "
+                "read df 0 and bypass the ESTIMATE valve (ranking "
+                "noise only: the exact prefix fan-out valve still "
+                "bounds the candidate join); collect "
                 "stats['df_table'] to check valve_blind_spot",
                 max_shingle_df, valve_frac, _DF_TABLE_CAP,
             )
@@ -753,7 +765,9 @@ def ngram_jaccard_pairs(
                     "ngram_jaccard_pairs: max_shingle_df=%d under "
                     "a SATURATED df-rank table — shingles hotter "
                     "than the table's floor read df 0 and bypass "
-                    "the valve; collect stats['df_table'] to "
+                    "the ESTIMATE valve (ranking noise only: the "
+                    "exact prefix fan-out valve still bounds the "
+                    "candidate join); collect stats['df_table'] to "
                     "check valve_blind_spot", max_shingle_df,
                 )
         if max_shingle_df is not None:
@@ -897,6 +911,44 @@ def ngram_jaccard_pairs(
                     ).alias("valve_blind_spot"),
                 )
         pfx = pfx.filter(F.col("_df") <= max_shingle_df).drop("_df")
+        # EXACT prefix fan-out valve (r11): the estimate filter above
+        # has a catastrophic blind spot at saturation — a shingle
+        # HOTTER than the capped rank table's floor is absent from the
+        # table, reads df 0, sorts as the RAREST shingle in every
+        # holder's rarity order, lands in every holder's prefix, and
+        # detonates the candidate self-join (measured: a 2.9k-shingle
+        # hot band overflowing a forced 8k cap on a 300k-doc corpus
+        # produced ~3.6e10 candidate rows and filled 80 GB of spill
+        # before dying — tools/sat_drop_bench.py found it). At 100 TB
+        # the 2^20+1-th hottest shingle has df ~4e5 and the same
+        # failure is guaranteed. So the valve is re-checked EXACTLY on
+        # the materialized prefix stream: count postings per shingle
+        # (map-side partial agg on the persisted pfx cache — the
+        # output is one row per distinct PREFIX shingle, a small
+        # fraction of the postings), and anti-join away shingles whose
+        # prefix fan-out exceeds the cap. prefix-count ≤ corpus df, so
+        # prefix-count > cap ⟹ corpus df > cap — every drop is
+        # licensed by the existing lossy valve contract, and the join
+        # fan-out is now bounded by cap² per shingle UNCONDITIONALLY,
+        # estimates be damned. The anti-join keys by shingle — the
+        # exact partitioning the candidate join needs — so its
+        # exchange replaces (not adds to) the join's own; AQE
+        # broadcasts the hot-shingle side when it is small (it is by
+        # construction ≤ |pfx|/cap rows).
+        pfx_hot = (
+            pfx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_pdf"))
+            .filter(F.col("_pdf") > max_shingle_df)
+            .select("shingle")
+        )
+        if stats is not None:
+            stats["prefix_truncation"] = pfx.join(
+                pfx_hot, "shingle", "left_semi"
+            ).agg(
+                F.count_distinct("shingle").alias("hot_shingles"),
+                F.count(F.lit(1)).alias("dropped_postings"),
+            )
+        pfx = pfx.join(pfx_hot, "shingle", "left_anti")
     # Candidate generation = SELF-EQUI-JOIN of the prefix postings on
     # the shingle, with PPJoin positional + length pruning inline: at
     # the pair's first shared prefix shingle, overlap ≤ 1 + min of the

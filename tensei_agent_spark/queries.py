@@ -1345,7 +1345,11 @@ def dedup_jaccard_fast(spark: SparkSession, sf: str) -> DataFrame:
     path's shuffled rank join (and 2x the df groupBy) - exact under
     any consistent order, parity-pinned sampled-vs-full in
     tests/test_dedup_fast.py; bench-neutral locally, floor calibrated
-    on the x8 near-dup smoke leg (SCALE.md).
+    on the x8 near-dup smoke leg (SCALE.md). Past the 256 MiB gate an
+    escalating probe ladder (r11) drops the floor when it certifies a
+    rankable head - the Zipf/100 TB regime - and keeps 0.5 on flat df
+    bands where dropping measured 1.4x slower (SCALE.md; A/B tool
+    tools/sat_drop_bench.py).
     The production path also engages the df-2000 candidate cap
     (a shingle shared by d docs expands to O(d²) pairs; max prefix df
     measured at sf0.1 is 304, so the cap is inert here and bites only

@@ -229,6 +229,68 @@ def test_ngram_jaccard_cap_parity_below_and_truncation_above(spark):
     assert not dft["valve_blind_spot"] and dft["n_entries"] > 0
 
 
+def test_ngram_jaccard_exact_prefix_fanout_valve(spark):
+    """r11: the saturated-rank-table blind spot must not detonate the
+    candidate join. A hot shingle band WIDER than the capped table
+    leaves its overflow off-table reading df 0 — "rarest" — so those
+    df-200 shingles land in every holder's prefix and the estimate
+    valve (which compares df estimates) cannot drop them. The exact
+    prefix fan-out valve counts the materialized prefix postings and
+    anti-joins any shingle whose fan-out exceeds the cap:
+    stats['prefix_truncation'] accounts the drop, the pair set matches
+    the exact-df path under the same cap, and the df_table frame
+    reports the blind spot it covered for."""
+    import tensei_agent_spark.operators.dedup as dedup_mod
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    alphabet = "abcdefghijklmnopqrstuvwxyz "
+    # 200 docs in 100 identical pairs: one global ~110-char boilerplate
+    # (a ~100-shingle band at df 200) + a pair-unique ~100-char tail
+    # (df-2 shingles). With the table cap forced to 16, ~84 boiler
+    # shingles overflow the table and read df 0.
+    boiler = "".join(rng.choice(alphabet) for _ in range(110))
+    rows = []
+    for p in range(100):
+        tail = "".join(rng.choice(alphabet) for _ in range(100))
+        rows.append((2 * p, boiler + tail))
+        rows.append((2 * p + 1, boiler + tail))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Reference: exact df under the same cap — boiler (df 200 > 8) is
+    # excluded from candidate generation, pairs link through tails.
+    full_capped = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            docs, k=8, threshold=0.8, df_rank="full", max_shingle_df=8
+        ).collect()
+    }
+    assert len(full_capped) == 100
+
+    old_cap = dedup_mod._DF_TABLE_CAP
+    dedup_mod._DF_TABLE_CAP = 16
+    try:
+        stats: dict = {}
+        sampled_capped = {
+            (r["id_a"], r["id_b"])
+            for r in ngram_jaccard_pairs(
+                docs, k=8, threshold=0.8, df_rank="sampled",
+                max_shingle_df=8, stats=stats,
+            ).collect()
+        }
+    finally:
+        dedup_mod._DF_TABLE_CAP = old_cap
+    assert sampled_capped == full_capped
+    # The blind spot was live (table saturated above the cap)...
+    dft = stats["df_table"].first()
+    assert dft["valve_blind_spot"]
+    # ...and the exact fan-out valve covered for it: off-table df-200
+    # boiler shingles that reached prefixes were dropped by count.
+    pt = stats["prefix_truncation"].first()
+    assert pt["hot_shingles"] > 0
+    assert pt["dropped_postings"] >= pt["hot_shingles"] * 100
+
+
 def test_ngram_jaccard_sampled_vs_full_df_rank_parity(spark):
     """The document-frequency rarity order only steers candidate
     pruning — the prefix lemma holds for ANY consistent total order —
