@@ -6,11 +6,11 @@ measures the OTHER side — a corpus with a genuine rankable head, where
 the certified drop replaces the half-corpus df groupBy with a small
 sampled one at identical output.
 
-Corpus (generated JVM-side, no files): 300k docs x ~700 chars
-(~210 MB of text) = a 192-char boilerplate prefix from a 60-template
+Corpus (generated JVM-side, no files): 300k docs x ~450 chars
+(~134 MB of text) = a 192-char boilerplate prefix from a 60-template
 bank (every template df = 5000 — an unambiguous hot head band of
-~11k shingles) + a 512-char unique sha2-hex tail (df-1 shingles, plus
-~2-3M birthday-collision df-2 shingles that saturate the table), and
+~11k shingles) + a 256-char unique sha2-hex tail (df-1 shingles, plus
+~650k birthday-collision df-2 shingles that saturate the table), and
 1000 exact clone pairs as the true near-dup signal.
 
 Shrunk constants emulate the at-scale ratios on a bench-sized corpus:
@@ -53,7 +53,7 @@ def make_corpus(spark: SparkSession, n_docs: int):
     tail = F.concat(
         *[
             F.sha2(F.concat(F.lit(f"t{i}-"), tail_key.cast("string")), 256)
-            for i in range(8)
+            for i in range(4)
         ]
     )
     return (
@@ -62,7 +62,27 @@ def make_corpus(spark: SparkSession, n_docs: int):
     )
 
 
-def run_once(spark: SparkSession, n_docs: int, size_hint: int) -> tuple[float, int, dict]:
+def _fresh_session() -> SparkSession:
+    """One SparkContext per measured run: a long-lived local context
+    retains every prior run's shuffle files until the JVM's
+    ContextCleaner happens to GC them — five ~10 GB runs filled an
+    80 GB disk. Stopping the context removes its shuffle dirs
+    immediately; the py4j JVM (and its JIT state) survives across
+    sessions, so per-run startup is seconds, not a cold JVM."""
+    return (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .appName("sat-drop-bench")
+        .getOrCreate()
+    )
+
+
+def run_once(n_docs: int, size_hint: int) -> tuple[float, int, dict]:
+    spark = _fresh_session()
+    spark.sparkContext.setLogLevel("ERROR")
     docs = make_corpus(spark, n_docs)
     stats: dict = {}
     t0 = time.time()
@@ -80,22 +100,13 @@ def run_once(spark: SparkSession, n_docs: int, size_hint: int) -> tuple[float, i
     rows = pairs.select("id_a", "id_b").collect()
     dt = time.time() - t0
     release_all()
-    spark.catalog.clearCache()
+    spark.stop()
     return dt, frozenset((r["id_a"], r["id_b"]) for r in rows), stats
 
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.driver.memory", "48g")
-        .appName("sat-drop-bench")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
-    size_hint = n_docs * 704  # exact text bytes
+    size_hint = n_docs * 448  # exact text bytes
     old = (
         dedup_mod._DF_SAT_PROBE_BYTES,
         dedup_mod._DF_SAT_TARGET_BYTES,
@@ -110,12 +121,12 @@ def main() -> None:
     try:
         print(f"n_docs={n_docs} size_hint={size_hint/1e6:.0f} MB "
               f"loadavg={os.getloadavg()}", flush=True)
-        # warm-up (JIT, shuffle dirs) — not recorded
-        run_once(spark, n_docs, size_hint)
+        # warm-up (JIT, codegen caches) — quarter-size, not recorded
+        run_once(max(n_docs // 4, 20_000), size_hint // 4)
         for rep in range(2):
             for label, share in (("keep05", 2.0), ("drop", 0.3)):
                 dedup_mod._DF_SAT_HEAD_SHARE = share
-                dt, pairs, stats = run_once(spark, n_docs, size_hint)
+                dt, pairs, stats = run_once(n_docs, size_hint)
                 results[label].append(dt)
                 prev = pair_sets.setdefault(label, pairs)
                 assert prev == pairs, "pair set drifted between reps"
@@ -141,7 +152,6 @@ def main() -> None:
             dedup_mod._DF_TABLE_CAP,
             dedup_mod._DF_SAT_HEAD_SHARE,
         ) = old
-        spark.stop()
 
 
 if __name__ == "__main__":
