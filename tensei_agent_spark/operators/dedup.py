@@ -292,11 +292,13 @@ def ngram_jaccard_pairs(
     ``stats`` (pass a dict) receives ``stats["truncation"]`` — a LAZY
     one-row frame (hot_shingles, dropped_postings) over the already-
     persisted prefix table, so observability costs no extra lineage.
-    The estimate comparison is additionally BACKSTOPPED by an exact
-    prefix fan-out valve (r11): shingles whose materialized prefix
-    postings exceed the cap are anti-joined away regardless of what
-    the estimate said (prefix-count ≤ corpus df, so every drop is
-    licensed by this same contract; ``stats["prefix_truncation"]``
+    On the sampled path the estimate comparison is additionally
+    BACKSTOPPED by an exact prefix fan-out valve (r11): shingles whose
+    materialized prefix postings exceed the cap are anti-joined away
+    regardless of what the estimate said (prefix-count ≤ corpus df, so
+    every drop is licensed by this same contract; under
+    ``df_rank="full"`` the _df filter is already exact and the valve
+    would be empty, so it is skipped; ``stats["prefix_truncation"]``
     quantifies it). This closes the saturated-rank-table blind spot —
     a hotter-than-table shingle reading df 0 lands in every holder's
     prefix and would otherwise expand to O(df²) candidates with no
@@ -656,34 +658,40 @@ def ngram_jaccard_pairs(
                 # band stays uncertified at every rung and keeps the
                 # calibrated 0.5 — dropping there measured 1.4× SLOWER
                 # with identical output.
-                row = probe.agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("_sdf").alias("mass"),
-                ).collect()[0]
-                n_probe, mass_total = row["n"], row["mass"] or 0
-                saturated = n_probe >= _DF_TABLE_CAP
-                if saturated and mass_total:
-                    top = (
-                        probe.orderBy(F.desc("_sdf"), "shingle")
-                        .limit(_DF_TABLE_CAP)
-                        .agg(
-                            F.sum("_sdf").alias("m"),
-                            F.min("_sdf").alias("lo"),
+                try:
+                    row = probe.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("_sdf").alias("mass"),
+                    ).collect()[0]
+                    n_probe, mass_total = row["n"], row["mass"] or 0
+                    saturated = n_probe >= _DF_TABLE_CAP
+                    if saturated and mass_total:
+                        top = (
+                            probe.orderBy(F.desc("_sdf"), "shingle")
+                            .limit(_DF_TABLE_CAP)
+                            .agg(
+                                F.sum("_sdf").alias("m"),
+                                F.min("_sdf").alias("lo"),
+                            )
+                            .collect()[0]
                         )
-                        .collect()[0]
-                    )
-                    head_share = top["m"] / mass_total
-                    head_lo = top["lo"]
-                    # Corpus-df estimate of the COOLEST head entry —
-                    # the detectability anchor for the drop fraction
-                    # below. Reliable only when this rung itself saw
-                    # that entry ≥ _DF_HEAD_LO_MIN times: a 2-count
-                    # table entry is as likely a fluke of a df-8
-                    # shingle as a real head member, and scaling a
-                    # fluke OVER-estimates min_head_df, under-flooring
-                    # the drop.
-                    min_head_df = head_lo / frac_probe
-                probe.unpersist()
+                        head_share = top["m"] / mass_total
+                        head_lo = top["lo"]
+                        # Corpus-df estimate of the COOLEST head entry
+                        # — the detectability anchor for the drop
+                        # fraction below. Reliable only when this rung
+                        # itself saw that entry ≥ _DF_HEAD_LO_MIN
+                        # times: a 2-count table entry is as likely a
+                        # fluke of a df-8 shingle as a real head
+                        # member, and scaling a fluke OVER-estimates
+                        # min_head_df, under-flooring the drop.
+                        min_head_df = head_lo / frac_probe
+                finally:
+                    # A failed rung collect must not strand the probe
+                    # in MEMORY_AND_DISK for the session's lifetime
+                    # (code review r11) — this persist is outside
+                    # cache.track by design (rung-local lifetime).
+                    probe.unpersist()
                 if not saturated:
                     # Nested samples: only reachable at rung 1 (later
                     # rungs see a superset of df≥2 groups).
@@ -698,7 +706,11 @@ def ngram_jaccard_pairs(
                     _DF_PROBE_FRAC_CAP, frac_probe * _DF_PROBE_ESCALATION
                 )
             if stats is not None:
-                stats["df_head_share"] = head_share
+                # head_share is a MEASUREMENT only under saturation —
+                # unsaturated rungs never rank a head, so the 1.0
+                # initializer must not leak out as "head holds 100%"
+                # (code review r11).
+                stats["df_head_share"] = head_share if saturated else None
                 stats["df_probe_rounds"] = rounds
                 stats["df_probe_frac"] = frac_probe
             if saturated and not droppable:
@@ -712,7 +724,11 @@ def ngram_jaccard_pairs(
                     "calibrated 0.5 floor; dropping on an uncertified "
                     "head measured 1.4x slower (pruning-only either "
                     "way)", _DF_TABLE_CAP, frac_probe, rounds,
-                    _DF_PROBE_FRAC_CAP, 100 * head_share,
+                    # the effective budget: rung 1 may already start
+                    # above the ladder cap when the byte-target frac
+                    # exceeds it (256 MiB - 4 GiB corpora)
+                    max(_DF_PROBE_FRAC_CAP, frac_probe),
+                    100 * head_share,
                     100 * _DF_SAT_HEAD_SHARE, head_lo, _DF_HEAD_LO_MIN,
                 )
             if droppable:
@@ -935,20 +951,31 @@ def ngram_jaccard_pairs(
         # exchange replaces (not adds to) the join's own; AQE
         # broadcasts the hot-shingle side when it is small (it is by
         # construction ≤ |pfx|/cap rows).
-        pfx_hot = (
-            pfx.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_pdf"))
-            .filter(F.col("_pdf") > max_shingle_df)
-            .select("shingle")
-        )
-        if stats is not None:
-            stats["prefix_truncation"] = pfx.join(
-                pfx_hot, "shingle", "left_semi"
-            ).agg(
-                F.count_distinct("shingle").alias("hot_shingles"),
-                F.count(F.lit(1)).alias("dropped_postings"),
+        # Gated to the sampled path: under df_rank="full" the _df
+        # filter above already compared the EXACT df, and
+        # prefix-count ≤ df makes this valve empty by construction —
+        # no reason to charge the exact path a groupBy + anti-join
+        # for it (code review r11).
+        if df_rank == "sampled":
+            pfx_hot = (
+                pfx.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_pdf"))
+                .filter(F.col("_pdf") > max_shingle_df)
             )
-        pfx = pfx.join(pfx_hot, "shingle", "left_anti")
+            if stats is not None:
+                # The grouped frame already holds the counts — no
+                # second pfx scan or semi-join needed (code review
+                # r11): hot_shingles = its row count, dropped
+                # postings = its _pdf sum.
+                stats["prefix_truncation"] = pfx_hot.agg(
+                    F.count(F.lit(1)).alias("hot_shingles"),
+                    F.coalesce(F.sum("_pdf"), F.lit(0)).alias(
+                        "dropped_postings"
+                    ),
+                )
+            pfx = pfx.join(
+                pfx_hot.select("shingle"), "shingle", "left_anti"
+            )
     # Candidate generation = SELF-EQUI-JOIN of the prefix postings on
     # the shingle, with PPJoin positional + length pruning inline: at
     # the pair's first shared prefix shingle, overlap ≤ 1 + min of the
@@ -1278,7 +1305,7 @@ _DF_HEAD_LO_MIN = 8
 # _DF_PROBE_FRAC_CAP; the geometric sum bounds total probe cost at
 # cap·E/(E-1) ≈ 1.9% of one corpus pass (rungs ≥ 2 read the persisted
 # tok_sets cache). A Zipf corpus certifies at frac ≈ 8/df(cap-th)
-# (~2e-5 at 100 TB — two rungs), replacing the 50% scan with a ~0.01%
+# (~2e-5 at 100 TB — two rungs), replacing the 50% scan with a ~0.002%
 # one; a flat corpus climbs the whole ladder (≤ 1.9% overhead) and
 # keeps the calibrated 0.5.
 _DF_PROBE_ESCALATION = 8

@@ -80,7 +80,7 @@ def _fresh_session() -> SparkSession:
     )
 
 
-def run_once(n_docs: int, size_hint: int) -> tuple[float, int, dict]:
+def run_once(n_docs: int, size_hint: int) -> tuple[float, frozenset, dict]:
     spark = _fresh_session()
     spark.sparkContext.setLogLevel("ERROR")
     docs = make_corpus(spark, n_docs)
