@@ -298,8 +298,9 @@ def ngram_jaccard_pairs(
     regardless of what the estimate said (prefix-count ≤ corpus df, so
     every drop is licensed by this same contract; under
     ``df_rank="full"`` the _df filter is already exact and the valve
-    would be empty, so it is skipped; ``stats["prefix_truncation"]``
-    quantifies it). This closes the saturated-rank-table blind spot —
+    would be empty, so it is skipped — likewise below 2·cap corpus
+    bytes, where the table provably cannot saturate;
+    ``stats["prefix_truncation"]`` quantifies it). This closes the saturated-rank-table blind spot —
     a hotter-than-table shingle reading df 0 lands in every holder's
     prefix and would otherwise expand to O(df²) candidates with no
     bound at all (measured: 80 GB of spill from one overflowing hot
@@ -955,8 +956,18 @@ def ngram_jaccard_pairs(
         # filter above already compared the EXACT df, and
         # prefix-count ≤ df makes this valve empty by construction —
         # no reason to charge the exact path a groupBy + anti-join
-        # for it (code review r11).
-        if df_rank == "sampled":
+        # for it (code review r11). Second, ZERO-JOB gate: the blind
+        # spot requires the rank table to SATURATE, and saturation
+        # needs > _DF_TABLE_CAP distinct df≥2 shingles; every df≥2
+        # shingle costs ≥ 2 postings and postings ≤ k-gram count ≤
+        # text chars ≤ size_hint, so a corpus under 2·cap bytes
+        # CANNOT saturate the table — every df≥2 shingle is in it and
+        # the estimate filter above already dropped the hot ones.
+        # Below the gate (every test SF and the bench corpus) the
+        # valve would be a provable no-op costing a groupBy + anti-
+        # join, measured +1.2 s on the 2.6 s bench query. Unknown
+        # stats read huge (2^60) and conservatively ENGAGE the valve.
+        if df_rank == "sampled" and size_hint_bytes >= 2 * _DF_TABLE_CAP:
             pfx_hot = (
                 pfx.groupBy("shingle")
                 .agg(F.count(F.lit(1)).alias("_pdf"))

@@ -291,6 +291,32 @@ def test_ngram_jaccard_exact_prefix_fanout_valve(spark):
     assert pt["dropped_postings"] >= pt["hot_shingles"] * 100
 
 
+def test_ngram_fanout_valve_gated_by_corpus_size(spark):
+    """The exact prefix fan-out valve is a provable no-op when the
+    corpus cannot saturate the rank table (df>=2 shingles need >= 2
+    postings each, postings <= text bytes, so size < 2*cap means every
+    df>=2 shingle fits the table and the estimate filter already
+    dropped the hot ones). Below that zero-job gate the plan must NOT
+    carry the groupBy + anti-join (it measured as bench cost on the
+    2.6 s production query); above it the valve must be present."""
+    from tensei_agent_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared text body") for i in range(20)],
+        "doc_id long, text string",
+    )
+    below = ngram_jaccard_pairs(
+        docs, k=8, threshold=0.8, max_shingle_df=2000,
+        size_hint_bytes=1000,
+    )
+    assert "LeftAnti" not in below._jdf.queryExecution().optimizedPlan().toString()
+    above = ngram_jaccard_pairs(
+        docs, k=8, threshold=0.8, max_shingle_df=2000,
+        size_hint_bytes=1 << 30,
+    )
+    assert "LeftAnti" in above._jdf.queryExecution().optimizedPlan().toString()
+
+
 def test_ngram_jaccard_sampled_vs_full_df_rank_parity(spark):
     """The document-frequency rarity order only steers candidate
     pruning — the prefix lemma holds for ANY consistent total order —
