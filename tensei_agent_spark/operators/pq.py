@@ -255,35 +255,71 @@ def pq_adc_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codes: DataFrame | None = None,
+    refine: int = 0,
 ) -> DataFrame:
     """Asymmetric-distance top-k: approx cosine(q, c) = Σ_s LUT_q[s][codes_c[s]].
 
     Each query carries a flat m·ksub LUT of ⟨q_sub, centroid⟩ dot
     products (built once, in codegen); the broadcast join against the
     (id, codes) index never moves a float vector. Output:
-    (query_id, cand_id, score, rank) — ``score`` is the ADC cosine
-    estimate, run-deterministic but approximate by construction.
+    (query_id, cand_id, score, rank).
+
+    ``refine=0`` (pure ADC): ``score`` is the ADC cosine estimate —
+    run-deterministic but approximate by construction (measured
+    recall@10 0.54/0.44 at sf0.01/sf0.1 on isotropic embeddings).
+    ``refine>0`` (FAISS IndexRefineFlat over IndexPQ): the top
+    refine·k ADC survivors per query are re-ranked with the TRUE
+    cosine — one narrow join pulls just those refine·k vectors, a
+    FIXED per-query cost independent of corpus size (the same lever
+    that took ivf_pq_topk 0.72→0.92; see its ``refine`` sizing note).
+    ``score`` is then the exact cosine, and the ADC full scan remains
+    the only corpus-wide stage.
     ``codes`` lets callers reuse a precomputed/persisted index."""
     if codes is None:
         codes = pq_encode(corpus, codebooks, vec_col, id_col)
 
     qn = unit_normalize(queries.select(id_col, vec_col), vec_col)
-    q = F.broadcast(
-        qn.select(
-            F.col(id_col).alias("query_id"),
-            _adc_lut(codebooks, vec_col).alias("_lut"),
-        )
-    )
+    qcols = [
+        F.col(id_col).alias("query_id"),
+        _adc_lut(codebooks, vec_col).alias("_lut"),
+    ]
+    if refine > 0:
+        qcols.append(F.col(vec_col).alias("qvec"))
+    q = F.broadcast(qn.select(*qcols))
     score = _adc_score(codebooks)
     scored = (
         codes.select(F.col(id_col).alias("cand_id"), "codes")
         .join(q, F.col("cand_id") != F.col("query_id"))
         .withColumn("score", F.round(score, 9))
-        .select("query_id", "cand_id", "score")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+    if refine <= 0:
+        return (
+            scored.select("query_id", "cand_id", "score")
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    from .similarity import _dot_dbl
+
+    shortlist = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= refine * k)
+        .select("query_id", "qvec", "cand_id")
+    )
+    cvec = unit_normalize(corpus.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cvec")
+    )
+    refined = shortlist.join(cvec, "cand_id").withColumn(
+        "score", F.round(_dot_dbl(F.col("qvec"), F.col("cvec")), 9)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("cand_id")
+    )
+    return (
+        refined.select("query_id", "cand_id", "score")
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
     )
 
 

@@ -173,7 +173,7 @@ ANN_RECALL_FLOORS = {
         "ann_int8_topk": 0.99,         # measured 1.000
         "ann_ivf_topk": 0.85,          # measured 0.880 (4/8 cells probed)
         "ann_ivf_pq_topk": 0.85,       # measured 0.880 (r11: refine 5→20)
-        "ann_pq_topk": 0.50,           # measured 0.540 (pure ADC, no refine)
+        "ann_pq_topk": 0.95,           # measured 1.000 (r11: refine=20; pure ADC was 0.540)
         "ann_lsh_topk": 0.65,          # measured 0.720 (r11 cost-ordered multi-probe, 4x6 +8)
     },
     "sf0.1": {
@@ -181,7 +181,7 @@ ANN_RECALL_FLOORS = {
         "ann_int8_topk": 0.90,         # measured 0.940
         "ann_ivf_topk": 0.90,          # measured 0.940
         "ann_ivf_pq_topk": 0.85,       # measured 0.920 (r11: refine 5→20)
-        "ann_pq_topk": 0.40,           # measured 0.440
+        "ann_pq_topk": 0.90,           # measured 0.980 (r11: refine=20; pure ADC was 0.440)
         "ann_lsh_topk": 0.65,          # measured 0.700 (r11 cost-ordered multi-probe)
     },
 }
