@@ -123,6 +123,69 @@ def test_bench_compare_flags_ratio_blowup_despite_small_delta(tmp_path):
     assert "REGRESSION" in proc.stdout
 
 
+def test_bench_steal_stamp_math():
+    """cpu_steal_pct = steal ticks / total(user..steal) over the timed
+    bracket; None when either sample is missing or nothing elapsed."""
+    sys.path.insert(0, REPO)
+    try:
+        from bench import _cpu_ticks, _steal_pct
+    finally:
+        sys.path.remove(REPO)
+    # 1000 total ticks: 150 steal, 350 idle -> steal 15%, busy 65%
+    before = [100, 0, 50, 800, 10, 0, 5, 35, 0, 0]
+    after = [500, 0, 150, 1150, 10, 0, 5, 185, 0, 0]
+    assert _steal_pct(before, after) == (15.0, 65.0)
+    assert _steal_pct(None, after) == (None, None)
+    assert _steal_pct(before, before) == (None, None)  # zero elapsed
+    # On this (Linux) box the live sampler must produce a full row.
+    ticks = _cpu_ticks()
+    assert ticks is not None and len(ticks) >= 8
+
+
+def test_steal_probe_cli_contract():
+    """The box-weather probe must emit one JSON line with all four
+    measurement keys (numbers or null) and exit 0 — round_close's
+    steal gate parses exactly this."""
+    proc = subprocess.run(
+        [sys.executable, "tools/steal_probe.py", "0.3"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, proc.stderr[-1000:]
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(payload) == {
+        "steal_pct", "busy_pct", "sgemm_gflops", "memcpy_gbps", "seconds",
+    }
+    assert payload["steal_pct"] >= 0.0
+    assert 0.0 <= payload["busy_pct"] <= 100.0
+
+
+def test_bench_compare_annotates_steal(tmp_path):
+    """A side without cpu_steal_pct is STEAL-BLIND; a >5-point gap
+    between stamped sides is called out as box-weather."""
+    q = {"parsed": {"queries": {"a": 1.0}}}
+    blind = tmp_path / "blind.json"
+    blind.write_text(json.dumps(q))
+    hot = tmp_path / "hot.json"
+    hot.write_text(
+        json.dumps({"parsed": {**q["parsed"], "cpu_steal_pct": 18.4}})
+    )
+    cool = tmp_path / "cool.json"
+    cool.write_text(
+        json.dumps({"parsed": {**q["parsed"], "cpu_steal_pct": 2.0}})
+    )
+    proc = _run_compare(str(blind), str(hot))
+    assert "STEAL-BLIND" in proc.stdout
+    assert "cpu_steal_pct" in proc.stdout
+    proc = _run_compare(str(cool), str(hot))
+    assert "steal gap" in proc.stdout
+    proc = _run_compare(str(hot), str(hot))
+    assert "steal gap" not in proc.stdout
+    assert "STEAL-BLIND" not in proc.stdout
+
+
 def test_bench_compare_flags_new_and_failed(tmp_path):
     """A query new THIS round that is already failing must trip the
     gate — no old timing does not mean no problem."""

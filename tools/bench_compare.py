@@ -42,8 +42,10 @@ def _infer_protocol(path: str) -> int:
     return 2 if m and int(m.group(1)) >= _V2_FIRST_ROUND else 1
 
 
-def load(path: str) -> tuple[dict[str, float], set[str], int, list | None]:
-    """Return (ok_queries, failed_queries, protocol_version, loadavg).
+def load(
+    path: str,
+) -> tuple[dict[str, float], set[str], int, list | None, float | None]:
+    """Return (ok_queries, failed, protocol_version, loadavg, steal).
 
     A -1.0 value is bench.py's failure sentinel; those names go into
     the failed set instead of being silently dropped, so a query that
@@ -61,15 +63,17 @@ def load(path: str) -> tuple[dict[str, float], set[str], int, list | None]:
     ok = {k: float(v) for k, v in q.items() if v >= 0}
     failed = {k for k, v in q.items() if v < 0}
     proto = int(parsed.get("protocol", _infer_protocol(path)))
-    return ok, failed, proto, parsed.get("loadavg")
+    return ok, failed, proto, parsed.get("loadavg"), parsed.get(
+        "cpu_steal_pct"
+    )
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
     a_path, b_path = sys.argv[1], sys.argv[2]
-    (a, _a_failed, a_proto, a_load) = load(a_path)
-    (b, b_failed, b_proto, b_load) = load(b_path)
+    (a, _a_failed, a_proto, a_load, a_steal) = load(a_path)
+    (b, b_failed, b_proto, b_load, b_steal) = load(b_path)
     if a_proto != b_proto:
         print(
             f"WARNING: cross-protocol comparison (v{a_proto} vs "
@@ -90,6 +94,29 @@ def main() -> None:
             )
         else:
             print(f"loadavg {path}: start {la[0]}, end {la[1]}")
+    # Hypervisor steal evidence (r11): this box is a Firecracker guest;
+    # host CPU steal (18%+ measured under load on an idle guest) is
+    # invisible to loadavg and explains the round-over-round ±8-19%
+    # total wander on identical plans. A side without the stamp is
+    # STEAL-BLIND; a >5-point gap between sides means the deltas are
+    # box-weather, not engine changes.
+    for path, st in ((a_path, a_steal), (b_path, b_steal)):
+        if st is None:
+            print(
+                f"WARNING: {path} carries no cpu_steal_pct stamp — "
+                "STEAL-BLIND side; hypervisor contention during that "
+                "run is undetectable from inside the guest."
+            )
+        else:
+            print(f"cpu_steal_pct {path}: {st}")
+    if a_steal is not None and b_steal is not None and abs(
+        a_steal - b_steal
+    ) > 5.0:
+        print(
+            f"WARNING: steal gap {abs(a_steal - b_steal):.1f} points "
+            "between sides — per-query deltas reflect host contention; "
+            "trust direction only, not magnitude."
+        )
     shared = sorted(set(a) & set(b), key=lambda k: -b[k])
     regressions = []
     print(f"{'query':35s} {a_path:>14s} {b_path:>14s}  ratio")

@@ -65,6 +65,41 @@ def settle(threshold: float = 1.5, max_wait: int = 600) -> None:
     )
 
 
+def steal_gate(threshold: float = 5.0, max_wait: int = 600) -> None:
+    """Block while hypervisor steal under full demand exceeds
+    *threshold* percent (give up after *max_wait* s, loudly). The
+    loadavg settle gate only sees load INSIDE the guest; this box is a
+    Firecracker microVM and host contention is invisible to it —
+    full-demand steal probes on an idle guest measured 1.5-22.4%
+    within minutes (2026-08-17), exactly the ±8-19% bench-total wander
+    every round-over-round comparison has fought. The probe saturates
+    all cores for 3 s, so it runs AFTER settle() and never during a
+    bench."""
+    t0 = time.time()
+    while True:
+        probe = subprocess.run(
+            [sys.executable, "tools/steal_probe.py", "3"],
+            cwd=REPO, capture_output=True, text=True,
+        )
+        try:
+            steal = json.loads(probe.stdout)["steal_pct"]
+        except (ValueError, KeyError):
+            print("steal probe unavailable — proceeding", flush=True)
+            return
+        if steal <= threshold:
+            print(f"steal settled at {steal:.1f}%", flush=True)
+            return
+        if time.time() - t0 >= max_wait:
+            print(
+                f"WARNING: steal still {steal:.1f}% after {max_wait}s; "
+                "bench number will be host-contaminated (the stamp in "
+                "the artifact records it)", flush=True,
+            )
+            return
+        print(f"steal {steal:.1f}% > {threshold}% — waiting…", flush=True)
+        time.sleep(30)
+
+
 def main() -> None:
     if len(sys.argv) != 2 or not sys.argv[1].isdigit():
         sys.exit(__doc__)
@@ -88,6 +123,7 @@ def main() -> None:
         )
 
     settle()
+    steal_gate()
     bench = run(
         "bench sf0.1",
         [sys.executable, "bench.py"],
