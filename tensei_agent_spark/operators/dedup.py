@@ -1598,12 +1598,31 @@ def bucket_pairs(
             "pairs colliding only in hotter buckets are dropped "
             "(stats['truncation'] quantifies)", max_bucket_df,
         )
-        from ..cache import track
-
-        # band_sig feeds both the size count and the kept-join; persist
-        # so the signature pipeline (the expensive part) runs once.
-        band_sig = track(band_sig)
-        sizes = band_sig.groupBy("band", "band_key").agg(
+        # ONE exchange of the banded stream (r12 job-count pass, guide
+        # §2.4): the r11 shape persisted band_sig, counted bucket sizes
+        # on one exchange of partial counts, anti-joined the hot keys
+        # (a broadcast build), then re-exchanged the FULL banded stream
+        # for the collect_list groupBy — 2 shuffles + 1 broadcast + a
+        # cache fill, each a scheduling round-trip. The banded stream
+        # has to cross the wire keyed by (band, band_key) exactly once
+        # no matter what (that is what grouping a bucket means), so
+        # exchange the RAW stream once, explicitly, and derive
+        # EVERYTHING downstream on that one layout: the size count, the
+        # keep-filter join, and the member collect all run co-partitioned
+        # with zero further exchanges (HashPartitioning on the group
+        # keys satisfies every downstream distribution requirement).
+        # The hot-bucket memory guarantee is unchanged — sizes are
+        # still counted BEFORE any member list is materialized, and the
+        # inner join to the kept keys drops hot buckets (and, new,
+        # singleton buckets — most of the stream) ahead of the
+        # collect_list, so a pathological 100M-doc bucket never builds
+        # a 100M-element aggregation buffer. No persist needed: the
+        # repartition's shuffle files ARE the materialization both
+        # consumers read (AQE stage reuse), replacing the tracked cache.
+        # Keyless-vs-keyed: keyed repartition, so no sort-before-
+        # repartition cost and deterministic row routing (guide §2.5).
+        banded = band_sig.repartition("band", "band_key")
+        sizes = banded.groupBy("band", "band_key").agg(
             F.count(F.lit(1)).alias("_df")
         )
         hot = sizes.filter(F.col("_df") > max_bucket_df)
@@ -1614,16 +1633,16 @@ def bucket_pairs(
                     F.sum(F.col("_df") * (F.col("_df") - 1) / 2), F.lit(0.0)
                 ).cast("long").alias("dropped_pairs"),
             )
-        # Hot keys are typically FEW (each is a boilerplate collision),
-        # but "typically" is not a driver-memory guarantee: a corpus
-        # with very many buckets just above the cap could blow the
-        # broadcast limit under a forced hint (ADVICE r9). No hint —
-        # AQE sizes the built side at runtime and picks broadcast
-        # anti-join exactly when the hot set is actually small.
-        band_sig = band_sig.join(
-            hot.select("band", "band_key"),
-            ["band", "band_key"],
-            "left_anti",
+        # Buckets worth collecting: 2..cap members. Dropping singletons
+        # here (instead of size(ids)>=2 after the collect) is free — the
+        # size table is already in hand — and removes the long tail of
+        # 1-element collect_list buffers. Inner join on the exchange's
+        # own keys: co-partitioned, zero additional exchanges.
+        kept = sizes.filter(
+            (F.col("_df") <= max_bucket_df) & (F.col("_df") >= 2)
+        )
+        band_sig = banded.join(
+            kept.select("band", "band_key"), ["band", "band_key"]
         )
     return (
         band_sig.groupBy("band", "band_key")
