@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
 
 __all__ = ["holt_forecast", "acf", "ccf", "ewma_control"]
 
@@ -100,15 +101,42 @@ def acf(
     the identical expression tree reproduces the result bit-exactly,
     independent of either engine's partial-aggregation order.
 
-    Scale shape: one map-side ×max_lag fan-out of the (already
-    key×horizon-bounded) series, one shuffle join keyed on
-    (key, step), two hash aggregates, and a key-sized broadcast join
-    of the full-series moments. No windows, no collects — a 100 TB
-    event stream reduces to its per-key day spine before any of this
-    runs, so the joined relation is |keys|·|days|·max_lag rows.
+    Scale shape (r12, guide §2.3 "aggregate before you shuffle" — the
+    BM25 single-pass trick): ONE hash aggregate per key carries the
+    sorted (step, value) spine array AND the full-series moments; the
+    ×max_lag fan-out and the per-lag pair sums then run as a map-side
+    array fold (map lookup of step+lag) over the ≤|keys| aggregate
+    rows. No windows, no collects, no joins, no broadcasts — a 100 TB
+    event stream reduces to its per-key day spine inside the one
+    aggregation, exactly the horizon-bounded array shape
+    :func:`ewma_control` and :func:`holt_forecast` already use. The
+    r11 shape instead shuffle-joined a ×max_lag exploded probe stream
+    against the spine and broadcast the moments — 3 consumers of a
+    cached spine, 2 broadcast builds and a join tower that profiled as
+    11 scheduling round-trips for a sub-second query; this shape runs
+    the identical exact-DECIMAL sums (fold order is a deterministic
+    permutation of an exact sum — associative, order-free) in 2
+    exchanges end to end.
     """
     keys = [F.col(k) for k in key_cols]
-    full = series.groupBy(*keys).agg(
+    vt = series.schema[value_col].dataType
+    if isinstance(vt, DecimalType):
+        # Exact accumulators at max precision, scales per Spark's own
+        # multiply/add rules so values match the hash-aggregate sums
+        # the previous join shape produced (exact decimal arithmetic
+        # is order-independent; only the container differs).
+        sab_t = f"decimal(38,{min(2 * vt.scale, 38)})"
+        sa_t = f"decimal(38,{vt.scale})"
+    else:  # contract says DECIMAL; double fallback keeps the fold total
+        sab_t = sa_t = "double"
+    g = series.groupBy(*keys).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(step_col).alias("s"), F.col(value_col).alias("x")
+                )
+            )
+        ).alias("_pts"),
         F.count(F.lit(1)).alias("_n"),
         F.sum(F.col(value_col)).alias("_sx"),
         F.sum(F.col(value_col) * F.col(value_col)).alias("_sxx"),
@@ -116,50 +144,56 @@ def acf(
     lags = F.explode(
         F.sequence(F.lit(1), F.lit(int(max_lag)))
     ).alias("lag")
-    probe = series.select(
-        *keys,
-        F.col(step_col).alias("_s"),
-        F.col(value_col).alias("_xa"),
-        lags,
-    ).withColumn("_probe", F.col("_s") + F.col("lag"))
-    base = series.select(
-        *keys,
-        F.col(step_col).alias("_probe"),
-        F.col(value_col).alias("_xb"),
+    # step → value lookup; steps are unique per key by contract (one
+    # row per (key, step)). try_element_at: absent step (calendar gap)
+    # reads NULL under ANSI instead of throwing — the pairwise-complete
+    # convention (a missing step anchors no pair).
+    fanned = g.select(
+        *keys, "_pts", "_n", "_sx", "_sxx",
+        F.map_from_entries("_pts").alias("_m"), lags,
     )
-    per_lag = (
-        probe.join(base, [*key_cols, "_probe"])
-        .groupBy(*keys, F.col("lag"))
-        .agg(
-            F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.col("_xa") * F.col("_xb")).alias("_sab"),
-            F.sum("_xa").alias("_sa"),
-            F.sum("_xb").alias("_sb"),
-        )
-    )
+    fold = F.expr(
+        f"""aggregate(
+          _pts,
+          named_struct(
+            'np', 0L,
+            'sab', cast(0 as {sab_t}),
+            'sa',  cast(0 as {sa_t}),
+            'sb',  cast(0 as {sa_t})),
+          (a, p) -> CASE WHEN try_element_at(_m, p.s + lag) IS NULL
+            THEN a
+            ELSE named_struct(
+              'np',  a.np + 1L,
+              'sab', cast(a.sab + p.x * try_element_at(_m, p.s + lag)
+                          as {sab_t}),
+              'sa',  cast(a.sa + p.x as {sa_t}),
+              'sb',  cast(a.sb + try_element_at(_m, p.s + lag)
+                          as {sa_t})) END,
+          a -> a)"""
+    ).alias("_f")
+    per_lag = fanned.select(
+        *keys, F.col("lag"), "_n", "_sx", "_sxx", fold
+    ).filter(F.col("_f.np") > 0)
     xbar = F.col("_sx").cast("double") / F.col("_n")
     num = (
-        F.col("_sab").cast("double")
-        - xbar * (F.col("_sa").cast("double") + F.col("_sb").cast("double"))
-        + F.col("n_pairs") * xbar * xbar
+        F.col("_f.sab").cast("double")
+        - xbar * (F.col("_f.sa").cast("double") + F.col("_f.sb").cast("double"))
+        + F.col("_f.np") * xbar * xbar
     )
     den = (
         F.col("_sxx").cast("double")
         - F.lit(2.0) * xbar * F.col("_sx").cast("double")
         + F.col("_n") * xbar * xbar
     )
-    return (
-        per_lag.join(F.broadcast(full), key_cols)
-        .select(
-            *keys,
-            F.col("lag").cast("bigint").alias("lag"),
-            F.col("n_pairs").cast("bigint").alias("n_pairs"),
-            # Constant series → zero central moment: r is undefined, and
-            # an unguarded divide is engine-dependent (Spark NULL, IEEE
-            # NaN/Inf elsewhere). Pin NULL explicitly; the oracle
-            # mirrors with NULLIF.
-            F.when(den != F.lit(0.0), num / den).alias("r"),
-        )
+    return per_lag.select(
+        *keys,
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("_f.np").cast("bigint").alias("n_pairs"),
+        # Constant series → zero central moment: r is undefined, and
+        # an unguarded divide is engine-dependent (Spark NULL, IEEE
+        # NaN/Inf elsewhere). Pin NULL explicitly; the oracle
+        # mirrors with NULLIF.
+        F.when(den != F.lit(0.0), num / den).alias("r"),
     )
 
 

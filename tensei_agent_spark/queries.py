@@ -8791,26 +8791,24 @@ def acf_daily_revenue(spark: SparkSession, sf: str) -> DataFrame:
     the pairwise-complete convention); every sum is exact DECIMAL so
     the mean-centred estimator combines in IEEE double identically in
     both engines → bit-exact with no rounding guard. Scale: the raw
-    stream reduces to |event_type|×|days| rows before the ×7 lag
-    fan-out; the moments join is a broadcast of |event_type| rows."""
+    stream reduces to |event_type|×|days| rows inside acf()'s single
+    aggregation; the ×7 lag fan-out is a map-side array fold."""
     from .operators.timeseries import acf
 
     ev = load(spark, sf, "events")
-    # The day spine feeds THREE consumers inside acf() (probe side,
-    # base side, full-series moments) — persist it so the corpus is
-    # scanned once; the cached relation is |event_type|×|days| rows.
-    daily = cache.track(
-        ev.groupBy(
-            "event_type",
-            F.datediff(
-                F.to_date(F.date_trunc("day", F.col("ts"))),
-                F.lit("1990-01-01").cast("date"),
-            ).alias("s"),
-        ).agg(
-            F.sum(F.col("value").cast("decimal(14,2)"))
-            .cast("decimal(14,2)")
-            .alias("x")
-        )
+    # r12: acf() is now a single-pass fold (one groupBy carries spine
+    # + moments), so the day spine has exactly ONE consumer — no
+    # persist; the corpus is scanned once by construction.
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("1990-01-01").cast("date"),
+        ).alias("s"),
+    ).agg(
+        F.sum(F.col("value").cast("decimal(14,2)"))
+        .cast("decimal(14,2)")
+        .alias("x")
     )
     return acf(daily, ["event_type"], "s", "x", max_lag=7)
 
