@@ -825,9 +825,18 @@ def ngram_jaccard_pairs(
                 "shingle",
                 F.ceil(F.col("_sdf") / F.lit(frac)).cast("long").alias("_df"),
             )
-            .orderBy(F.desc("_df"), "shingle")
-            .limit(_DF_TABLE_CAP)
         )
+        # The _DF_TABLE_CAP head cut only has anything to cut once the
+        # df≥2 vocabulary CAN exceed the cap, and below 2·cap corpus
+        # bytes it provably cannot (every df≥2 shingle costs ≥2
+        # postings ≥2 text bytes) — the same provable-no-op gate as
+        # the prefix fan-out valve. Skipping the no-op sort+limit
+        # removes the TakeOrdered pass from every sub-2·cap build
+        # (r12 job-count pass, guide §1.2/§2.4) with a bit-identical
+        # freq row set; past the gate the deterministic (df desc,
+        # shingle) head cut is unchanged.
+        if size_hint_bytes >= 2 * _DF_TABLE_CAP:
+            freq = freq.orderBy(F.desc("_df"), "shingle").limit(_DF_TABLE_CAP)
         ranked = (
             postings.join(F.broadcast(freq), "shingle", "left")
             .na.fill({"_df": 0})
@@ -1105,55 +1114,78 @@ def ngram_jaccard_pairs(
     # measured SLOWER end-to-end (8.1 s vs 6.9 s at sf0.1) — each
     # duplicated pair re-pays the 16-long probe + bit arithmetic, and
     # that redundancy outweighs the 5.9 M→150 k distinct-input cut.
+    # ONE per-doc attach relation, joined once per pair side (r12 job/
+    # exchange-count pass, guide §2.3/§2.4). The r11 shape attached the
+    # OPH signatures and the token arrays through SEPARATE per-side
+    # relations (ga/gb then ta/tb) — four joins whose build/shuffle
+    # sides were four passes over the same per-doc stream. Fusing sig
+    # + tokens into one (id, sigs…, _ts, n_sh) relation halves that:
+    # two joins, and at scale the heavy per-doc payload (the ~n_sh-long
+    # token array; the 8 sig longs are noise next to it) crosses the
+    # wire once per side instead of the sig stream AND the token stream
+    # each crossing once per side — strictly fewer shuffled bytes. The
+    # sig cutoff still screens BEFORE any intersect runs: the fused
+    # filter is `sig_pass AND token_pass` and codegen's conjunction
+    # short-circuits, so a sig-rejected pair never evaluates the O(n)
+    # array_intersect — the same CPU order as the two-stage chain. The
+    # trade, accepted and deliberate: screen decisions now ride the
+    # token-bearing relation, so the mid-size regime where the 72 B/doc
+    # sig table alone was broadcastable but the token payload was not
+    # (sig_hint vs hint in r11) degrades to the shuffle path — AQE
+    # re-promotes at runtime from actual sizes when the estimate was
+    # conservative.
+    # ADAPTIVE sig cutoff (r9): est = 2·match/both − 1 estimates J with
+    # σ = 2·√(p(1−p)/both) ≤ 1/√both, so requiring
+    #   est ≥ t − 3.3/√both
+    # holds every pair to the same ≥3.3σ standard — and strictly
+    # more at the threshold itself, where p = (1+t)/2 gives
+    # σ = √(1−t²)/√both: the margin is 3.3/√(1−t²) σ, i.e. 4.1σ at
+    # t=0.6 (risk ≤ 2e-5/pair) and 5.5σ at t=0.8. The previous
+    # FIXED t−0.30 cutoff was calibrated for both ≈ 120 joint
+    # buckets, but the sf0.1 candidate population sits at median
+    # both = 151 (p90 = 177), so typical pairs enjoyed ~4.6σ of
+    # slack the screen never used — measured 319 938 → 73 802
+    # screen survivors (−77%) on identical final output. Small
+    # both degrades gracefully: the margin widens until the cutoff
+    # falls below any possible estimate (the old hard both<110
+    # pass-through floor, now graded instead of cliffed); both=0
+    # (no joint buckets, no evidence) passes to the exact screen.
+    sig_cols = (
+        [F.col(f"_m{w}") for w in range(4)]
+        + [F.col(f"_g{w}") for w in range(4)]
+        if use_bit_screen
+        else []
+    )
+    att = hint(
+        tok_sets.select(
+            F.col(id_col).alias("_tid"), "_ts", "n_sh", *sig_cols
+        )
+    )
+    a_side = cand.distinct().join(
+        att, F.col("id_a") == F.col("_tid")
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("_ts").alias("_ta"),
+        F.col("n_sh").alias("n_ta"),
+        *(
+            [F.col(f"_m{w}").alias(f"_ma{w}") for w in range(4)]
+            + [F.col(f"_g{w}").alias(f"_ga{w}") for w in range(4)]
+            if use_bit_screen
+            else []
+        ),
+    )
+    paired = a_side.join(att, F.col("id_b") == F.col("_tid"))
     if use_bit_screen:
-        ga = tok_sets.select(
-            F.col(id_col).alias("id_a"),
-            *[F.col(f"_m{w}").alias(f"_ma{w}") for w in range(4)],
-            *[F.col(f"_g{w}").alias(f"_ga{w}") for w in range(4)],
-        )
-        gb = tok_sets.select(
-            F.col(id_col).alias("id_b"),
-            *[F.col(f"_m{w}").alias(f"_mb{w}") for w in range(4)],
-            *[F.col(f"_g{w}").alias(f"_gb{w}") for w in range(4)],
-        )
         both = F.lit(0)
         match = F.lit(0)
         for w in range(4):
-            both = both + F.bit_count(F.expr(f"_ma{w} & _mb{w}"))
+            both = both + F.bit_count(F.expr(f"_ma{w} & _m{w}"))
             match = match + F.bit_count(
-                F.expr(f"~(_ga{w} ^ _gb{w}) & _ma{w} & _mb{w}")
+                F.expr(f"~(_ga{w} ^ _g{w}) & _ma{w} & _m{w}")
             )
-        # The signature tables are a fixed ~72 B/doc (id + 8 longs)
-        # regardless of text length — gate their broadcast on a per-doc
-        # bound, not the token-payload estimate that sizes ta/tb below:
-        # a Catalyst row estimate is ≥ ~20 B/doc (id + text + overhead),
-        # so sig bytes ≤ 4× the plan estimate.
-        sig_hint = (
-            F.broadcast
-            if size_hint_bytes * 4 < 64 * 1024 * 1024
-            else (lambda d: d)
-        )
-        # ADAPTIVE cutoff (r9): est = 2·match/both − 1 estimates J with
-        # σ = 2·√(p(1−p)/both) ≤ 1/√both, so requiring
-        #   est ≥ t − 3.3/√both
-        # holds every pair to the same ≥3.3σ standard — and strictly
-        # more at the threshold itself, where p = (1+t)/2 gives
-        # σ = √(1−t²)/√both: the margin is 3.3/√(1−t²) σ, i.e. 4.1σ at
-        # t=0.6 (risk ≤ 2e-5/pair) and 5.5σ at t=0.8. The previous
-        # FIXED t−0.30 cutoff was calibrated for both ≈ 120 joint
-        # buckets, but the sf0.1 candidate population sits at median
-        # both = 151 (p90 = 177), so typical pairs enjoyed ~4.6σ of
-        # slack the screen never used — measured 319 938 → 73 802
-        # screen survivors (−77%) on identical final output. Small
-        # both degrades gracefully: the margin widens until the cutoff
-        # falls below any possible estimate (the old hard both<110
-        # pass-through floor, now graded instead of cliffed); both=0
-        # (no joint buckets, no evidence) passes to the exact screen.
-        cand = (
-            cand.distinct()
-            .join(sig_hint(ga), "id_a")
-            .join(sig_hint(gb), "id_b")
-            .withColumn("_both", both)
+        paired = (
+            paired.withColumn("_both", both)
             .withColumn("_match", match)
             .filter(
                 (F.col("_both") == 0)
@@ -1162,22 +1194,11 @@ def ngram_jaccard_pairs(
                     >= threshold - 3.3 / F.sqrt(F.col("_both"))
                 )
             )
-            .select("id_a", "id_b")
         )
-    else:
-        cand = cand.distinct()
-    ta = tok_sets.select(
-        F.col(id_col).alias("id_a"), F.col("_ts").alias("_ta"), F.col("n_sh").alias("n_ta")
-    )
-    tb = tok_sets.select(
-        F.col(id_col).alias("id_b"), F.col("_ts").alias("_tb"), F.col("n_sh").alias("n_tb")
-    )
     screened = (
-        cand.join(hint(ta), "id_a")
-        .join(hint(tb), "id_b")
-        .withColumn("_tc", F.size(F.array_intersect("_ta", "_tb")))
+        paired.withColumn("_tc", F.size(F.array_intersect("_ta", "_ts")))
         .filter(
-            F.col("_tc") / (F.col("n_ta") + F.col("n_tb") - F.col("_tc"))
+            F.col("_tc") / (F.col("n_ta") + F.col("n_sh") - F.col("_tc"))
             >= threshold - 0.05
         )
         .select("id_a", "id_b")
@@ -1192,17 +1213,19 @@ def ngram_jaccard_pairs(
         f"sequence(1, greatest(length({{c}}) - {k - 1}, 1)),"
         f" i -> substring({{c}}, i, {k})))"
     )
-    da = docs.select(
-        F.col(id_col).alias("id_a"), F.col(text_col).alias("_txa")
-    )
-    db = docs.select(
-        F.col(id_col).alias("id_b"), F.col(text_col).alias("_txb")
+    # ONE (id, text) relation joined twice — at bench SFs AQE
+    # broadcasts it and exchange reuse builds it once; at scale the
+    # tiny pair side is what gets broadcast and the two docs scans
+    # stream in place, unchanged from the per-side shape.
+    dtx = docs.select(
+        F.col(id_col).alias("_did"), F.col(text_col).alias("_txt")
     )
     pairs = (
-        screened.join(da, "id_a")
-        .join(db, "id_b")
+        screened.join(dtx, F.col("id_a") == F.col("_did"))
+        .select("id_a", "id_b", F.col("_txt").alias("_txa"))
+        .join(dtx, F.col("id_b") == F.col("_did"))
         .withColumn("_sa", F.expr(sh_expr.format(c="_txa")))
-        .withColumn("_sb", F.expr(sh_expr.format(c="_txb")))
+        .withColumn("_sb", F.expr(sh_expr.format(c="_txt")))
         .withColumn("n_a", F.size("_sa"))
         .withColumn("n_b", F.size("_sb"))
         .withColumn("n_common", F.size(F.array_intersect("_sa", "_sb")))
