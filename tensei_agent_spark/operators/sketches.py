@@ -238,38 +238,65 @@ def cms_estimate(
     with est = min over depths of the key's cell — the classic CM
     upper bound (never undercounts; overcount bounded by εN).
 
-    Probes explode to their depth cells and join the sketch on
-    (d, bucket) — an equi-join against the constant-size cell table
-    (broadcast it); missing cells read as 0.
+    Shape (r12, guide §2.4): the sketch is depth×width cells — a
+    CONSTANT-size table by construction — so it pivots into a single
+    map row (flat key d·width+bucket) that cross-joins onto the probe
+    stream as a broadcast; est is then a pure map expression (least
+    over depth of the key's cell lookups), no explode, no join, no
+    per-key re-aggregation. The r11 shape exploded probes ×depth,
+    equi-joined the broadcast cell table and groupBy-min'ed back — one
+    probe-stream exchange and a join that this removes; output is
+    bit-identical (same md5 buckets, same min-over-depth, missing
+    cells still read 0). Duplicate probe keys collapse to one row per
+    key exactly as the old groupBy did.
     """
-    d = F.explode(F.sequence(F.lit(0), F.lit(int(depth) - 1))).alias("d")
-    pcells = probes.select(
-        F.col(key_col), F.col(key_col).cast("string").alias("_k"), d
-    ).select(
-        key_col,
-        "d",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.lit(salt), F.col("d"), F.col("_k")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(int(width))
-        )
-        .cast("int")
-        .alias("bucket"),
+    one = sketch.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (
+                        F.col("d").cast("long") * F.lit(int(width))
+                        + F.col("bucket")
+                    ).alias("k"),
+                    F.col("cnt").alias("v"),
+                )
+            )
+        ).alias("_cells")
     )
-    joined = pcells.join(F.broadcast(sketch), ["d", "bucket"], "left")
-    return joined.groupBy(key_col).agg(
-        F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")
+    lookups = [
+        F.coalesce(
+            F.element_at(
+                F.col("_cells"),
+                F.lit(d * int(width))
+                + (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.lit(salt),
+                                    F.lit(d),
+                                    F.col(key_col).cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(int(width))
+                ),
+            ),
+            F.lit(0).cast("long"),
+        )
+        for d in range(int(depth))
+    ]
+    return (
+        probes.select(key_col)
+        .dropDuplicates([key_col])
+        .crossJoin(F.broadcast(one))
+        .select(F.col(key_col), F.least(*lookups).alias("est"))
     )
 
 

@@ -9764,7 +9764,7 @@ def cms_word_estimates(spark: SparkSession, sf: str) -> DataFrame:
     N/500) against it. est ≥ true always; overcount ≤ εN with
     ε = e/width. md5 bucket hashing keeps every cell and estimate
     bit-identical in any engine."""
-    from .operators.sketches import cms_build, cms_estimate
+    from .operators.sketches import CMS_DEPTH, CMS_WIDTH, cms_build
 
     # Deliberately NOT spread_for_cpu_map (r9 arbitration of the r6→r8
     # +23% regression): unlike the dedup family's ~1300-hash-per-doc
@@ -9788,19 +9788,69 @@ def cms_word_estimates(spark: SparkSession, sf: str) -> DataFrame:
     truec = cache.track(
         toks.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
     )
-    tot = truec.agg(F.sum("true_cnt").alias("n"))
-    probes = truec.crossJoin(F.broadcast(tot)).filter(
-        F.col("true_cnt") * 500 >= F.col("n")
-    )
     sketch = cms_build(truec, "w", weight_col="true_cnt")
-    est = cms_estimate(sketch, probes.select("w"), "w")
+    # r12 (guide §2.3/§2.4): the sketch already CONTAINS the stream
+    # total — each depth row counts every occurrence exactly once, so
+    # n = Σ cnt over the d=0 slice, an exact integer identity with
+    # Σ true_cnt. Folding n into the same 1-row cell-map aggregate
+    # that cms_estimate's lookup shape uses lets the heavy-hitter
+    # filter AND the estimates run as pure expressions on ONE
+    # broadcast row: the r11 tot-aggregate (a second pass over the
+    # cached vocab), its broadcast, the probes×sketch join and the
+    # est-back-to-probes join all disappear — 12 jobs → 5 at sf0.1,
+    # bit-identical output (same md5 buckets, same min-over-depth,
+    # same integer threshold compare).
+    smap = sketch.agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (
+                        F.col("d").cast("long") * F.lit(CMS_WIDTH)
+                        + F.col("bucket")
+                    ).alias("k"),
+                    F.col("cnt").alias("v"),
+                )
+            )
+        ).alias("_cells"),
+        F.sum(F.when(F.col("d") == 0, F.col("cnt"))).alias("n"),
+    )
+    lookups = [
+        F.coalesce(
+            F.element_at(
+                F.col("_cells"),
+                F.lit(d * CMS_WIDTH)
+                + (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    ":",
+                                    F.lit("cms-v1"),
+                                    F.lit(d),
+                                    F.col("w").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.lit(CMS_WIDTH)
+                ),
+            ),
+            F.lit(0).cast("long"),
+        )
+        for d in range(CMS_DEPTH)
+    ]
     return (
-        probes.join(est, "w")
+        truec.crossJoin(F.broadcast(smap))
+        .filter(F.col("true_cnt") * 500 >= F.col("n"))
         .select(
             F.col("w").alias("word"),
             "true_cnt",
-            F.col("est").cast("bigint").alias("cms_est"),
-            (F.col("est") - F.col("true_cnt")).cast("bigint").alias(
+            F.least(*lookups).cast("bigint").alias("cms_est"),
+            (F.least(*lookups) - F.col("true_cnt")).cast("bigint").alias(
                 "overcount"
             ),
         )
