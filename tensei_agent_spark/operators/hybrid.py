@@ -33,15 +33,36 @@ def rrf_fuse(
     (id_col, rank_<name>..., rrf). Documents missing from a list
     contribute 0 for that arm (the standard RRF convention). Term
     addition follows the given list order so the float sum is
-    reproducible."""
+    reproducible.
+
+    Shape (r12, guide §2.4): UNION the arms and pivot per-arm ranks in
+    ONE groupBy — an N-arm fusion is one exchange of Σ|arm| rows. The
+    r11 shape chained N−1 full-outer equi-joins, and Spark cannot
+    broadcast a full outer join, so every arm paid its own sort-merge
+    exchange even at top-k sizes. Each id appears at most once per arm
+    (ranked lists), so min(when(arm=name, rank)) IS that arm's rank —
+    or NULL when absent, exactly the old join's missing side."""
     if not lists:
         raise ValueError("rrf_fuse needs at least one ranked list")
-    out: DataFrame | None = None
-    for name, df in lists:
-        cur = df.select(
-            F.col(id_col), F.col(rank_col).alias(f"rank_{name}")
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.lit(name).alias("_arm"),
+            F.col(rank_col).alias("_rank"),
         )
-        out = cur if out is None else out.join(cur, id_col, "full_outer")
+        for name, df in lists
+    ]
+    allarms = parts[0]
+    for p in parts[1:]:
+        allarms = allarms.unionByName(p)
+    pivoted = allarms.groupBy(id_col).agg(
+        *[
+            F.min(F.when(F.col("_arm") == name, F.col("_rank"))).alias(
+                f"rank_{name}"
+            )
+            for name, _ in lists
+        ]
+    )
     score = None
     for name, _ in lists:
         term = F.coalesce(
@@ -50,8 +71,7 @@ def rrf_fuse(
             F.lit(0.0),
         )
         score = term if score is None else score + term
-    assert out is not None
-    return out.select(
+    return pivoted.select(
         id_col,
         *[F.col(f"rank_{name}") for name, _ in lists],
         score.alias("rrf"),
