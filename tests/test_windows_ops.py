@@ -349,3 +349,33 @@ def test_stats_quantiles_exact_matches_numpy(spark):
         assert math.isclose(v, want, rel_tol=0, abs_tol=abs(want) * 2.3e-16 + 5e-12), (
             p, v, want,
         )
+
+
+def test_bounded_rank_unbounded_caller_fails_loudly(skewed):
+    """The r12 runtime guard: a frame larger than max_rows must raise
+    (loudly) instead of silently serializing a corpus-sized relation
+    into one task. Uses a tiny ceiling so the red path is cheap; the
+    assert is woven into the rank column so pruning can't elide it."""
+    import pytest
+    from tensei_agent_spark.operators.windows import with_bounded_rank
+
+    r = with_bounded_rank(
+        skewed, ["v", "id"], out="i", pin=False, max_rows=100
+    )
+    with pytest.raises(Exception, match="bounded-.?caller ceiling"):
+        # count() would column-prune the rank away entirely (and with
+        # it the frame's only reason to exist); materialize the rank
+        # column the way any real consumer does.
+        r.select("i").write.format("noop").mode("overwrite").save()
+
+
+def test_bounded_rank_guard_inert_below_ceiling(skewed):
+    """Same call, ceiling above the frame: values identical to the
+    unguarded contract (rank 1..n over the total order)."""
+    from tensei_agent_spark.operators.windows import with_bounded_rank
+
+    r = with_bounded_rank(
+        skewed, ["v", "id"], out="i", pin=False, max_rows=10_000
+    )
+    got = [x["i"] for x in r.orderBy("i").select("i").collect()]
+    assert got == list(range(1, len(got) + 1))
