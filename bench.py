@@ -54,8 +54,14 @@ def _steal_pct(before: list[int] | None, after: list[int] | None):
     total = sum(delta[:8])  # user..steal; guest cols double-count user
     if total <= 0:
         return None, None
-    busy = total - delta[3] - delta[4]  # minus idle, iowait
-    return round(100.0 * delta[7] / total, 1), round(
+    busy = total - delta[3] - delta[4]  # minus idle, iowait (incl. steal)
+    if busy <= 0:
+        return None, round(100.0 * busy / total, 1)
+    # ADVICE r11: divide by BUSY, as the docstring says — the /total
+    # form diluted demanded-cycle steal ~4x at the bench's ~25% duty
+    # cycle, and put the stamp in different units from steal_probe.py
+    # and round_close's 5% gate (both busy-relative).
+    return round(100.0 * delta[7] / busy, 1), round(
         100.0 * busy / total, 1
     )
 

@@ -124,17 +124,20 @@ def test_bench_compare_flags_ratio_blowup_despite_small_delta(tmp_path):
 
 
 def test_bench_steal_stamp_math():
-    """cpu_steal_pct = steal ticks / total(user..steal) over the timed
-    bracket; None when either sample is missing or nothing elapsed."""
+    """cpu_steal_pct = steal ticks / busy(total minus idle+iowait) over
+    the timed bracket — the busy-relative unit steal_probe.py and the
+    round_close gate use (ADVICE r11); None when either sample is
+    missing or nothing elapsed."""
     sys.path.insert(0, REPO)
     try:
         from bench import _cpu_ticks, _steal_pct
     finally:
         sys.path.remove(REPO)
-    # 1000 total ticks: 150 steal, 350 idle -> steal 15%, busy 65%
+    # 1000 total ticks: 150 steal, 350 idle -> steal 150/650 = 23.1%
+    # of demanded cycles, busy 65% of total
     before = [100, 0, 50, 800, 10, 0, 5, 35, 0, 0]
     after = [500, 0, 150, 1150, 10, 0, 5, 185, 0, 0]
-    assert _steal_pct(before, after) == (15.0, 65.0)
+    assert _steal_pct(before, after) == (23.1, 65.0)
     assert _steal_pct(None, after) == (None, None)
     assert _steal_pct(before, before) == (None, None)  # zero elapsed
     # On this (Linux) box the live sampler must produce a full row.

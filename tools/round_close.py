@@ -82,8 +82,12 @@ def steal_gate(threshold: float = 5.0, max_wait: int = 600) -> None:
             cwd=REPO, capture_output=True, text=True,
         )
         try:
-            steal = json.loads(probe.stdout)["steal_pct"]
-        except (ValueError, KeyError):
+            # Last stdout line only (ADVICE r11): a stray numpy/BLAS
+            # warning on stdout must not fail the gate open.
+            steal = json.loads(
+                probe.stdout.strip().splitlines()[-1]
+            )["steal_pct"]
+        except (ValueError, KeyError, IndexError):
             print("steal probe unavailable — proceeding", flush=True)
             return
         if steal <= threshold:

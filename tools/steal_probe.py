@@ -93,6 +93,12 @@ def memcpy_gbps() -> float | None:
     except ImportError:
         return None
     a = np.zeros(512 * 1024 * 1024 // 8, dtype=np.float64)
+    # ADVICE r11: materialize the source — an untouched np.zeros stays
+    # backed by the shared copy-on-write zero page, so reads never hit
+    # DRAM and the "copy bandwidth" was write bandwidth + fault
+    # overhead. A throwaway copy also pre-faults the allocator path.
+    a[:] = 1.0
+    a.copy()
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
