@@ -145,6 +145,19 @@ def main() -> None:
             f"loadavg={os.getloadavg()}",
             flush=True,
         )
+        # Machine-readable last line (r12): tools/scale_smoke.py runs
+        # this A/B as its forced-saturation leg and parses this line
+        # into the committed smoke artifact.
+        import json
+
+        print(json.dumps({
+            "keep05_sec": round(min(results["keep05"]), 1),
+            "drop_sec": round(min(results["drop"]), 1),
+            "pairs": len(pair_sets["drop"]),
+            "identical": True,
+            "n_docs": n_docs,
+            "reps": 2,
+        }), flush=True)
     finally:
         (
             dedup_mod._DF_SAT_PROBE_BYTES,
