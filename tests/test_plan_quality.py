@@ -336,14 +336,19 @@ def test_salted_join_widens_shuffle_key(spark):
     assert "Generate explode" in plan or "explode" in plan
 
 
-def test_acf_reads_day_spine_from_cache(spark):
-    """The persisted day spine must feed all three of acf's consumers
-    (probe, base, moments) from cache — at 100 TB the corpus scan IS
-    the query cost, so it must happen once. NB the plan text renders
-    the cached child's lineage inside every InMemoryTableScan, so we
-    assert the consumer count, not the rendered scan count."""
+def test_acf_single_pass_no_cache_no_joins(spark):
+    """r12: acf is a single-pass fold — ONE aggregation carries the
+    sorted day-spine array and the moments, the per-lag pair sums run
+    as a map-side array fold. The corpus is scanned once BY
+    CONSTRUCTION (single consumer), so there must be no persisted
+    spine, no joins, no broadcasts, and exactly the two exchanges the
+    two aggregations need (day rollup, per-key collect)."""
     plan = _plan(spark, "acf_daily_revenue")
-    assert plan.count("InMemoryTableScan") == 3
+    assert plan.count("InMemoryTableScan") == 0
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Scan parquet") == 1
 
 
 def test_ccf_moment_joins_broadcast(spark):
